@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.CoreRelational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each module contributes `Seq[QueryDef]`; this object is just the merge
+  * point the driver reads.
+  */
 object SparkEntry {
+
+  private val modules: Seq[Seq[QueryDef]] = Seq(
+    CoreRelational.defs
+  )
+
+  private val all: Seq[QueryDef] = modules.flatten
+
+  require(all.map(_.name).distinct.size == all.size,
+    "duplicate query names across modules")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(d => d.name -> d.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.flatMap(d => d.oracle.map(o => d.name -> o)).toMap
 }
