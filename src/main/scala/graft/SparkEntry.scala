@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.CoreRelational
+import graft.operators.{CoreRelational, ExtendedRelational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module contributes `Seq[QueryDef]`; this object is just the merge
@@ -11,7 +11,8 @@ import graft.operators.CoreRelational
 object SparkEntry {
 
   private val modules: Seq[Seq[QueryDef]] = Seq(
-    CoreRelational.defs
+    CoreRelational.defs,
+    ExtendedRelational.defs
   )
 
   private val all: Seq[QueryDef] = modules.flatten
