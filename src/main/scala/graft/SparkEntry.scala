@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CoreRelational, ExtendedRelational}
+import graft.operators.{CoreRelational, ExtendedRelational, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module contributes `Seq[QueryDef]`; this object is just the merge
@@ -12,7 +12,8 @@ object SparkEntry {
 
   private val modules: Seq[Seq[QueryDef]] = Seq(
     CoreRelational.defs,
-    ExtendedRelational.defs
+    ExtendedRelational.defs,
+    TextDedup.defs
   )
 
   private val all: Seq[QueryDef] = modules.flatten

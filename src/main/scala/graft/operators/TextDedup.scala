@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY.md §2C):
+  * exact hash-dedup, MinHash signatures, MinHash-LSH banded candidate
+  * generation, exact n-gram Jaccard verification, SimHash with banded
+  * hamming near-dup search, and embedding-cosine near-dup pairs.
+  *
+  * Hash choice: md5 is the one hash primitive whose bytes are identical in
+  * Spark and DuckDB, so every MinHash-family query here is fully
+  * oracle-checkable (hash values are compared as integers, not floats).
+  * SimHash uses xxhash64 (one codegen'd call per shingle instead of a
+  * cryptographic digest) and is therefore rows-only checked.
+  *
+  * Scale notes (100 TB posture):
+  *  - nothing here is O(n²) on the Spark side: near-dup candidates come
+  *    from equality joins on (band_id, band_hash) — the LSH trick that
+  *    turns all-pairs similarity into a shuffle join with bounded bucket
+  *    sizes; only candidates (a vanishing fraction) are verified exactly;
+  *  - the DuckDB oracles DO use the O(n²) formulation — that is fine at
+  *    oracle scale (500–5000 docs) and keeps the oracle independent of
+  *    the engine's algorithm;
+  *  - signature computation is one narrow map stage (no shuffle): shingle
+  *    arrays never leave their partition, only the k-integer signature is
+  *    shuffled;
+  *  - SimHash hamming search uses 8 bands of 8 bits: any pair within
+  *    hamming distance 7 shares ≥1 exact band (pigeonhole), so the banded
+  *    equality join has 100% recall at the declared threshold — same
+  *    plan shape as the MinHash join, no cross join anywhere.
+  */
+object TextDedup {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Word 3-gram shingles of `text`, distinct, as an array column.
+    * Requires ≥3 words (guarded by the caller's filter). */
+  private def shingles(text: Column): Column = {
+    val ws = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), size(ws) - 2),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+        element_at(ws, i + 2))))
+  }
+
+  /** MinHash k of the shingle array: min over shingles of the first 60
+    * bits of md5(seed || ":" || shingle) — bit-identical in DuckDB as
+    * ('0x' || substr(md5(seed || ':' || s), 1, 15))::BIGINT. */
+  private def minhash(sh: Column, seed: Int): Column =
+    array_min(transform(sh, s =>
+      conv(substring(md5(encode(concat(lit(s"$seed:"), s), "UTF-8")), 1, 15),
+        16, 10).cast("long")))
+
+  /** documents with doc_id + distinct shingle array (docs with <3 words
+    * dropped — mirrored by WHERE len(...)>=3 in every oracle). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  /** doc_id + mh0..mh7 MinHash signature. */
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    docShingles(s, dir).select(
+      col("doc_id") +: (0 until 8).map(k => minhash(col("sh"), k).as(s"mh$k")): _*)
+
+  /** Shared oracle CTE prefix: shingles + 8 md5 minhashes per doc. */
+  private val oracleSig: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
+      |  FROM w WHERE len(ws) >= 3),
+      |m AS (SELECT doc_id,
+      |  list_min([('0x'||substr(md5('0:'||x),1,15))::BIGINT for x in s]) AS mh0,
+      |  list_min([('0x'||substr(md5('1:'||x),1,15))::BIGINT for x in s]) AS mh1,
+      |  list_min([('0x'||substr(md5('2:'||x),1,15))::BIGINT for x in s]) AS mh2,
+      |  list_min([('0x'||substr(md5('3:'||x),1,15))::BIGINT for x in s]) AS mh3,
+      |  list_min([('0x'||substr(md5('4:'||x),1,15))::BIGINT for x in s]) AS mh4,
+      |  list_min([('0x'||substr(md5('5:'||x),1,15))::BIGINT for x in s]) AS mh5,
+      |  list_min([('0x'||substr(md5('6:'||x),1,15))::BIGINT for x in s]) AS mh6,
+      |  list_min([('0x'||substr(md5('7:'||x),1,15))::BIGINT for x in s]) AS mh7
+      |  FROM sh)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── exact dedup: hash-groupBy on content, earliest doc_id survives
+    QueryDef(
+      "q40_dedup_exact",
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(md5(encode(col("text"), "UTF-8")))
+        .orderBy("doc_id")
+      T(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // ── MinHash signatures (k=8, md5-based → oracle-exact integers)
+    QueryDef(
+      "q41_minhash_sig",
+      oracleSig +
+        "\nSELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM m ORDER BY doc_id") {
+      (s, dir) => signatures(s, dir).orderBy("doc_id")
+    },
+
+    // ── exact n-gram Jaccard near-dup pairs (threshold 0.5, decided by
+    //    the integer test 3c >= n_i+n_j — no float in the cut)
+    QueryDef(
+      "q42_jaccard_pairs",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |  len(list_intersect(a.s, b.s)) AS c,
+        |  len(a.s) AS na, len(b.s) AS nb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_i, doc_j, CAST(c AS BIGINT) AS n_common,
+        |  CAST(na AS INTEGER) AS n_i, CAST(nb AS INTEGER) AS n_j,
+        |  round(c * 1.0 / (na + nb - c), 4) AS jaccard
+        |FROM p WHERE 3*c >= na + nb ORDER BY doc_i, doc_j""".stripMargin) {
+      (s, dir) =>
+        val sh = docShingles(s, dir)
+        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        val a = ex.as("a"); val b = ex.as("b")
+        a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+          .agg(count(lit(1)).as("n_common"))
+          .join(sizes.withColumnRenamed("doc_id", "doc_i")
+            .withColumnRenamed("n", "n_i"), "doc_i")
+          .join(sizes.withColumnRenamed("doc_id", "doc_j")
+            .withColumnRenamed("n", "n_j"), "doc_j")
+          .filter(col("n_common") * 3 >= col("n_i") + col("n_j"))
+          .select(col("doc_i"), col("doc_j"), col("n_common"),
+            col("n_i"), col("n_j"),
+            round(col("n_common") / (col("n_i") + col("n_j") - col("n_common")), 4)
+              .as("jaccard"))
+          .orderBy("doc_i", "doc_j")
+    },
+
+    // ── MinHash-LSH: 4 bands × 2 rows → banded equality join → candidate
+    //    pairs, with shared-band and equal-minhash counts (all integers)
+    QueryDef(
+      "q44_lsh_candidates",
+      oracleSig +
+        """
+          |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+          |  CAST((a.mh0=b.mh0 AND a.mh1=b.mh1)::INT + (a.mh2=b.mh2 AND a.mh3=b.mh3)::INT
+          |     + (a.mh4=b.mh4 AND a.mh5=b.mh5)::INT + (a.mh6=b.mh6 AND a.mh7=b.mh7)::INT
+          |    AS INTEGER) AS bands_shared,
+          |  CAST((a.mh0=b.mh0)::INT + (a.mh1=b.mh1)::INT + (a.mh2=b.mh2)::INT
+          |     + (a.mh3=b.mh3)::INT + (a.mh4=b.mh4)::INT + (a.mh5=b.mh5)::INT
+          |     + (a.mh6=b.mh6)::INT + (a.mh7=b.mh7)::INT AS INTEGER) AS n_eq
+          |FROM m a JOIN m b ON a.doc_id < b.doc_id
+          |WHERE (a.mh0=b.mh0 AND a.mh1=b.mh1) OR (a.mh2=b.mh2 AND a.mh3=b.mh3)
+          |   OR (a.mh4=b.mh4 AND a.mh5=b.mh5) OR (a.mh6=b.mh6 AND a.mh7=b.mh7)
+          |ORDER BY doc_i, doc_j""".stripMargin) { (s, dir) =>
+      val sig = signatures(s, dir).cache()
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bv"))): _*
+      )).as("bd")).select(col("doc_id"), col("bd.band"), col("bd.bv"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+        .distinct()
+      val a = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+      val b = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+      def eq(k: Int): Column =
+        when(col(s"a_mh$k") === col(s"b_mh$k"), 1).otherwise(0)
+      def bandEq(k: Int): Column =
+        when(col(s"a_mh${2 * k}") === col(s"b_mh${2 * k}")
+          && col(s"a_mh${2 * k + 1}") === col(s"b_mh${2 * k + 1}"), 1).otherwise(0)
+      cand
+        .join(a, col("doc_i") === col("a_doc_id"))
+        .join(b, col("doc_j") === col("b_doc_id"))
+        .select(col("doc_i"), col("doc_j"),
+          (0 until 4).map(bandEq).reduce(_ + _).cast("int").as("bands_shared"),
+          (0 until 8).map(eq).reduce(_ + _).cast("int").as("n_eq"))
+        .orderBy("doc_i", "doc_j")
+    },
+
+    // ── SimHash (64-bit, xxhash64 over shingles) + banded hamming pairs.
+    //    8 bands of 8 bits ⇒ every pair with hamming ≤ 7 shares an exact
+    //    band — equality-join recall is total at the threshold. xxhash64
+    //    has no DuckDB twin ⇒ rows-only check.
+    QueryDef.noOracle("q43_simhash_pairs") { (s, dir) =>
+      val ex = docShingles(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      val bitCols = (0 until 64).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"b$b")
+      }
+      val sim = ex.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(b =>
+            when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ bitwiseOR _).as("simhash"))
+        .cache()
+      val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
+        (0 until 8).map(k => struct(lit(k).as("band"),
+          shiftright(col("simhash"), 8 * k).bitwiseAND(0xFF).as("bv"))): _*
+      )).as("bd")).select(col("doc_id"), col("simhash"), col("bd.band"), col("bd.bv"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+          col("a.simhash").as("sim_i"), col("b.simhash").as("sim_j"))
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("sim_i").bitwiseXOR(col("sim_j"))))
+        .filter(col("hamming") <= 7)
+        .select("doc_i", "doc_j", "hamming")
+        .orderBy("doc_i", "doc_j")
+    },
+
+    // ── embedding-cosine near-dup pairs (threshold 0.45). Both sides
+    //    compute dot/norms in double with identical left-to-right element
+    //    order, so the threshold cut sees the same values.
+    QueryDef(
+      "q45_embed_near_dup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+        |  list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)])
+        |    / (a.nrm * b.nrm) AS cos_sim
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_i, vec_j, round(cos_sim, 4) AS cos_sim FROM p
+        |WHERE cos_sim >= 0.45 ORDER BY vec_i, vec_j""".stripMargin) { (s, dir) =>
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm",
+          sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
+      val a = e.select(col("vec_id").as("vec_i"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_j"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      a.join(b, col("vec_i") < col("vec_j"))
+        .withColumn("cos_sim",
+          aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _)
+            / (col("na") * col("nb")))
+        .filter(col("cos_sim") >= 0.45)
+        .select(col("vec_i"), col("vec_j"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("vec_i", "vec_j")
+    }
+  )
+}
