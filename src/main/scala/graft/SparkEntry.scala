@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CoreRelational, ExtendedRelational, TextDedup}
+import graft.operators.{CoreRelational, ExtendedRelational, Multimodal,
+  Similarity, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module contributes `Seq[QueryDef]`; this object is just the merge
@@ -13,7 +14,10 @@ object SparkEntry {
   private val modules: Seq[Seq[QueryDef]] = Seq(
     CoreRelational.defs,
     ExtendedRelational.defs,
-    TextDedup.defs
+    TextDedup.defs,
+    Similarity.defs,
+    TextAnalysis.defs,
+    Multimodal.defs
   )
 
   private val all: Seq[QueryDef] = modules.flatten

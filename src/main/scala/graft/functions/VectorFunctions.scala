@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ARRAY<FLOAT>` embedding columns, built purely from
+  * codegen'd higher-order functions (`transform`/`zip_with`/`aggregate`)
+  * — no UDFs, so whole-stage codegen stays unbroken and the expressions
+  * push through Catalyst like any built-in.
+  *
+  * All math is done in DOUBLE with strict left-to-right accumulation so
+  * results are reproducible and comparable across engines.
+  */
+object VectorFunctions {
+
+  /** Cast a float array to double element-wise. */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Σ xᵢ·yᵢ, left-to-right in double. Arrays must have equal length. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** ‖v‖₂ */
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), _ + _))
+
+  /** cos(a,b) = a·b / (‖a‖‖b‖); inputs must already be double arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
+    * integer arithmetic only, so any engine reproduces it exactly.
+    * Values lie in [-48, 48]. */
+  def planeWeight(j: Int, d: Column): Column =
+    (lit(j.toLong * 73856093L) + d * lit(19349663L)) % 97 - 48
+
+  /** Random-hyperplane LSH bucket id from `nPlanes` sign bits — the
+    * classic SimHash-for-vectors construction. Two vectors with small
+    * angle land in the same bucket with high probability; bucketing
+    * turns brute-force O(n²) similarity search into a per-bucket join. */
+  def lshBucket(v: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { j =>
+      val d = aggregate(
+        transform(v, (x, i) => x * planeWeight(j, i).cast("double")),
+        lit(0.0), _ + _)
+      when(d > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Multimodal-column operators (SURVEY.md §2C): opaque binary payloads
+  * with typed metadata, decode / feature-extract / frame-sample plumbing.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC STUB: payloads are the documents' utf-8 bytes and
+  * "decoding" computes a byte histogram instead of pixels. Everything
+  * around the stub — binary column handling, schema, partition-preserving
+  * batch iteration, frame chunking, metadata structs — is real and is
+  * exactly what a production pipeline would keep when swapping the stub
+  * for an actual codec.
+  *
+  * Scale notes (100 TB posture):
+  *  - binary payloads stay opaque to the shuffle: every query here either
+  *    never shuffles payload bytes (metadata is projected out first) or
+  *    joins on keys with the payload carried through a single narrow map;
+  *  - q58 is the Scala analogue of a mapInPandas batch UDF: a typed
+  *    Dataset#mapPartitions that decodes a whole partition per task —
+  *    codec initialization amortizes per-partition, not per-row (the
+  *    pattern that matters when the codec is an FFI library);
+  *  - frame sampling (q59) emits fixed-size frames via transform +
+  *    posexplode — frames inherit the parent's partitioning, no skew.
+  */
+object Multimodal {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** documents with a synthesized binary payload column, as a real
+    * multimodal table would carry (doc_id, metadata..., payload BINARY). */
+  private def withPayload(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        encode(col("text"), "UTF-8").as("payload"))
+
+  /** Decoded "features" for one payload — THE STUB: a real pipeline would
+    * decode pixels/samples here; we compute a 16-bin byte histogram and
+    * byte stats, deterministically, so tests stay meaningful. */
+  final case class PayloadFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      mean_byte: Double,
+      histogram: Array[Long])
+
+  private def decodeStub(docId: Long, payload: Array[Byte]): PayloadFeatures = {
+    // ??? <- real codec call (JPEG/PNG/audio frame decode) goes here; the
+    // container ships no codec libs, so derive features from raw bytes.
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xFF
+      hist(b % 16) += 1
+      sum += b
+      i += 1
+    }
+    PayloadFeatures(docId, payload.length,
+      if (payload.length == 0) 0.0 else sum.toDouble / payload.length, hist)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── multimodal relation: text metadata ⋈ vector modality by key
+    QueryDef(
+      "q56_multimodal_join",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, label,
+        |  round(sqrt(list_sum([x*x for x in v])), 4) AS vec_norm
+        |FROM documents JOIN e ON doc_id = vec_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        import graft.functions.VectorFunctions._
+        val d = T(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        val e = T(s, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+        d.join(e, d("doc_id") === e("vec_id"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+            round(norm(col("v")), 4).as("vec_norm"))
+          .orderBy("doc_id")
+    },
+
+    // ── binary payload + typed metadata (schema-first multimodal column)
+    QueryDef(
+      "q57_binary_metadata",
+      """SELECT doc_id, lang,
+        |  CAST(length(text) AS INTEGER) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  lower(hex(substr(text, 1, 8)::BLOB)) AS header_hex
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      withPayload(s, dir)
+        .select(col("doc_id"), col("lang"),
+          length(col("payload")).as("byte_len"),
+          md5(col("payload")).as("content_md5"),
+          lower(hex(substring(col("payload"), 1, 8))).as("header_hex"))
+        .orderBy("doc_id")
+    },
+
+    // ── batch decode via typed Dataset#mapPartitions (mapInPandas shape):
+    //    per-partition iteration, stubbed codec, typed output schema.
+    //    No SQL oracle — the stub is the point, not the math.
+    QueryDef.noOracle("q58_decode_features") { (s, dir) =>
+      import s.implicits._
+      val ds = withPayload(s, dir)
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+      ds.mapPartitions { it =>
+        // codec init would happen once per partition here
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }.toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          round(col("mean_byte"), 4).as("mean_byte"), col("histogram"))
+        .orderBy("doc_id")
+    },
+
+    // ── frame sampling: fixed 256-byte frames, per-frame digest
+    QueryDef(
+      "q59_frame_sample",
+      """WITH f AS (SELECT doc_id,
+        |  [md5(substr(text, (i-1)*256 + 1, 256))
+        |   for i in range(1, CAST(ceil(length(text)/256.0) AS INTEGER) + 1)] AS frames
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(generate_subscripts(frames, 1) - 1 AS INTEGER) AS frame_no,
+        |  unnest(frames) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin) { (s, dir) =>
+      val nFrames = ceil(length(col("text")) / 256.0).cast("int")
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), nFrames),
+            i => md5(encode(col("text").substr((i - 1) * lit(256) + 1, lit(256)),
+              "UTF-8")))).as(Seq("frame_no", "frame_md5")))
+        .select(col("doc_id"), col("frame_no"), col("frame_md5"))
+        .orderBy("doc_id", "frame_no")
+    }
+  )
+}

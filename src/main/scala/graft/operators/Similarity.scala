@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2C):
+  * brute-force cosine top-k as the correctness baseline, random-hyperplane
+  * LSH bucketing as the scale path, and a k-NN self-join.
+  *
+  * Scale notes (100 TB posture):
+  *  - q46 broadcast the single query vector — the corpus is scanned once,
+  *    top-k via TakeOrderedAndProject (per-partition heap-k + driver
+  *    merge, no global sort);
+  *  - q47 is the ANN path: 4 integer-deterministic hyperplanes → 16
+  *    buckets; at cluster scale the bucket id becomes the shuffle /
+  *    partition key so a query only ever touches its bucket's corpus
+  *    slice (more planes = smaller slices; tune to corpus size)
+  *    (multi-probe extends recall by also visiting hamming-1 buckets);
+  *  - q48 brute-force k-NN join is intentionally the oracle-checkable
+  *    baseline; at 100 TB replace the pair generator with the q47 bucket
+  *    join (identical downstream window) — the top-3-per-vector window
+  *    shape is unchanged;
+  *  - all dots/norms in double with strict left-to-right accumulation
+  *    (VectorFunctions), so the DuckDB oracle computes bit-equal values.
+  */
+object Similarity {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** embeddings with double-cast vector + norm. */
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Oracle CTE: embeddings as double arrays + norms. */
+  private val oracleVec: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── brute-force cosine top-10 for query vector vec_id=0
+    QueryDef(
+      "q46_cosine_topk",
+      oracleVec +
+        """,
+          |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0)
+          |SELECT vec_id,
+          |  round(list_sum([n.v[i]*q.qv[i] for i in range(1, len(n.v)+1)])
+          |        / (n.nrm*q.qnrm), 4) AS cos_sim
+          |FROM n, q WHERE vec_id <> 0
+          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val vs = vectors(s, dir)
+      val q = vs.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      vs.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // ── ANN via random-hyperplane LSH: only the query's bucket is scanned
+    QueryDef(
+      "q47_ann_lsh",
+      oracleVec +
+        """,
+          |b AS (SELECT vec_id, v, nrm,
+          |  (CASE WHEN list_sum([v[i] * ((((0*73856093 + (i-1)*19349663) % 97) - 48)::DOUBLE) for i in range(1, len(v)+1)]) > 0 THEN 1 ELSE 0 END)
+          |+ (CASE WHEN list_sum([v[i] * ((((1*73856093 + (i-1)*19349663) % 97) - 48)::DOUBLE) for i in range(1, len(v)+1)]) > 0 THEN 2 ELSE 0 END)
+          |+ (CASE WHEN list_sum([v[i] * ((((2*73856093 + (i-1)*19349663) % 97) - 48)::DOUBLE) for i in range(1, len(v)+1)]) > 0 THEN 4 ELSE 0 END)
+          |+ (CASE WHEN list_sum([v[i] * ((((3*73856093 + (i-1)*19349663) % 97) - 48)::DOUBLE) for i in range(1, len(v)+1)]) > 0 THEN 8 ELSE 0 END)
+          |  AS bucket FROM n),
+          |q AS (SELECT v AS qv, nrm AS qnrm, bucket AS qb FROM b WHERE vec_id = 0)
+          |SELECT vec_id, CAST(b.bucket AS BIGINT) AS bucket,
+          |  round(list_sum([b.v[i]*q.qv[i] for i in range(1, len(b.v)+1)])
+          |        / (b.nrm*q.qnrm), 4) AS cos_sim
+          |FROM b, q WHERE vec_id <> 0 AND b.bucket = q.qb
+          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val vs = vectors(s, dir)
+        .withColumn("bucket", lshBucket(col("v"), 4))
+      val q = vs.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"), col("bucket").as("qb"))
+      vs.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), col("bucket") === col("qb"))
+        .select(col("vec_id"), col("bucket"),
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // ── k-NN join: top-3 neighbors for every vector (bounded corpus)
+    QueryDef(
+      "q48_knn_join",
+      oracleVec +
+        """,
+          |p AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+          |  round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)])
+          |        / (a.nrm*b.nrm), 4) AS cos_sim
+          |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+          |SELECT vec_i, vec_j, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY vec_i
+          |    ORDER BY cos_sim DESC, vec_j) AS rn FROM p)
+          |WHERE rn <= 3 ORDER BY vec_i, rn""".stripMargin) { (s, dir) =>
+      val vs = vectors(s, dir)
+      val a = vs.select(col("vec_id").as("vec_i"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = vs.select(col("vec_id").as("vec_j"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      val w = Window.partitionBy("vec_i")
+        .orderBy(col("cos_sim").desc, col("vec_j"))
+      a.join(b, col("vec_i") =!= col("vec_j"))
+        .select(col("vec_i"), col("vec_j"),
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+            .as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("vec_i", "rn")
+    }
+  )
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators for training-data curation (SURVEY.md §2C):
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting, and word-frequency / TF-IDF-lite analytics.
+  *
+  * Scale notes (100 TB posture):
+  *  - every per-document metric is a narrow map over the text column —
+  *    no shuffle at all until the final ORDER BY (which the driver's
+  *    parquet sink needs; a production pipeline would drop it);
+  *  - the word-frequency query is the canonical explode→groupBy shape:
+  *    partial aggregation combines per-partition counts before the single
+  *    shuffle, so network traffic is O(vocabulary), not O(tokens);
+  *  - fingerprints use integer polynomial arithmetic (no hash library),
+  *    so they are engine-reproducible and cheap enough for codegen.
+  */
+object TextAnalysis {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── language-ID heuristic: stopword-density vote. (The synthetic
+    //    corpus is same-vocabulary word soup, so the interesting part is
+    //    the plumbing: per-doc token scan + ratio + threshold CASE.)
+    QueryDef(
+      "q50_langid",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |  len(list_filter(ws, w -> w IN ('the','a','of','and','in','to'))) * 1.0
+        |    / len(ws) AS stop_ratio FROM t)
+        |SELECT doc_id, lang,
+        |  round(stop_ratio, 4) AS stop_ratio,
+        |  CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS predicted
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val stopArr = array(stopwords.map(lit): _*)
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), ws.as("ws"))
+        .withColumn("stop_ratio",
+          size(filter(col("ws"), w => array_contains(stopArr, w)))
+            * lit(1.0) / size(col("ws")))
+        .select(col("doc_id"), col("lang"),
+          round(col("stop_ratio"), 4).as("stop_ratio"),
+          when(col("stop_ratio") >= 0.08, "en").otherwise("other")
+            .as("predicted"))
+        .orderBy("doc_id")
+    },
+
+    // ── quality scoring: length, lexical diversity, stopword density
+    QueryDef(
+      "q51_quality_score",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(nc AS INTEGER) AS n_chars,
+        |  CAST(len(ws) AS INTEGER) AS n_words,
+        |  CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct,
+        |  len(list_filter(ws, w -> w IN ('the','a','of','and','in','to'))) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_words, n_distinct,
+        |  round(n_distinct * 1.0 / n_words, 4) AS type_token_ratio,
+        |  round(n_stop * 1.0 / n_words, 4) AS stop_ratio,
+        |  round((n_chars - n_words + 1) * 1.0 / n_words, 4) AS avg_word_len,
+        |  CASE WHEN n_words BETWEEN 20 AND 1000
+        |        AND n_distinct * 2 >= n_words THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val stopArr = array(stopwords.map(lit): _*)
+      T(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"),
+          length(col("text")).as("n_chars"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("ws")).as("n_words"),
+          size(array_distinct(col("ws"))).as("n_distinct"),
+          size(filter(col("ws"), w => array_contains(stopArr, w))).as("n_stop"))
+        .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct"),
+          round(col("n_distinct") * lit(1.0) / col("n_words"), 4)
+            .as("type_token_ratio"),
+          round(col("n_stop") * lit(1.0) / col("n_words"), 4).as("stop_ratio"),
+          // words are single-space separated: chars = Σlen + (n_words-1)
+          round((col("n_chars") - col("n_words") + 1) * lit(1.0) / col("n_words"), 4)
+            .as("avg_word_len"),
+          when(col("n_words").between(20, 1000)
+            && col("n_distinct") * 2 >= col("n_words"), "keep")
+            .otherwise("drop").as("verdict"))
+        .orderBy("doc_id")
+    },
+
+    // ── token counting: whitespace tokens, regex word-ish tokens, and the
+    //    chars/4 LLM-token estimate — all integer outputs
+    QueryDef(
+      "q52_token_count",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS re_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS INTEGER) AS est_llm_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+            .as("re_tokens"),
+          ceil(length(col("text")) / 4.0).cast("int").as("est_llm_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // ── document fingerprint: position-weighted integer polynomial over
+    //    words, mod 1e9+7 — order-sensitive, engine-reproducible, no hash
+    //    library needed on either side
+    QueryDef(
+      "q53_fingerprint",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum([i * (ascii(ws[i]) * 131 + length(ws[i]))
+        |            for i in range(1, len(ws)+1)]) % 1000000007 AS BIGINT) AS fingerprint
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          (aggregate(
+            transform(col("ws"),
+              (w, i) => (i + 1).cast("long")
+                * (ascii(w) * 131 + length(w)).cast("long")),
+            lit(0L), _ + _) % 1000000007L).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // ── word frequency + TF-IDF-lite: top-20 corpus words
+    QueryDef(
+      "q54_wordcount_tfidf",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |f AS (SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df FROM w
+        |  GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  round(ln(n_docs * 1.0 / df), 4) AS idf
+        |FROM f, n ORDER BY tf DESC, word LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("word"), col("tf"), col("df"),
+          round(log(col("n_docs") * lit(1.0) / col("df")), 4).as("idf"))
+        .orderBy(col("tf").desc, col("word"))
+        .limit(20)
+    }
+  )
+}
