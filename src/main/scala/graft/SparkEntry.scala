@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{CoreRelational, ExtendedRelational, Multimodal,
-  Similarity, TextAnalysis, TextDedup}
+  Similarity, StreamWindows, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module contributes `Seq[QueryDef]`; this object is just the merge
@@ -17,7 +17,8 @@ object SparkEntry {
     TextDedup.defs,
     Similarity.defs,
     TextAnalysis.defs,
-    Multimodal.defs
+    Multimodal.defs,
+    StreamWindows.defs
   )
 
   private val all: Seq[QueryDef] = modules.flatten

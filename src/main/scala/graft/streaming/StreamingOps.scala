@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming pipelines (SURVEY.md §2B streaming row): the same
+  * window expressions as operators.StreamWindows, wired to an unbounded
+  * source with watermark-bounded state, plus watermarked dedup and a
+  * custom-state sessionizer via flatMapGroupsWithState.
+  *
+  * Every builder takes the source DataFrame (MemoryStream in tests,
+  * readStream.parquet/kafka in production) — stream/batch agnostic where
+  * Spark allows it, so the scalatest suite drives real micro-batches.
+  *
+  * Scale notes (100 TB/day posture):
+  *  - all state stores are keyed and watermark-bounded: tumbling state
+  *    evicts one window past the watermark, session state closes on gap
+  *    timeout — no unbounded growth;
+  *  - dropDuplicatesWithinWatermark keeps one key per event inside the
+  *    horizon (the streaming twin of q40's exact dedup);
+  *  - flatMapGroupsWithState partitions by key across executors — custom
+  *    state scales horizontally exactly like the built-in session window.
+  */
+object StreamingOps {
+
+  /** Watermarks require TIMESTAMP (with local TZ), not TIMESTAMP_NTZ —
+    * [EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE] otherwise. The test tables
+    * carry NTZ event time; under the UTC session this cast is a pure
+    * metadata change (same instant, same wall clock). */
+  private def normalizeEventTime(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        events.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => events
+    }
+
+  /** Tumbling-window counts/sums per event type with a watermark: late
+    * rows beyond `lateness` are dropped and their window's state evicted. */
+  def tumblingCounts(events: DataFrame, lateness: String = "30 minutes",
+      size: String = "1 hour"): DataFrame =
+    normalizeEventTime(events)
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), size), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Built-in session windows per user (10-minute gap) under watermark. */
+  def sessionAgg(events: DataFrame, lateness: String = "30 minutes",
+      gap: String = "10 minutes"): DataFrame =
+    normalizeEventTime(events)
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("w_start"),
+        col("session_window.end").as("w_end"), col("n"))
+
+  /** Exact dedup on event_id within the watermark horizon — the streaming
+    * form of exact deduplication (state holds ids only inside the horizon). */
+  def dedupWithinWatermark(events: DataFrame,
+      lateness: String = "30 minutes"): DataFrame =
+    normalizeEventTime(events)
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ── custom state: sessionization via flatMapGroupsWithState ──────────
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(start: Long, lastTs: Long, n: Int,
+      total: Double)
+
+  final case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp,
+      n: Int, total: Double)
+
+  /** Per-user sessionizer with explicit state: emits a SessionOut each
+    * time a 10-minute-gap session closes (either a new event beyond the
+    * gap, or event-time timeout once the watermark passes last+gap).
+    * Demonstrates arbitrary stateful processing where the built-in
+    * session_window aggregation is not expressive enough (e.g. emitting
+    * mid-session markers or non-associative session summaries). */
+  def sessionize(events: Dataset[Event],
+      gapMs: Long = 10 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.lastTs + gapMs), s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t < s.lastTs + gapMs =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastTs + gapMs), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

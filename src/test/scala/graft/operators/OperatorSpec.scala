@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions._
+
+/** Per-operator unit assertions on tiny in-memory frames, plus the
+  * algebraic properties SURVEY.md §5 calls for. */
+class OperatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val nums = (1 to 100).map(i => (i.toLong, i % 7, i * 1.5))
+    .toDF("id", "grp", "x")
+
+  test("filter composition ≡ conjunction") {
+    val a = nums.filter($"id" > 10).filter($"grp" === 3)
+    val b = nums.filter($"id" > 10 && $"grp" === 3)
+    assert(a.collect().toSet == b.collect().toSet)
+  }
+
+  test("distinct is idempotent") {
+    val d1 = nums.select($"grp").distinct()
+    assert(d1.distinct().collect().toSet == d1.collect().toSet)
+    assert(d1.count() == 7)
+  }
+
+  test("groupBy sum matches manual partition") {
+    val got = nums.groupBy($"grp").agg(sum($"id").as("s"))
+      .as[(Int, Long)].collect().toMap
+    val want = (1 to 100).groupBy(_ % 7).map { case (g, xs) =>
+      g -> xs.map(_.toLong).sum }
+    assert(got == want)
+  }
+
+  test("broadcast equi-join ≡ local join") {
+    val dim = Seq((0, "zero"), (3, "three")).toDF("grp", "name")
+    val got = nums.join(broadcast(dim), "grp").count()
+    val want = (1 to 100).count(i => i % 7 == 0 || i % 7 == 3)
+    assert(got == want)
+  }
+
+  test("semi ∪ anti partitions the left side") {
+    val dim = Seq(0, 1, 2).toDF("grp")
+    val semi = nums.join(dim, Seq("grp"), "leftsemi").count()
+    val anti = nums.join(dim, Seq("grp"), "leftanti").count()
+    assert(semi + anti == 100)
+  }
+
+  test("cosine: bounds, self-similarity, symmetry") {
+    val vs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-3.0f, 0.5f, 1.0f)),
+      (3L, Array(2.0f, 4.0f, 6.0f))).toDF("id", "e")
+      .select($"id", toDouble($"e").as("v"))
+    val a = vs.select($"id".as("i"), $"v".as("va"))
+    val b = vs.select($"id".as("j"), $"v".as("vb"))
+    val sims = a.join(b, $"i" <= $"j")
+      .select($"i", $"j", (dot($"va", $"vb") / (norm($"va") * norm($"vb")))
+        .as("s"))
+      .as[(Long, Long, Double)].collect()
+    sims.foreach { case (_, _, s) => assert(s >= -1.0001 && s <= 1.0001) }
+    assert(math.abs(sims.find(t => t._1 == 1 && t._2 == 1).get._3 - 1.0) < 1e-12)
+    // colinear vectors (1,2,3) and (2,4,6)
+    assert(math.abs(sims.find(t => t._1 == 1 && t._2 == 3).get._3 - 1.0) < 1e-12)
+  }
+
+  test("LSH bucket is deterministic and within range") {
+    val vs = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(-0.5f)))
+      .toDF("id", "e").select($"id", toDouble($"e").as("v"))
+    val b1 = vs.select(lshBucket($"v", 4).as("b")).as[Long].collect()
+    val b2 = vs.select(lshBucket($"v", 4).as("b")).as[Long].collect()
+    assert(b1.sameElements(b2))
+    b1.foreach(b => assert(b >= 0 && b < 16))
+  }
+
+  test("window top-k per group has exactly k rows per group") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"grp").orderBy($"id".desc)
+    val top2 = nums.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+    assert(top2.count() == 14)
+    assert(top2.groupBy($"grp").count().select(max($"count")).as[Long].head == 2)
+  }
+
+  test("rollup row count = groups + subtotals + grand total") {
+    val r = nums.rollup($"grp").agg(count(lit(1))).count()
+    assert(r == 7 + 1)
+  }
+}

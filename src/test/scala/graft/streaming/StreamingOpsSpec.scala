@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkTestBase
+import graft.streaming.StreamingOps._
+
+/** Drives the streaming pipelines through real micro-batches via
+  * MemoryStream (streaming has no DuckDB oracle — this suite is its
+  * correctness coverage, per SURVEY.md §7 slice 3). */
+class StreamingOpsSpec extends SparkTestBase {
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L,
+      typ: String = "click", v: Double = 1.0): Event =
+    Event(id, ts(minute), user, typ, v)
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("tumbling window with watermark emits closed windows, drops late data") {
+    val in = MemoryStream[Event]
+    val q = tumblingCounts(in.toDF(), lateness = "30 minutes", size = "1 hour")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(ev(1, 5), ev(2, 10), ev(3, 65))
+      q.processAllAvailable()
+      // watermark = 11:05-0:30 = 10:35 < 11:00 → nothing final yet
+      assert(spark.table("tumbling").count() == 0)
+      in.addData(ev(4, 95))           // 11:35 → watermark 11:05 ≥ 11:00
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select("w_start", "n").as[(Timestamp, Long)].collect().toMap
+      assert(rows(ts(0)) == 2)        // [10:00,11:00) closed with 2 events
+      in.addData(ev(5, 12))           // behind watermark → dropped
+      in.addData(ev(6, 185))          // 13:05 → closes the 11:00 window
+      q.processAllAvailable()
+      val rows2 = spark.table("tumbling")
+        .select("w_start", "n").as[(Timestamp, Long)].collect().toMap
+      assert(rows2(ts(60)) == 2)      // late ev(5) did NOT land in [10,11)
+      assert(rows2(ts(0)) == 2)
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark emits each event_id once") {
+    val in = MemoryStream[Event]
+    val q = dedupWithinWatermark(in.toDF(), lateness = "30 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(ev(1, 0), ev(1, 1), ev(2, 2))
+      q.processAllAvailable()
+      in.addData(ev(2, 3), ev(3, 4))   // dup id 2 in a later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    }
+  }
+
+  test("built-in session window groups by inactivity gap") {
+    val in = MemoryStream[Event]
+    val q = sessionAgg(in.toDF(), lateness = "30 minutes", gap = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    withQuery(q) {
+      // user 1: two sessions (gap at minute 5→40); user 2: one session
+      in.addData(ev(1, 0), ev(2, 5), ev(3, 40), ev(4, 0, user = 2))
+      q.processAllAvailable()
+      in.addData(ev(5, 180))           // advance watermark far past all ends
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "w_start", "n").as[(Long, Timestamp, Long)]
+        .collect().toSet
+      assert(rows.contains((1L, ts(0), 2L)))   // [10:00, 10:15) n=2
+      assert(rows.contains((1L, ts(40), 1L)))
+      assert(rows.contains((2L, ts(0), 1L)))
+    }
+  }
+
+  test("flatMapGroupsWithState sessionizer closes on gap and on timeout") {
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS()).writeStream.format("memory")
+      .queryName("fmgws").outputMode("append").start()
+    withQuery(q) {
+      in.addData(ev(1, 0), ev(2, 4))
+      q.processAllAvailable()
+      in.addData(ev(3, 30))            // same user, gap >10m → closes s1
+      q.processAllAvailable()
+      val s1 = spark.table("fmgws")
+        .select("user_id", "start", "end", "n", "total")
+        .as[(Long, Timestamp, Timestamp, Int, Double)].collect()
+      assert(s1.toSeq == Seq((1L, ts(0), ts(14), 2, 2.0)))
+      // advance watermark way past 10:40 (=30m ev + 10m gap + 30m lateness)
+      in.addData(ev(4, 200, user = 2))
+      q.processAllAvailable()
+      in.addData(ev(5, 210, user = 2)) // extra batch lets the timeout fire
+      q.processAllAvailable()
+      val users = spark.table("fmgws").select("user_id").as[Long]
+        .collect().toSeq
+      assert(users.count(_ == 1L) == 2)  // second u1 session closed by timeout
+    }
+  }
+}
