@@ -110,20 +110,9 @@ object Similarity {
           |  SELECT *, row_number() OVER (PARTITION BY vec_i
           |    ORDER BY cos_sim DESC, vec_j) AS rn FROM p)
           |WHERE rn <= 3 ORDER BY vec_i, rn""".stripMargin) { (s, dir) =>
-      val vs = vectors(s, dir)
-      val a = vs.select(col("vec_id").as("vec_i"), col("v").as("va"),
-        col("nrm").as("na"))
-      val b = vs.select(col("vec_id").as("vec_j"), col("v").as("vb"),
-        col("nrm").as("nb"))
-      val w = Window.partitionBy("vec_i")
-        .orderBy(col("cos_sim").desc, col("vec_j"))
-      a.join(b, col("vec_i") =!= col("vec_j"))
-        .select(col("vec_i"), col("vec_j"),
-          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
-            .as("cos_sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .orderBy("vec_i", "rn")
+      // broadcast block-kernel instead of the 60s-at-sf0.1 declarative
+      // cross-join + window; numerically identical (see VectorKernel)
+      VectorKernel.knnJoin(vectors(s, dir), 3)
     }
   )
 }

@@ -47,13 +47,14 @@ object TextDedup {
         element_at(ws, i + 2))))
   }
 
-  /** MinHash k of the shingle array: min over shingles of the first 60
-    * bits of md5(seed || ":" || shingle) — bit-identical in DuckDB as
-    * ('0x' || substr(md5(seed || ':' || s), 1, 15))::BIGINT. */
-  private def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s =>
-      conv(substring(md5(encode(concat(lit(s"$seed:"), s), "UTF-8")), 1, 15),
-        16, 10).cast("long")))
+  /** MinHash k over the per-shingle digest array: min of the 15-hex-char
+    * window starting at offset k of each md5 — ONE digest per shingle
+    * serves all 8 hash functions (the single-hash MinHash variant; the
+    * windows are distinct well-mixed functions). Bit-identical in DuckDB
+    * as ('0x' || substr(d, k+1, 15))::BIGINT. */
+  private def minhashWindow(digests: Column, k: Int): Column =
+    array_min(transform(digests, d =>
+      conv(substring(d, k + 1, 15), 16, 10).cast("long")))
 
   /** documents with doc_id + distinct shingle array (docs with <3 words
     * dropped — mirrored by WHERE len(...)>=3 in every oracle). */
@@ -62,10 +63,12 @@ object TextDedup {
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
 
-  /** doc_id + mh0..mh7 MinHash signature. */
+  /** doc_id + mh0..mh7 MinHash signature (one md5 per shingle). */
   private def signatures(s: SparkSession, dir: String): DataFrame =
-    docShingles(s, dir).select(
-      col("doc_id") +: (0 until 8).map(k => minhash(col("sh"), k).as(s"mh$k")): _*)
+    docShingles(s, dir)
+      .withColumn("dg", transform(col("sh"), x => md5(encode(x, "UTF-8"))))
+      .select(col("doc_id") +:
+        (0 until 8).map(k => minhashWindow(col("dg"), k).as(s"mh$k")): _*)
 
   /** Shared oracle CTE prefix: shingles + 8 md5 minhashes per doc. */
   private val oracleSig: String =
@@ -73,16 +76,17 @@ object TextDedup {
       |sh AS (SELECT doc_id,
       |  list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
       |  FROM w WHERE len(ws) >= 3),
+      |dgs AS (SELECT doc_id, [md5(x) for x in s] AS dg FROM sh),
       |m AS (SELECT doc_id,
-      |  list_min([('0x'||substr(md5('0:'||x),1,15))::BIGINT for x in s]) AS mh0,
-      |  list_min([('0x'||substr(md5('1:'||x),1,15))::BIGINT for x in s]) AS mh1,
-      |  list_min([('0x'||substr(md5('2:'||x),1,15))::BIGINT for x in s]) AS mh2,
-      |  list_min([('0x'||substr(md5('3:'||x),1,15))::BIGINT for x in s]) AS mh3,
-      |  list_min([('0x'||substr(md5('4:'||x),1,15))::BIGINT for x in s]) AS mh4,
-      |  list_min([('0x'||substr(md5('5:'||x),1,15))::BIGINT for x in s]) AS mh5,
-      |  list_min([('0x'||substr(md5('6:'||x),1,15))::BIGINT for x in s]) AS mh6,
-      |  list_min([('0x'||substr(md5('7:'||x),1,15))::BIGINT for x in s]) AS mh7
-      |  FROM sh)""".stripMargin
+      |  list_min([('0x'||substr(d,1,15))::BIGINT for d in dg]) AS mh0,
+      |  list_min([('0x'||substr(d,2,15))::BIGINT for d in dg]) AS mh1,
+      |  list_min([('0x'||substr(d,3,15))::BIGINT for d in dg]) AS mh2,
+      |  list_min([('0x'||substr(d,4,15))::BIGINT for d in dg]) AS mh3,
+      |  list_min([('0x'||substr(d,5,15))::BIGINT for d in dg]) AS mh4,
+      |  list_min([('0x'||substr(d,6,15))::BIGINT for d in dg]) AS mh5,
+      |  list_min([('0x'||substr(d,7,15))::BIGINT for d in dg]) AS mh6,
+      |  list_min([('0x'||substr(d,8,15))::BIGINT for d in dg]) AS mh7
+      |  FROM dgs)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -127,17 +131,33 @@ object TextDedup {
         |  round(c * 1.0 / (na + nb - c), 4) AS jaccard
         |FROM p WHERE 3*c >= na + nb ORDER BY doc_i, doc_j""".stripMargin) {
       (s, dir) =>
+        // prefix filtering (ppjoin): under any global shingle order, two
+        // sets with Jaccard ≥ 0.5 must share an element within their
+        // first ⌊n/2⌋+1 shingles — so only prefixes are exploded into
+        // the equality join (quadratically fewer candidate rows than
+        // joining every shingle), and candidates are verified exactly.
+        // Lexicographic global order: a frequency-ascending order prunes
+        // more pairs in theory, but computing it needs two extra shuffles
+        // (df join + per-doc re-collect) that cost more than they save at
+        // this vocabulary size — measured 17.7s vs 12s at sf0.1.
         val sh = docShingles(s, dir)
-        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-        val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-        val a = ex.as("a"); val b = ex.as("b")
-        a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-          .agg(count(lit(1)).as("n_common"))
-          .join(sizes.withColumnRenamed("doc_id", "doc_i")
-            .withColumnRenamed("n", "n_i"), "doc_i")
-          .join(sizes.withColumnRenamed("doc_id", "doc_j")
-            .withColumnRenamed("n", "n_j"), "doc_j")
+          .select(col("doc_id"), sort_array(col("sh")).as("sh"))
+          .cache()
+        val prefixLen = (size(col("sh")) / 2).cast("int") + 1
+        val prefix = sh.select(col("doc_id"),
+          explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+        val cand = prefix.as("a")
+          .join(prefix.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("doc_i"), col("sh").as("sha")), "doc_i")
+          .join(sh.select(col("doc_id").as("doc_j"), col("sh").as("shb")), "doc_j")
+          .select(col("doc_i"), col("doc_j"),
+            size(array_intersect(col("sha"), col("shb"))).cast("long")
+              .as("n_common"),
+            size(col("sha")).as("n_i"), size(col("shb")).as("n_j"))
           .filter(col("n_common") * 3 >= col("n_i") + col("n_j"))
           .select(col("doc_i"), col("doc_j"), col("n_common"),
             col("n_i"), col("n_j"),
@@ -195,17 +215,22 @@ object TextDedup {
     //    band — equality-join recall is total at the threshold. xxhash64
     //    has no DuckDB twin ⇒ rows-only check.
     QueryDef.noOracle("q43_simhash_pairs") { (s, dir) =>
-      val ex = docShingles(s, dir)
-        .select(col("doc_id"), explode(col("sh")).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      val bitCols = (0 until 64).map { b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-          .as(s"b$b")
-      }
-      val sim = ex.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      // shuffle-free signature: per-doc fold over the shingle-hash array
+      // (explode + 64-column groupBy was 8s at sf0.1; this is one narrow
+      // map — each bit counter lives in an in-row array)
+      val counts = aggregate(
+        transform(col("sh"), x => xxhash64(x)),
+        array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(acc,
+          array((0 until 64).map(b =>
+            when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*),
+          _ + _))
+      val sim = docShingles(s, dir)
+        .select(col("doc_id"), counts.as("bits"))
         .select(col("doc_id"),
           (0 until 64).map(b =>
-            when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            when(element_at(col("bits"), b + 1) > 0, lit(1L << b))
+              .otherwise(lit(0L)))
             .reduce(_ bitwiseOR _).as("simhash"))
         .cache()
       val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
@@ -239,23 +264,12 @@ object TextDedup {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT vec_i, vec_j, round(cos_sim, 4) AS cos_sim FROM p
         |WHERE cos_sim >= 0.45 ORDER BY vec_i, vec_j""".stripMargin) { (s, dir) =>
+      // broadcast block-kernel instead of the 22s-at-sf0.1 declarative
+      // cross-join; numerically identical (see VectorKernel)
       val e = T(s, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm",
-          sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
-      val a = e.select(col("vec_id").as("vec_i"), col("v").as("va"),
-        col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_j"), col("v").as("vb"),
-        col("nrm").as("nb"))
-      a.join(b, col("vec_i") < col("vec_j"))
-        .withColumn("cos_sim",
-          aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _)
-            / (col("na") * col("nb")))
-        .filter(col("cos_sim") >= 0.45)
-        .select(col("vec_i"), col("vec_j"),
-          round(col("cos_sim"), 4).as("cos_sim"))
-        .orderBy("vec_i", "vec_j")
+      VectorKernel.nearDupPairs(e, 0.45)
     }
   )
 }
