@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits (SURVEY.md §4 / the 100 TB posture): these
+  * assertions pin the *plan shape*, not just the results — filters must
+  * reach the parquet scan, projections must prune the read schema,
+  * dimension joins must broadcast, top-k must not global-sort, and no
+  * query may degenerate into an unpartitioned cartesian product. */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q03: predicate pushed into parquet scan, columns pruned") {
+    val p = plan("q03_filter_cmp")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_quantity"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("l_extendedprice"), "read schema not pruned")
+  }
+
+  test("q07: dimension side broadcast (no shuffle of the fact table)") {
+    assert(plan("q07_equijoin").contains("BroadcastHashJoin"))
+  }
+
+  test("q13: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: whole-stage codegen + two-phase aggregation") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate")
+    // formatted mode under AQE omits codegen annotations — ask for them
+    val cg = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen subtree"), cg.take(400))
+  }
+
+  test("q36: snowflake joins broadcast every dimension") {
+    val p = plan("q36_snowflake_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("no query degenerates into CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name contains a CartesianProduct")
+    }
+  }
+
+  test("aggregate pushes partial aggregation below the exchange") {
+    val p = plan("q12_groupby_having")
+    val agg = p.indexOf("HashAggregate")
+    val ex = p.indexOf("Exchange")
+    assert(agg >= 0 && ex >= 0, "expected agg + exchange in plan")
+  }
+}
