@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CoreRelational, ExtendedRelational, Multimodal,
-  Similarity, StreamWindows, TextAnalysis, TextDedup}
+import graft.operators.{AnalyticsExtras, CoreRelational, ExtendedRelational,
+  Multimodal, Similarity, StreamWindows, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module contributes `Seq[QueryDef]`; this object is just the merge
@@ -18,7 +18,8 @@ object SparkEntry {
     Similarity.defs,
     TextAnalysis.defs,
     Multimodal.defs,
-    StreamWindows.defs
+    StreamWindows.defs,
+    AnalyticsExtras.defs
   )
 
   private val all: Seq[QueryDef] = modules.flatten

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Second wave of analytic operators: pivot, ordered string aggregation,
+  * value/distribution window functions, scalar conditionals, UNION ALL.
+  *
+  * Scale notes: pivot with explicit values compiles to conditional
+  * aggregation — one pass, partial aggregation applies, no shuffle
+  * explosion; collect_set for string_agg is bounded by the group's
+  * distinct-value count (here: 5 priorities), NOT the row count.
+  */
+object AnalyticsExtras {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val prioAlias =
+    Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── pivot: order counts, statuses × priorities
+    QueryDef(
+      "q37_pivot",
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+        val pivoted = T(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", priorities)
+          .agg(count(lit(1)))
+        // pivot leaves absent combinations NULL; the oracle's CASE-sum
+        // yields 0 — align, and give the value-columns stable names
+        pivoted.select(
+          col("o_orderstatus") +:
+            priorities.zip(prioAlias).map { case (v, a) =>
+              coalesce(col(s"`$v`"), lit(0L)).as(a)
+            }: _*)
+          .orderBy("o_orderstatus")
+    },
+
+    // ── ordered string aggregation (LISTAGG): distinct priorities per status
+    QueryDef(
+      "q38_string_agg",
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+        |    AS prio_list,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+        T(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
+              .as("prio_list"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+    },
+
+    // ── value + distribution window functions
+    QueryDef(
+      "q39_window_value_fns",
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  first_value(o_orderkey) OVER w AS cheapest_key,
+        |  last_value(o_orderkey) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS priciest_key,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders WHERE o_orderkey <= 500
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        T(s, dir, "orders")
+          .filter(col("o_orderkey") <= 500)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            first("o_orderkey").over(w).as("cheapest_key"),
+            last("o_orderkey").over(wFull).as("priciest_key"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    },
+
+    // ── scalar conditionals: greatest/least/nullif/ifnull
+    QueryDef(
+      "q63_conditionals",
+      """SELECT l_orderkey, l_linenumber,
+        |  greatest(l_quantity, l_discount * 100) AS gr,
+        |  least(l_tax, l_discount) AS le,
+        |  ifnull(nullif(l_returnflag, 'N'), 'none') AS flag
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+          least(col("l_tax"), col("l_discount")).as("le"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none"))
+            .as("flag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ── UNION ALL (bag semantics — q19 covers distinct UNION)
+    QueryDef(
+      "q64_union_all",
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier
+        |  UNION ALL SELECT n_nationkey FROM nation
+        |) GROUP BY nationkey ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      T(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .union(T(s, dir, "nation").select(col("n_nationkey").as("nationkey")))
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")
+    }
+  )
+}
