@@ -28,6 +28,15 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Same value as [[cosine]], computed by the fused native Catalyst
+    * expression (one codegen'd loop, no intermediate arrays) —
+    * graft.plans.CosineSimilarity. Bit-identical results. */
+  def cosineFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.CosineSimilarity(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
   /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
     * integer arithmetic only, so any engine reproduces it exactly.
     * Values lie in [-48, 48]. */

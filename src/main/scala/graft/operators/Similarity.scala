@@ -60,9 +60,10 @@ object Similarity {
         .select(col("v").as("qv"), col("nrm").as("qnrm"))
       vs.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
+        // fused native expression (plans.CosineSimilarity): one codegen'd
+        // loop per row; bit-identical to dot/(nrm*qnrm)
         .select(col("vec_id"),
-          round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4)
-            .as("cos_sim"))
+          round(cosineFast(col("v"), col("qv")), 4).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     },
