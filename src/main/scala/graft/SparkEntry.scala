@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AnalyticsExtras, CoreRelational, ExtendedRelational,
-  Multimodal, Similarity, StreamWindows, TextAnalysis, TextDedup}
+  Multimodal, ScalarFunctions, Similarity, StreamWindows, TextAnalysis,
+  TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module contributes `Seq[QueryDef]`; this object is just the merge
@@ -19,7 +20,8 @@ object SparkEntry {
     TextAnalysis.defs,
     Multimodal.defs,
     StreamWindows.defs,
-    AnalyticsExtras.defs
+    AnalyticsExtras.defs,
+    ScalarFunctions.defs
   )
 
   private val all: Seq[QueryDef] = modules.flatten
