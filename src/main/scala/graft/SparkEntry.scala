@@ -21,7 +21,8 @@ object SparkEntry {
     Multimodal.defs,
     StreamWindows.defs,
     AnalyticsExtras.defs,
-    ScalarFunctions.defs
+    ScalarFunctions.defs,
+    graft.operators.TimeSeriesJoins.defs
   )
 
   private val all: Seq[QueryDef] = modules.flatten

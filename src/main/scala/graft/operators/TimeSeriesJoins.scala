@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Time-series operators the reference family lacks entirely (SURVEY.md
+  * §2B "range / as-of joins" row): an as-of join composed from built-ins
+  * (preference tier (a)), the classic pushdown aggregate, and salted
+  * skew aggregation.
+  *
+  * As-of join strategy — the union + carry-forward composition:
+  * tag both sides, sort per key by event time, and carry the most recent
+  * right-side row forward with last(_, ignoreNulls). ONE shuffle on the
+  * join key, no range explosion, state bounded per key — this is the
+  * shape that survives 100 TB, unlike a theta-join (t_left >= t_right)
+  * which Catalyst can only nested-loop. DuckDB's native ASOF JOIN is the
+  * oracle, so the composition is verified against a first-class
+  * implementation.
+  */
+object TimeSeriesJoins {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** For each left row, attach the latest right row with the same key and
+    * rTime <= lTime (inner semantics: unmatched left rows drop).
+    * Column names of `right` must not collide with `left` except `key`. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      lTime: String, rTime: String): DataFrame = {
+    val rCols = right.columns.filterNot(_ == key)
+    val tagged = left
+      .withColumn("_t", col(lTime))
+      .withColumn("_is_r", lit(0))
+      .select(Seq(col(key), col("_t"), col("_is_r")) ++
+        left.columns.filterNot(_ == key).map(c => col(c)) ++
+        rCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .unionByName(right
+        .withColumn("_t", col(rTime))
+        .withColumn("_is_r", lit(1))
+        .select(Seq(col(key), col("_t"), col("_is_r")) ++
+          left.columns.filterNot(_ == key)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rCols.map(col): _*))
+    // right rows sort before left rows at equal timestamps so an exactly
+    // simultaneous right row is visible (ASOF's >= semantics)
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_is_r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rCols.foldLeft(tagged) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("_is_r") === 0 && col(s"asof_${rCols.head}").isNotNull)
+      .drop("_t" +: "_is_r" +: rCols: _*)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── as-of join: each non-purchase event joined to the user's most
+    //    recent prior (or simultaneous) purchase
+    QueryDef(
+      "q67_asof_join",
+      """WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             event_type FROM events WHERE event_type <> 'purchase'),
+        |r AS (SELECT user_id, event_id AS purchase_id,
+        |        CAST(ts AS TIMESTAMP) AS pts, round(value, 2) AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.event_id, l.ts, l.event_type,
+        |  asof_purchase_id, asof_pts, asof_purchase_value
+        |FROM (
+        |  SELECT l.*, r.purchase_id AS asof_purchase_id, r.pts AS asof_pts,
+        |         r.purchase_value AS asof_purchase_value
+        |  FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.pts
+        |) l ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val l = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"), round(col("value"), 2).as("purchase_value"))
+      asofJoin(l, r, "user_id", "ts", "pts")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          col("asof_purchase_id"), col("asof_pts"), col("asof_purchase_value"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ── TPC-H Q6 shape: the fully-pushed-down scan-and-sum (every
+    //    predicate reaches the parquet reader; no shuffle at all before
+    //    the single global aggregate)
+    QueryDef(
+      "q49_pushdown_agg",
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 25""".stripMargin) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz")
+          && col("l_discount").between(0.03, 0.07)
+          && col("l_quantity") < 25)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // ── salted skew aggregation: identical result to a plain GROUP BY
+    //    (the oracle IS the plain GROUP BY), but the shuffle distributes
+    //    each hot key over 16 salt buckets first — the standard fix when
+    //    one key holds a disproportionate share of a 100 TB table. The
+    //    salt must not feed a non-reassociatable aggregate (avg is
+    //    computed as sum/count, not avg-of-avgs).
+    QueryDef(
+      "q70_salted_agg",
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice) / count(*), 4) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .withColumn("_salt", pmod(col("l_orderkey"), lit(16)))
+          .groupBy("l_returnflag", "_salt")
+          .agg(count(lit(1)).as("pn"), sum("l_quantity").as("pq"),
+            sum("l_extendedprice").as("pp"))
+          .groupBy("l_returnflag")
+          .agg(sum("pn").as("n"),
+            round(sum("pq"), 2).as("qty"),
+            round(sum("pp") / sum("pn"), 4).as("avg_price"))
+          .orderBy("l_returnflag")
+    }
+  )
+}
