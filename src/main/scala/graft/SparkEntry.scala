@@ -22,7 +22,8 @@ object SparkEntry {
     StreamWindows.defs,
     AnalyticsExtras.defs,
     ScalarFunctions.defs,
-    graft.operators.TimeSeriesJoins.defs
+    graft.operators.TimeSeriesJoins.defs,
+    graft.operators.SqlSurface.defs
   )
 
   private val all: Seq[QueryDef] = modules.flatten

@@ -66,6 +66,30 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each click joined to purchases by the
+    * same user within [click_ts, click_ts + window]. Watermarks on BOTH
+    * sides + the time-range condition bound the join state: rows are
+    * dropped from state once the other side's watermark passes the range
+    * — the only way a stream-stream join stays finite at 100 TB/day. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      window: String = "10 minutes",
+      lateness: String = "30 minutes"): DataFrame = {
+    val c = normalizeEventTime(clicks)
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = normalizeEventTime(purchases)
+      .withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window"))
+      .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts",
+        "purchase_value")
+  }
+
   // ── custom state: sessionization via flatMapGroupsWithState ──────────
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -86,6 +86,25 @@ class StreamingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream interval join matches within the window only") {
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = clickPurchaseJoin(clicks.toDF(), purchases.toDF(),
+      window = "10 minutes")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    withQuery(q) {
+      clicks.addData(ev(1, 0), ev(2, 0, user = 2))
+      purchases.addData(ev(10, 5, v = 9.5),  // u1, in window → match
+        ev(11, 20, v = 1.0))                  // u1, outside window
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select("user_id", "click_id", "purchase_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 1L, 10L)))
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer closes on gap and on timeout") {
     val in = MemoryStream[Event]
     val q = sessionize(in.toDS()).writeStream.format("memory")
