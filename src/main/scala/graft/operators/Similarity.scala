@@ -98,6 +98,53 @@ object Similarity {
         .limit(10)
     },
 
+    // ── IVF ANN: inverted-file index with deterministic seed centroids.
+    //    Vectors partition by nearest centroid (L2², ties → lowest id);
+    //    a query probes only its centroid's cell (nprobe=1). At cluster
+    //    scale the cell id is the partition key — K grows with corpus
+    //    size, per-cell scans stay constant. Both sides compute the
+    //    assignment with the same explode → distance → rank-1 shape.
+    QueryDef(
+      "q73_ivf_ann",
+      oracleVec +
+        """,
+          |cents AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+          |d AS (SELECT n.vec_id, cents.cid,
+          |  list_sum([(n.v[i]-cents.cv[i])*(n.v[i]-cents.cv[i])
+          |            for i in range(1, len(n.v)+1)]) AS dist
+          |  FROM n, cents),
+          |assign AS (SELECT vec_id, cid FROM (
+          |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+          |    ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+          |q AS (SELECT n.v AS qv, n.nrm AS qnrm, a.cid AS qcid
+          |  FROM n JOIN assign a ON n.vec_id = a.vec_id WHERE n.vec_id = 0)
+          |SELECT n.vec_id AS vec_id, CAST(a.cid AS BIGINT) AS cell,
+          |  round(list_sum([n.v[i]*q.qv[i] for i in range(1, len(n.v)+1)])
+          |        / (n.nrm*q.qnrm), 4) AS cos_sim
+          |FROM n JOIN assign a ON n.vec_id = a.vec_id, q
+          |WHERE n.vec_id <> 0 AND a.cid = q.qcid
+          |ORDER BY cos_sim DESC, n.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val vs = vectors(s, dir).cache()
+      val cents = vs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val dist = vs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          aggregate(zip_with(col("v"), col("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("dist"))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      val assign = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+      val assigned = vs.join(assign, "vec_id")
+      val q = assigned.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"), col("cid").as("qcid"))
+      assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), col("cid") === col("qcid"))
+        .select(col("vec_id"), col("cid").cast("long").as("cell"),
+          round(cosineFast(col("v"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // ── k-NN join: top-3 neighbors for every vector (bounded corpus)
     QueryDef(
       "q48_knn_join",
