@@ -23,7 +23,8 @@ object SparkEntry {
     AnalyticsExtras.defs,
     ScalarFunctions.defs,
     graft.operators.TimeSeriesJoins.defs,
-    graft.operators.SqlSurface.defs
+    graft.operators.SqlSurface.defs,
+    graft.operators.PipelineCapstone.defs
   )
 
   private val all: Seq[QueryDef] = modules.flatten

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Coverage completions + the end-to-end curation capstone: range join,
+  * GROUPING SETS (beyond rollup/cube), regex group extraction, and a
+  * composed dedup → quality-filter → token-accounting pipeline — the
+  * shape an actual training-data curation job takes, as one plan.
+  */
+object PipelineCapstone {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── range join: events binned into value bands. The bands side is
+    //    tiny and broadcast, so the range condition evaluates map-side
+    //    (BroadcastNestedLoopJoin) — the standard shape when one side of
+    //    a range join is a dimension.
+    QueryDef(
+      "q74_range_join",
+      """WITH bands(band, lo, hi) AS (
+        |  SELECT band, band*20.0, (band+1)*20.0
+        |  FROM (SELECT unnest(range(0, 5)) AS band)
+        |)
+        |SELECT band, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      val bands = s.range(0, 5).select(
+        col("id").as("band"),
+        (col("id") * 20.0).as("lo"),
+        ((col("id") + 1) * 20.0).as("hi"))
+      T(s, dir, "events")
+        .join(broadcast(bands),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("band")
+    },
+
+    // ── GROUPING SETS (arbitrary set list — rollup/cube cover only the
+    //    hierarchical/full lattices). SQL text shared with the oracle.
+    QueryDef(
+      "q75_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST,
+          |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
+    // ── regex group extraction
+    QueryDef(
+      "q76_regex_groups",
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+) ([a-z]+)', 1) AS word1,
+        |  regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS word2,
+        |  regexp_extract(source, '[0-9]+', 0) AS src_num
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 1).as("word1"),
+          regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("word2"),
+          regexp_extract(col("source"), "[0-9]+", 0).as("src_num"))
+        .orderBy("doc_id")
+    },
+
+    // ── curation pipeline capstone: exact-dedup → quality filter →
+    //    per-language token accounting, one composed plan (what a real
+    //    training-data job submits; every stage is a narrow map or a
+    //    single keyed shuffle)
+    QueryDef(
+      "q78_curation_pipeline",
+      """WITH dedup AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1
+        |),
+        |quality AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_words,
+        |    length(text) AS n_chars
+        |  FROM dedup
+        |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+        |    AND len(list_distinct(string_split(text, ' '))) * 2
+        |        >= len(string_split(text, ' '))
+        |)
+        |SELECT lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_words,
+        |  CAST(sum(CAST(ceil(n_chars / 4.0) AS INTEGER)) AS BIGINT)
+        |    AS est_llm_tokens
+        |FROM quality GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(md5(encode(col("text"), "UTF-8")))
+        .orderBy("doc_id")
+      val ws = split(col("text"), " ")
+      T(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"),
+          size(ws).as("n_words"),
+          size(array_distinct(ws)).as("n_distinct"),
+          length(col("text")).as("n_chars"))
+        .filter(col("n_words").between(20, 1000)
+          && col("n_distinct") * 2 >= col("n_words"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words").cast("long")).as("total_words"),
+          sum(ceil(col("n_chars") / 4.0).cast("int").cast("long"))
+            .as("est_llm_tokens"))
+        .orderBy("lang")
+    }
+  )
+}
