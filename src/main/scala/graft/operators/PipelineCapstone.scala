@@ -120,6 +120,44 @@ object PipelineCapstone {
           sum(ceil(col("n_chars") / 4.0).cast("int").cast("long"))
             .as("est_llm_tokens"))
         .orderBy("lang")
+    },
+
+    // ── explode_outer: rows with empty arrays survive with NULLs
+    //    (DuckDB emulates outer-unnest by substituting [NULL] for
+    //    empty lists)
+    QueryDef(
+      "q79_explode_outer",
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), w -> w = 'spark') AS hits
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  unnest(CASE WHEN len(hits) = 0 THEN [NULL] ELSE hits END) AS hit
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      T(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => w === "spark").as("hits"))
+        .select(col("doc_id"), explode_outer(col("hits")).as("hit"))
+        .orderBy("doc_id")
+    },
+
+    // ── custom TypedImperativeAggregate: exact top-3 order keys per
+    //    priority as ONE aggregate (O(k) state, sketch-style contract) —
+    //    oracle reconstructs via window + string_agg
+    QueryDef(
+      "q80_topk_aggregate",
+      """SELECT o_orderpriority, string_agg(o_orderkey, ',' ORDER BY o_orderkey DESC)
+        |    AS top_keys
+        |FROM (SELECT o_orderpriority, o_orderkey,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_orderkey DESC) AS rn
+        |      FROM orders) WHERE rn <= 3
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+        T(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(graft.plans.TopKLongs.topk(col("o_orderkey"), 3).as("top_keys"))
+          .orderBy("o_orderpriority")
     }
   )
 }

@@ -86,6 +86,23 @@ class StreamingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming parquet file sink + checkpoint round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("fsink").toString
+    val in = MemoryStream[Event]
+    val q = dedupWithinWatermark(in.toDF())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(ev(1, 0), ev(1, 1), ev(2, 2))
+      q.processAllAvailable()
+    }
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.select("event_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+  }
+
   test("stream-stream interval join matches within the window only") {
     val clicks = MemoryStream[Event]
     val purchases = MemoryStream[Event]
