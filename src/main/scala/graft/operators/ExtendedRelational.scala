@@ -307,6 +307,25 @@ object ExtendedRelational {
         .orderBy("l_returnflag")
     },
 
+    // ── Apache DataSketches HLL: mergeable sketch objects (the 100 TB
+    //    path for distinct-counting across partitions/days: sketches
+    //    union associatively, estimates come out at read time). Binary
+    //    sketches have no DuckDB twin -> rows-only check; the spec-level
+    //    guarantee is the estimate's documented error bound vs exact.
+    QueryDef.noOracle("q81_hll_sketch") { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      li.groupBy("l_returnflag")
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))
+            .as("hll_distinct_parts"),
+          countDistinct(col("l_partkey")).as("exact_distinct_parts"))
+        .select(col("l_returnflag"), col("hll_distinct_parts"),
+          col("exact_distinct_parts"),
+          round(abs(col("hll_distinct_parts") - col("exact_distinct_parts"))
+            / col("exact_distinct_parts"), 4).as("rel_err"))
+        .orderBy("l_returnflag")
+    },
+
     // ── CASE WHEN bucketing + conditional aggregation
     QueryDef(
       "q32_case_when",
