@@ -39,7 +39,7 @@ object VectorKernel {
     * exact-half doubles. Fast path avoids the BigDecimal allocation
     * whenever the scaled value is clearly away from a half-boundary
     * (u ≫ one-ulp-of-scaled from .5), falling back only on ambiguity. */
-  private def round4(x: Double): Double = {
+  private[graft] def round4(x: Double): Double = {
     if (x < 0) return -round4(-x)
     val scaled = x * 1e4
     val fl = math.floor(scaled)
