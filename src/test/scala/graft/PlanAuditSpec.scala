@@ -55,6 +55,25 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q49: every predicate reaches the parquet scan") {
+    val p = plan("q49_pushdown_agg")
+    assert(p.contains("PushedFilters"))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(p.split("PushedFilters")(1).split("ReadSchema")(0).contains(c),
+        s"$c not pushed")
+    }
+  }
+
+  test("q74: range join builds on the broadcast band side") {
+    val p = plan("q74_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q80: custom aggregate runs as two-phase ObjectHashAggregate") {
+    val p = plan("q80_topk_aggregate")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("aggregate pushes partial aggregation below the exchange") {
     val p = plan("q12_groupby_having")
     val agg = p.indexOf("HashAggregate")
