@@ -158,6 +158,59 @@ object PipelineCapstone {
           .groupBy("o_orderpriority")
           .agg(graft.plans.TopKLongs.topk(col("o_orderkey"), 3).as("top_keys"))
           .orderBy("o_orderpriority")
+    },
+
+    // ── schema-based JSON parsing (from_json with an explicit schema —
+    //    the production path when payload shape is known; q26 covers the
+    //    schemaless get_json_object path)
+    QueryDef(
+      "q82_json_schema",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  (json_extract_string(props, '$.k') IS NOT NULL) AS parsed_ok
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").as("k"),
+          from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").isNotNull
+            .as("parsed_ok"))
+        .orderBy("event_id")
+    },
+
+    // ── funnel analytics: signup → first subsequent purchase per user,
+    //    conversion flag + seconds-to-convert (epoch floors on both
+    //    sides: DuckDB date_diff counts boundary crossings, not elapsed
+    //    intervals, so it is NOT used)
+    QueryDef(
+      "q83_funnel",
+      """WITH s AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS signup_ts
+        |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS first_purchase_ts
+        |      FROM events e JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'purchase'
+        |        AND CAST(e.ts AS TIMESTAMP) >= s.signup_ts
+        |      GROUP BY e.user_id)
+        |SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+        |  (p.user_id IS NOT NULL) AS converted,
+        |  CAST(floor(epoch(p.first_purchase_ts)) AS BIGINT)
+        |    - CAST(floor(epoch(s.signup_ts)) AS BIGINT) AS secs_to_convert
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id
+        |ORDER BY s.user_id""".stripMargin) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("ts") >= col("signup_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("first_purchase_ts"))
+        .withColumnRenamed("user_id", "p_user_id")
+      su.join(pu, col("user_id") === col("p_user_id"), "left")
+        .select(col("user_id"), col("signup_ts"), col("first_purchase_ts"),
+          col("p_user_id").isNotNull.as("converted"),
+          (unix_timestamp(col("first_purchase_ts").cast("timestamp"))
+            - unix_timestamp(col("signup_ts").cast("timestamp")))
+            .as("secs_to_convert"))
+        .orderBy("user_id")
     }
   )
 }
