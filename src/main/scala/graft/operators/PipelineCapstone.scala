@@ -211,6 +211,42 @@ object PipelineCapstone {
             - unix_timestamp(col("signup_ts").cast("timestamp")))
             .as("secs_to_convert"))
         .orderBy("user_id")
+    },
+
+    // ── bag-semantics set op: INTERSECT ALL preserves multiplicity
+    //    (min of the two sides per value; q20 covers the distinct form)
+    QueryDef(
+      "q84_intersect_all",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      T(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersectAll(
+          T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
+    // ── LATERAL correlated subquery (per-row dependent subquery), one
+    //    SQL text for both engines
+    QueryDef(
+      "q85_lateral",
+      """SELECT c_custkey, c_name, round(o.total, 2) AS total_spent,
+        |  o.n AS n_orders
+        |FROM customer,
+        |LATERAL (SELECT coalesce(sum(o_totalprice), 0) AS total,
+        |                count(*) AS n FROM orders
+        |         WHERE o_custkey = c_custkey) o
+        |WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_name, round(o.total, 2) AS total_spent,
+          |  o.n AS n_orders
+          |FROM customer,
+          |LATERAL (SELECT coalesce(sum(o_totalprice), 0) AS total,
+          |                count(*) AS n FROM orders
+          |         WHERE o_custkey = c_custkey) o
+          |WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin)
     }
   )
 }
