@@ -53,8 +53,10 @@ object TextDedup {
     * windows are distinct well-mixed functions). Bit-identical in DuckDB
     * as ('0x' || substr(d, k+1, 15))::BIGINT. */
   private def minhashWindow(digests: Column, k: Int): Column =
+    // HexWindowToLong ≡ conv(substr(d,k+1,15),16,10)::BIGINT, codegen'd
+    // (equivalence property-tested in OperatorSpec)
     array_min(transform(digests, d =>
-      conv(substring(d, k + 1, 15), 16, 10).cast("long")))
+      graft.plans.HexWindowToLong.hexWindow(d, k + 1)))
 
   /** documents with doc_id + distinct shingle array (docs with <3 words
     * dropped — mirrored by WHERE len(...)>=3 in every oracle).

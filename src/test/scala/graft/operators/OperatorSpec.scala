@@ -83,6 +83,18 @@ class OperatorSpec extends SparkTestBase {
     assert(top2.groupBy($"grp").count().select(max($"count")).as[Long].head == 2)
   }
 
+  test("HexWindowToLong ≡ conv(substr(hex,k,15),16,10) on real digests") {
+    val digests = (1 to 500).map(i => Tuple1(s"seed$i")).toDF("s")
+      .select(md5(encode($"s", "UTF-8")).as("d"))
+    (0 until 8).foreach { k =>
+      val diff = digests.select(
+        graft.plans.HexWindowToLong.hexWindow($"d", k + 1).as("fast"),
+        conv(substring($"d", k + 1, 15), 16, 10).cast("long").as("ref"))
+        .filter($"fast" =!= $"ref").count()
+      assert(diff == 0, s"window $k diverges from conv")
+    }
+  }
+
   test("rollup row count = groups + subtotals + grand total") {
     val r = nums.rollup($"grp").agg(count(lit(1))).count()
     assert(r == 7 + 1)
