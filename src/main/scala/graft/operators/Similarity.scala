@@ -161,6 +161,30 @@ object Similarity {
       // broadcast block-kernel instead of the 60s-at-sf0.1 declarative
       // cross-join + window; numerically identical (see VectorKernel)
       VectorKernel.knnJoin(vectors(s, dir), 3)
+    },
+
+    // ── per-label centroids: the aggregate-of-vectors building block
+    //    (IVF/k-means training step). explode → (label, dim) partial
+    //    avgs → re-assemble: one shuffle keyed by (label, dim), so at
+    //    100 TB the reduce state is K×D cells regardless of row count.
+    QueryDef(
+      "q86_label_centroids",
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+        |      FROM e),
+        |c AS (SELECT label, dim, avg(val) AS cval FROM x GROUP BY label, dim)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_dims,
+        |  round(sqrt(sum(cval * cval)), 4) AS centroid_norm
+        |FROM c GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      T(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(toDouble(col("embedding"))).as(Seq("dim0", "val")))
+        .groupBy(col("label"), (col("dim0") + 1).as("dim"))
+        .agg(avg("val").as("cval"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_dims"),
+          round(sqrt(sum(col("cval") * col("cval"))), 4).as("centroid_norm"))
+        .orderBy("label")
     }
   )
 }

@@ -95,6 +95,20 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("typed mapGroups / cogroup agree with untyped aggregation") {
+    val left = Seq((1, 10.0), (1, 20.0), (2, 5.0)).toDS()
+    val right = Seq((1, 2.0), (3, 7.0)).toDS()
+    val mg = left.groupByKey(_._1)
+      .mapGroups((k, it) => (k, it.map(_._2).sum))
+      .collect().toMap
+    assert(mg == Map(1 -> 30.0, 2 -> 5.0))
+    val cg = left.groupByKey(_._1)
+      .cogroup(right.groupByKey(_._1)) { (k, l, r) =>
+        Iterator((k, l.map(_._2).sum, r.map(_._2).sum))
+      }.collect().toSet
+    assert(cg == Set((1, 30.0, 2.0), (2, 5.0, 0.0), (3, 0.0, 7.0)))
+  }
+
   test("rollup row count = groups + subtotals + grand total") {
     val r = nums.rollup($"grp").agg(count(lit(1))).count()
     assert(r == 7 + 1)
