@@ -86,6 +86,22 @@ class StreamingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("update mode emits refined aggregates before the watermark closes") {
+    val in = MemoryStream[Event]
+    val q = tumblingCounts(in.toDF(), lateness = "30 minutes", size = "1 hour")
+      .writeStream.format("memory").queryName("upd")
+      .outputMode("update").start()
+    withQuery(q) {
+      in.addData(ev(1, 5))
+      q.processAllAvailable()
+      in.addData(ev(2, 10))   // same window → refined row emitted again
+      q.processAllAvailable()
+      val ns = spark.table("upd").filter($"w_start" === ts(0))
+        .select("n").as[Long].collect().sorted.toSeq
+      assert(ns == Seq(1L, 2L))   // update mode: both refinements visible
+    }
+  }
+
   test("streaming parquet file sink + checkpoint round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("fsink").toString
     val in = MemoryStream[Event]
