@@ -45,7 +45,9 @@ object Multimodal {
       doc_id: Long,
       n_bytes: Int,
       mean_byte: Double,
-      histogram: Array[Long])
+      histogram: Array[Long],
+      resized_bytes: Int,
+      resized_md5: String)
 
   private def decodeStub(docId: Long, payload: Array[Byte]): PayloadFeatures = {
     // ??? <- real codec call (JPEG/PNG/audio frame decode) goes here; the
@@ -59,8 +61,16 @@ object Multimodal {
       sum += b
       i += 1
     }
+    // "resize": 4× byte-stride downsample — stands in for image resize /
+    // audio decimation; deterministic, keeps the batch shape real
+    val resized = new Array[Byte]((payload.length + 3) / 4)
+    var j = 0
+    while (j < resized.length) { resized(j) = payload(j * 4); j += 1 }
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(resized).map("%02x".format(_)).mkString
     PayloadFeatures(docId, payload.length,
-      if (payload.length == 0) 0.0 else sum.toDouble / payload.length, hist)
+      if (payload.length == 0) 0.0 else sum.toDouble / payload.length, hist,
+      resized.length, md5)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -112,7 +122,8 @@ object Multimodal {
         it.map { case (id, bytes) => decodeStub(id, bytes) }
       }.toDF()
         .select(col("doc_id"), col("n_bytes"),
-          round(col("mean_byte"), 4).as("mean_byte"), col("histogram"))
+          round(col("mean_byte"), 4).as("mean_byte"), col("histogram"),
+          col("resized_bytes"), col("resized_md5"))
         .orderBy("doc_id")
     },
 
