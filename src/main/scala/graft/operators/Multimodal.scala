@@ -121,8 +121,13 @@ object Multimodal {
         // codec init would happen once per partition here
         it.map { case (id, bytes) => decodeStub(id, bytes) }
       }.toDF()
+        // histogram serialized to a scalar: array-valued result columns
+        // don't survive the driver's pandas row compare (TopKAggregate
+        // scaladoc documents the same contract)
         .select(col("doc_id"), col("n_bytes"),
-          round(col("mean_byte"), 4).as("mean_byte"), col("histogram"),
+          round(col("mean_byte"), 4).as("mean_byte"),
+          array_join(col("histogram").cast("array<string>"), ",")
+            .as("histogram"),
           col("resized_bytes"), col("resized_md5"))
         .orderBy("doc_id")
     },

@@ -72,16 +72,19 @@ object ScalarFunctions {
     QueryDef(
       "q68_argmax_aggs",
       """SELECT o_orderpriority,
-        |  max_by(o_orderkey, CAST(o_totalprice*100 AS BIGINT)*10000000 + o_orderkey)
+        |  max_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey)
         |    AS priciest_order,
-        |  min_by(o_orderkey, CAST(o_totalprice*100 AS BIGINT)*10000000 + o_orderkey)
+        |  min_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey)
         |    AS cheapest_order,
         |  CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
         |  bool_or(o_totalprice > 500000) AS any_jumbo,
         |  bool_and(o_totalprice > 0) AS all_positive
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
       (s, dir) =>
-        val ord = ((col("o_totalprice") * 100).cast("long") * 10000000L) +
+        // round() on BOTH sides before the cast: Spark cast("long")
+        // truncates toward zero while DuckDB's CAST rounds — explicit
+        // round makes the ordering key identical in both engines
+        val ord = (round(col("o_totalprice") * 100).cast("long") * 10000000L) +
           col("o_orderkey")
         T(s, dir, "orders")
           .groupBy("o_orderpriority")
