@@ -68,24 +68,28 @@ object ScalarFunctions {
 
     // ── argmax / boolean / conditional-count aggregates. max_by ordering
     //    key made unique (price-cents ⊕ orderkey) so both engines pick the
-    //    same winner deterministically.
+    //    same winner deterministically. The key is 128-bit (HUGEINT in
+    //    DuckDB, DECIMAL(38,0) in Spark): cents·10¹⁸ + orderkey stays
+    //    unique for any orderkey < 10¹⁸, i.e. at any realistic scale —
+    //    a 64-bit key would let orderkey bleed into the price component
+    //    past ~10⁷ orders.
     QueryDef(
       "q68_argmax_aggs",
       """SELECT o_orderpriority,
-        |  max_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey)
+        |  max_by(o_orderkey, CAST(round(o_totalprice*100) AS HUGEINT)*1000000000000000000 + o_orderkey)
         |    AS priciest_order,
-        |  min_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey)
+        |  min_by(o_orderkey, CAST(round(o_totalprice*100) AS HUGEINT)*1000000000000000000 + o_orderkey)
         |    AS cheapest_order,
         |  CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
         |  bool_or(o_totalprice > 500000) AS any_jumbo,
         |  bool_and(o_totalprice > 0) AS all_positive
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
       (s, dir) =>
-        // round() on BOTH sides before the cast: Spark cast("long")
-        // truncates toward zero while DuckDB's CAST rounds — explicit
-        // round makes the ordering key identical in both engines
-        val ord = (round(col("o_totalprice") * 100).cast("long") * 10000000L) +
-          col("o_orderkey")
+        // round() on BOTH sides before the cast: Spark cast truncates
+        // toward zero while DuckDB's CAST rounds — explicit round makes
+        // the ordering key identical in both engines
+        val ord = round(col("o_totalprice") * 100).cast("decimal(20,0)") *
+          lit("1000000000000000000").cast("decimal(19,0)") + col("o_orderkey")
         T(s, dir, "orders")
           .groupBy("o_orderpriority")
           .agg(
