@@ -18,10 +18,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the LAST 2000 chars of output and sbt prints a
+    // ~75-char [success] line after us, so the JSON line must stay under
+    // ~1900 chars or it is truncated mid-line and unparseable (this is
+    // exactly what nulled BENCH_r01–r03). Two compactions: 3-decimal
+    // seconds, and per-query keys abbreviated to their unique qNN prefix
+    // (the full names are in Verify's dump / CORRECTNESS report; the
+    // contract's own example uses short keys). ~1.2 KB for 84 queries.
+    def f(v: Double): String = "%.3f".format(v)
+    def short(name: String): String = name.takeWhile(_ != '_')
+    require(results.keys.map(short).toSet.size == results.size,
+      "qNN prefixes must stay unique for the compact bench JSON")
+    val qs = results.map { case (k, v) => s"\"" + short(k) + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -129,8 +129,9 @@ object Similarity {
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val dist = vs.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cid"),
-          aggregate(zip_with(col("v"), col("cv"),
-            (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("dist"))
+          // fused native expression (plans.L2DistanceSq): bit-identical
+          // to the zip_with/aggregate fold and the oracle's list_sum
+          graft.plans.L2DistanceSq.l2DistSq(col("v"), col("cv")).as("dist"))
       val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
       val assign = dist.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select(col("vec_id"), col("cid"))

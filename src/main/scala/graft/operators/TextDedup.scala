@@ -72,6 +72,10 @@ object TextDedup {
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.computeIfAbsent((s, dir), { _ =>
       T(s, dir, "documents")
+        // documents is one parquet file → one input partition; without a
+        // repartition the whole shingle build runs on a single core
+        // (~6s of the first text query at sf0.1; ~0.5s spread over 32)
+        .repartition(col("doc_id"))
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -145,33 +149,27 @@ object TextDedup {
         |  round(c * 1.0 / (na + nb - c), 4) AS jaccard
         |FROM p WHERE 3*c >= na + nb ORDER BY doc_i, doc_j""".stripMargin) {
       (s, dir) =>
-        // prefix filtering (ppjoin): under any global shingle order, two
-        // sets with Jaccard ≥ 0.5 must share an element within their
-        // first ⌊n/2⌋+1 shingles — so only prefixes are exploded into
-        // the equality join (quadratically fewer candidate rows than
-        // joining every shingle), and candidates are verified exactly.
-        // Lexicographic global order: a frequency-ascending order prunes
-        // more pairs in theory, but computing it needs two extra shuffles
-        // (df join + per-doc re-collect) that cost more than they save at
-        // this vocabulary size — measured 17.7s vs 12s at sf0.1.
-        val sh = docShingles(s, dir)
-          .select(col("doc_id"), sort_array(col("sh")).as("sh"))
-          .cache()
-        val prefixLen = (size(col("sh")) / 2).cast("int") + 1
-        val prefix = sh.select(col("doc_id"),
-          explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
-        val cand = prefix.as("a")
-          .join(prefix.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-          .distinct()
-        cand
-          .join(sh.select(col("doc_id").as("doc_i"), col("sh").as("sha")), "doc_i")
-          .join(sh.select(col("doc_id").as("doc_j"), col("sh").as("shb")), "doc_j")
-          .select(col("doc_i"), col("doc_j"),
-            size(array_intersect(col("sha"), col("shb"))).cast("long")
-              .as("n_common"),
-            size(col("sha")).as("n_i"), size(col("shb")).as("n_j"))
+        // count-join: explode each doc's distinct shingles, equality-join
+        // shingle↔shingle, count matches per doc pair — the count IS the
+        // exact intersection size (shingles are distinct per doc), so no
+        // separate verification pass and no O(n²) anything: the join
+        // intermediate is Σ df² rows over shingle doc-frequencies (2.8M
+        // at sf0.1 — one codegen'd shuffle join + partial-agg'd count).
+        // The join length-prunes: J ≥ 0.5 forces n_i ≤ 2·n_j and vice
+        // versa. Measured 1.0s vs 3.5s for ppjoin prefix filtering +
+        // array_intersect verification at sf0.1 — exact-count-join wins
+        // while shingle doc-frequencies stay bounded; at 100 TB with
+        // hot shingles, cap df (drop stopword shingles from the join
+        // side) or reinstate prefix filtering in front of this count.
+        val sx = docShingles(s, dir)
+          .select(col("doc_id"), size(col("sh")).as("n"),
+            explode(col("sh")).as("s"))
+        sx.as("a").join(sx.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
+              && col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
+          .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+            col("a.n").as("n_i"), col("b.n").as("n_j"))
+          .agg(count(lit(1)).as("n_common"))
           .filter(col("n_common") * 3 >= col("n_i") + col("n_j"))
           .select(col("doc_i"), col("doc_j"), col("n_common"),
             col("n_i"), col("n_j"),
@@ -229,23 +227,15 @@ object TextDedup {
     //    band — equality-join recall is total at the threshold. xxhash64
     //    has no DuckDB twin ⇒ rows-only check.
     QueryDef.noOracle("q43_simhash_pairs") { (s, dir) =>
-      // shuffle-free signature: per-doc fold over the shingle-hash array
-      // (explode + 64-column groupBy was 8s at sf0.1; this is one narrow
-      // map — each bit counter lives in an in-row array)
-      val counts = aggregate(
-        transform(col("sh"), x => xxhash64(x)),
-        array_repeat(lit(0L), 64),
-        (acc, h) => zip_with(acc,
-          array((0 until 64).map(b =>
-            when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*),
-          _ + _))
+      // shuffle-free signature: one narrow map per doc. The bit-majority
+      // fold is the native codegen'd plans.SimHash64 (the interpreted
+      // aggregate/zip_with form allocated a 64-long array per shingle —
+      // 47s at sf0.1; this is sub-second). Same Charikar construction,
+      // bit-identical output.
       val sim = docShingles(s, dir)
-        .select(col("doc_id"), counts.as("bits"))
         .select(col("doc_id"),
-          (0 until 64).map(b =>
-            when(element_at(col("bits"), b + 1) > 0, lit(1L << b))
-              .otherwise(lit(0L)))
-            .reduce(_ bitwiseOR _).as("simhash"))
+          graft.plans.SimHash64.simhash64(
+            transform(col("sh"), x => xxhash64(x))).as("simhash"))
         .cache()
       val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
         (0 until 8).map(k => struct(lit(k).as("band"),
