@@ -11,8 +11,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen/session warm-up outside any query's timing
-    // (BASELINE.md: startup is excluded from per-query numbers)
+    // (BASELINE.md: startup is excluded from per-query numbers). Beyond
+    // plain codegen, exercise the interpreted higher-order-function
+    // evaluator, a shuffle join, and a window on synthetic data: those
+    // code paths JIT-compile on first use and otherwise charge several
+    // seconds to whichever real query happens to run them first.
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(10000)
+      .selectExpr("id", "sequence(0L, id % 20) AS arr")
+      .selectExpr(
+        "aggregate(transform(arr, x -> x * 2), 0L, (a, x) -> a + x) AS s",
+        "size(array_distinct(transform(arr, x -> concat_ws(' ', x, x)))) AS d",
+        "id % 100 AS k")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("s"),
+        org.apache.spark.sql.functions.sum("d"))
+      .collect()
+    val wu = spark.range(20000).selectExpr("id", "id % 1000 AS k")
+    wu.join(wu.selectExpr("k AS k2", "id AS id2"),
+        org.apache.spark.sql.functions.col("k") ===
+          org.apache.spark.sql.functions.col("k2"))
+      .selectExpr("count(*)").collect()
+    spark.range(10000).selectExpr("id", "id % 13 AS k")
+      .selectExpr("id", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
+      .selectExpr("max(rn)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

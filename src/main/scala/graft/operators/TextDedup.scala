@@ -38,14 +38,12 @@ object TextDedup {
     Tables(s, dir, n)
 
   /** Word 3-gram shingles of `text`, distinct, as an array column.
-    * Requires ≥3 words (guarded by the caller's filter). */
-  private def shingles(text: Column): Column = {
-    val ws = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), size(ws) - 2),
-      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-        element_at(ws, i + 2))))
-  }
+    * Requires ≥3 words (guarded by the caller's filter). Native
+    * plans.WordShingles — same values as the compositional
+    * array_distinct(transform(sequence…, concat_ws…)) form
+    * (equivalence property-tested in OperatorSpec). */
+  private def shingles(text: Column): Column =
+    graft.plans.WordShingles.wordShingles(text, 3)
 
   /** MinHash k over the per-shingle digest array: min of the 15-hex-char
     * window starting at offset k of each md5 — ONE digest per shingle

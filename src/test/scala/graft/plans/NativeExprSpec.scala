@@ -1,0 +1,113 @@
+package graft.plans
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The round-4 native expressions (SimHash64, L2DistanceSq, WordShingles)
+  * must be value-identical to the compositional higher-order-function
+  * forms they replaced, on realistic data shapes, including edge cases
+  * (empty arrays, repeated spaces, short texts). */
+class NativeExprSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val texts = {
+    val rnd = new Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val gen = (1 to 300).map { i =>
+      val n = rnd.nextInt(40)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val edge = Seq(
+      (1001L, ""), (1002L, "one"), (1003L, "one two"),
+      (1004L, "a b c"), (1005L, "a  b  c d"), (1006L, " lead and trail "),
+      (1007L, "x y z x y z x y z"))
+    (gen ++ edge).toDF("id", "text")
+  }
+
+  test("WordShingles ≡ array_distinct(transform(sequence…, concat_ws…))") {
+    val ws = split(col("text"), " ")
+    val composed = array_distinct(transform(
+      sequence(lit(1), size(ws) - 2),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+        element_at(ws, i + 2))))
+    val diffs = texts
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(
+        WordShingles.wordShingles(col("text"), 3).as("native"),
+        composed.as("composed"))
+      .filter(not(col("native") === col("composed")))
+      .count()
+    assert(diffs == 0, "native and compositional shingles disagree")
+  }
+
+  test("WordShingles: <n words → empty array; width-1 = distinct words") {
+    val r = Seq((1L, "one two")).toDF("id", "text")
+      .select(WordShingles.wordShingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(r.isEmpty)
+    val r1 = Seq((1L, "b a b a c")).toDF("id", "text")
+      .select(WordShingles.wordShingles(col("text"), 1).as("sh"))
+      .as[Seq[String]].head()
+    assert(r1 == Seq("b", "a", "c"), "first-seen dedup order")
+  }
+
+  test("SimHash64 ≡ compositional bit-vote fold") {
+    val hashes = transform(WordShingles.wordShingles(col("text"), 3),
+      x => xxhash64(x))
+    val composedCounts = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(b =>
+          when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*),
+        _ + _))
+    val composed = (0 until 64).map(b =>
+      when(element_at(composedCounts, b + 1) > 0, lit(1L << b))
+        .otherwise(lit(0L))).reduce(_ bitwiseOR _)
+    val diffs = texts
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(
+        SimHash64.simhash64(hashes).as("native"),
+        composed.as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(diffs == 0, "native and compositional simhash disagree")
+  }
+
+  test("SimHash64 on empty hash array = 0 (all counters at -0 → bits 0)") {
+    val r = Seq(Tuple1(Array.empty[Long])).toDF("hs")
+      .select(SimHash64.simhash64(col("hs")).as("s")).as[Long].head()
+    assert(r == 0L)
+  }
+
+  test("L2DistanceSq ≡ aggregate(zip_with(…)) fold, bit-exact") {
+    val rnd = new Random(23)
+    val vecs = (1 to 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1),
+        Array.fill(64)(rnd.nextDouble() * 2 - 1))).toDF("id", "a", "b")
+    val composed = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val diffs = vecs.select(
+        L2DistanceSq.l2DistSq(col("a"), col("b")).as("native"),
+        composed.as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(diffs == 0, "native and compositional L2² disagree (not bit-equal)")
+  }
+
+  test("interpreted eval paths match literal expectations") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val l2 = L2DistanceSq(
+      Literal.create(Array(1.0, 2.0), ArrayType(DoubleType)),
+      Literal.create(Array(4.0, 6.0), ArrayType(DoubleType)))
+    assert(l2.eval(null).asInstanceOf[Double] == 25.0)
+    // one hash with bit 0 and bit 63 set → majority of one vote sets both
+    val sh = SimHash64(
+      Literal.create(Array((1L << 63) | 1L), ArrayType(LongType)))
+    assert(sh.eval(null).asInstanceOf[Long] == ((1L << 63) | 1L))
+  }
+}
