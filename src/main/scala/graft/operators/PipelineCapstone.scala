@@ -226,6 +226,52 @@ object PipelineCapstone {
         .orderBy("nationkey")
     },
 
+    // ── deterministic hash sampling: the scale-safe replacement for
+    //    rand()-based TABLESAMPLE in data pipelines — md5(key) bucketing
+    //    is a pure narrow map (no RNG state, no shuffle), reproducible
+    //    across engines, reruns, and backfills, and composable (the same
+    //    predicate always selects the same ~10% of any table)
+    QueryDef(
+      "q87_hash_sample",
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bucket = graft.plans.HexWindowToLong.hexWindow(
+        md5(encode(col("doc_id").cast("string"), "UTF-8")), 1) % 10
+      T(s, dir, "documents")
+        .filter(bucket === 0)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // ── deterministic train/val/test split (80/10/10 by md5 bucket) +
+    //    per-split token accounting — the dataset-manifest query every
+    //    training pipeline runs; the split is a function of the key
+    //    alone, so adding data never reassigns existing docs
+    QueryDef(
+      "q88_dataset_split",
+      """WITH h AS (SELECT doc_id, lang, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |  FROM documents),
+        |s AS (SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |             ELSE 'test' END AS split, lang,
+        |        len(string_split(text, ' ')) AS nw FROM h)
+        |SELECT split, lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS total_words
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin) {
+      (s, dir) =>
+        val bucket = graft.plans.HexWindowToLong.hexWindow(
+          md5(encode(col("doc_id").cast("string"), "UTF-8")), 1) % 100
+        T(s, dir, "documents")
+          .select(
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"),
+            col("lang"),
+            size(split(col("text"), " ")).cast("long").as("nw"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("nw").as("total_words"))
+          .orderBy("split", "lang")
+    },
+
     // ── LATERAL correlated subquery (per-row dependent subquery), one
     //    SQL text for both engines
     QueryDef(

@@ -80,4 +80,34 @@ class PlanAuditSpec extends SparkTestBase {
     val ex = p.indexOf("Exchange")
     assert(agg >= 0 && ex >= 0, "expected agg + exchange in plan")
   }
+
+  test("q43: native simhash + shingles stay inside whole-stage codegen") {
+    val cg = SparkEntry.queries("q43_simhash_pairs")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen subtree"), cg.take(400))
+    val p = plan("q43_simhash_pairs")
+    assert(p.contains("graft_simhash64"), "native SimHash64 not in plan")
+    assert(p.contains("graft_word_shingles"), "native WordShingles not in plan")
+  }
+
+  test("q42: count-join shape — shuffle join + partial/final agg, no verify pass") {
+    val p = plan("q42_jaccard_pairs")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final count aggregation")
+    assert(!p.contains("array_intersect"),
+      "exact count-join must not re-verify with array_intersect")
+  }
+
+  test("q73: centroid assignment uses the fused native L2 expression") {
+    val p = plan("q73_ivf_ann")
+    assert(p.contains("graft_l2_dist_sq"), "native L2DistanceSq not in plan")
+  }
+
+  test("q87/q88: hash sampling and splitting are pure narrow maps over the scan") {
+    Seq("q87_hash_sample", "q88_dataset_split").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join")
+      assert(p.contains("graft_hex_window"), s"$q must bucket via the native hash window")
+    }
+  }
 }
