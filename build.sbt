@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as JSON. Two sbt behaviors
+// break that: forked-run output is prefixed "[info] ", and sbt appends a
+// "[success] Total time: …" line after the run. StdoutOutput passes the
+// forked JVM's stdout through unprefixed; showSuccess drops the trailer —
+// together they make Bench's JSON the literal last line.
+outputStrategy := Some(StdoutOutput) // unscoped: covers run AND runMain
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

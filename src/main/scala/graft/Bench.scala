@@ -34,10 +34,22 @@ object Bench {
     spark.range(10000).selectExpr("id", "id % 13 AS k")
       .selectExpr("id", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
       .selectExpr("max(rn)").collect()
+    // JSON-path evaluator JITs on first use (otherwise charged to q26)
+    spark.range(1000)
+      .selectExpr("""get_json_object(concat('{"a":', id, '}'), '$.a') AS a""")
+      .selectExpr("count(distinct a)").collect()
+    // One footer/schema touch per real table: parquet footer reads and
+    // FileSourceScan setup otherwise land on whichever query reads the
+    // table first (q26/q35 in the r4 run). Schema-only — no data scan,
+    // so no real query work is hidden.
+    Tables.names.foreach { t =>
+      try Tables(spark, sfDir, t).schema catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     // The driver keeps only the LAST 2000 chars of output and sbt prints a
     // ~75-char [success] line after us, so the JSON line must stay under
@@ -48,12 +60,16 @@ object Bench {
     // contract's own example uses short keys). ~1.2 KB for 84 queries.
     def f(v: Double): String = "%.3f".format(v)
     def short(name: String): String = name.takeWhile(_ != '_')
-    require(results.keys.map(short).toSet.size == results.size,
+    require(results.map(r => short(r._1)).toSet.size == results.size,
       "qNN prefixes must stay unique for the compact bench JSON")
-    val qs = results.map { case (k, v) => s"\"" + short(k) + "\":" + f(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A failed query must be loud, not a -1s "speedup": list failures in
+    // their own key (the driver sees them; an empty list is the pass state).
+    val failed = results.collect { case (k, _, false) => s"\"${short(k)}\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
