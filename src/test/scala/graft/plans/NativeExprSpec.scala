@@ -83,6 +83,22 @@ class NativeExprSpec extends SparkTestBase {
     assert(r == 0L)
   }
 
+  test("MinHashSig ≡ 8× array_min(HexWindowToLong(md5-hex, k+1))") {
+    val sh = WordShingles.wordShingles(col("text"), 3)
+    val dg = transform(sh, x => md5(encode(x, "UTF-8")))
+    def composedWindow(k: Int) =
+      array_min(transform(dg, d => HexWindowToLong.hexWindow(d, k + 1)))
+    val native = MinHashSig.minhashSig(sh)
+    val diffs = texts
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(
+        array((0 until 8).map(k => native.getItem(k)): _*).as("native"),
+        array((0 until 8).map(composedWindow): _*).as("composed"))
+      .filter(not(col("native") === col("composed")))
+      .count()
+    assert(diffs == 0, "native and compositional minhash windows disagree")
+  }
+
   test("L2DistanceSq ≡ aggregate(zip_with(…)) fold, bit-exact") {
     val rnd = new Random(23)
     val vecs = (1 to 200).map(i =>
