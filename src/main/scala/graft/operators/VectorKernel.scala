@@ -2,37 +2,48 @@ package graft.operators
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Broadcast block-kernel for dense all-pairs vector math.
+/** Distributed block-nested-loop kernel for dense all-pairs vector math.
   *
   * The declarative form of a k-NN self-join (`a.join(b, i =!= j)` +
   * higher-order-function cosine) materializes O(n²) join rows and
   * evaluates an array expression per row — measured 60s at sf0.1
-  * (2000², 64-dim) on local[4]. This kernel broadcasts the corpus as
-  * primitive double arrays and runs the pair loop inside mapPartitions:
-  * same O(n²) arithmetic, none of the row/array materialization —
-  * ~100× less overhead per pair. This is the documented "(d)
-  * mapPartitions as a last resort" case: the win comes from changing
-  * the *operator's physical shape* (block-nested loop over primitives),
-  * which no scalar Expression or join hint can express.
+  * (2000², 64-dim) on local[4]. This kernel instead:
+  *
+  *   1. hashes every vector into one of B blocks and packs each block
+  *      into a single row (`collect_list` — one shuffle of the corpus);
+  *   2. joins the B-row block table to itself on `x.blk <= y.blk`
+  *      (B(B+1)/2 block pairs; both sides are tiny, so this is a
+  *      broadcast join of block handles, never of the corpus);
+  *   3. runs the dense pair loop over primitive double arrays inside
+  *      each block-pair task, emitting only survivors.
+  *
+  * No driver-side collect anywhere: the corpus never leaves the
+  * executors (the earlier revision broadcast a driver-materialized
+  * array — a driver OOM at real scale). Each task touches exactly two
+  * blocks, so executor memory scales as O(n/B · dim) regardless of
+  * corpus size; pick B so a block fits comfortably (at 100 TB that
+  * means B grows with the corpus, and the B² task count is the
+  * parallelism you want anyway). Emission is O(n·k) for top-k and
+  * O(survivors) for threshold pairs, never O(n²) rows.
+  *
+  * This remains the documented "(d) mapPartitions as a last resort"
+  * case: the win comes from the operator's physical shape (dense
+  * block-nested loop over primitives), which no scalar Expression or
+  * join hint can express.
   *
   * Numeric contract: dot and norm are strict left-to-right double folds
   * and rounding replicates Spark's `round` (BigDecimal HALF_UP on the
   * shortest decimal representation), so results are bit-identical to
   * both the declarative Spark form and the DuckDB oracle.
-  *
-  * Scale notes (100 TB posture):
-  *  - the broadcast side must fit in executor memory (dim × n × 8B);
-  *    that is the standard regime for "corpus vs reference-set" k-NN.
-  *    For corpus × corpus at cluster scale, pre-bucket with
-  *    VectorFunctions.lshBucket and run this kernel per bucket — the
-  *    probe side stays fully partitioned either way;
-  *  - emitting only survivors (top-k / above-threshold) means shuffle
-  *    and sink see O(n·k) rows, never O(n²).
   */
 object VectorKernel {
+
+  /** One block of (vec_id, vector) rows, packed into a single row. */
+  private type Block = Seq[(Long, Array[Double])]
 
   /** Spark-equivalent round(x, 4): HALF_UP over the value's shortest
     * decimal form — NOT math.round(x*1e4)/1e4, which disagrees on
@@ -62,39 +73,61 @@ object VectorKernel {
     math.sqrt(s)
   }
 
-  /** (vec_id, raw double vector, norm), corpus-ordered by vec_id. */
-  private def corpus(vs: DataFrame): Array[(Long, Array[Double], Double)] =
-    vs.select(col("vec_id"), col("v")).collect()
-      .map { r =>
-        val v = r.getSeq[Double](1).toArray
-        (r.getLong(0), v, norm(v))
-      }.sortBy(_._1)
+  /** Block table self-joined into (bx, by, xs, ys) pairs, bx <= by.
+    * Every unordered vector pair appears in exactly one block pair. */
+  private def blockPairs(
+      vs: DataFrame, numBlocks: Int): Dataset[(Int, Int, Block, Block)] = {
+    val spark = vs.sparkSession
+    import spark.implicits._
+    val g = vs.select(
+        pmod(hash(col("vec_id")), lit(numBlocks)).as("blk"),
+        struct(col("vec_id").as("_1"), col("v").as("_2")).as("r"))
+      .groupBy("blk").agg(collect_list(col("r")).as("rs"))
+    g.as("x").join(g.as("y"), col("x.blk") <= col("y.blk"))
+      .select(col("x.blk").as("_1"), col("y.blk").as("_2"),
+        col("x.rs").as("_3"), col("y.rs").as("_4"))
+      .as[(Int, Int, Block, Block)]
+  }
+
+  private def defaultBlocks(vs: DataFrame): Int =
+    math.max(vs.sparkSession.sparkContext.defaultParallelism / 2, 4)
+
+  private def dense(b: Block): (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val ids = new Array[Long](b.size)
+    val vecs = new Array[Array[Double]](b.size)
+    val norms = new Array[Double](b.size)
+    var i = 0
+    b.foreach { case (id, arr) =>
+      ids(i) = id; vecs(i) = arr; norms(i) = norm(arr); i += 1
+    }
+    (ids, vecs, norms)
+  }
 
   /** Exact k-NN self-join: for every vector the top-`k` others by
     * (round4(cosine) DESC, vec_j ASC). Output: vec_i, vec_j, cos_sim, rn —
-    * identical to the window-over-cross-join formulation. */
+    * identical to the window-over-cross-join formulation. Each block-pair
+    * task emits a partial top-k per vector (≤ (|xs|+|ys|)·k rows); the
+    * final window merges partials — the true top-k is always contained
+    * in the union of per-task top-ks. */
   def knnJoin(vs: DataFrame, k: Int): DataFrame = {
     val spark = vs.sparkSession
     import spark.implicits._
-    val corp = spark.sparkContext.broadcast(corpus(vs))
-    val out = vs.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
-      .mapPartitions { it =>
-        val c = corp.value
-        it.flatMap { case (i, vSeq) =>
-          val v = vSeq.toArray
-          val nv = norm(v)
-          // insertion top-k ordered by (cos desc, j asc)
+    val partial = blockPairs(vs, defaultBlocks(vs)).flatMap {
+      case (bx, by, xsb, ysb) =>
+        val (xi, xv, xn) = dense(xsb)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        // per-vector insertion top-k ordered by (cos desc, j asc)
+        def topkOf(i: Int, ids: Array[Long], vecs: Array[Array[Double]],
+                   cids: Array[Long], cvecs: Array[Array[Double]],
+                   cnorms: Array[Double], selfNorm: Double): Unit = {
+          val id = ids(i); val v = vecs(i)
           val top = new Array[(Double, Long)](k)
           var size = 0
-          var ci = 0
-          while (ci < c.length) {
-            val (j, w, nw) = c(ci)
-            if (j != i) {
-              val raw = dot(v, w) / (nv * nw)
-              // prune: rounding moves a value by <1e-4, so anything this
-              // far under the current kth entry can't enter the top-k
-              if (size < k || raw >= top(size - 1)._1 - 1e-4) {
-              val cos = round4(raw)
+          var c = 0
+          while (c < cids.length) {
+            val j = cids(c)
+            if (j != id) {
+              val cos = round4(dot(v, cvecs(c)) / (selfNorm * cnorms(c)))
               var pos = size
               while (pos > 0 && {
                 val (pc, pj) = top(pos - 1)
@@ -107,14 +140,30 @@ object VectorKernel {
                 top(pos) = (cos, j)
                 if (size < k) size += 1
               }
-              }
             }
-            ci += 1
+            c += 1
           }
-          (0 until size).map(r => (i, top(r)._2, top(r)._1, r + 1))
+          var r = 0
+          while (r < size) { out += ((id, top(r)._2, top(r)._1)); r += 1 }
         }
-      }.toDF("vec_i", "vec_j", "cos_sim", "rn")
-    out.orderBy("vec_i", "rn")
+        if (bx == by) {
+          var i = 0
+          while (i < xi.length) { topkOf(i, xi, xv, xi, xv, xn, xn(i)); i += 1 }
+        } else {
+          val (yi, yv, yn) = dense(ysb)
+          var i = 0
+          while (i < xi.length) { topkOf(i, xi, xv, yi, yv, yn, xn(i)); i += 1 }
+          i = 0
+          while (i < yi.length) { topkOf(i, yi, yv, xi, xv, xn, yn(i)); i += 1 }
+        }
+        out.result()
+    }.toDF("vec_i", "vec_j", "cos_sim")
+    val w = Window.partitionBy("vec_i")
+      .orderBy(col("cos_sim").desc, col("vec_j").asc)
+    partial
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("vec_i", "rn")
   }
 
   /** All pairs (i < j) with unrounded cosine ≥ `threshold`; cos_sim
@@ -122,26 +171,43 @@ object VectorKernel {
   def nearDupPairs(vs: DataFrame, threshold: Double): DataFrame = {
     val spark = vs.sparkSession
     import spark.implicits._
-    val corp = spark.sparkContext.broadcast(corpus(vs))
-    val out = vs.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
-      .mapPartitions { it =>
-        val c = corp.value
-        it.flatMap { case (i, vSeq) =>
-          val v = vSeq.toArray
-          val nv = norm(v)
-          val res = Seq.newBuilder[(Long, Long, Double)]
-          var ci = 0
-          while (ci < c.length) {
-            val (j, w, nw) = c(ci)
-            if (j > i) {
-              val cos = dot(v, w) / (nv * nw)
-              if (cos >= threshold) res += ((i, j, round4(cos)))
+    blockPairs(vs, defaultBlocks(vs)).flatMap { case (bx, by, xsb, ysb) =>
+      val (xi, xv, xn) = dense(xsb)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      if (bx == by) {
+        var i = 0
+        while (i < xi.length) {
+          var j = i + 1
+          while (j < xi.length) {
+            val cos = dot(xv(i), xv(j)) / (xn(i) * xn(j))
+            if (cos >= threshold) {
+              val (lo, hi) =
+                if (xi(i) < xi(j)) (xi(i), xi(j)) else (xi(j), xi(i))
+              out += ((lo, hi, round4(cos)))
             }
-            ci += 1
+            j += 1
           }
-          res.result()
+          i += 1
         }
-      }.toDF("vec_i", "vec_j", "cos_sim")
-    out.orderBy("vec_i", "vec_j")
+      } else {
+        val (yi, yv, yn) = dense(ysb)
+        var i = 0
+        while (i < xi.length) {
+          var j = 0
+          while (j < yi.length) {
+            val cos = dot(xv(i), yv(j)) / (xn(i) * yn(j))
+            if (cos >= threshold) {
+              val (lo, hi) =
+                if (xi(i) < yi(j)) (xi(i), yi(j)) else (yi(j), xi(i))
+              out += ((lo, hi, round4(cos)))
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      out.result()
+    }.toDF("vec_i", "vec_j", "cos_sim")
+      .orderBy("vec_i", "vec_j")
   }
 }

@@ -103,6 +103,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("graft_l2_dist_sq"), "native L2DistanceSq not in plan")
   }
 
+  test("q45/q48: vector kernel is distributed — corpus packed per block and joined, no driver collect") {
+    Seq("q45_embed_near_dup", "q48_knn_join").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("collect_list"),
+        s"$q must pack blocks with collect_list (executor-side), got:\n$p")
+      assert(p.contains("Join"),
+        s"$q must pair blocks via a join — a plan without a join means " +
+          s"the corpus was materialized outside the DAG:\n$p")
+    }
+  }
+
   test("q87/q88: hash sampling and splitting are pure narrow maps over the scan") {
     Seq("q87_hash_sample", "q88_dataset_split").foreach { q =>
       val p = plan(q)
