@@ -234,20 +234,39 @@ object TextDedup {
         .orderBy("doc_i", "doc_j")
     },
 
-    // ── SimHash (64-bit, xxhash64 over shingles) + banded hamming pairs.
-    //    8 bands of 8 bits ⇒ every pair with hamming ≤ 7 shares an exact
-    //    band — equality-join recall is total at the threshold. xxhash64
-    //    has no DuckDB twin ⇒ rows-only check.
-    QueryDef.noOracle("q43_simhash_pairs") { (s, dir) =>
+    // ── SimHash (60-bit, md5-window over shingles) + banded hamming
+    //    pairs. 8 bands of 8 bits ⇒ every pair with hamming ≤ 7 shares an
+    //    exact band — equality-join recall is total at the threshold. The
+    //    per-shingle hash is the same engine-portable md5 window MinHash
+    //    uses, so the whole query is hash-verified against DuckDB (the
+    //    earlier xxhash64 variant had no DuckDB twin → rows-only).
+    QueryDef(
+      "q43_simhash_pairs",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |hs AS (SELECT doc_id, [('0x'||substr(md5(x),1,15))::BIGINT for x in s] AS h FROM sh),
+        |sim AS (SELECT doc_id,
+        |  CAST(list_sum([CASE WHEN 2*len(list_filter(h, x -> (x >> b) & 1 = 1)) > len(h)
+        |            THEN (1::BIGINT << b) ELSE 0 END for b in range(0,60)]) AS BIGINT) AS simhash
+        |  FROM hs)
+        |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+        |ORDER BY doc_i, doc_j""".stripMargin) { (s, dir) =>
       // shuffle-free signature: one narrow map per doc. The bit-majority
       // fold is the native codegen'd plans.SimHash64 (the interpreted
       // aggregate/zip_with form allocated a 64-long array per shingle —
-      // 47s at sf0.1; this is sub-second). Same Charikar construction,
-      // bit-identical output.
+      // 47s at sf0.1; this is sub-second). Same Charikar construction;
+      // 60-bit input hashes leave bits 60-63 at majority-of-zeros = 0 on
+      // both engines.
       val sim = docShingles(s, dir)
         .select(col("doc_id"),
           graft.plans.SimHash64.simhash64(
-            transform(col("sh"), x => xxhash64(x))).as("simhash"))
+            transform(col("sh"), x => graft.plans.HexWindowToLong.hexWindow(
+              md5(encode(x, "UTF-8")), 1))).as("simhash"))
         .cache()
       val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
         (0 until 8).map(k => struct(lit(k).as("band"),
