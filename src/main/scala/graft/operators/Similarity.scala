@@ -18,8 +18,9 @@ import graft.functions.VectorFunctions._
   *  - q47 is the ANN path: 4 integer-deterministic hyperplanes → 16
   *    buckets; at cluster scale the bucket id becomes the shuffle /
   *    partition key so a query only ever touches its bucket's corpus
-  *    slice (more planes = smaller slices; tune to corpus size)
-  *    (multi-probe extends recall by also visiting hamming-1 buckets);
+  *    slice (more planes = smaller slices; tune to corpus size); the
+  *    query multi-probes its own + all hamming-1 buckets, recovering
+  *    the recall a near-boundary vector would otherwise lose;
   *  - q48 brute-force k-NN join is intentionally the oracle-checkable
   *    baseline; at 100 TB replace the pair generator with the q47 bucket
   *    join (identical downstream window) — the top-3-per-vector window
@@ -83,14 +84,24 @@ object Similarity {
           |SELECT vec_id, CAST(b.bucket AS BIGINT) AS bucket,
           |  round(list_sum([b.v[i]*q.qv[i] for i in range(1, len(b.v)+1)])
           |        / (b.nrm*q.qnrm), 4) AS cos_sim
-          |FROM b, q WHERE vec_id <> 0 AND b.bucket = q.qb
+          |FROM b, q WHERE vec_id <> 0
+          |  AND b.bucket IN (q.qb, xor(q.qb,1), xor(q.qb,2), xor(q.qb,4), xor(q.qb,8))
           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
       val vs = vectors(s, dir)
         .withColumn("bucket", lshBucket(col("v"), 4))
+      // multi-probe: the query visits its own bucket plus the 4 hamming-1
+      // buckets (one sign bit flipped) — the standard recall fix for a
+      // near-boundary query vector. Exploding the probe set on the 1-row
+      // query side keeps the corpus join an equality join on bucket (the
+      // partition key at scale); each corpus vector matches at most one
+      // probe, so no dedup pass is needed.
       val q = vs.filter(col("vec_id") === 0)
         .select(col("v").as("qv"), col("nrm").as("qnrm"), col("bucket").as("qb"))
+        .select(col("qv"), col("qnrm"), explode(array(
+          col("qb") +: (0 until 4).map(p => col("qb").bitwiseXOR(lit(1L << p))): _*
+        )).as("pb"))
       vs.filter(col("vec_id") =!= 0)
-        .join(broadcast(q), col("bucket") === col("qb"))
+        .join(broadcast(q), col("bucket") === col("pb"))
         .select(col("vec_id"), col("bucket"),
           round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4)
             .as("cos_sim"))
