@@ -118,6 +118,92 @@ object TextDedup {
       |  list_min([('0x'||substr(d,8,15))::BIGINT for d in dg]) AS mh7
       |  FROM dgs)""".stripMargin
 
+  /** Exact near-dup pairs at Jaccard ≥ 0.5 (unordered — q42 adds the
+    * ORDER BY; q89 consumes them as dedup-cluster edges).
+    *
+    * count-join: explode each doc's distinct shingles, equality-join
+    * shingle↔shingle, count matches per doc pair — the count IS the
+    * exact intersection size (shingles are distinct per doc), so no
+    * separate verification pass and no O(n²) anything: the join
+    * intermediate is Σ df² rows over shingle doc-frequencies (2.8M
+    * at sf0.1 — one codegen'd shuffle join + partial-agg'd count).
+    * The join length-prunes: J ≥ 0.5 forces n_i ≤ 2·n_j and vice
+    * versa. Measured 1.0s vs 3.5s for ppjoin prefix filtering +
+    * array_intersect verification at sf0.1 — exact-count-join wins
+    * while shingle doc-frequencies stay bounded; at 100 TB with
+    * hot shingles, cap df (drop stopword shingles from the join
+    * side) or reinstate prefix filtering in front of this count. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent((s, dir), { _ =>
+      val sx = docShingles(s, dir)
+        .select(col("doc_id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("s"))
+      sx.as("a").join(sx.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
+            && col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
+        .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+          col("a.n").as("n_i"), col("b.n").as("n_j"))
+        .agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common") * 3 >= col("n_i") + col("n_j"))
+        .select(col("doc_i"), col("doc_j"), col("n_common"),
+          col("n_i"), col("n_j"),
+          round(col("n_common") / (col("n_i") + col("n_j") - col("n_common")), 4)
+            .as("jaccard"))
+        // pairs are consumed twice (q42 result, q89 cluster edges) and are
+        // tiny (survivors only) — the canonical thing to keep hot
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Connected components by min-label propagation: every vertex starts
+    * as its own label; each round every vertex takes the minimum label
+    * among itself and its neighbors; converged when nothing changes —
+    * O(component diameter) rounds, each one shuffle join + partial agg.
+    *
+    * This is the standard distributed-CC shape (the driver only
+    * coordinates rounds and reads one `changed` counter — all data stays
+    * executor-side). Dedup components are near-cliques, so 2-3 rounds in
+    * practice. At 100 TB: persist each round (done here), checkpoint
+    * every ~5 rounds to truncate lineage, and switch to large-star /
+    * small-star if components with long chains appear.
+    *
+    * Input: undirected edges (src, dst), one row per pair.
+    * Output: (id, lbl) — lbl = min vertex id of the component. */
+  private[operators] def connectedComponents(
+      edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(lvl)
+    // `cached` is the persisted frame backing the current `labels` view;
+    // each round fully materializes the new frame (the changed-count scan
+    // touches every partition) BEFORE the previous one is unpersisted, so
+    // lineage never re-runs earlier rounds.
+    var cached = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist(lvl)
+    var labels = cached
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, col("dst") === col("id"))
+        .groupBy("src").agg(min("lbl").as("nmin"))
+      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("nlbl"))
+        .persist(lvl)
+      converged = next.filter(col("nlbl") < col("lbl")).count() == 0
+      val prev = cached
+      cached = next
+      labels = next.select(col("id"), col("nlbl").as("lbl"))
+      prev.unpersist()
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    labels
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── exact dedup: hash-groupBy on content, earliest doc_id survives
@@ -160,34 +246,7 @@ object TextDedup {
         |  CAST(na AS INTEGER) AS n_i, CAST(nb AS INTEGER) AS n_j,
         |  round(c * 1.0 / (na + nb - c), 4) AS jaccard
         |FROM p WHERE 3*c >= na + nb ORDER BY doc_i, doc_j""".stripMargin) {
-      (s, dir) =>
-        // count-join: explode each doc's distinct shingles, equality-join
-        // shingle↔shingle, count matches per doc pair — the count IS the
-        // exact intersection size (shingles are distinct per doc), so no
-        // separate verification pass and no O(n²) anything: the join
-        // intermediate is Σ df² rows over shingle doc-frequencies (2.8M
-        // at sf0.1 — one codegen'd shuffle join + partial-agg'd count).
-        // The join length-prunes: J ≥ 0.5 forces n_i ≤ 2·n_j and vice
-        // versa. Measured 1.0s vs 3.5s for ppjoin prefix filtering +
-        // array_intersect verification at sf0.1 — exact-count-join wins
-        // while shingle doc-frequencies stay bounded; at 100 TB with
-        // hot shingles, cap df (drop stopword shingles from the join
-        // side) or reinstate prefix filtering in front of this count.
-        val sx = docShingles(s, dir)
-          .select(col("doc_id"), size(col("sh")).as("n"),
-            explode(col("sh")).as("s"))
-        sx.as("a").join(sx.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
-              && col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
-          .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
-            col("a.n").as("n_i"), col("b.n").as("n_j"))
-          .agg(count(lit(1)).as("n_common"))
-          .filter(col("n_common") * 3 >= col("n_i") + col("n_j"))
-          .select(col("doc_i"), col("doc_j"), col("n_common"),
-            col("n_i"), col("n_j"),
-            round(col("n_common") / (col("n_i") + col("n_j") - col("n_common")), 4)
-              .as("jaccard"))
-          .orderBy("doc_i", "doc_j")
+      (s, dir) => jaccardPairs(s, dir).orderBy("doc_i", "doc_j")
     },
 
     // ── MinHash-LSH: 4 bands × 2 rows → banded equality join → candidate
@@ -305,6 +364,38 @@ object TextDedup {
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
       VectorKernel.nearDupPairs(e, 0.45)
+    },
+
+    // ── duplicate clustering: the step after pair generation in a real
+    //    dedup pipeline — group verified near-dup pairs (q42 edges) into
+    //    connected components and pick the min doc_id as the canonical
+    //    representative. Spark side: distributed min-label propagation
+    //    (see connectedComponents); oracle: recursive-CTE transitive
+    //    closure (fine at oracle scale, engine-independent).
+    QueryDef(
+      "q89_dup_clusters",
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |  len(list_intersect(a.s, b.s)) AS c, len(a.s) AS na, len(b.s) AS nb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |dup AS (SELECT doc_i, doc_j FROM p WHERE 3*c >= na + nb),
+        |e AS (SELECT doc_i AS a, doc_j AS b FROM dup
+        |      UNION SELECT doc_j, doc_i FROM dup),
+        |reach AS (SELECT a, b FROM e
+        |          UNION
+        |          SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT a AS doc_id, min(b) AS cluster_id,
+        |  (min(b) = a) AS is_canonical
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val edges = jaccardPairs(s, dir)
+        .select(col("doc_i").as("src"), col("doc_j").as("dst"))
+      connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          (col("lbl") === col("id")).as("is_canonical"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -109,6 +109,22 @@ class OperatorSpec extends SparkTestBase {
     assert(cg == Set((1, 30.0, 2.0), (2, 5.0, 0.0), (3, 0.0, 7.0)))
   }
 
+  test("connectedComponents: chains, multiple components, min-label canonical") {
+    // component {1..5} as a chain (diameter 4 → needs >1 round),
+    // component {10,11}, component {20,21,22} as a triangle
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (11L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("src", "dst")
+    val got = TextDedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("rollup row count = groups + subtotals + grand total") {
     val r = nums.rollup($"grp").agg(count(lit(1))).count()
     assert(r == 7 + 1)
