@@ -272,6 +272,41 @@ object PipelineCapstone {
           .orderBy("split", "lang")
     },
 
+    // ── sequence packing (concat-and-chunk): assign every doc the
+    //    training sequence its first token lands in, packing 2048-token
+    //    sequences per shard. Sharding by the same md5 bucket as q87/q88
+    //    keeps the running sum a PER-SHARD window (never one global
+    //    partition — the scale killer of naive packing); within a shard
+    //    order is doc_id, so the layout is deterministic and append-only
+    //    reruns reproduce it.
+    QueryDef(
+      "q91_pack_sequences",
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+        |    len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(n_tok AS INTEGER) AS n_tok,
+        |  (cum - n_tok) // 2048 AS seq_id,
+        |  (cum - n_tok) % 2048 AS seq_off
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val shard = graft.plans.HexWindowToLong.hexWindow(
+        md5(encode(col("doc_id").cast("string"), "UTF-8")), 1) % 8
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "documents")
+        .select(col("doc_id"), shard.as("shard"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("start", col("cum") - col("n_tok"))
+        .select(col("doc_id"), col("shard"), col("n_tok"),
+          expr("start div 2048").as("seq_id"),
+          expr("start % 2048").as("seq_off"))
+        .orderBy("doc_id")
+    },
+
     // ── LATERAL correlated subquery (per-row dependent subquery), one
     //    SQL text for both engines
     QueryDef(

@@ -157,6 +157,58 @@ object Similarity {
         .limit(10)
     },
 
+    // ── batch ANN through the IVF index: the production shape — a SET of
+    //    query vectors (vec_id < 5) against the corpus (vec_id >= 5), each
+    //    probing only its own cell. One equality join on cell carries the
+    //    whole batch (cell = partition key at scale; queries broadcast);
+    //    per-query top-3 via window, ties broken by vec_id.
+    QueryDef(
+      "q90_ann_batch",
+      oracleVec +
+        """,
+          |cents AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+          |d AS (SELECT n.vec_id, cents.cid,
+          |  list_sum([(n.v[i]-cents.cv[i])*(n.v[i]-cents.cv[i])
+          |            for i in range(1, len(n.v)+1)]) AS dist
+          |  FROM n, cents),
+          |assign AS (SELECT vec_id, cid FROM (
+          |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+          |    ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+          |q AS (SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qnrm, a.cid AS qcid
+          |  FROM n JOIN assign a ON n.vec_id = a.vec_id WHERE n.vec_id < 5),
+          |c AS (SELECT q.q_id, n.vec_id,
+          |  round(list_sum([n.v[i]*q.qv[i] for i in range(1, len(n.v)+1)])
+          |        / (n.nrm*q.qnrm), 4) AS cos_sim
+          |  FROM n JOIN assign a ON n.vec_id = a.vec_id
+          |  JOIN q ON a.cid = q.qcid WHERE n.vec_id >= 5)
+          |SELECT q_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id
+          |    ORDER BY cos_sim DESC, vec_id) AS rn FROM c)
+          |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val vs = vectors(s, dir).cache()
+      val cents = vs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val dist = vs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          graft.plans.L2DistanceSq.l2DistSq(col("v"), col("cv")).as("dist"))
+      val aw = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      val assign = dist.withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+      val assigned = vs.join(assign, "vec_id")
+      val qs = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cid").as("qcid"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      assigned.filter(col("vec_id") >= 5)
+        .join(broadcast(qs), col("cid") === col("qcid"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosineFast(col("v"), col("qv")), 4).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("q_id", "rn")
+    },
+
     // ── k-NN join: top-3 neighbors for every vector (bounded corpus)
     QueryDef(
       "q48_knn_join",

@@ -396,6 +396,47 @@ object TextDedup {
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
           (col("lbl") === col("id")).as("is_canonical"))
         .orderBy("doc_id")
+    },
+
+    // ── train/test decontamination: for every TEST doc (q88's md5-bucket
+    //    split), how many of its 3-gram shingles also occur anywhere in
+    //    TRAIN — the eval-hygiene scan every training pipeline runs
+    //    before publishing a split. Shape: distinct train-shingle set
+    //    joined to exploded test shingles — one equality shuffle join on
+    //    shingle (same scale posture as the q42 count-join; the train
+    //    side dedups to the vocabulary first, so hot shingles appear
+    //    once, not df times).
+    QueryDef(
+      "q92_decontam",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |b AS (SELECT doc_id, s,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bk
+        |  FROM sh),
+        |tr AS (SELECT DISTINCT unnest(s) AS tok FROM b WHERE bk < 80),
+        |te AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS tok
+        |       FROM b WHERE bk >= 90)
+        |SELECT doc_id, CAST(n_shingles AS INTEGER) AS n_shingles,
+        |  CAST(count(*) AS BIGINT) AS n_overlap,
+        |  round(count(*) * 1.0 / n_shingles, 4) AS contamination
+        |FROM te JOIN tr USING (tok)
+        |GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bucket = graft.plans.HexWindowToLong.hexWindow(
+        md5(encode(col("doc_id").cast("string"), "UTF-8")), 1) % 100
+      val withSplit = docShingles(s, dir).withColumn("bk", bucket)
+      val train = withSplit.filter(col("bk") < 80)
+        .select(explode(col("sh")).as("tok")).distinct()
+      val test = withSplit.filter(col("bk") >= 90)
+        .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+          explode(col("sh")).as("tok"))
+      test.join(train, "tok")
+        .groupBy("doc_id", "n_shingles")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+          round(col("n_overlap") / col("n_shingles"), 4).as("contamination"))
+        .orderBy("doc_id")
     }
   )
 }
