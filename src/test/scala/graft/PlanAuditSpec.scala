@@ -114,6 +114,25 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q91: sequence packing is a per-shard window over the scan — no join") {
+    val p = plan("q91_pack_sequences")
+    assert(p.contains("Window"), s"expected a window:\n$p")
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+  }
+
+  test("q90: batch ANN top-k per query uses rank-limit pushdown (WindowGroupLimit)") {
+    val p = plan("q90_ann_batch")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k should push the rank limit below the window:\n$p")
+  }
+
+  test("q92: decontamination = equality join + two-phase aggregation") {
+    val p = plan("q92_decontam")
+    assert(p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final aggregation")
+  }
+
   test("q87/q88: hash sampling and splitting are pure narrow maps over the scan") {
     Seq("q87_hash_sample", "q88_dataset_split").foreach { q =>
       val p = plan(q)
