@@ -227,6 +227,47 @@ object Similarity {
       VectorKernel.knnJoin(vectors(s, dir), 3)
     },
 
+    // ── bucketed embedding near-dup: the sub-quadratic 100 TB path for
+    //    q45's exact all-pairs — only pairs sharing an LSH bucket are
+    //    compared, so the join intermediate is Σ|bucket|² instead of n².
+    //    Deterministic hyperplanes make the bucketing itself part of the
+    //    declared semantics, so the oracle reproduces it exactly (recall
+    //    vs the exact q45 is the documented tradeoff; more planes or
+    //    multi-probe tune it).
+    QueryDef(
+      "q93_lsh_near_dup",
+      oracleVec +
+        """,
+          |b AS (SELECT vec_id, v, nrm,
+          |  (CASE WHEN list_sum([v[i] * ((((0*73856093 + (i-1)*19349663) % 97) - 48)::DOUBLE) for i in range(1, len(v)+1)]) > 0 THEN 1 ELSE 0 END)
+          |+ (CASE WHEN list_sum([v[i] * ((((1*73856093 + (i-1)*19349663) % 97) - 48)::DOUBLE) for i in range(1, len(v)+1)]) > 0 THEN 2 ELSE 0 END)
+          |+ (CASE WHEN list_sum([v[i] * ((((2*73856093 + (i-1)*19349663) % 97) - 48)::DOUBLE) for i in range(1, len(v)+1)]) > 0 THEN 4 ELSE 0 END)
+          |+ (CASE WHEN list_sum([v[i] * ((((3*73856093 + (i-1)*19349663) % 97) - 48)::DOUBLE) for i in range(1, len(v)+1)]) > 0 THEN 8 ELSE 0 END)
+          |  AS bucket FROM n),
+          |p AS (SELECT a.vec_id AS vec_i, b2.vec_id AS vec_j,
+          |  a.bucket AS bucket,
+          |  list_sum([a.v[i]*b2.v[i] for i in range(1, len(a.v)+1)])
+          |    / (a.nrm*b2.nrm) AS cos_sim
+          |  FROM b a JOIN b b2
+          |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+          |SELECT vec_i, vec_j, CAST(bucket AS BIGINT) AS bucket,
+          |  round(cos_sim, 4) AS cos_sim
+          |FROM p WHERE cos_sim >= 0.45 ORDER BY vec_i, vec_j""".stripMargin) {
+      (s, dir) =>
+        val b = vectors(s, dir)
+          .withColumn("bucket", lshBucket(col("v"), 4))
+        b.as("a").join(b.as("b"),
+            col("a.bucket") === col("b.bucket")
+              && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
+            col("a.bucket").as("bucket"),
+            cosineFast(col("a.v"), col("b.v")).as("raw"))
+          .filter(col("raw") >= 0.45)
+          .select(col("vec_i"), col("vec_j"), col("bucket"),
+            round(col("raw"), 4).as("cos_sim"))
+          .orderBy("vec_i", "vec_j")
+    },
+
     // ── per-label centroids: the aggregate-of-vectors building block
     //    (IVF/k-means training step). explode → (label, dim) partial
     //    avgs → re-assemble: one shuffle keyed by (label, dim), so at
