@@ -116,7 +116,17 @@ class NativeExprSpec extends SparkTestBase {
 
   test("interpreted eval paths match literal expectations") {
     import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+    // md5("abc") = 900150983cd24fb0d6963f7d28e17f72 → window k is the
+    // 15-hex-char slice at offset k, as a 60-bit integer
+    val mh = MinHashSig(
+      Literal.create(Array("abc"), ArrayType(StringType)))
+    val got = mh.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val hex = "900150983cd24fb0d6963f7d28e17f72"
+    (0 until 8).foreach { k =>
+      assert(got.getLong(k) == java.lang.Long.parseLong(hex.substring(k, k + 15), 16),
+        s"window $k mismatch")
+    }
     val l2 = L2DistanceSq(
       Literal.create(Array(1.0, 2.0), ArrayType(DoubleType)),
       Literal.create(Array(4.0, 6.0), ArrayType(DoubleType)))
