@@ -180,9 +180,11 @@ object TextDedup {
     // `cached` is the persisted frame backing the current `labels` view;
     // each round fully materializes the new frame (the changed-count scan
     // touches every partition) BEFORE the previous one is unpersisted, so
-    // lineage never re-runs earlier rounds.
-    var cached = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist(lvl)
+    // lineage never re-runs earlier rounds. Seeding with min(self,
+    // direct neighbors) instead of self alone saves one full round on
+    // near-clique components (the common dedup shape).
+    var cached = sym.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl")).persist(lvl)
     var labels = cached
     var iter = 0
     var converged = false
