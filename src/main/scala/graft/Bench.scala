@@ -38,14 +38,23 @@ object Bench {
     spark.range(1000)
       .selectExpr("""get_json_object(concat('{"a":', id, '}'), '$.a') AS a""")
       .selectExpr("count(distinct a)").collect()
-    // One footer/schema touch per real table: parquet footer reads and
-    // FileSourceScan setup otherwise land on whichever query reads the
-    // table first (q26/q35 in the r4 run). Schema-only — no data scan,
-    // so no real query work is hidden.
+    // One real page read per table (not just the footer): the r5 driver
+    // run charged the first events-scanning query (q26) 5.5s for the cold
+    // parquet read + FileSourceScan setup while the identically-shaped q82
+    // took 0.18s. limit(1) reads one page per column chunk — micro vs any
+    // real query's full scan, so no query work is hidden, but the OS page
+    // cache and the scan machinery are warm.
     Tables.names.foreach { t =>
-      try Tables(spark, sfDir, t).schema catch { case _: Throwable => () }
+      try Tables(spark, sfDir, t).limit(1).collect()
+      catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted execution order: queries share persisted caches (shingles,
+    // signatures, jaccard pairs) and whichever query runs first pays the
+    // build; map order is hash-arbitrary, which made per-query numbers
+    // incomparable across rounds (r5: the build landed on q44/q89; r4: on
+    // q42). Sorted, attribution is deterministic: q41 pays signatures,
+    // q42 pays shingles+pairs, q43/q44/q89/q92 ride the caches.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }

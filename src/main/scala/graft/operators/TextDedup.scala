@@ -12,10 +12,10 @@ import graft.{QueryDef, Tables}
   * hamming near-dup search, and embedding-cosine near-dup pairs.
   *
   * Hash choice: md5 is the one hash primitive whose bytes are identical in
-  * Spark and DuckDB, so every MinHash-family query here is fully
-  * oracle-checkable (hash values are compared as integers, not floats).
-  * SimHash uses xxhash64 (one codegen'd call per shingle instead of a
-  * cryptographic digest) and is therefore rows-only checked.
+  * Spark and DuckDB, so every query here — MinHash family AND SimHash —
+  * is fully oracle-checkable (hash values are compared as integers, not
+  * floats). SimHash feeds each shingle's 60-bit md5 window into the
+  * bit-majority fold, the same engine-portable hash MinHash windows use.
   *
   * Scale notes (100 TB posture):
   *  - nothing here is O(n²) on the Spark side: near-dup candidates come
@@ -85,16 +85,17 @@ object TextDedup {
 
   private def signatures(s: SparkSession, dir: String): DataFrame =
     sigCache.computeIfAbsent((s, dir), { _ =>
-      // Built straight from the table (not via docShingles) so the
-      // MinHash queries run one fused narrow pass — shingle → md5 →
-      // window-min without materializing the big shingle arrays; the
-      // shingle cache is only paid by the queries that need the arrays
-      // themselves (q42 count-join, q43 simhash).
-      T(s, dir, "documents")
-        .repartition(col("doc_id"))
-        .filter(size(split(col("text"), " ")) >= 3)
+      // Derived from the shared shingle cache: every workload that wants
+      // MinHash also runs at least one shingle-array consumer (count-join
+      // verify, SimHash, decontamination), so splitting text ONCE and
+      // running the digest pass over the persisted arrays beats a second
+      // standalone split+shingle pass. A signatures-only pipeline would
+      // prefer the fused narrow form (shingle → md5 → window-min in one
+      // pass, no array materialization) — but here the arrays are cached
+      // either way and the digest pass over them is a narrow map.
+      docShingles(s, dir)
         .select(col("doc_id"),
-          graft.plans.MinHashSig.minhashSig(shingles(col("text"))).as("ms"))
+          graft.plans.MinHashSig.minhashSig(col("sh")).as("ms"))
         .select(col("doc_id") +:
           (0 until 8).map(k => col("ms").getItem(k).as(s"mh$k")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
