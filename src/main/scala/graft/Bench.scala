@@ -38,22 +38,26 @@ object Bench {
     spark.range(1000)
       .selectExpr("""get_json_object(concat('{"a":', id, '}'), '$.a') AS a""")
       .selectExpr("count(distinct a)").collect()
-    // One real page read per table (not just the footer): the r5 driver
-    // run charged the first events-scanning query (q26) 5.5s for the cold
-    // parquet read + FileSourceScan setup while the identically-shaped q82
-    // took 0.18s. limit(1) reads one page per column chunk — micro vs any
-    // real query's full scan, so no query work is hidden, but the OS page
-    // cache and the scan machinery are warm.
+    // Full-width warm scan of every table (noop sink: all columns decoded
+    // executor-side, nothing reaches the driver). The bench deliberately
+    // measures WARM-page-cache compute throughput — cold parquet I/O and
+    // scan-machinery setup are excluded, like JVM/codegen startup
+    // (methodology recorded in BASELINE.md). The r5/r6 limit(1) variant
+    // left q26 paying ~10× its warm cost for the first full decode of
+    // events.props; a partial warm-up is the worst of both worlds —
+    // neither cold-I/O-inclusive nor attribution-stable.
     Tables.names.foreach { t =>
-      try Tables(spark, sfDir, t).limit(1).collect()
+      try Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     // Sorted execution order: queries share persisted caches (shingles,
     // signatures, jaccard pairs) and whichever query runs first pays the
     // build; map order is hash-arbitrary, which made per-query numbers
     // incomparable across rounds (r5: the build landed on q44/q89; r4: on
-    // q42). Sorted, attribution is deterministic: q41 pays signatures,
-    // q42 pays shingles+pairs, q43/q44/q89/q92 ride the caches.
+    // q42). Sorted, attribution is deterministic: q41 pays the shingle
+    // build + signature digest (signatures derive from the shared shingle
+    // cache), q42 pays the jaccard-pairs join, q43/q44/q89/q92 ride the
+    // caches; q45 pays the normalized-embedding cache build.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }

@@ -292,38 +292,71 @@ object ExtendedRelational {
           .orderBy("l_returnflag")
     },
 
-    // ── approximate aggregates (HLL + t-digest): sketch outputs are
-    //    implementation-defined, so no SQL oracle — driver rows-only check.
+    // ── approximate aggregates (HLL + t-digest): sketch estimates are
+    //    implementation-defined, so the oracle can't compare them value
+    //    for value. Instead both engines emit the EXACT value plus a
+    //    tolerance verdict (relative error of their OWN approximation
+    //    < 5%) — the hash then verifies the exact values bit-for-bit and
+    //    that each engine's sketch meets the documented error bound.
+    //    rsd=0.01 makes the 5% cut a 5-sigma bound on Spark's HLL++;
+    //    percentile_approx at accuracy 10000 is well inside 5% at any SF.
     //    At 100 TB these replace exact count-distinct/percentile whenever
-    //    ±2% error is acceptable: constant memory, one pass, no shuffle of
-    //    distinct values.
-    QueryDef.noOracle("q31_approx_agg") { (s, dir) =>
-      T(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)), 2)
-            .as("approx_median"))
-        .orderBy("l_returnflag")
+    //    small error is acceptable: constant memory, one pass, no shuffle
+    //    of distinct values.
+    QueryDef(
+      "q31_approx_agg",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |     * 1.0 / count(DISTINCT l_partkey) < 0.05) AS parts_ok,
+        |  round(quantile_cont(l_extendedprice, 0.5), 3) AS exact_median,
+        |  (abs(approx_quantile(l_extendedprice, 0.5)
+        |       - quantile_cont(l_extendedprice, 0.5))
+        |     / quantile_cont(l_extendedprice, 0.5) < 0.05) AS median_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        val exactMedian = expr("percentile(l_extendedprice, 0.5)")
+        T(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            (abs(approx_count_distinct(col("l_partkey"), 0.01)
+                - countDistinct(col("l_partkey")))
+              / countDistinct(col("l_partkey")) < 0.05).as("parts_ok"),
+            // round(.,3): interpolated medians of 2-decimal prices have at
+            // most 3 decimals — never on a rounding half-boundary
+            round(exactMedian, 3).as("exact_median"),
+            (abs(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+                - exactMedian) / exactMedian < 0.05).as("median_ok"))
+          .orderBy("l_returnflag")
     },
 
     // ── Apache DataSketches HLL: mergeable sketch objects (the 100 TB
     //    path for distinct-counting across partitions/days: sketches
-    //    union associatively, estimates come out at read time). Binary
-    //    sketches have no DuckDB twin -> rows-only check; the spec-level
-    //    guarantee is the estimate's documented error bound vs exact.
-    QueryDef.noOracle("q81_hll_sketch") { (s, dir) =>
-      val li = T(s, dir, "lineitem")
-      li.groupBy("l_returnflag")
-        .agg(
-          hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))
-            .as("hll_distinct_parts"),
-          countDistinct(col("l_partkey")).as("exact_distinct_parts"))
-        .select(col("l_returnflag"), col("hll_distinct_parts"),
-          col("exact_distinct_parts"),
-          round(abs(col("hll_distinct_parts") - col("exact_distinct_parts"))
-            / col("exact_distinct_parts"), 4).as("rel_err"))
-        .orderBy("l_returnflag")
+    //    union associatively, estimates come out at read time). The
+    //    binary sketch has no DuckDB twin, so — like q31 — the oracle
+    //    hashes the exact count plus each engine's own tolerance verdict:
+    //    Spark checks its DataSketches estimate, DuckDB its native
+    //    approx_count_distinct, both against the same exact value at the
+    //    same 5% bound (lgConfigK=14 → ~0.6% standard error, so 5% ≈ 8σ).
+    QueryDef(
+      "q81_hll_sketch",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct_parts,
+        |  (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |     * 1.0 / count(DISTINCT l_partkey) < 0.05) AS sketch_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), 14))
+              .as("hll_est"),
+            countDistinct(col("l_partkey")).as("exact_distinct_parts"))
+          .select(col("l_returnflag"), col("exact_distinct_parts"),
+            (abs(col("hll_est") - col("exact_distinct_parts"))
+              / col("exact_distinct_parts") < 0.05).as("sketch_ok"))
+          .orderBy("l_returnflag")
     },
 
     // ── CASE WHEN bucketing + conditional aggregation

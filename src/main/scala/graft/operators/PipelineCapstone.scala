@@ -170,10 +170,14 @@ object PipelineCapstone {
         |  (json_extract_string(props, '$.k') IS NOT NULL) AS parsed_ok
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       T(s, dir, "events")
+        // parse once, read the struct twice (CollapseProject keeps the
+        // non-cheap JsonToStructs un-duplicated; previously both output
+        // columns carried their own from_json call)
         .select(col("event_id"),
-          from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").as("k"),
-          from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").isNotNull
-            .as("parsed_ok"))
+          from_json(col("props"), "k INT", Map.empty[String, String]).as("j"))
+        .select(col("event_id"),
+          col("j").getField("k").as("k"),
+          col("j").getField("k").isNotNull.as("parsed_ok"))
         .orderBy("event_id")
     },
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.{CacheRegistry, QueryDef, Tables}
 
 /** Deduplication operators for LLM training-data pipelines (SURVEY.md §2C):
   * exact hash-dedup, MinHash signatures, MinHash-LSH banded candidate
@@ -48,16 +48,12 @@ object TextDedup {
   /** documents with doc_id + distinct shingle array (docs with <3 words
     * dropped — mirrored by WHERE len(...)>=3 in every oracle).
     *
-    * Cached per (session, dir): shingle-array construction dominates
-    * every text-similarity query (~4s of each of q42/q43/q44 at sf0.1),
-    * and the driver runs them in one session — computing them once is
-    * the single biggest bench win. persist(MEMORY_AND_DISK) spills
-    * rather than OOMs if a bigger corpus ever outgrows the executors. */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * Cached per (session, dir) via CacheRegistry: shingle-array
+    * construction dominates every text-similarity query (~4s of each of
+    * q42/q43/q44 at sf0.1), and the driver runs them in one session —
+    * computing them once is the single biggest bench win. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent((s, dir), { _ =>
+    CacheRegistry.cached(s, s"shingles:$dir") {
       T(s, dir, "documents")
         // documents is one parquet file → one input partition; without a
         // repartition the whole shingle build runs on a single core
@@ -65,8 +61,7 @@ object TextDedup {
         .repartition(col("doc_id"))
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** doc_id + mh0..mh7 MinHash signature: min of the 15-hex-char window
     * at offset k of each shingle's md5 — ONE digest per shingle serves
@@ -80,11 +75,8 @@ object TextDedup {
     * q44 LSH) read it, and the 9-column frame (8 longs + id) is ~100×
     * smaller than the shingle arrays it derives from — the cheap thing
     * to keep hot. */
-  private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def signatures(s: SparkSession, dir: String): DataFrame =
-    sigCache.computeIfAbsent((s, dir), { _ =>
+    CacheRegistry.cached(s, s"minhash-sig:$dir") {
       // Derived from the shared shingle cache: every workload that wants
       // MinHash also runs at least one shingle-array consumer (count-join
       // verify, SimHash, decontamination), so splitting text ONCE and
@@ -98,8 +90,7 @@ object TextDedup {
           graft.plans.MinHashSig.minhashSig(col("sh")).as("ms"))
         .select(col("doc_id") +:
           (0 until 8).map(k => col("ms").getItem(k).as(s"mh$k")): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Shared oracle CTE prefix: shingles + 8 md5 minhashes per doc. */
   private val oracleSig: String =
@@ -122,27 +113,67 @@ object TextDedup {
   /** Exact near-dup pairs at Jaccard ≥ 0.5 (unordered — q42 adds the
     * ORDER BY; q89 consumes them as dedup-cluster edges).
     *
-    * count-join: explode each doc's distinct shingles, equality-join
-    * shingle↔shingle, count matches per doc pair — the count IS the
-    * exact intersection size (shingles are distinct per doc), so no
-    * separate verification pass and no O(n²) anything: the join
-    * intermediate is Σ df² rows over shingle doc-frequencies (2.8M
-    * at sf0.1 — one codegen'd shuffle join + partial-agg'd count).
-    * The join length-prunes: J ≥ 0.5 forces n_i ≤ 2·n_j and vice
-    * versa. Measured 1.0s vs 3.5s for ppjoin prefix filtering +
-    * array_intersect verification at sf0.1 — exact-count-join wins
-    * while shingle doc-frequencies stay bounded; at 100 TB with
-    * hot shingles, cap df (drop stopword shingles from the join
-    * side) or reinstate prefix filtering in front of this count. */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * Two exact plans, chosen by the corpus's shingle doc-frequency (df)
+    * profile — one cheap agg over the df table decides:
+    *
+    *  - count-join (benign df): explode each doc's distinct shingles,
+    *    equality-join shingle↔shingle, count matches per doc pair — the
+    *    count IS the exact intersection size (shingles are distinct per
+    *    doc). Intermediate is Σ C(df,2) rows (2.8M at sf0.1 — one
+    *    codegen'd shuffle join + partial-agg'd count). Measured 1.0s vs
+    *    3.5s for prefix+verify at sf0.1's near-uniform df.
+    *  - prefix-filter + verify (hot shingles): a stopword shingle with
+    *    df=d alone contributes C(d,2) join rows — quadratic in d, the
+    *    one way the count-join degrades at 100 TB. The ppjoin-style
+    *    prefix filter caps this: order each doc's shingles rarest-first
+    *    by (df, shingle) — a single global total order — and keep only
+    *    the first n − ceil(t·n) + 1 postings. For J(a,b) ≥ t the
+    *    required overlap is c ≥ t/(1+t)·(n_a+n_b) ≥ ceil(t·n_a) (using
+    *    the length bound n_b ≥ t·n_a), and any pair with |a∩b| ≥ α must
+    *    share an element within their (n − α + 1)-prefixes — so
+    *    candidate recall is total. Hot shingles sort LAST and fall out
+    *    of every prefix (except docs so short the prefix is the whole
+    *    set), so the candidate join is driven by rare shingles only;
+    *    candidates then verify EXACTLY via array_intersect on the full
+    *    shingle arrays. Same output, bit for bit.
+    *
+    * Branch rule: Σdf² > 32·Σdf (mean-square amplification over the
+    * postings) → prefix path. Uniform corpora stay on the measured-
+    * faster count-join; one df=1000 stopword shingle in a 5k-doc corpus
+    * trips the cap. */
+  private val PrefixAmplificationCap = 32L
 
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent((s, dir), { _ =>
-      val sx = docShingles(s, dir)
-        .select(col("doc_id"), size(col("sh")).as("n"),
-          explode(col("sh")).as("s"))
-      sx.as("a").join(sx.as("b"),
+  private[operators] def shingleDfStats(postings: DataFrame): (Long, Long) = {
+    val r = postings.groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df")).as("sum2"), sum(col("df")).as("sum1"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Candidate pairs from rarest-first prefixes (superset of all J ≥ 0.5
+    * pairs; exposed for the hot-corpus spec). */
+  private[operators] def prefixCandidates(docs: DataFrame): DataFrame = {
+    val postings = docs.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val df = postings.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val prefix = postings.join(df, "s")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("n") - ceil(col("n") * 0.5) + 1)
+      .select("doc_id", "n", "s")
+    prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
+          && col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+  }
+
+  private[operators] def jaccardPairsPlan(docs: DataFrame): DataFrame = {
+    val postings = docs.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val (sum2, sum1) = shingleDfStats(postings)
+    if (sum2 <= PrefixAmplificationCap * sum1) {
+      postings.as("a").join(postings.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
             && col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
         .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
@@ -153,10 +184,29 @@ object TextDedup {
           col("n_i"), col("n_j"),
           round(col("n_common") / (col("n_i") + col("n_j") - col("n_common")), 4)
             .as("jaccard"))
-        // pairs are consumed twice (q42 result, q89 cluster edges) and are
-        // tiny (survivors only) — the canonical thing to keep hot
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    } else {
+      val a = docs.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"))
+      val b = docs.select(col("doc_id").as("doc_j"), col("sh").as("sh_j"))
+      prefixCandidates(docs)
+        .join(a, "doc_i").join(b, "doc_j")
+        .select(col("doc_i"), col("doc_j"),
+          size(array_intersect(col("sh_i"), col("sh_j"))).cast("long")
+            .as("n_common"),
+          size(col("sh_i")).as("n_i"), size(col("sh_j")).as("n_j"))
+        .filter(col("n_common") * 3 >= col("n_i") + col("n_j"))
+        .select(col("doc_i"), col("doc_j"), col("n_common"),
+          col("n_i"), col("n_j"),
+          round(col("n_common") / (col("n_i") + col("n_j") - col("n_common")), 4)
+            .as("jaccard"))
+    }
+  }
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    // pairs are consumed twice (q42 result, q89 cluster edges) and are
+    // tiny (survivors only) — the canonical thing to keep hot
+    CacheRegistry.cached(s, s"jaccard-pairs:$dir") {
+      jaccardPairsPlan(docShingles(s, dir))
+    }
 
   /** Connected components by min-label propagation: every vertex starts
     * as its own label; each round every vertex takes the minimum label
@@ -204,7 +254,15 @@ object TextDedup {
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
-    labels
+    // Materialize the result free of the loop's persisted lineage, then
+    // release the loop caches — without this, `sym` and the final round's
+    // frame stayed persisted for the life of the session. localCheckpoint
+    // blocks are reclaimed by the ContextCleaner once the returned frame
+    // is unreferenced.
+    val out = labels.localCheckpoint()
+    sym.unpersist()
+    cached.unpersist()
+    out
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -324,12 +382,13 @@ object TextDedup {
       // 47s at sf0.1; this is sub-second). Same Charikar construction;
       // 60-bit input hashes leave bits 60-63 at majority-of-zeros = 0 on
       // both engines.
-      val sim = docShingles(s, dir)
-        .select(col("doc_id"),
-          graft.plans.SimHash64.simhash64(
-            transform(col("sh"), x => graft.plans.HexWindowToLong.hexWindow(
-              md5(encode(x, "UTF-8")), 1))).as("simhash"))
-        .cache()
+      val sim = CacheRegistry.cached(s, s"simhash:$dir") {
+        docShingles(s, dir)
+          .select(col("doc_id"),
+            graft.plans.SimHash64.simhash64(
+              transform(col("sh"), x => graft.plans.HexWindowToLong.hexWindow(
+                md5(encode(x, "UTF-8")), 1))).as("simhash"))
+      }
       val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
         (0 until 8).map(k => struct(lit(k).as("band"),
           shiftright(col("simhash"), 8 * k).bitwiseAND(0xFF).as("bv"))): _*
@@ -361,12 +420,11 @@ object TextDedup {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT vec_i, vec_j, round(cos_sim, 4) AS cos_sim FROM p
         |WHERE cos_sim >= 0.45 ORDER BY vec_i, vec_j""".stripMargin) { (s, dir) =>
-      // broadcast block-kernel instead of the 22s-at-sf0.1 declarative
-      // cross-join; numerically identical (see VectorKernel)
-      val e = T(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-      VectorKernel.nearDupPairs(e, 0.45)
+      // distributed block-kernel instead of the 22s-at-sf0.1 declarative
+      // cross-join; numerically identical (see VectorKernel). Reads the
+      // shared normalized-embedding cache (kernel re-derives norms from
+      // the raw vectors; values are identical either way).
+      VectorKernel.nearDupPairs(Similarity.vectors(s, dir), 0.45)
     },
 
     // ── duplicate clustering: the step after pair generation in a real

@@ -51,6 +51,10 @@ object Cli {
     val header = analyzed.output.map { a =>
       owner.get(a.exprId.id).map(t => s"$t.${a.name}").getOrElse(a.name)
     }.mkString(",")
+    // Reference-parity output: bare comma-join, no quoting/escaping. The
+    // reference prints unquoted scalar values only, so a value containing
+    // a comma is ambiguous there too — parity is deliberate; callers
+    // needing round-trippable output should use the parquet/CSV sinks.
     header +: df.collect().toSeq.map(_.toSeq.map(String.valueOf).mkString(","))
   }
 
