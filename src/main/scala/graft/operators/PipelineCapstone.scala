@@ -276,6 +276,31 @@ object PipelineCapstone {
           .orderBy("split", "lang")
     },
 
+    // ── stratified quota sampling: a deterministic per-source quota
+    //    (top-5 by md5 of the key) — the data-mixing primitive that
+    //    caps any one domain's contribution. Hash order makes the
+    //    sample a pure function of the key (reruns and appends never
+    //    swap picks); one shuffle keyed by source, and the per-group
+    //    rank-5 filter compiles to WindowGroupLimit, so each partition
+    //    keeps 5 rows, not the group.
+    QueryDef(
+      "q95_stratified_sample",
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy(md5(encode(col("doc_id").cast("string"), "UTF-8")),
+          col("doc_id"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("source", "rn")
+    },
+
     // ── sequence packing (concat-and-chunk): assign every doc the
     //    training sequence its first token lands in, packing 2048-token
     //    sequences per shard. Sharding by the same md5 bucket as q87/q88

@@ -153,6 +153,45 @@ object TextAnalysis {
           round(log(col("n_docs") * lit(1.0) / col("df")), 4).as("idf"))
         .orderBy(col("tf").desc, col("word"))
         .limit(20)
+    },
+
+    // ── n-gram repetition (Gopher-style quality rule): the share of a
+    //    doc's word bigrams taken by its single most frequent bigram —
+    //    the standard boilerplate/template detector that type-token
+    //    ratio (q51) misses when repetition happens in phrases, not
+    //    words. Integers + an integer threshold test only (a ratio of
+    //    two small ints rounds onto half-boundaries the engines break
+    //    differently). Shape: narrow bigram explode → two-phase
+    //    (doc, bigram) count → per-doc max; both shuffles are keyed by
+    //    doc_id-prefixed keys, so 100 TB scales by documents.
+    QueryDef(
+      "q94_bigram_repetition",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |  [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))] AS bg
+        |  FROM w WHERE len(ws) >= 2),
+        |x AS (SELECT doc_id, len(bg) AS n_bigrams, unnest(bg) AS b FROM g),
+        |c AS (SELECT doc_id, n_bigrams, b, count(*) AS cnt FROM x
+        |      GROUP BY doc_id, n_bigrams, b)
+        |SELECT doc_id, CAST(n_bigrams AS INTEGER) AS n_bigrams,
+        |  CAST(max(cnt) AS BIGINT) AS top_bigram_count,
+        |  (max(cnt) * 20 > n_bigrams) AS repetitive
+        |FROM c GROUP BY doc_id, n_bigrams ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), (size(col("ws")) - 1).as("n_bigrams"),
+            explode(transform(sequence(lit(1), size(col("ws")) - 1),
+              i => concat_ws(" ", element_at(col("ws"), i),
+                element_at(col("ws"), i + 1)))).as("b"))
+          .groupBy("doc_id", "n_bigrams", "b")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id", "n_bigrams")
+          .agg(max(col("cnt")).as("top_bigram_count"),
+            // repetitive iff the top bigram exceeds 5% of all bigrams
+            (max(col("cnt")) * 20 > col("n_bigrams")).as("repetitive"))
+          .orderBy("doc_id")
     }
   )
 }

@@ -216,9 +216,10 @@ object TextDedup {
     * This is the standard distributed-CC shape (the driver only
     * coordinates rounds and reads one `changed` counter — all data stays
     * executor-side). Dedup components are near-cliques, so 2-3 rounds in
-    * practice. At 100 TB: persist each round (done here), checkpoint
-    * every ~5 rounds to truncate lineage, and switch to large-star /
-    * small-star if components with long chains appear.
+    * practice; every 5th round cuts lineage with an eager localCheckpoint
+    * so a long-chain component can't grow the plan (and optimizer time)
+    * linearly with rounds. At 100 TB, additionally switch to large-star /
+    * small-star if components with long chains dominate.
     *
     * Input: undirected edges (src, dst), one row per pair.
     * Output: (id, lbl) — lbl = min vertex id of the component. */
@@ -242,10 +243,15 @@ object TextDedup {
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min("lbl").as("nmin"))
-      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+      val nextPlan = labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("lbl"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("nlbl"))
-        .persist(lvl)
+      // every 5th round: eager localCheckpoint instead of persist — same
+      // materialization point, but the lineage (and plan depth) resets.
+      // Checkpoint blocks are freed by the ContextCleaner once the frame
+      // is unreferenced (unpersist() on them is a harmless no-op).
+      val next =
+        if (iter % 5 == 4) nextPlan.localCheckpoint() else nextPlan.persist(lvl)
       converged = next.filter(col("nlbl") < col("lbl")).count() == 0
       val prev = cached
       cached = next

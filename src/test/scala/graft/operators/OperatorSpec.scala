@@ -125,6 +125,17 @@ class OperatorSpec extends SparkTestBase {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents: long chain crosses the checkpoint rounds") {
+    // path 0-1-…-14: min label 0 propagates one hop per round, so the
+    // loop runs ~13 rounds — past the every-5th-round localCheckpoint
+    // lineage cuts (twice) — and must still converge to all-zeros
+    val edges = (0 until 14).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("src", "dst")
+    val got = TextDedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 to 14).map(_.toLong -> 0L).toMap)
+  }
+
   test("rollup row count = groups + subtotals + grand total") {
     val r = nums.rollup($"grp").agg(count(lit(1))).count()
     assert(r == 7 + 1)
