@@ -140,4 +140,18 @@ class PlanAuditSpec extends SparkTestBase {
       assert(p.contains("graft_hex_window"), s"$q must bucket via the native hash window")
     }
   }
+
+  test("q94: bigram repetition is explode + two-phase aggregation, no join") {
+    val p = plan("q94_bigram_repetition")
+    assert(!p.contains("Join"), s"q94 must not join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final aggregation")
+  }
+
+  test("q95: per-source quota pushes the rank limit below the window") {
+    val p = plan("q95_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"quota sampling should keep 5 rows per partition, not the group:\n$p")
+    assert(!p.contains("Join"), s"q95 must not join:\n$p")
+  }
 }
