@@ -168,37 +168,47 @@ object TextDedup {
       .distinct()
   }
 
+  /** count-join path: exact intersection counts from the postings join. */
+  private[operators] def countJoinPairs(docs: DataFrame): DataFrame = {
+    val postings = docs.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    postings.as("a").join(postings.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
+          && col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        col("a.n").as("n_i"), col("b.n").as("n_j"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") * 3 >= col("n_i") + col("n_j"))
+      .select(col("doc_i"), col("doc_j"), col("n_common"),
+        col("n_i"), col("n_j"),
+        round(col("n_common") / (col("n_i") + col("n_j") - col("n_common")), 4)
+          .as("jaccard"))
+  }
+
+  /** prefix-filter path: candidates from rare-shingle prefixes, then
+    * exact array_intersect verification. */
+  private[operators] def prefixVerifyPairs(docs: DataFrame): DataFrame = {
+    val a = docs.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"))
+    val b = docs.select(col("doc_id").as("doc_j"), col("sh").as("sh_j"))
+    prefixCandidates(docs)
+      .join(a, "doc_i").join(b, "doc_j")
+      .select(col("doc_i"), col("doc_j"),
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("long")
+          .as("n_common"),
+        size(col("sh_i")).as("n_i"), size(col("sh_j")).as("n_j"))
+      .filter(col("n_common") * 3 >= col("n_i") + col("n_j"))
+      .select(col("doc_i"), col("doc_j"), col("n_common"),
+        col("n_i"), col("n_j"),
+        round(col("n_common") / (col("n_i") + col("n_j") - col("n_common")), 4)
+          .as("jaccard"))
+  }
+
   private[operators] def jaccardPairsPlan(docs: DataFrame): DataFrame = {
     val postings = docs.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
     val (sum2, sum1) = shingleDfStats(postings)
-    if (sum2 <= PrefixAmplificationCap * sum1) {
-      postings.as("a").join(postings.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
-            && col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
-        .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
-          col("a.n").as("n_i"), col("b.n").as("n_j"))
-        .agg(count(lit(1)).as("n_common"))
-        .filter(col("n_common") * 3 >= col("n_i") + col("n_j"))
-        .select(col("doc_i"), col("doc_j"), col("n_common"),
-          col("n_i"), col("n_j"),
-          round(col("n_common") / (col("n_i") + col("n_j") - col("n_common")), 4)
-            .as("jaccard"))
-    } else {
-      val a = docs.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"))
-      val b = docs.select(col("doc_id").as("doc_j"), col("sh").as("sh_j"))
-      prefixCandidates(docs)
-        .join(a, "doc_i").join(b, "doc_j")
-        .select(col("doc_i"), col("doc_j"),
-          size(array_intersect(col("sh_i"), col("sh_j"))).cast("long")
-            .as("n_common"),
-          size(col("sh_i")).as("n_i"), size(col("sh_j")).as("n_j"))
-        .filter(col("n_common") * 3 >= col("n_i") + col("n_j"))
-        .select(col("doc_i"), col("doc_j"), col("n_common"),
-          col("n_i"), col("n_j"),
-          round(col("n_common") / (col("n_i") + col("n_j") - col("n_common")), 4)
-            .as("jaccard"))
-    }
+    if (sum2 <= PrefixAmplificationCap * sum1) countJoinPairs(docs)
+    else prefixVerifyPairs(docs)
   }
 
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =

@@ -148,6 +148,12 @@ class PlanAuditSpec extends SparkTestBase {
       "expected partial+final aggregation")
   }
 
+  test("q82: JSON parsed once per row (from_json not duplicated)") {
+    val p = plan("q82_json_schema")
+    assert("from_json".r.findAllIn(p).size == 1,
+      s"from_json should appear exactly once in the plan:\n$p")
+  }
+
   test("q95: per-source quota pushes the rank limit below the window") {
     val p = plan("q95_stratified_sample")
     assert(p.contains("WindowGroupLimit"),

@@ -59,6 +59,23 @@ class JaccardScaleSpec extends SparkTestBase {
     assert(cand >= 5) // recall: every true pair must be a candidate
   }
 
+  test("count-join ≡ prefix+verify row-for-row on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 12).map(v => s"w$v t")
+    for (trial <- 0 until 4) {
+      val docs = (0 until 25).map { i =>
+        (i.toLong, rnd.shuffle(vocab).take(2 + rnd.nextInt(8)).toSeq)
+      }.toDF("doc_id", "sh")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getInt(4), r.getDouble(5))).toSet
+      val cj = rows(TextDedup.countJoinPairs(docs))
+      val pv = rows(TextDedup.prefixVerifyPairs(docs))
+      assert(cj == pv, s"trial $trial: branches disagree")
+      assert(cj.nonEmpty, s"trial $trial: degenerate corpus")
+    }
+  }
+
   test("count-join path ≡ brute force on a benign corpus") {
     val benign = (0 until 40).map { i =>
       (i.toLong, (0 until 6).map(g => s"d${(i + g) % 45} t"))
