@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (SparkTestBase) and some tests toggle
+// session confs (e.g. SinksSpec disables auto-broadcast around its
+// bucketed-join assertion); running suites concurrently lets that toggle
+// race another suite's plan-shape assertions — observed as an
+// intermittent CartesianProduct "failure" in PlanAuditSpec. Suites run
+// sequentially; parallelism lives inside Spark's local[4], not sbt.
+Test / parallelExecution := false
 run / fork := true
 // The bench driver parses the LAST stdout line as JSON. Two sbt behaviors
 // break that: forked-run output is prefixed "[info] ", and sbt appends a
