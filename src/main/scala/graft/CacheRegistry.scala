@@ -18,9 +18,12 @@ import org.apache.spark.storage.StorageLevel
   *    of the same plan from two queries ("Asked to cache already cached
   *    data" warnings);
   *  - lifecycle: `clear(session)` unpersists and drops every entry the
-  *    session built, and an ApplicationEnd listener calls it
-  *    automatically, so a long-lived JVM hosting many sessions does not
-  *    accumulate dead storage;
+  *    session built. An ApplicationEnd listener calls it as a last
+  *    resort, but that fires ONCE, when the shared SparkContext stops —
+  *    NOT per session. A long-lived JVM hosting many short-lived
+  *    sessions must call `clear(session)` when each session is done,
+  *    or the registry holds strong refs to dead sessions and their
+  *    persisted frames for the application's lifetime;
   *  - MEMORY_AND_DISK everywhere: a corpus that outgrows executor memory
   *    spills instead of OOMing.
   */
@@ -29,16 +32,32 @@ object CacheRegistry {
     new ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
 
-  /** The frame for `key`, built and persisted on first request. */
-  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    entries.computeIfAbsent((s, key), { _ =>
+  /** The frame for `key`, built and persisted on first request.
+    *
+    * The build runs OUTSIDE the map's lock (probe-then-putIfAbsent, not
+    * computeIfAbsent): cache builds nest — signatures/jaccard-pairs/
+    * simhash all call back into `cached` for the shingle frame — and a
+    * nested computeIfAbsent on one ConcurrentHashMap throws
+    * IllegalStateException("Recursive update") when the two keys land in
+    * the same bin. The putIfAbsent race (two threads building the same
+    * frame) is benign: the loser unpersists its copy and adopts the
+    * winner's — and in practice the driver is single-threaded anyway. */
+  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (s, key)
+    val hit = entries.get(k)
+    if (hit != null) hit
+    else {
       if (hooked.add(s))
         s.sparkContext.addSparkListener(new SparkListener {
           override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
             clear(s)
         })
-      build.persist(StorageLevel.MEMORY_AND_DISK)
-    })
+      val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = entries.putIfAbsent(k, built)
+      if (prev == null) built
+      else { built.unpersist(); prev }
+    }
+  }
 
   /** Unpersist and drop every entry built under `s`. */
   def clear(s: SparkSession): Unit = {

@@ -258,8 +258,11 @@ object TextDedup {
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("nlbl"))
       // every 5th round: eager localCheckpoint instead of persist — same
       // materialization point, but the lineage (and plan depth) resets.
-      // Checkpoint blocks are freed by the ContextCleaner once the frame
-      // is unreferenced (unpersist() on them is a harmless no-op).
+      // CAUTION: unpersist() on a localCheckpointed frame deletes its
+      // ONLY copy (lineage is truncated — the data is unrecoverable).
+      // The `prev.unpersist()` below is safe ONLY because the successor
+      // frame is fully materialized (the changed-count scan touches
+      // every partition) before prev is released; do not reorder.
       val next =
         if (iter % 5 == 4) nextPlan.localCheckpoint() else nextPlan.persist(lvl)
       converged = next.filter(col("nlbl") < col("lbl")).count() == 0

@@ -18,6 +18,29 @@ class CacheRegistrySpec extends SparkTestBase {
     CacheRegistry.clear(spark)
   }
 
+  test("cached: nested builds (dependent caches) are safe") {
+    // signatures/jaccard-pairs/simhash all call cached() for the shingle
+    // frame from INSIDE their own build thunk; computeIfAbsent on one
+    // shared map threw IllegalStateException("Recursive update") when the
+    // two keys collided in a bin. Drive many nested pairs so a collision
+    // is overwhelmingly likely under the old scheme; assert both frames
+    // land and builders ran once each.
+    var innerBuilds = 0
+    (0 until 64).foreach { i =>
+      val outer = CacheRegistry.cached(spark, s"spec:outer:$i") {
+        val inner = CacheRegistry.cached(spark, s"spec:inner:$i") {
+          innerBuilds += 1; spark.range(3).toDF()
+        }
+        inner.select(inner.col("id") * 2 as "id")
+      }
+      assert(outer.count() == 3)
+    }
+    assert(innerBuilds == 64)
+    assert(CacheRegistry.liveCount(spark) == 128)
+    CacheRegistry.clear(spark)
+    assert(CacheRegistry.liveCount(spark) == 0)
+  }
+
   test("clear unpersists and drops all session entries") {
     val a = CacheRegistry.cached(spark, "spec:x") { spark.range(5).toDF() }
     CacheRegistry.cached(spark, "spec:y") { spark.range(6).toDF() }
