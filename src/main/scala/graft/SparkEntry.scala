@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsExtras, CoreRelational, ExtendedRelational,
-  Multimodal, ScalarFunctions, Similarity, StreamWindows, TextAnalysis,
-  TextDedup}
+import graft.operators.{AnalyticsExtras, Chunking, CoreRelational,
+  ExtendedRelational, Multimodal, ScalarFunctions, Similarity, StreamWindows,
+  TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module contributes `Seq[QueryDef]`; this object is just the merge
@@ -16,6 +16,7 @@ object SparkEntry {
     CoreRelational.defs,
     ExtendedRelational.defs,
     TextDedup.defs,
+    Chunking.defs,
     Similarity.defs,
     TextAnalysis.defs,
     Multimodal.defs,

@@ -192,6 +192,41 @@ object TextAnalysis {
             // repetitive iff the top bigram exceeds 5% of all bigrams
             (max(col("cnt")) * 20 > col("n_bigrams")).as("repetitive"))
           .orderBy("doc_id")
+    },
+
+    // ── duplicate-shingle fraction: how much of a doc's 3-gram stream is
+    //    repeats — total 3-grams is positional (n_words − 2) while the
+    //    native WordShingles expression already returns the DISTINCT set,
+    //    so the dup count is a subtraction on two narrow per-doc scalars;
+    //    no shuffle at all before the contract ORDER BY. Complements q94
+    //    (which finds one dominant bigram; this finds diffuse repetition)
+    //    and reuses the exact shingle definition q41-q44 dedup on, so a
+    //    "dup_heavy" doc here is one the MinHash path will also flag.
+    //    Integer outputs + an integer-threshold boolean only (dup_heavy
+    //    iff dup 3-grams exceed 2% of the stream).
+    QueryDef(
+      "q98_dup_ngrams",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, len(ws) - 2 AS n_total,
+        |  len(list_distinct([array_to_string(ws[i:i+2],' ')
+        |    for i in range(1, len(ws)-1)])) AS n_distinct
+        |  FROM w WHERE len(ws) >= 3)
+        |SELECT doc_id, CAST(n_total AS INTEGER) AS n_total,
+        |  CAST(n_distinct AS INTEGER) AS n_distinct,
+        |  CAST(n_total - n_distinct AS INTEGER) AS n_dup,
+        |  ((n_total - n_distinct) * 50 > n_total) AS dup_heavy
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      T(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          (size(split(col("text"), " ")) - 2).as("n_total"),
+          size(graft.plans.WordShingles.wordShingles(col("text"), 3))
+            .as("n_distinct"))
+        .select(col("doc_id"), col("n_total"), col("n_distinct"),
+          (col("n_total") - col("n_distinct")).as("n_dup"),
+          ((col("n_total") - col("n_distinct")) * 50 > col("n_total"))
+            .as("dup_heavy"))
+        .orderBy("doc_id")
     }
   )
 }
