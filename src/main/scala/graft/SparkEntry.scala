@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AnalyticsExtras, Chunking, CoreRelational,
-  ExtendedRelational, Multimodal, ScalarFunctions, Similarity, StreamWindows,
-  TextAnalysis, TextDedup}
+  ExtendedRelational, Multimodal, ScalarFunctions, Scrub, Similarity,
+  StreamWindows, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module contributes `Seq[QueryDef]`; this object is just the merge
@@ -17,6 +17,7 @@ object SparkEntry {
     ExtendedRelational.defs,
     TextDedup.defs,
     Chunking.defs,
+    Scrub.defs,
     Similarity.defs,
     TextAnalysis.defs,
     Multimodal.defs,

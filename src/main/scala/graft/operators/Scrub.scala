@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Corpus-scrubbing operators for training-data curation (SURVEY.md §2C):
+  * train-side decontamination (drop every TRAIN doc sharing an n-gram with
+  * the eval set — the publish-side twin of q92's per-doc overlap report),
+  * PII-style masking of digit runs in semi-structured event payloads, and
+  * corpus-derived stopword removal.
+  *
+  * Scale notes (100 TB posture):
+  *  - decontamination joins the HUGE side (train postings) against the
+  *    SMALL side (eval-set n-gram vocabulary): the vocab broadcasts, so
+  *    the train scan never shuffles to find contaminated docs. When the
+  *    eval vocab outgrows the broadcast threshold but its Bloom sketch
+  *    still fits (a few MB at fpp 3% for tens of millions of n-grams),
+  *    `bloomPrefilteredContaminated` broadcasts the sketch instead:
+  *    Bloom filters have NO false negatives, so dropping
+  *    might-contain=false postings before the exact verify join loses
+  *    nothing, and the shuffle carries only the tiny maybe-contaminated
+  *    remainder (spec-verified equal to the exact path);
+  *  - masking is a pure narrow map (regexp over one column) — embarrassingly
+  *    parallel, stays inside whole-stage codegen;
+  *  - stopword removal computes the stoplist with one partial-agg'd
+  *    explode→count shuffle, then broadcasts the 20-word array to a
+  *    narrow higher-order filter — the "compute a small dim, broadcast
+  *    it" pipeline shape; duplicates of non-stopwords are preserved
+  *    (array_except would dedup, a correctness trap).
+  */
+object Scrub {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Same deterministic md5 doc-bucket as q88/q92: bk<80 train, bk>=90 test. */
+  private def bucket =
+    graft.plans.HexWindowToLong.hexWindow(
+      md5(encode(col("doc_id").cast("string"), "UTF-8")), 1) % 100
+
+  /** doc_ids of TRAIN docs sharing ≥1 shingle with the eval vocabulary —
+    * exact broadcast-semi-join path (the default: eval vocabs fit in a
+    * broadcast at any realistic eval-set size). */
+  private[operators] def contaminatedIds(
+      train: DataFrame, testVocab: DataFrame): DataFrame =
+    train.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .join(broadcast(testVocab), Seq("tok"), "left_semi")
+      .select("doc_id").distinct()
+
+  /** Bloom-prefiltered variant for when the eval vocab exceeds the raw
+    * broadcast threshold but its sketch fits: broadcast the Bloom filter,
+    * drop definite-negative postings at the scan (no false negatives →
+    * zero recall loss), then verify the small maybe-set with an exact
+    * shuffle semi join that removes the sketch's false positives. Output
+    * is bit-identical to [[contaminatedIds]] (ScrubSpec proves it). */
+  private[operators] def bloomPrefilteredContaminated(
+      train: DataFrame, testVocab: DataFrame): DataFrame = {
+    val spark = train.sparkSession
+    val expected = math.max(testVocab.count(), 1L)
+    val bf = testVocab.stat.bloomFilter("tok", expected, 0.03)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((t: String) => t != null && bfB.value.mightContainString(t))
+    train.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .filter(mightContain(col("tok")))
+      // exact verify: shuffle semi join (hint the small side away from
+      // broadcast to exercise the shape the bloom path exists for)
+      .join(testVocab.hint("shuffle_hash"), Seq("tok"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── publish-side decontamination: the TRAIN docs that survive after
+    //    dropping everything that shares a 3-gram with the eval split.
+    //    q92 reports per-TEST-doc contamination; this emits the clean
+    //    TRAIN set a pipeline would actually ship.
+    QueryDef(
+      "q99_decontam_clean",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |b AS (SELECT doc_id, s,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bk
+        |  FROM sh),
+        |tv AS (SELECT DISTINCT unnest(s) AS tok FROM b WHERE bk >= 90),
+        |tr AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS tok
+        |       FROM b WHERE bk < 80),
+        |bad AS (SELECT DISTINCT doc_id FROM tr JOIN tv USING (tok))
+        |SELECT doc_id, CAST(n_shingles AS INTEGER) AS n_shingles
+        |FROM (SELECT DISTINCT doc_id, n_shingles FROM tr) t
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val withSplit = TextDedup.docShingles(s, dir).withColumn("bk", bucket)
+      val train = withSplit.filter(col("bk") < 80)
+        .select(col("doc_id"), size(col("sh")).as("n_shingles"), col("sh"))
+      val testVocab = withSplit.filter(col("bk") >= 90)
+        .select(explode(col("sh")).as("tok")).distinct()
+      train.join(contaminatedIds(train, testVocab), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_shingles"))
+        .orderBy("doc_id")
+    },
+
+    // ── PII-style masking: collapse every digit run in the event payload
+    //    to '#' and count the runs — the log-scrubbing shape (the synthetic
+    //    props are small JSON, so the interesting part is the plumbing:
+    //    a codegen'd regexp map over the payload column, zero shuffles
+    //    before the contract ORDER BY).
+    QueryDef(
+      "q100_scrub_digits",
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_digit_runs
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("scrubbed"),
+          size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+            .as("n_digit_runs"))
+        .orderBy("event_id")
+    },
+
+    // ── corpus-derived stopword removal: stoplist = top-20 words by
+    //    global frequency (count desc, word asc — deterministic at ties),
+    //    broadcast as one array row; each doc keeps its word ORDER and
+    //    non-stopword DUPLICATES (higher-order filter, not array_except).
+    //    md5 of the rejoined text pins the full cleaned content.
+    QueryDef(
+      "q101_stopword_scrub",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |tok AS (SELECT unnest(ws) AS t FROM w),
+        |top AS (SELECT t, count(*) AS c FROM tok GROUP BY t
+        |        ORDER BY c DESC, t LIMIT 20),
+        |st AS (SELECT list_sort(list(t)) AS stop FROM top),
+        |c AS (SELECT doc_id,
+        |        list_filter(ws, x -> NOT list_contains(stop, x)) AS kept
+        |      FROM w, st)
+        |SELECT doc_id, CAST(len(kept) AS INTEGER) AS n_kept,
+        |  CASE WHEN len(kept) > 0 THEN md5(array_to_string(kept, ' '))
+        |       ELSE NULL END AS kept_md5
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val stop = docs.select(explode(col("ws")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(20)
+        .agg(sort_array(collect_list(col("t"))).as("stop"))
+      docs.crossJoin(broadcast(stop))
+        .select(col("doc_id"),
+          filter(col("ws"), x => !array_contains(col("stop"), x)).as("kept"))
+        .select(col("doc_id"), size(col("kept")).as("n_kept"),
+          // a fully-scrubbed doc hashes to NULL, not md5('') — DuckDB's
+          // array_to_string([]) is NULL, and NULL is the honest value
+          when(size(col("kept")) > 0,
+            md5(encode(concat_ws(" ", col("kept")), "UTF-8"))).as("kept_md5"))
+        .orderBy("doc_id")
+    }
+  )
+}

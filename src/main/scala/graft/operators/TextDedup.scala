@@ -52,7 +52,7 @@ object TextDedup {
     * construction dominates every text-similarity query (~4s of each of
     * q42/q43/q44 at sf0.1), and the driver runs them in one session —
     * computing them once is the single biggest bench win. */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  private[operators] def docShingles(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cached(s, s"shingles:$dir") {
       T(s, dir, "documents")
         // documents is one parquet file → one input partition; without a

@@ -160,4 +160,35 @@ class PlanAuditSpec extends SparkTestBase {
       s"quota sampling should keep 5 rows per partition, not the group:\n$p")
     assert(!p.contains("Join"), s"q95 must not join:\n$p")
   }
+
+  test("q96/q98: chunking and dup-ngram stats are joinless narrow maps") {
+    Seq("q96_chunk_fixed", "q98_dup_ngrams").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
+
+  test("q97: CDC boundary window is partitioned by doc_id (no global window)") {
+    val p = plan("q97_chunk_cdc")
+    assert(!p.contains("Join"), s"q97 must not join:\n$p")
+    // the running-boundary sum must be keyed per document — a window
+    // without partitioning serializes the whole corpus through one task
+    assert(p.contains("Window"), p)
+    assert("partitionBy=\\[doc_id".r.findFirstIn(p).isDefined
+      || "PartitionBy: \\[doc_id".r.findFirstIn(p).isDefined
+      || p.contains("[doc_id"), s"window must partition by doc_id:\n$p")
+  }
+
+  test("q99: decontamination joins broadcast the eval vocabulary, never shuffle the train side") {
+    val p = plan("q99_decontam_clean")
+    assert(p.contains("BroadcastHashJoin"), s"eval vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"train postings must not sort-merge shuffle:\n$p")
+  }
+
+  test("q101: stoplist broadcasts to a higher-order filter (no per-doc shuffle)") {
+    val p = plan("q101_stopword_scrub")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row stoplist must broadcast:\n$p")
+  }
 }

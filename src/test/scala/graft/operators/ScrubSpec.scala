@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Invariants of the scrubbing operators beyond the hash oracle. */
+class ScrubSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q99 bloom-prefiltered contamination equals the exact broadcast path") {
+    val withSplit = TextDedup.docShingles(spark, sf)
+      .withColumn("bk", graft.plans.HexWindowToLong.hexWindow(
+        md5(encode($"doc_id".cast("string"), "UTF-8")), 1) % 100)
+    val train = withSplit.filter($"bk" < 80)
+      .select($"doc_id", size($"sh").as("n_shingles"), $"sh")
+    val testVocab = withSplit.filter($"bk" >= 90)
+      .select(explode($"sh").as("tok")).distinct()
+    val exact = Scrub.contaminatedIds(train, testVocab)
+      .as[Long].collect().sorted
+    val bloomed = Scrub.bloomPrefilteredContaminated(train, testVocab)
+      .as[Long].collect().sorted
+    assert(exact.nonEmpty, "fixture must contain contaminated train docs")
+    assert(bloomed.sameElements(exact))
+  }
+
+  test("q99 clean set and contaminated set partition the train split") {
+    val clean = SparkEntry.queries("q99_decontam_clean")(spark, sf)
+    val withSplit = TextDedup.docShingles(spark, sf)
+      .withColumn("bk", graft.plans.HexWindowToLong.hexWindow(
+        md5(encode($"doc_id".cast("string"), "UTF-8")), 1) % 100)
+    val train = withSplit.filter($"bk" < 80)
+      .select($"doc_id", size($"sh").as("n_shingles"), $"sh")
+    val testVocab = withSplit.filter($"bk" >= 90)
+      .select(explode($"sh").as("tok")).distinct()
+    val nBad = Scrub.contaminatedIds(train, testVocab).count()
+    assert(clean.count() + nBad == train.count())
+  }
+
+  test("q101 preserves duplicates and order of non-stopwords") {
+    val out = SparkEntry.queries("q101_stopword_scrub")(spark, sf)
+    // reconstruct one doc by hand and compare the md5
+    val stop = graft.Tables(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t").limit(20)
+      .select("t").as[String].collect().toSet
+    // pick a doc that keeps at least one word (fully-scrubbed docs hash NULL)
+    val doc = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].head(10)
+      .find(d => d._2.split(" ", -1).exists(w => !stop(w))).get
+    val kept = doc._2.split(" ", -1).filterNot(stop).mkString(" ")
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(kept.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = out.filter($"doc_id" === doc._1)
+      .select("kept_md5").as[String].head()
+    assert(got == expected)
+  }
+
+  test("q100 masks every digit run (no digit survives)") {
+    val out = SparkEntry.queries("q100_scrub_digits")(spark, sf)
+    assert(out.filter($"scrubbed".rlike("[0-9]")).count() == 0)
+    // masked rows must still record how many runs were masked
+    assert(out.filter($"n_digit_runs" > 0).count() > 0)
+  }
+}
