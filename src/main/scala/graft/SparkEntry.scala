@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AnalyticsExtras, Chunking, CoreRelational,
-  ExtendedRelational, Multimodal, ScalarFunctions, Scrub, Similarity,
-  StreamWindows, TextAnalysis, TextDedup}
+  Curation, ExtendedRelational, Multimodal, ScalarFunctions, Scrub,
+  Similarity, StreamWindows, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module contributes `Seq[QueryDef]`; this object is just the merge
@@ -18,6 +18,7 @@ object SparkEntry {
     TextDedup.defs,
     Chunking.defs,
     Scrub.defs,
+    Curation.defs,
     Similarity.defs,
     TextAnalysis.defs,
     Multimodal.defs,

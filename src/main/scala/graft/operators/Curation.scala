@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.plans.HexWindowToLong
+
+/** Corpus-curation operators for LLM training-data pipelines (SURVEY.md
+  * §2C): cross-document chunk-level dedup with document reassembly, a
+  * corpus-derived unigram-LM quality score, temperature-reweighted
+  * mixture sampling, and per-source distribution drift (KL divergence).
+  *
+  * Scale notes (100 TB posture):
+  *  - chunk dedup (q102) keys its ONE dedup shuffle on the chunk content
+  *    hash — the partitioning a corpus-scale paragraph dedup actually
+  *    wants (each key's group is tiny; a pathologically hot chunk — the
+  *    same boilerplate paragraph a billion times — would make one key
+  *    large, in which case the keep-first rank can be computed with a
+  *    partial min-aggregate instead of a window sort; at the declared
+  *    semantics the window is one sort shuffle). Reassembly is a second
+  *    shuffle keyed by doc_id — both are linear, no cross joins;
+  *  - the unigram LM (q103) is the "train a tiny model on the corpus,
+  *    score every doc with it" shape: the vocabulary aggregate is
+  *    map-side-combined (vocab ≪ corpus), broadcast back, and scoring is
+  *    a narrow map + one per-doc aggregate;
+  *  - mixture sampling (q104) computes per-source token mass (20-row
+  *    aggregate), turns it into an integer basis-point keep threshold
+  *    (temperature α=0.5 flattens the source distribution), broadcasts
+  *    the 20-row rate table, and gates each doc on a deterministic md5
+  *    window — the exact q87/q88 sampling discipline, so reruns and
+  *    the oracle agree bit-for-bit with no RNG;
+  *  - KL drift (q105) reduces the corpus to (source, token) counts in a
+  *    single partial-agg'd shuffle; everything after operates on
+  *    vocab-sized frames (broadcast joins, no second pass over text).
+  */
+object Curation {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Non-overlapping chunk width for q102 — small enough that the
+    * synthetic corpus actually contains cross-document duplicates. */
+  private val P = 4
+
+  /** Same deterministic md5 doc gate as q87/q88/q104: first 15 hex chars
+    * of md5(doc_id) as a long, mod `m`. */
+  private def docGate(m: Int): Column =
+    HexWindowToLong.hexWindow(
+      md5(encode(col("doc_id").cast("string"), "UTF-8")), 1) % m
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── corpus-wide chunk dedup + reassembly: split every doc into
+    //    non-overlapping P-token chunks, keep only the FIRST occurrence
+    //    of each distinct chunk corpus-wide (first = smallest
+    //    (doc_id, chunk_idx)), and rebuild each doc from its surviving
+    //    chunks. The "remove duplicated paragraphs everywhere" operator.
+    QueryDef(
+      "q102_chunk_dedup",
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |p AS (SELECT doc_id, ws,
+         |        CAST(ceil(len(ws) / $P.0) AS INTEGER) AS kmax FROM t),
+         |x AS (SELECT doc_id, ws, unnest(range(0, kmax)) AS k FROM p),
+         |c AS (SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+         |        array_to_string(ws[k*$P+1 : k*$P+$P], ' ') AS chunk_text
+         |      FROM x),
+         |r AS (SELECT doc_id, chunk_idx, chunk_text,
+         |        row_number() OVER (PARTITION BY md5(chunk_text)
+         |                           ORDER BY doc_id, chunk_idx) AS rn
+         |      FROM c),
+         |k AS (SELECT doc_id, chunk_idx, chunk_text FROM r WHERE rn = 1)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+         |  md5(string_agg(chunk_text, ' ' ORDER BY chunk_idx)) AS kept_md5
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val chunks = T(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("kmax", ceil(size(col("ws")) / P.toDouble).cast("int"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), col("kmax") - 1)).as("k"))
+        .select(col("doc_id"), col("k").cast("int").as("chunk_idx"),
+          concat_ws(" ", slice(col("ws"), col("k") * P + 1, lit(P)))
+            .as("chunk_text"))
+      val keepFirst = Window
+        .partitionBy(md5(encode(col("chunk_text"), "UTF-8")))
+        .orderBy("doc_id", "chunk_idx")
+      chunks
+        .withColumn("rn", row_number().over(keepFirst))
+        .filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_kept"),
+          // rebuild in chunk order: collect (idx, text), sort by idx
+          // (unique per doc), rejoin — md5 pins the full cleaned content
+          md5(encode(concat_ws(" ",
+            transform(
+              sort_array(collect_list(struct(col("chunk_idx"),
+                col("chunk_text")))),
+              c => c.getField("chunk_text"))), "UTF-8")).as("kept_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ── unigram-LM quality score: p(w) = corpus freq, doc score =
+    //    mean log-likelihood of its tokens. The cheapest "model-based"
+    //    quality signal — rare-token-heavy (garbled) docs score low,
+    //    boilerplate scores high. Vocabulary broadcast; one text pass.
+    QueryDef(
+      "q103_unigram_logprob",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t
+        |             FROM documents),
+        |f AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |n AS (SELECT sum(c) AS total FROM f)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+        |  round(avg(ln(c * 1.0 / total)), 4) AS avg_logprob
+        |FROM tok JOIN f USING (t) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tok = T(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val f = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val n = f.agg(sum("c").as("total"))
+      tok.join(broadcast(f), Seq("t"))
+        .crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_words"),
+          round(avg(log(col("c") * lit(1.0) / col("total"))), 4)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
+    // ── temperature-reweighted mixture sampling: keep rate per source
+    //    ∝ sqrt(token mass), normalized so the heaviest source keeps
+    //    everything — the α=0.5 flattening every multi-source training
+    //    mix uses (downweights dominant sources, upweights tails).
+    //    The rate becomes an INTEGER basis-point threshold so the md5
+    //    doc gate is exactly reproducible on both engines.
+    QueryDef(
+      "q104_mixture_sample",
+      """WITH m AS (SELECT source, sum(n_chars) AS mass, count(*) AS n_docs
+        |           FROM documents GROUP BY source),
+        |mx AS (SELECT max(mass) AS maxm FROM m),
+        |r AS (SELECT source, n_docs,
+        |        CAST(floor(10000 * sqrt(mass * 1.0) / sqrt(maxm * 1.0))
+        |             AS BIGINT) AS thr
+        |      FROM m CROSS JOIN mx),
+        |kept AS (SELECT d.source, count(*) AS n_kept
+        |         FROM documents d JOIN r USING (source)
+        |         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |               % 10000 < r.thr
+        |         GROUP BY d.source)
+        |SELECT r.source, CAST(r.n_docs AS INTEGER) AS n_docs,
+        |  CAST(r.thr AS INTEGER) AS keep_bp,
+        |  CAST(coalesce(kept.n_kept, 0) AS INTEGER) AS n_kept
+        |FROM r LEFT JOIN kept USING (source)
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val m = docs.groupBy("source")
+        .agg(sum("n_chars").as("mass"), count(lit(1)).as("n_docs"))
+      val mx = m.agg(max("mass").as("maxm"))
+      val r = m.crossJoin(broadcast(mx))
+        .select(col("source"), col("n_docs"),
+          floor(lit(10000) * sqrt(col("mass").cast("double"))
+            / sqrt(col("maxm").cast("double"))).as("thr"))
+      val kept = docs
+        .join(broadcast(r.select(col("source"), col("thr"))), Seq("source"))
+        .filter(docGate(10000) < col("thr"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      r.join(broadcast(kept), Seq("source"), "left")
+        .select(col("source"), col("n_docs").cast("int"),
+          col("thr").cast("int").as("keep_bp"),
+          coalesce(col("n_kept"), lit(0)).cast("int").as("n_kept"))
+        .orderBy("source")
+    },
+
+    // ── per-source distribution drift: KL(source ‖ corpus) over unigram
+    //    distributions. KL is well-defined with no smoothing because each
+    //    source's vocabulary is a subset of the corpus vocabulary
+    //    (corpus prob > 0 wherever source prob > 0). High KL = the
+    //    source's token mix diverges from the pool — the standard
+    //    source-quality / drift monitor in a data-mixture pipeline.
+    QueryDef(
+      "q105_source_kl",
+      """WITH sc AS (SELECT source, unnest(string_split(text,' ')) AS t
+        |            FROM documents),
+        |c AS (SELECT source, t, count(*) AS c FROM sc GROUP BY source, t),
+        |st AS (SELECT source, sum(c) AS ns FROM c GROUP BY source),
+        |gc AS (SELECT t, sum(c) AS g FROM c GROUP BY t),
+        |gt AS (SELECT sum(g) AS n FROM gc)
+        |SELECT c.source, CAST(st.ns AS BIGINT) AS n_tokens,
+        |  round(sum((c.c * 1.0 / st.ns)
+        |    * ln((c.c * 1.0 / st.ns) / (gc.g * 1.0 / gt.n))), 4) AS kl
+        |FROM c JOIN st USING (source) JOIN gc USING (t) CROSS JOIN gt
+        |GROUP BY c.source, st.ns ORDER BY c.source""".stripMargin) { (s, dir) =>
+      val c = T(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      val st = c.groupBy("source").agg(sum("c").as("ns"))
+      val gc = c.groupBy("t").agg(sum("c").as("g"))
+      val gt = gc.agg(sum("g").as("n"))
+      val ps = col("c") * lit(1.0) / col("ns")
+      val pg = col("g") * lit(1.0) / col("n")
+      c.join(broadcast(st), Seq("source"))
+        .join(broadcast(gc), Seq("t"))
+        .crossJoin(broadcast(gt))
+        .groupBy(col("source"), col("ns"))
+        .agg(round(sum(ps * log(ps / pg)), 4).as("kl"))
+        .select(col("source"), col("ns").cast("long").as("n_tokens"),
+          col("kl"))
+        .orderBy("source")
+    }
+  )
+}

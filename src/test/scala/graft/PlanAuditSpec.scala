@@ -191,4 +191,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"the 1-row stoplist must broadcast:\n$p")
   }
+
+  test("q102: chunk dedup is join-free — one window keyed on the chunk hash") {
+    val p = plan("q102_chunk_dedup")
+    assert(!p.contains("Join"), s"q102 must not join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q103/q105: vocabulary-sized frames broadcast, corpus never sort-merges") {
+    Seq("q103_unigram_logprob", "q105_source_kl").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: vocab/total frames must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: the token stream must not shuffle into a sort-merge join:\n$p")
+    }
+  }
+
+  test("q104: the 20-row rate table broadcasts to the doc gate") {
+    val p = plan("q104_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
