@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AnalyticsExtras, Chunking, CoreRelational,
   Curation, ExtendedRelational, Multimodal, ScalarFunctions, Scrub,
-  Similarity, StreamWindows, TextAnalysis, TextDedup}
+  Similarity, StorageLayout, StreamWindows, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module contributes `Seq[QueryDef]`; this object is just the merge
@@ -19,6 +19,7 @@ object SparkEntry {
     Chunking.defs,
     Scrub.defs,
     Curation.defs,
+    StorageLayout.defs,
     Similarity.defs,
     TextAnalysis.defs,
     Multimodal.defs,

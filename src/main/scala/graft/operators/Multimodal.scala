@@ -44,7 +44,7 @@ object Multimodal {
   final case class PayloadFeatures(
       doc_id: Long,
       n_bytes: Int,
-      mean_byte: Double,
+      sum_bytes: Long,
       histogram: Array[Long],
       resized_bytes: Int,
       resized_md5: String)
@@ -52,6 +52,8 @@ object Multimodal {
   private def decodeStub(docId: Long, payload: Array[Byte]): PayloadFeatures = {
     // ??? <- real codec call (JPEG/PNG/audio frame decode) goes here; the
     // container ships no codec libs, so derive features from raw bytes.
+    // sum_bytes (not mean) keeps the output integer-exact for the oracle
+    // — AVG of ints lands on round-half boundaries (oracle discipline).
     val hist = new Array[Long](16)
     var sum = 0L
     var i = 0
@@ -68,9 +70,7 @@ object Multimodal {
     while (j < resized.length) { resized(j) = payload(j * 4); j += 1 }
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(resized).map("%02x".format(_)).mkString
-    PayloadFeatures(docId, payload.length,
-      if (payload.length == 0) 0.0 else sum.toDouble / payload.length, hist,
-      resized.length, md5)
+    PayloadFeatures(docId, payload.length, sum, hist, resized.length, md5)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -111,8 +111,38 @@ object Multimodal {
 
     // ── batch decode via typed Dataset#mapPartitions (mapInPandas shape):
     //    per-partition iteration, stubbed codec, typed output schema.
-    //    No SQL oracle — the stub is the point, not the math.
-    QueryDef.noOracle("q58_decode_features") { (s, dir) =>
+    //    The STUB stays the point — but its byte math IS checkable: the
+    //    payloads are the docs' utf-8 bytes and the corpus is ASCII, so
+    //    the oracle reproduces byte ops with character ops (the same
+    //    text↔payload equivalence q57's oracle already relies on).
+    QueryDef(
+      "q58_decode_features",
+      """WITH x AS (SELECT doc_id, text,
+        |        unnest(range(1, length(text) + 1)) AS i FROM documents),
+        |b AS (SELECT doc_id, ascii(substr(text, i, 1)) AS byte FROM x),
+        |h AS (SELECT doc_id, byte % 16 AS bin, count(*) AS c
+        |      FROM b GROUP BY 1, 2),
+        |g AS (SELECT d.doc_id, r.bin
+        |      FROM (SELECT doc_id FROM documents) d
+        |      CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) r),
+        |hs AS (SELECT g.doc_id,
+        |         string_agg(CAST(coalesce(h.c, 0) AS VARCHAR), ','
+        |                    ORDER BY g.bin) AS histogram
+        |       FROM g LEFT JOIN h ON g.doc_id = h.doc_id AND g.bin = h.bin
+        |       GROUP BY g.doc_id),
+        |s AS (SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes,
+        |        (SELECT CAST(sum(byte) AS BIGINT) FROM b
+        |         WHERE b.doc_id = documents.doc_id) AS sum_bytes,
+        |        CAST((length(text) + 3) // 4 AS INTEGER) AS resized_bytes,
+        |        md5(array_to_string(
+        |          [substr(text, i, 1)
+        |           for i in range(1, length(text) + 1) if (i - 1) % 4 = 0],
+        |          '')) AS resized_md5
+        |      FROM documents)
+        |SELECT s.doc_id, s.n_bytes, s.sum_bytes, hs.histogram,
+        |  s.resized_bytes, s.resized_md5
+        |FROM s JOIN hs ON s.doc_id = hs.doc_id
+        |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val ds = withPayload(s, dir)
         .select(col("doc_id"), col("payload"))
@@ -124,8 +154,7 @@ object Multimodal {
         // histogram serialized to a scalar: array-valued result columns
         // don't survive the driver's pandas row compare (TopKAggregate
         // scaladoc documents the same contract)
-        .select(col("doc_id"), col("n_bytes"),
-          round(col("mean_byte"), 4).as("mean_byte"),
+        .select(col("doc_id"), col("n_bytes"), col("sum_bytes"),
           array_join(col("histogram").cast("array<string>"), ",")
             .as("histogram"),
           col("resized_bytes"), col("resized_md5"))

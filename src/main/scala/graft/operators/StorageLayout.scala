@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Storage-layout operators for the 100 TB lake (SURVEY.md §2C): the
+  * transforms that decide how many bytes a scan reads before a single
+  * query operator runs.
+  *
+  *  - int8 embedding quantization (q106): symmetric absmax codes shrink
+  *    an embedding column 4× (float32 → int8 + one scale per vector) —
+  *    at 100 TB the difference between an ANN sweep that fits page cache
+  *    and one that doesn't. A pure narrow map over higher-order
+  *    functions; nothing shuffles.
+  *  - z-order clustering (q107): interleaving the bits of two correlated
+  *    scan predicates (user, value band) gives a 1-D sort key whose
+  *    ranges are 2-D-local, so per-file min/max stats prune BOTH columns
+  *    — the standard lakehouse layout trick for multi-column pruning.
+  *    The query reports per-z-bucket row counts and min/max spans: the
+  *    exact numbers a writer would get as file-skipping stats after
+  *    `ORDER BY z`. Computing z is a narrow map; the stats are one
+  *    partial-agg'd shuffle on the bucket id.
+  *  - winsorization (q108): per-group exact rank-based p01/p99 clipping
+  *    — outlier conditioning before numeric features feed a model. The
+  *    thresholds are actual data values picked by row_number (no
+  *    interpolation — bit-identical across engines); at corpus scale the
+  *    same contract would swap the per-group sort for approx_percentile
+  *    or a sampled quickselect, trading exactness explicitly.
+  */
+object StorageLayout {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Bits per dimension for the q107 interleave (8+8 → 16-bit z). */
+  private val B = 8
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── symmetric int8 quantization: scale = absmax/127, code =
+    //    floor(x·127/absmax + 0.5) — floor(+0.5) instead of round() so
+    //    both engines take the identical IEEE path (no HALF_UP vs
+    //    half-away divergence). absmax is an actual float of the vector
+    //    (exact on both sides); code stats are integers.
+    QueryDef(
+      "q106_embed_quantize",
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS absmax FROM v),
+        |c AS (SELECT vec_id, absmax,
+        |  list_transform(v, x -> CAST(floor(x * 127 / absmax + 0.5) AS BIGINT))
+        |    AS codes FROM a)
+        |SELECT vec_id, absmax,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_code,
+        |  CAST(list_min(codes) AS INTEGER) AS min_code,
+        |  CAST(list_max(codes) AS INTEGER) AS max_code
+        |FROM c ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("absmax", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("codes", transform(col("v"),
+          x => floor(x * 127 / col("absmax") + 0.5).cast("long")))
+        .select(col("vec_id"), col("absmax"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("sum_code"),
+          array_min(col("codes")).cast("int").as("min_code"),
+          array_max(col("codes")).cast("int").as("max_code"))
+        .orderBy("vec_id")
+    },
+
+    // ── z-order layout stats: z interleaves the low 8 bits of the user
+    //    id and the value band (floor(value/2)); bucket = z >> 8 is the
+    //    "file" a z-sorted writer would cut. n + min/max per bucket are
+    //    the skip-stats both predicates would prune on.
+    QueryDef(
+      "q107_zorder_stats", {
+        val zsql = (0 until B).map(k =>
+          s"(((ux >> $k) & 1) * ${1L << (2 * k + 1)} + " +
+            s"((vx >> $k) & 1) * ${1L << (2 * k)})").mkString(" + ")
+        s"""WITH b AS (SELECT user_id & 255 AS ux,
+           |  CAST(floor(value / 2) AS BIGINT) & 255 AS vx FROM events),
+           |z AS (SELECT ux, vx, $zsql AS z FROM b)
+           |SELECT CAST(z >> 8 AS INTEGER) AS zbucket,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(min(ux) AS INTEGER) AS u_min, CAST(max(ux) AS INTEGER) AS u_max,
+           |  CAST(min(vx) AS INTEGER) AS v_min, CAST(max(vx) AS INTEGER) AS v_max
+           |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
+      }) { (s, dir) =>
+      val ux = col("user_id").bitwiseAND(lit(255))
+      val vx = floor(col("value") / 2).cast("long").bitwiseAND(lit(255))
+      val base = T(s, dir, "events").select(ux.as("ux"), vx.as("vx"))
+      val z = (0 until B).map { k =>
+        shiftleft(shiftright(col("ux"), k).bitwiseAND(lit(1)), 2 * k + 1) +
+          shiftleft(shiftright(col("vx"), k).bitwiseAND(lit(1)), 2 * k)
+      }.reduce(_ + _)
+      base.withColumn("z", z)
+        .groupBy(shiftright(col("z"), 8).cast("int").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("ux").cast("int").as("u_min"), max("ux").cast("int").as("u_max"),
+          min("vx").cast("int").as("v_min"), max("vx").cast("int").as("v_max"))
+        .orderBy("zbucket")
+    },
+
+    // ── per-type winsorization: lo/hi are the ceil(0.01n)-th and
+    //    ceil(0.99n)-th smallest values (real data points — exact on
+    //    both engines), then every value clips into [lo, hi]. The
+    //    clipped sum is a 2-decimal quantity rounded at 4dp (two digits
+    //    finer than intrinsic precision, per the oracle discipline).
+    QueryDef(
+      "q108_winsorize",
+      """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |          AS rn FROM events),
+        |t AS (SELECT r.event_type,
+        |        max(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT)
+        |            THEN value END) AS lo,
+        |        max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+        |            THEN value END) AS hi
+        |      FROM r JOIN n USING (event_type) GROUP BY r.event_type)
+        |SELECT e.event_type, t.lo, t.hi,
+        |  CAST(sum(CASE WHEN e.value < t.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(sum(CASE WHEN e.value > t.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high,
+        |  round(sum(CASE WHEN e.value < t.lo THEN t.lo
+        |            WHEN e.value > t.hi THEN t.hi ELSE e.value END), 4)
+        |    AS sum_winsorized
+        |FROM events e JOIN t USING (event_type)
+        |GROUP BY e.event_type, t.lo, t.hi
+        |ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+      val ev = T(s, dir, "events").select("event_type", "value")
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val rn = row_number().over(
+        Window.partitionBy("event_type").orderBy("value"))
+      val ranked = ev.withColumn("rn", rn)
+        .join(broadcast(n), Seq("event_type"))
+      val thresholds = ranked
+        .groupBy("event_type")
+        .agg(
+          max(when(col("rn") === ceil(lit(0.01) * col("n")).cast("long"),
+            col("value"))).as("lo"),
+          max(when(col("rn") === ceil(lit(0.99) * col("n")).cast("long"),
+            col("value"))).as("hi"))
+      ev.join(broadcast(thresholds), Seq("event_type"))
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+          sum(when(col("value") < col("lo"), 1).otherwise(0)).as("n_low"),
+          sum(when(col("value") > col("hi"), 1).otherwise(0)).as("n_high"),
+          round(sum(
+            when(col("value") < col("lo"), col("lo"))
+              .when(col("value") > col("hi"), col("hi"))
+              .otherwise(col("value"))), 4).as("sum_winsorized"))
+        .select(col("event_type"), col("lo"), col("hi"),
+          col("n_low"), col("n_high"), col("sum_winsorized"))
+        .orderBy("event_type")
+    }
+  )
+}

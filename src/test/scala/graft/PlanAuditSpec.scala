@@ -213,4 +213,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q106/q107: quantization and z-order stats are join-free") {
+    Seq("q106_embed_quantize", "q107_zorder_stats").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
+
+  test("q108: per-type thresholds broadcast back to the clip pass") {
+    val p = plan("q108_winsorize")
+    assert(p.contains("BroadcastHashJoin"), s"thresholds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
