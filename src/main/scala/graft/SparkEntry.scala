@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsExtras, Chunking, CoreRelational,
-  Curation, ExtendedRelational, Multimodal, ScalarFunctions, Scrub,
-  Similarity, StorageLayout, StreamWindows, TextAnalysis, TextDedup}
+import graft.operators.{AnalyticsExtras, CatalogOps, Chunking,
+  CoreRelational, Curation, ExtendedRelational, Multimodal,
+  ScalarFunctions, Scrub, Similarity, StorageLayout, StreamWindows,
+  TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module contributes `Seq[QueryDef]`; this object is just the merge
@@ -20,6 +21,7 @@ object SparkEntry {
     Scrub.defs,
     Curation.defs,
     StorageLayout.defs,
+    CatalogOps.defs,
     Similarity.defs,
     TextAnalysis.defs,
     Multimodal.defs,

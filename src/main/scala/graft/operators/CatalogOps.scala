@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.sources.JdbcConnector
+
+/** Catalog / connector / DML surface (SURVEY.md §2B rows previously
+  * declared Skip — external connectors, statistics, transactions/DML —
+  * now implemented with what the Spark classpath already ships):
+  *
+  *  - q109: a REAL external JDBC roundtrip against the embedded Apache
+  *    Derby engine (on every Spark classpath): dimension sync out, then
+  *    a range-partitioned parallel read back (N concurrent cursors over
+  *    key strides — the only JDBC ingest shape that scales past one
+  *    connection) with the filter pushed into the remote SQL;
+  *  - q110: ANALYZE-backed table+column statistics, read back from the
+  *    catalog — rowCount / nullCount / exact min/max per column. These
+  *    are the numbers CBO join-reorder and broadcast-threshold decisions
+  *    consume; emitting them as a result set lets the DuckDB oracle
+  *    verify the statistics machinery end-to-end (distinctCount is HLL-
+  *    approximate in Spark, so it stays out of the hash-compared set);
+  *  - q111: MERGE-style upsert semantics as a copy-on-write plan —
+  *    deletes anti-joined out, updates replaced, inserts unioned — the
+  *    exact rewrite every pre-ACID lake (and Delta/Iceberg underneath)
+  *    executes; the change set derives deterministically from the same
+  *    md5 gate as q87/q88 so both engines agree bit-for-bit. The
+  *    write-path (partition-overwrite COW to parquet and re-read) is
+  *    spec-verified in CatalogOpsSpec.
+  *
+  * Scale notes (100 TB posture): the JDBC path is dimension-sized by
+  * design (an RDBMS is never the fact path); ANALYZE is two scans that
+  * run once per table mutation, amortized across every plan that uses
+  * the stats; the COW merge shuffles the fact side once on the join key
+  * and rewrites only what changed when partition-scoped.
+  */
+object CatalogOps {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Deterministic md5 bucket on the order key (q87/q88 discipline). */
+  private def keyGate =
+    graft.plans.HexWindowToLong.hexWindow(
+      md5(encode(col("o_orderkey").cast("string"), "UTF-8")), 1) % 100
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── external connector roundtrip: supplier → Derby (overwrite) →
+    //    range-partitioned parallel read (4 cursors) → pushed filter →
+    //    aggregate. The oracle reads the same parquet directly, so the
+    //    hash proves the connector loses nothing in either direction.
+    QueryDef(
+      "q109_jdbc_roundtrip",
+      """SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(s_acctbal), 4) AS bal
+        |FROM supplier WHERE s_acctbal > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      JdbcConnector.write(T(s, dir, "supplier"), "graftdb", "supplier_dim")
+      JdbcConnector.readPartitioned(s, "graftdb", "supplier_dim",
+          partCol = "s_suppkey", lower = 0L, upper = 1L << 20,
+          numPartitions = 4)
+        .filter(col("s_acctbal") > 0)
+        .groupBy(col("s_nationkey").cast("int").as("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 4).as("bal"))
+        .orderBy("s_nationkey")
+    },
+
+    // ── ANALYZE-backed statistics: register an external catalog table
+    //    over the orders parquet, compute table+column stats, read them
+    //    back from the catalog. rowCount/nullCount/min/max are exact in
+    //    Spark's ColumnStat, so the oracle can recompute them.
+    QueryDef(
+      "q110_column_stats",
+      """SELECT col, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_null AS BIGINT) AS n_null, min_v, max_v
+        |FROM (
+        |  SELECT 'o_custkey' AS col, count(*) AS n_rows,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |    CAST(min(o_custkey) AS DOUBLE) AS min_v,
+        |    CAST(max(o_custkey) AS DOUBLE) AS max_v FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*),
+        |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+        |    min(o_totalprice), max(o_totalprice) FROM orders
+        |) ORDER BY col""".stripMargin) { (s, dir) =>
+      val tbl = "graft_orders_stats"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$dir/orders.parquet'")
+      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS " +
+        "FOR COLUMNS o_custkey, o_totalprice")
+      val stats = s.sessionState.catalog
+        .getTableMetadata(TableIdentifier(tbl)).stats.get
+      val nRows = stats.rowCount.get.toLong
+      val rows = Seq("o_custkey", "o_totalprice").map { c =>
+        val cs = stats.colStats(c)
+        (c, nRows, cs.nullCount.get.toLong,
+          cs.min.get.toDouble, cs.max.get.toDouble)
+      }
+      import s.implicits._
+      rows.toDF("col", "n_rows", "n_null", "min_v", "max_v")
+        .orderBy("col")
+    },
+
+    // ── MERGE upsert semantics (copy-on-write rewrite): 5% of orders
+    //    deleted, 10% repriced (+10.0 — exact in IEEE on both engines),
+    //    5% re-inserted under shifted keys with status 'N'. target
+    //    ANTI-JOIN touched-keys ∪ updates ∪ inserts = the COW plan.
+    QueryDef(
+      "q111_merge_upsert",
+      """WITH g AS (SELECT *,
+        |  ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+        |    % 100 AS bk FROM orders),
+        |upd AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0
+        |          AS o_totalprice FROM g WHERE bk >= 5 AND bk < 15),
+        |ins AS (SELECT o_orderkey + 10000000 AS o_orderkey,
+        |          'N' AS o_orderstatus, o_totalprice FROM g WHERE bk >= 95),
+        |keep AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |         FROM g WHERE bk >= 15)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM keep
+        |UNION ALL SELECT * FROM upd
+        |UNION ALL SELECT * FROM ins
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("bk", keyGate)
+      val deletes = base.filter(col("bk") < 5)           // drop outright
+      val updates = base.filter(col("bk") >= 5 && col("bk") < 15)
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      val inserts = base.filter(col("bk") >= 95)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"))
+      val touched = deletes.select("o_orderkey")
+        .union(updates.select("o_orderkey"))
+      base.join(touched, Seq("o_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .union(updates.select("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .union(inserts)
+        .orderBy("o_orderkey")
+    }
+  )
+}

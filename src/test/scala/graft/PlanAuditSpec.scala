@@ -226,4 +226,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"thresholds must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q111: COW merge anti-joins the touched keys via broadcast") {
+    val p = plan("q111_merge_upsert")
+    assert(p.contains("BroadcastHashJoin"),
+      s"touched-key set must broadcast into the anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
