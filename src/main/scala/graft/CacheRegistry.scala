@@ -40,8 +40,13 @@ object CacheRegistry {
     * nested computeIfAbsent on one ConcurrentHashMap throws
     * IllegalStateException("Recursive update") when the two keys land in
     * the same bin. The putIfAbsent race (two threads building the same
-    * frame) is benign: the loser unpersists its copy and adopts the
-    * winner's — and in practice the driver is single-threaded anyway. */
+    * frame) is benign ONLY because the loser does NOT unpersist: both
+    * builds produce the same canonicalized plan, so CacheManager holds
+    * ONE shared cache entry for them — an unpersist here would evict the
+    * winner's entry too and silently de-cache the registry's frame. The
+    * loser's persist was a no-op on the shared entry, so dropping its
+    * local reference leaks nothing. (In practice the driver is
+    * single-threaded anyway.) */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = (s, key)
     val hit = entries.get(k)
@@ -54,8 +59,7 @@ object CacheRegistry {
         })
       val built = build.persist(StorageLevel.MEMORY_AND_DISK)
       val prev = entries.putIfAbsent(k, built)
-      if (prev == null) built
-      else { built.unpersist(); prev }
+      if (prev == null) built else prev
     }
   }
 

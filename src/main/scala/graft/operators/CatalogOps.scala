@@ -42,8 +42,7 @@ object CatalogOps {
 
   /** Deterministic md5 bucket on the order key (q87/q88 discipline). */
   private def keyGate =
-    graft.plans.HexWindowToLong.hexWindow(
-      md5(encode(col("o_orderkey").cast("string"), "UTF-8")), 1) % 100
+    graft.plans.HexWindowToLong.md5Bucket(col("o_orderkey"), 100)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -51,6 +50,9 @@ object CatalogOps {
     //    range-partitioned parallel read (4 cursors) → pushed filter →
     //    aggregate. The oracle reads the same parquet directly, so the
     //    hash proves the connector loses nothing in either direction.
+    //    Stride bounds derive from the data (one tiny dim aggregate) —
+    //    hard-coded bounds would dump every row into the first cursor
+    //    and silently serialize the "parallel" read.
     QueryDef(
       "q109_jdbc_roundtrip",
       """SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
@@ -58,9 +60,11 @@ object CatalogOps {
         |  round(sum(s_acctbal), 4) AS bal
         |FROM supplier WHERE s_acctbal > 0
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      JdbcConnector.write(T(s, dir, "supplier"), "graftdb", "supplier_dim")
+      val sup = T(s, dir, "supplier")
+      JdbcConnector.write(sup, "graftdb", "supplier_dim")
+      val b = sup.agg(min("s_suppkey"), max("s_suppkey")).head()
       JdbcConnector.readPartitioned(s, "graftdb", "supplier_dim",
-          partCol = "s_suppkey", lower = 0L, upper = 1L << 20,
+          partCol = "s_suppkey", lower = b.getLong(0), upper = b.getLong(1),
           numPartitions = 4)
         .filter(col("s_acctbal") > 0)
         .groupBy(col("s_nationkey").cast("int").as("s_nationkey"))

@@ -46,8 +46,7 @@ object Curation {
   /** Same deterministic md5 doc gate as q87/q88/q104: first 15 hex chars
     * of md5(doc_id) as a long, mod `m`. */
   private def docGate(m: Int): Column =
-    HexWindowToLong.hexWindow(
-      md5(encode(col("doc_id").cast("string"), "UTF-8")), 1) % m
+    HexWindowToLong.md5Bucket(col("doc_id"), m)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -117,6 +116,9 @@ object Curation {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       val f = tok.groupBy("t").agg(count(lit(1)).as("c"))
       val n = f.agg(sum("c").as("total"))
+      // broadcast holds while the vocabulary fits an executor (true for
+      // any capped/BPE vocab); for open-web raw-token vocabs drop the
+      // hint and let the planner shuffle the scoring join instead
       tok.join(broadcast(f), Seq("t"))
         .crossJoin(broadcast(n))
         .groupBy("doc_id")
@@ -197,6 +199,7 @@ object Curation {
       val gt = gc.agg(sum("g").as("n"))
       val ps = col("c") * lit(1.0) / col("ns")
       val pg = col("g") * lit(1.0) / col("n")
+      // gc is vocab-sized — same broadcast caveat as q103's freq table
       c.join(broadcast(st), Seq("source"))
         .join(broadcast(gc), Seq("t"))
         .crossJoin(broadcast(gt))

@@ -131,13 +131,14 @@ object Multimodal {
         |       FROM g LEFT JOIN h ON g.doc_id = h.doc_id AND g.bin = h.bin
         |       GROUP BY g.doc_id),
         |s AS (SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes,
-        |        (SELECT CAST(sum(byte) AS BIGINT) FROM b
+        |        (SELECT CAST(coalesce(sum(byte), 0) AS BIGINT) FROM b
         |         WHERE b.doc_id = documents.doc_id) AS sum_bytes,
         |        CAST((length(text) + 3) // 4 AS INTEGER) AS resized_bytes,
-        |        md5(array_to_string(
+        |        CASE WHEN length(text) = 0 THEN md5('')
+        |             ELSE md5(array_to_string(
         |          [substr(text, i, 1)
         |           for i in range(1, length(text) + 1) if (i - 1) % 4 = 0],
-        |          '')) AS resized_md5
+        |          '')) END AS resized_md5
         |      FROM documents)
         |SELECT s.doc_id, s.n_bytes, s.sum_bytes, hs.histogram,
         |  s.resized_bytes, s.resized_md5

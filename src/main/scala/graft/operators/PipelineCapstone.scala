@@ -240,8 +240,7 @@ object PipelineCapstone {
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val bucket = graft.plans.HexWindowToLong.hexWindow(
-        md5(encode(col("doc_id").cast("string"), "UTF-8")), 1) % 10
+      val bucket = graft.plans.HexWindowToLong.md5Bucket(col("doc_id"), 10)
       T(s, dir, "documents")
         .filter(bucket === 0)
         .select("doc_id", "lang", "source")
@@ -263,8 +262,7 @@ object PipelineCapstone {
         |SELECT split, lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS total_words
         |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin) {
       (s, dir) =>
-        val bucket = graft.plans.HexWindowToLong.hexWindow(
-          md5(encode(col("doc_id").cast("string"), "UTF-8")), 1) % 100
+        val bucket = graft.plans.HexWindowToLong.md5Bucket(col("doc_id"), 100)
         T(s, dir, "documents")
           .select(
             when(bucket < 80, "train").when(bucket < 90, "val")
@@ -321,8 +319,7 @@ object PipelineCapstone {
         |  (cum - n_tok) // 2048 AS seq_id,
         |  (cum - n_tok) % 2048 AS seq_off
         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val shard = graft.plans.HexWindowToLong.hexWindow(
-        md5(encode(col("doc_id").cast("string"), "UTF-8")), 1) % 8
+      val shard = graft.plans.HexWindowToLong.md5Bucket(col("doc_id"), 8)
       val w = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T(s, dir, "documents")

@@ -36,8 +36,7 @@ object Scrub {
 
   /** Same deterministic md5 doc-bucket as q88/q92: bk<80 train, bk>=90 test. */
   private def bucket =
-    graft.plans.HexWindowToLong.hexWindow(
-      md5(encode(col("doc_id").cast("string"), "UTF-8")), 1) % 100
+    graft.plans.HexWindowToLong.md5Bucket(col("doc_id"), 100)
 
   /** doc_ids of TRAIN docs sharing ≥1 shingle with the eval vocabulary —
     * exact broadcast-semi-join path (the default: eval vocabs fit in a
@@ -57,15 +56,20 @@ object Scrub {
   private[operators] def bloomPrefilteredContaminated(
       train: DataFrame, testVocab: DataFrame): DataFrame = {
     val spark = train.sparkSession
-    val expected = math.max(testVocab.count(), 1L)
-    val bf = testVocab.stat.bloomFilter("tok", expected, 0.03)
+    // the vocab frame feeds THREE actions (count, bloomFilter, and the
+    // verify join) — persist it once or the explode+distinct scan that
+    // this path exists to amortize runs three times
+    val tv = testVocab.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val expected = math.max(tv.count(), 1L)
+    val bf = tv.stat.bloomFilter("tok", expected, 0.03)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf((t: String) => t != null && bfB.value.mightContainString(t))
     train.select(col("doc_id"), explode(col("sh")).as("tok"))
       .filter(mightContain(col("tok")))
       // exact verify: shuffle semi join (hint the small side away from
       // broadcast to exercise the shape the bloom path exists for)
-      .join(testVocab.hint("shuffle_hash"), Seq("tok"), "left_semi")
+      .join(tv.hint("shuffle_hash"), Seq("tok"), "left_semi")
       .select("doc_id").distinct()
   }
 

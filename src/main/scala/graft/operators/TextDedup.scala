@@ -503,8 +503,7 @@ object TextDedup {
         |  round(count(*) * 1.0 / n_shingles, 4) AS contamination
         |FROM te JOIN tr USING (tok)
         |GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val bucket = graft.plans.HexWindowToLong.hexWindow(
-        md5(encode(col("doc_id").cast("string"), "UTF-8")), 1) % 100
+      val bucket = graft.plans.HexWindowToLong.md5Bucket(col("doc_id"), 100)
       val withSplit = docShingles(s, dir).withColumn("bk", bucket)
       val train = withSplit.filter(col("bk") < 80)
         .select(explode(col("sh")).as("tok")).distinct()

@@ -66,9 +66,20 @@ case class HexWindowToLong(left: Expression, right: Expression)
 
 object HexWindowToLong {
   import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col => _, encode, md5}
+
   def hexWindow(hex: Column, offset1Based: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(
       HexWindowToLong(
         org.apache.spark.sql.graft.Bridge.expression(hex),
         org.apache.spark.sql.catalyst.expressions.Literal(offset1Based)))
+
+  /** THE deterministic sampling/split gate every operator shares
+    * (q87/q88/q92/q99/q104/q111, pack-sequence sharding, ...): first 15
+    * hex chars of md5(key) as a long, mod `mod`. DuckDB twin:
+    * `('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT % mod`.
+    * ONE definition — the train/test splits of different operators are
+    * documented to agree, so the expression must never fork per site. */
+  def md5Bucket(key: Column, mod: Int): Column =
+    hexWindow(md5(encode(key.cast("string"), "UTF-8")), 1) % mod
 }

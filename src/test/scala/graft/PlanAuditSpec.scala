@@ -172,11 +172,12 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("q97_chunk_cdc")
     assert(!p.contains("Join"), s"q97 must not join:\n$p")
     // the running-boundary sum must be keyed per document — a window
-    // without partitioning serializes the whole corpus through one task
+    // without partitioning serializes the whole corpus through one task.
+    // windowspecdefinition(doc_id#N, ...) is the partition spec; a plain
+    // "[doc_id" occurrence would also match projections and prove nothing
     assert(p.contains("Window"), p)
-    assert("partitionBy=\\[doc_id".r.findFirstIn(p).isDefined
-      || "PartitionBy: \\[doc_id".r.findFirstIn(p).isDefined
-      || p.contains("[doc_id"), s"window must partition by doc_id:\n$p")
+    assert("windowspecdefinition\\(doc_id#".r.findFirstIn(p).isDefined,
+      s"window must partition by doc_id:\n$p")
   }
 
   test("q99: decontamination joins broadcast the eval vocabulary, never shuffle the train side") {

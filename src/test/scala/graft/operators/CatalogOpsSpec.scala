@@ -27,12 +27,19 @@ class CatalogOpsSpec extends SparkTestBase {
   }
 
   test("partitioned JDBC read pushes the filter and splits into cursors") {
-    JdbcConnector.write(Tables(spark, sf, "supplier"), "spectest", "supplier_pp")
+    val src = Tables(spark, sf, "supplier")
+    JdbcConnector.write(src, "spectest", "supplier_pp")
+    val b = src.agg(min("s_suppkey"), max("s_suppkey")).head()
     val df = JdbcConnector.readPartitioned(spark, "spectest", "supplier_pp",
-      "s_suppkey", 0L, 1L << 20, 4).filter(col("s_acctbal") > 0)
+      "s_suppkey", b.getLong(0), b.getLong(1), 4)
     assert(df.rdd.getNumPartitions == 4,
       "4 range strides must become 4 concurrent cursors")
-    val p = df.queryExecution.executedPlan.toString
+    // the strides must actually split the key range — every cursor
+    // carries rows (hard-coded bounds would drain all rows through one)
+    val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.count(_ > 0) == 4, s"empty JDBC strides: ${sizes.toSeq}")
+    val p = df.filter(col("s_acctbal") > 0)
+      .queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(s_acctbal"),
       s"filter must ship into the remote SQL:\n$p")
   }
