@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AnalyticsExtras, CatalogOps, Chunking,
-  CoreRelational, Curation, ExtendedRelational, Multimodal,
+  CoreRelational, Curation, ExtendedRelational, FeaturePrep, Multimodal,
   ScalarFunctions, Scrub, Similarity, StorageLayout, StreamWindows,
   TextAnalysis, TextDedup}
 
@@ -22,6 +22,7 @@ object SparkEntry {
     Curation.defs,
     StorageLayout.defs,
     CatalogOps.defs,
+    FeaturePrep.defs,
     Similarity.defs,
     TextAnalysis.defs,
     Multimodal.defs,

@@ -228,6 +228,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q112: example windows are keyed per user — no global sort, no join") {
+    val p = plan("q112_next_event_examples")
+    assert("windowspecdefinition\\(user_id#".r.findFirstIn(p).isDefined,
+      s"window must partition by user_id:\n$p")
+    assert(!p.contains("Join"), s"q112 must not join:\n$p")
+  }
+
+  test("q113: per-type stats broadcast back to the normalization map") {
+    val p = plan("q113_zscore_normalize")
+    assert(p.contains("BroadcastHashJoin"), s"stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q111: COW merge anti-joins the touched keys via broadcast") {
     val p = plan("q111_merge_upsert")
     assert(p.contains("BroadcastHashJoin"),
