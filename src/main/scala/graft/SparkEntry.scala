@@ -17,6 +17,7 @@ object SparkEntry {
     CoreRelational.defs,
     ExtendedRelational.defs,
     TextDedup.defs,
+    graft.operators.Search.defs,
     Chunking.defs,
     Scrub.defs,
     Curation.defs,

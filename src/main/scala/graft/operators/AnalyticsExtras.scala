@@ -131,6 +131,27 @@ object AnalyticsExtras {
         .union(T(s, dir, "nation").select(col("n_nationkey").as("nationkey")))
         .groupBy("nationkey").agg(count(lit(1)).as("n"))
         .orderBy("nationkey")
+    },
+
+    // ── key-skew diagnostic: the counts-of-counts histogram of
+    //    orders.o_custkey (how many keys occur exactly cnt times) — the
+    //    profile that decides salting / AQE-skew-join settings before a
+    //    big shuffle. Two chained partial-agg groupBys; the second input
+    //    is one row per key, so the histogram costs O(keys), not O(rows),
+    //    and the answer frame is O(max multiplicity) — tiny at any scale.
+    QueryDef(
+      "q120_key_skew_histogram",
+      """WITH k AS (SELECT o_custkey, count(*) AS cnt FROM orders
+        |           GROUP BY o_custkey)
+        |SELECT CAST(cnt AS BIGINT) AS cnt, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(cnt * count(*) AS BIGINT) AS n_rows
+        |FROM k GROUP BY cnt ORDER BY cnt""".stripMargin) { (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        .groupBy("cnt").agg(count(lit(1)).as("n_keys"))
+        .select(col("cnt"), col("n_keys"),
+          (col("cnt") * col("n_keys")).as("n_rows"))
+        .orderBy("cnt")
     }
   )
 }

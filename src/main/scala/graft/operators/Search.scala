@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+
+/** Keyword / lexical retrieval over `documents` (SURVEY.md §2C "text
+  * analysis" extended to the search side of a data pipeline): inverted
+  * index construction, BM25 ranking, and reciprocal-rank fusion of the
+  * lexical and embedding retrievers — the standard hybrid-search stack.
+  *
+  * Scale notes (100 TB posture):
+  *  - the inverted index is the canonical explode → two-phase groupBy:
+  *    partial aggregation combines per-partition postings before the one
+  *    shuffle keyed by term, so network traffic is O(vocabulary·docs-
+  *    per-term-sample), never O(tokens); at cluster scale the term is
+  *    the natural partition key for serving;
+  *  - BM25 needs only per-doc term frequencies (narrow map over the
+  *    text column — no tokenize shuffle at all, since the query terms
+  *    are known) plus one global stats row (count/sumdl/df per term)
+  *    broadcast back: the whole ranking is scan + broadcast + top-k
+  *    (TakeOrderedAndProject), the same shape at any corpus size;
+  *  - RRF joins two top-R rank lists on doc id; each retriever's rank
+  *    assignment is a window over its own score order. At 100 TB each
+  *    retriever would pre-limit to its top-R (R « corpus) before the
+  *    fusion join, which this plan preserves by ranking narrow
+  *    projections, not full rows.
+  *
+  * Oracle discipline: tf/dl/df are integers; avgdl enters as the single
+  * double `sdl·1.0/n`; every float expression is written with identical
+  * association on both engines and rounded to 4 dp; ranks order by the
+  * ROUNDED score with doc-id tiebreak so a final-ulp difference can
+  * never reorder the output.
+  */
+object Search {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Fixed query terms for the ranking queries (mid-frequency members of
+    * the synthetic corpus's 31-word vocabulary). */
+  private val terms = Seq("hash", "scan", "filter")
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** Per-doc BM25 features: dl + tf per query term — one narrow map. */
+  private def docFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    T(s, dir, "documents").select(
+      col("doc_id") +: size(ws).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(ws, w => w === lit(t))).as(s"tf${i + 1}")
+        }: _*)
+  }
+
+  /** BM25-scored docs: doc_id, dl, tf1..tf3, score (rounded 4 dp). */
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    val d = docFeatures(s, dir)
+    val stCols = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf${i + 1}") > 0, 1).otherwise(0)).as(s"df${i + 1}"))
+    val st = d.agg(stCols.head, stCols.tail: _*)
+    val ad = col("sdl") * lit(1.0) / col("n")
+    def idf(i: Int): Column =
+      log((col("n") - col(s"df${i + 1}") + lit(0.5))
+        / (col(s"df${i + 1}") + lit(0.5)) + lit(1))
+    def termScore(i: Int): Column =
+      idf(i) * col(s"tf${i + 1}") * lit(K1 + 1) /
+        (col(s"tf${i + 1}") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / ad))
+    d.crossJoin(broadcast(st))
+      .select(col("doc_id"), col("dl").cast("int").as("dl"),
+        col("tf1").cast("int").as("tf1"), col("tf2").cast("int").as("tf2"),
+        col("tf3").cast("int").as("tf3"),
+        round(termScore(0) + termScore(1) + termScore(2), 4).as("score"))
+  }
+
+  /** Oracle twin of [[bm25]] — identical expression association. */
+  private val oracleBm25: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |d AS (SELECT doc_id, len(ws) AS dl,
+      |  len(list_filter(ws, w -> w = 'hash')) AS tf1,
+      |  len(list_filter(ws, w -> w = 'scan')) AS tf2,
+      |  len(list_filter(ws, w -> w = 'filter')) AS tf3 FROM t),
+      |st AS (SELECT count(*) AS n, sum(dl) AS sdl,
+      |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+      |  sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM d),
+      |sc AS (SELECT doc_id, CAST(dl AS INTEGER) AS dl,
+      |  CAST(tf1 AS INTEGER) AS tf1, CAST(tf2 AS INTEGER) AS tf2,
+      |  CAST(tf3 AS INTEGER) AS tf3,
+      |  round(ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2
+      |          / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sdl * 1.0 / n)))
+      |      + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2
+      |          / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sdl * 1.0 / n)))
+      |      + ln((n - df3 + 0.5) / (df3 + 0.5) + 1) * tf3 * 2.2
+      |          / (tf3 + 1.2 * (0.25 + 0.75 * dl / (sdl * 1.0 / n))), 4)
+      |    AS score
+      |  FROM d, st)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── inverted index: term → collection frequency, doc frequency, and
+    //    the first 5 postings (sorted doc ids, serialized — the index
+    //    page a keyword-serving layer would store per term)
+    QueryDef(
+      "q114_inverted_index",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents)
+        |SELECT word, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT doc_id) AS INTEGER) AS df,
+        |  array_to_string(list_sort(list_distinct(list(doc_id)))[1:5], ',')
+        |    AS postings
+        |FROM w GROUP BY word ORDER BY word""".stripMargin) { (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).cast("int").as("df"),
+          concat_ws(",",
+            slice(array_sort(collect_set(col("doc_id"))), 1, 5)).as("postings"))
+        .orderBy("word")
+    },
+
+    // ── BM25 top-10 for the fixed 3-term query (k1=1.2, b=0.75); order
+    //    by the ROUNDED score so a last-ulp difference cannot reorder
+    QueryDef(
+      "q115_bm25_topk",
+      oracleBm25 +
+        "\nSELECT doc_id, dl, tf1, tf2, tf3, score FROM sc " +
+        "ORDER BY score DESC, doc_id LIMIT 10") { (s, dir) =>
+      bm25(s, dir).orderBy(col("score").desc, col("doc_id")).limit(10)
+    },
+
+    // ── hybrid search: reciprocal-rank fusion (k=60) of the BM25 and
+    //    embedding-cosine retrievers (query vector vec_id=0), each
+    //    pre-limited to its top-100. The limit runs FIRST (per-partition
+    //    heap-k via TakeOrderedAndProject, fully parallel), so the rank
+    //    window only ever sees 100 rows — the single-partition window is
+    //    bounded by R, not by the corpus. Standard RRF-over-top-R
+    //    semantics: docs outside either top-100 drop at the inner join.
+    QueryDef(
+      "q116_hybrid_rrf",
+      oracleBm25 +
+        """,
+          |rb AS (SELECT doc_id, lex_rank FROM (SELECT doc_id,
+          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+          |    AS lex_rank FROM sc) WHERE lex_rank <= 100),
+          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |nn AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+          |q AS (SELECT v AS qv, nrm AS qnrm FROM nn WHERE vec_id = 0),
+          |cs AS (SELECT vec_id,
+          |  round(list_sum([nn.v[i]*q.qv[i] for i in range(1, len(nn.v)+1)])
+          |        / (nn.nrm*q.qnrm), 4) AS cos_sim
+          |  FROM nn, q WHERE vec_id <> 0),
+          |rc AS (SELECT vec_id, sem_rank FROM (SELECT vec_id,
+          |  CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER)
+          |    AS sem_rank FROM cs) WHERE sem_rank <= 100)
+          |SELECT doc_id, lex_rank, sem_rank,
+          |  round(1.0 / (60 + lex_rank) + 1.0 / (60 + sem_rank), 6) AS rrf
+          |FROM rb JOIN rc ON rb.doc_id = rc.vec_id
+          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val wb = Window.orderBy(col("score").desc, col("doc_id"))
+      val lex = bm25(s, dir)
+        .orderBy(col("score").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), row_number().over(wb).as("lex_rank"))
+      val vs = Similarity.vectors(s, dir)
+      val q = vs.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val wc = Window.orderBy(col("cos_sim").desc, col("vec_id"))
+      val sem = vs.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosineFast(col("v"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(100)
+        .select(col("vec_id"), row_number().over(wc).as("sem_rank"))
+      lex.join(sem, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+          round(lit(1.0) / (lit(60) + col("lex_rank"))
+            + lit(1.0) / (lit(60) + col("sem_rank")), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }
+  )
+}

@@ -92,6 +92,24 @@ object TextDedup {
           (0 until 8).map(k => col("ms").getItem(k).as(s"mh$k")): _*)
     }
 
+  /** Distinct LSH candidate pairs (doc_i < doc_j) from the 4-band × 2-row
+    * banding of the MinHash signatures — the sub-quadratic candidate
+    * generator q44 reports on and q117 audits. Equality join on
+    * (band, band_value): the partition key at cluster scale. */
+  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bv"))): _*
+    )).as("bd")).select(col("doc_id"), col("bd.band"), col("bd.bv"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+  }
+
   /** Shared oracle CTE prefix: shingles + 8 md5 minhashes per doc. */
   private val oracleSig: String =
     """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
@@ -347,16 +365,7 @@ object TextDedup {
           |   OR (a.mh4=b.mh4 AND a.mh5=b.mh5) OR (a.mh6=b.mh6 AND a.mh7=b.mh7)
           |ORDER BY doc_i, doc_j""".stripMargin) { (s, dir) =>
       val sig = signatures(s, dir) // shared persisted cache (also q41)
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until 4).map(b => struct(lit(b).as("band"),
-          concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bv"))): _*
-      )).as("bd")).select(col("doc_id"), col("bd.band"), col("bd.bv"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-        .distinct()
+      val cand = lshCandidatePairs(s, dir)
       val a = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
       val b = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
       def eq(k: Int): Column =
@@ -516,6 +525,50 @@ object TextDedup {
         .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
           round(col("n_overlap") / col("n_shingles"), 4).as("contamination"))
         .orderBy("doc_id")
+    },
+
+    // ── LSH quality audit: recall/precision of the banded MinHash
+    //    candidate generator (q44's pairs) against exact Jaccard ≥ 0.5
+    //    ground truth (q42's pairs) — the acceptance test any production
+    //    dedup pipeline runs before trusting its sub-quadratic path.
+    //    One full-outer join of two narrow pair sets then a single global
+    //    count row; all outputs integers (counts + basis points, with
+    //    floor(a*10000.0/b) exact for int-valued quotients on both
+    //    engines since 10000·a is integer-exact in double).
+    QueryDef(
+      "q117_lsh_recall",
+      oracleSig +
+        """,
+          |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+          |  len(list_intersect(a.s, b.s)) AS c, len(a.s) AS na, len(b.s) AS nb
+          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+          |tr AS (SELECT doc_i, doc_j FROM p WHERE 3*c >= na + nb),
+          |cd AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+          |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+          |  WHERE (a.mh0=b.mh0 AND a.mh1=b.mh1) OR (a.mh2=b.mh2 AND a.mh3=b.mh3)
+          |     OR (a.mh4=b.mh4 AND a.mh5=b.mh5) OR (a.mh6=b.mh6 AND a.mh7=b.mh7)),
+          |hit AS (SELECT count(*) AS n_hit FROM tr JOIN cd USING (doc_i, doc_j))
+          |SELECT CAST((SELECT count(*) FROM tr) AS INTEGER) AS n_truth,
+          |  CAST((SELECT count(*) FROM cd) AS INTEGER) AS n_cand,
+          |  CAST(n_hit AS INTEGER) AS n_hit,
+          |  CAST(floor(n_hit * 10000.0 / (SELECT count(*) FROM tr)) AS BIGINT)
+          |    AS recall_bp,
+          |  CAST(floor(n_hit * 10000.0 / (SELECT count(*) FROM cd)) AS BIGINT)
+          |    AS precision_bp
+          |FROM hit""".stripMargin) { (s, dir) =>
+      val truth = jaccardPairs(s, dir)
+        .select(col("doc_i"), col("doc_j"), lit(1).as("in_t"))
+      val cand = lshCandidatePairs(s, dir)
+        .select(col("doc_i"), col("doc_j"), lit(1).as("in_c"))
+      truth.join(cand, Seq("doc_i", "doc_j"), "full")
+        .agg(count(col("in_t")).as("n_truth"),
+          count(col("in_c")).as("n_cand"),
+          count(when(col("in_t") === 1 && col("in_c") === 1, 1)).as("n_hit"))
+        .select(col("n_truth").cast("int").as("n_truth"),
+          col("n_cand").cast("int").as("n_cand"),
+          col("n_hit").cast("int").as("n_hit"),
+          floor(col("n_hit") * 10000.0 / col("n_truth")).as("recall_bp"),
+          floor(col("n_hit") * 10000.0 / col("n_cand")).as("precision_bp"))
     }
   )
 }

@@ -130,6 +130,80 @@ object TimeSeriesJoins {
             round(sum("pq"), 2).as("qty"),
             round(sum("pp") / sum("pn"), 4).as("avg_price"))
           .orderBy("l_returnflag")
+    },
+
+    // ── rolling 1-hour window per user: a RANGE frame keyed on epoch
+    //    seconds — the value-based frame ROWS windows (q23) can't
+    //    express. The frame is time-based, so simultaneous events are
+    //    peers regardless of input order (no ordering ambiguity). Money
+    //    sums in integer cents (round(value·100) — exact on both
+    //    engines; values are positive 2-dp synthetics) so the rolling
+    //    sum is integer arithmetic, immune to float accumulation-order.
+    //    One shuffle keyed by user_id; bounded per-user state at any
+    //    scale — the batch twin of a sliding stream aggregation.
+    QueryDef(
+      "q118_rolling_1h",
+      """WITH e AS (SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS INTEGER) AS n_1h,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("t")
+        .rangeBetween(-3600, Window.currentRow)
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("t"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).cast("int").as("n_1h"),
+          sum(col("cents")).over(w).as("cents_1h"))
+        .orderBy("event_id")
+    },
+
+    // ── gap-filled hourly resample (users 0–9): the grid comes from
+    //    sequence(min_hour, max_hour) per user — generated NEXT TO the
+    //    per-user bounds row, so grid construction is embarrassingly
+    //    parallel over users and never materializes a global calendar.
+    //    Left join hourly aggregates back onto the grid; missing hours
+    //    surface as explicit zero rows (what a forecasting/feature job
+    //    needs — absence is a value, not a missing row).
+    QueryDef(
+      "q119_gapfill_hourly",
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 10),
+        |hourly AS (SELECT user_id, h, count(*) AS n,
+        |  sum(cents) AS c FROM e GROUP BY user_id, h),
+        |b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e
+        |      GROUP BY user_id),
+        |g AS (SELECT user_id,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b)
+        |SELECT g.user_id, g.h,
+        |  CAST(coalesce(n, 0) AS INTEGER) AS n_events,
+        |  CAST(coalesce(c, 0) AS BIGINT) AS cents
+        |FROM g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h
+        |ORDER BY g.user_id, g.h""".stripMargin) { (s, dir) =>
+      val e = T(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+      val hourly = e.groupBy("user_id", "h")
+        .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      val grid = e.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("h"))
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          coalesce(col("n"), lit(0)).cast("int").as("n_events"),
+          coalesce(col("c"), lit(0)).cast("bigint").as("cents"))
+        .orderBy("user_id", "h")
     }
   )
 }

@@ -247,4 +247,27 @@ class PlanAuditSpec extends SparkTestBase {
       s"touched-key set must broadcast into the anti join:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q115: BM25 stats row broadcasts; top-k avoids a global sort") {
+    val p = plan("q115_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q118: rolling window keyed per user — exactly one shuffle") {
+    val p = plan("q118_rolling_1h")
+    assert("windowspecdefinition\\(user_id#".r.findFirstIn(p).isDefined,
+      s"window must partition by user_id:\n$p")
+    // one exchange for the user partitioning; the contract ORDER BY adds
+    // a rangepartitioning exchange — nothing else may shuffle
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q120: histogram is two chained partial-agg groupBys, no join") {
+    val p = plan("q120_key_skew_histogram")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"both groupBys must run partial+final:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Semantic invariants of the retrieval operators (q114–q117) and the
+  * time-series / diagnostics additions (q118–q120). */
+class SearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q114 inverted index: df <= tf, df bounded by corpus, postings sorted") {
+    val out = SparkEntry.queries("q114_inverted_index")(spark, sf).cache()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(out.filter($"df" > $"tf").count() == 0, "df can never exceed tf")
+    assert(out.filter($"df" > nDocs).count() == 0)
+    // postings are ascending doc ids
+    val bad = out.select(split($"postings", ",").cast("array<long>").as("p"))
+      .filter(expr(
+        "exists(sequence(1, size(p)-1), i -> p[i] <= p[i-1])"))
+    assert(bad.count() == 0, "postings must be strictly ascending")
+    out.unpersist()
+  }
+
+  test("q115 BM25: scores decrease down the list; zero-tf docs score 0") {
+    val rows = SparkEntry.queries("q115_bm25_topk")(spark, sf)
+      .select($"score", $"tf1" + $"tf2" + $"tf3").as[(Double, Int)].collect()
+    assert(rows.length == 10)
+    assert(rows.sliding(2).forall { case Array(a, b) => a._1 >= b._1 },
+      "top-k must be sorted by score desc")
+    rows.foreach { case (s, tfSum) =>
+      assert(tfSum > 0 || s == 0.0, "a doc with no query term scores 0")
+    }
+  }
+
+  test("q116 RRF: fused docs carry both ranks and rrf matches the formula") {
+    val rows = SparkEntry.queries("q116_hybrid_rrf")(spark, sf)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rb, rc, rrf) =>
+      assert(rb >= 1 && rb <= 100 && rc >= 1 && rc <= 100)
+      val want = BigDecimal(1.0 / (60 + rb) + 1.0 / (60 + rc))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rrf - want) < 1e-9, s"rrf=$rrf want=$want")
+    }
+  }
+
+  test("q117 recall audit: counts are consistent and recall/precision valid") {
+    val (nT, nC, nH, rBp, pBp) = SparkEntry.queries("q117_lsh_recall")(spark, sf)
+      .as[(Int, Int, Int, Long, Long)].head()
+    assert(nH <= nT && nH <= nC, "hits bound by both sets")
+    assert(rBp == nH.toLong * 10000 / nT && pBp == nH.toLong * 10000 / nC)
+    // banding theory: a pair at J >= 0.5 has per-band match prob >= .25;
+    // with 4 bands the generator should find at least one true pair here
+    assert(nH > 0, "LSH should recover at least one true near-dup pair")
+  }
+
+  test("q118 rolling 1h window includes the row itself and only same-user peers") {
+    val out = SparkEntry.queries("q118_rolling_1h")(spark, sf).cache()
+    assert(out.filter($"n_1h" < 1).count() == 0, "frame includes current row")
+    // a user's first event (by time) has exactly itself in the frame
+    val ev = Tables(spark, sf, "events")
+      .groupBy("user_id").agg(min("ts").as("ts0"))
+      .join(Tables(spark, sf, "events"), Seq("user_id"))
+      .filter($"ts" === $"ts0")
+      .groupBy("user_id").agg(min("event_id").as("event_id"))
+    val firsts = out.join(ev, Seq("user_id", "event_id"))
+    assert(firsts.filter($"n_1h" =!= 1).count() == 0,
+      "the chronologically first event of a user sees only itself")
+    out.unpersist()
+  }
+
+  test("q119 gap-fill: contiguous hourly grid per user, zeros on gaps") {
+    val out = SparkEntry.queries("q119_gapfill_hourly")(spark, sf).cache()
+    // grid is contiguous: rows per user == span hours + 1
+    val spans = out.groupBy("user_id")
+      .agg(count(lit(1)).as("rows"),
+        ((unix_timestamp(max($"h")) - unix_timestamp(min($"h"))) / 3600 + 1)
+          .as("hours"))
+    assert(spans.filter($"rows" =!= $"hours").count() == 0)
+    // zero-count rows exist (synthetic data has gaps) and carry zero cents
+    assert(out.filter($"n_events" === 0 && $"cents" =!= 0).count() == 0)
+    // totals reconcile with the raw table
+    val rawN = Tables(spark, sf, "events").filter($"user_id" < 10).count()
+    val gridN = out.agg(sum("n_events")).as[Long].head()
+    assert(gridN == rawN, s"gap-fill must preserve event totals ($gridN vs $rawN)")
+    out.unpersist()
+  }
+
+  test("q120 histogram: n_rows column reconciles with the orders table") {
+    val out = SparkEntry.queries("q120_key_skew_histogram")(spark, sf)
+    val total = out.agg(sum("n_rows")).as[Long].head()
+    assert(total == Tables(spark, sf, "orders").count(),
+      "sum(cnt * n_keys) must equal the table's row count")
+  }
+}
