@@ -18,6 +18,7 @@ object SparkEntry {
     ExtendedRelational.defs,
     TextDedup.defs,
     graft.operators.Search.defs,
+    graft.operators.GraphOps.defs,
     Chunking.defs,
     Scrub.defs,
     Curation.defs,

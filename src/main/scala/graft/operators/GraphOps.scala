@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Graph analytics over pipeline-derived graphs (SURVEY.md §2C): PageRank
+  * centrality on the near-dup candidate graph — the standard way to pick
+  * the canonical representative inside a duplicate cluster (rank high =
+  * most-connected version) and to find template/boilerplate hubs.
+  *
+  * Determinism discipline: ranks are integer fixed-point (1e6 = 1.0).
+  * Each step is floor(x·1.0/y) on exact-integer doubles (< 2^53), so
+  * both engines run the identical IEEE divide-then-floor and the whole
+  * iteration is bit-reproducible — no float accumulation order anywhere
+  * (sums are integer sums).
+  *
+  * Scale notes (100 TB posture): each iteration is one equality join
+  * (edges ⋈ ranks on src — at cluster scale both sides hash-partition by
+  * src and the join co-locates) plus one partial-agg'd groupBy(dst).
+  * Iterations are a fixed unrolled count (3), so the plan is static —
+  * the iterative-until-convergence variant with checkpointing every few
+  * rounds is q89's connected-components loop; this one pins the
+  * fixed-iteration shape the oracle can replay as unrolled CTEs.
+  */
+object GraphOps {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── 3-iteration integer fixed-point PageRank (d=0.85) over the
+    //    symmetrized MinHash-LSH candidate graph. r0 = 1e6 per node;
+    //    contrib = floor(r/deg); r' = 150000 + floor(85·Σcontrib/100).
+    QueryDef(
+      "q121_pagerank_neardup",
+      TextDedup.oracleSig +
+        """,
+          |cd AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+          |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+          |  WHERE (a.mh0=b.mh0 AND a.mh1=b.mh1) OR (a.mh2=b.mh2 AND a.mh3=b.mh3)
+          |     OR (a.mh4=b.mh4 AND a.mh5=b.mh5) OR (a.mh6=b.mh6 AND a.mh7=b.mh7)),
+          |sym AS (SELECT doc_i AS src, doc_j AS dst FROM cd
+          |        UNION ALL SELECT doc_j, doc_i FROM cd),
+          |deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+          |r0 AS (SELECT src AS id, 1000000::BIGINT AS r FROM deg),
+          |c1 AS (SELECT s.dst, CAST(floor(r.r * 1.0 / g.d) AS BIGINT) AS c
+          |       FROM sym s JOIN r0 r ON s.src = r.id JOIN deg g ON s.src = g.src),
+          |r1 AS (SELECT dst AS id,
+          |  CAST(150000 + floor(85 * sum(c) * 1.0 / 100) AS BIGINT) AS r
+          |  FROM c1 GROUP BY dst),
+          |c2 AS (SELECT s.dst, CAST(floor(r.r * 1.0 / g.d) AS BIGINT) AS c
+          |       FROM sym s JOIN r1 r ON s.src = r.id JOIN deg g ON s.src = g.src),
+          |r2 AS (SELECT dst AS id,
+          |  CAST(150000 + floor(85 * sum(c) * 1.0 / 100) AS BIGINT) AS r
+          |  FROM c2 GROUP BY dst),
+          |c3 AS (SELECT s.dst, CAST(floor(r.r * 1.0 / g.d) AS BIGINT) AS c
+          |       FROM sym s JOIN r2 r ON s.src = r.id JOIN deg g ON s.src = g.src),
+          |r3 AS (SELECT dst AS id,
+          |  CAST(150000 + floor(85 * sum(c) * 1.0 / 100) AS BIGINT) AS r
+          |  FROM c3 GROUP BY dst)
+          |SELECT g.src AS doc_id, CAST(g.d AS INTEGER) AS degree,
+          |  r3.r AS rank
+          |FROM deg g JOIN r3 ON g.src = r3.id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val cd = TextDedup.lshCandidatePairs(s, dir)
+        val sym = cd.select(col("doc_i").as("src"), col("doc_j").as("dst"))
+          .unionAll(cd.select(col("doc_j").as("src"), col("doc_i").as("dst")))
+        val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+        // edges with the source degree attached once — reused every round
+        val ed = sym.join(deg, "src")
+        var r: DataFrame = deg.select(col("src").as("id"),
+          lit(1000000L).as("r"))
+        for (_ <- 1 to 3) {
+          r = ed.join(r, col("src") === col("id"))
+            .select(col("dst"),
+              floor(col("r") * 1.0 / col("d")).as("c"))
+            .groupBy("dst")
+            .agg((lit(150000L)
+              + floor(lit(85) * sum(col("c")) * 1.0 / 100)).as("r"))
+            .select(col("dst").as("id"), col("r"))
+        }
+        deg.join(r, col("src") === col("id"))
+          .select(col("src").as("doc_id"), col("d").cast("int").as("degree"),
+            col("r").cast("bigint").as("rank"))
+          .orderBy("doc_id")
+    }
+  )
+}

@@ -94,24 +94,31 @@ object TextDedup {
 
   /** Distinct LSH candidate pairs (doc_i < doc_j) from the 4-band × 2-row
     * banding of the MinHash signatures — the sub-quadratic candidate
-    * generator q44 reports on and q117 audits. Equality join on
-    * (band, band_value): the partition key at cluster scale. */
-  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(s, dir)
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until 4).map(b => struct(lit(b).as("band"),
-        concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bv"))): _*
-    )).as("bd")).select(col("doc_id"), col("bd.band"), col("bd.bv"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .distinct()
-  }
+    * generator q44 reports on, q117 audits, and q121 ranks over.
+    * Equality join on (band, band_value): the partition key at cluster
+    * scale.
+    *
+    * Cached per (session, dir): three queries consume the pair set, and
+    * q121's unrolled PageRank iterations would otherwise replay the
+    * band join once per iteration (7s → sub-second at sf0.1). */
+  private[operators] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.cached(s, s"lsh-cand:$dir") {
+      val sig = signatures(s, dir)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bv"))): _*
+      )).as("bd")).select(col("doc_id"), col("bd.band"), col("bd.bv"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+        .distinct()
+    }
 
-  /** Shared oracle CTE prefix: shingles + 8 md5 minhashes per doc. */
-  private val oracleSig: String =
+  /** Shared oracle CTE prefix: shingles + 8 md5 minhashes per doc
+    * (also the prefix of GraphOps' q121 oracle). */
+  private[operators] val oracleSig: String =
     """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
       |sh AS (SELECT doc_id,
       |  list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s

@@ -204,6 +204,48 @@ object TimeSeriesJoins {
           coalesce(col("n"), lit(0)).cast("int").as("n_events"),
           coalesce(col("c"), lit(0)).cast("bigint").as("cents"))
         .orderBy("user_id", "h")
+    },
+
+    // ── gap-based sessionization: the lag + cumulative-sum composition —
+    //    a >30-min silence starts a new session; the running sum of
+    //    break flags IS the session id. Complements q61 (the built-in
+    //    session_window aggregate): this shape also yields the session
+    //    MEMBERSHIP of every event, which feeds per-session sequence
+    //    features, not just the aggregate. Both windows are keyed by
+    //    user_id — one shuffle, per-user state, embarrassingly parallel
+    //    over users at any scale. Epoch-second integers end to end.
+    QueryDef(
+      "q122_sessionize_gap",
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |x AS (SELECT user_id, event_id, t,
+        |  CASE WHEN t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id, event_id, t,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, CAST(sid AS INTEGER) AS session_id,
+        |  CAST(count(*) AS INTEGER) AS n_events,
+        |  CAST(min(t) AS BIGINT) AS start_s,
+        |  CAST(max(t) AS BIGINT) AS end_s,
+        |  CAST(max(t) - min(t) AS BIGINT) AS duration_s
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("t"))
+        .withColumn("brk",
+          when(col("t") - lag("t", 1).over(w) > 1800, 1).otherwise(0))
+        .withColumn("sid", sum("brk").over(cum))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).cast("int").as("n_events"),
+          min("t").as("start_s"), max("t").as("end_s"),
+          (max("t") - min("t")).as("duration_s"))
+        .select(col("user_id"), col("sid").cast("int").as("session_id"),
+          col("n_events"), col("start_s"), col("end_s"), col("duration_s"))
+        .orderBy("user_id", "session_id")
     }
   )
 }

@@ -95,4 +95,31 @@ class SearchSpec extends SparkTestBase {
     assert(total == Tables(spark, sf, "orders").count(),
       "sum(cnt * n_keys) must equal the table's row count")
   }
+
+  test("q121 pagerank: node set = candidate-graph docs, ranks bounded") {
+    val out = SparkEntry.queries("q121_pagerank_neardup")(spark, sf).cache()
+    val nodes = SparkEntry.queries("q44_lsh_candidates")(spark, sf)
+      .select(explode(array($"doc_i", $"doc_j")).as("id"))
+      .distinct().count()
+    assert(out.count() == nodes, "one rank row per candidate-graph node")
+    // teleport floor; total mass never exceeds the initial n * 1e6
+    // (floor-division only leaks mass downward)
+    assert(out.filter($"rank" < 150000L).count() == 0)
+    val mass = out.agg(sum("rank")).as[Long].head()
+    assert(mass <= nodes * 1000000L, s"mass $mass exceeds initial")
+    out.unpersist()
+  }
+
+  test("q122 sessions partition the event stream; ids are consecutive") {
+    val out = SparkEntry.queries("q122_sessionize_gap")(spark, sf).cache()
+    val total = out.agg(sum("n_events")).as[Long].head()
+    assert(total == Tables(spark, sf, "events").count(),
+      "every event belongs to exactly one session")
+    assert(out.filter($"duration_s" < 0).count() == 0)
+    val bad = out.groupBy("user_id")
+      .agg(max("session_id").as("mx"), count(lit(1)).as("n"))
+      .filter($"mx" + 1 =!= $"n")
+    assert(bad.count() == 0, "session ids must be consecutive from 0")
+    out.unpersist()
+  }
 }
