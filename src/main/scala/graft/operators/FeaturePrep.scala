@@ -87,6 +87,95 @@ object FeaturePrep {
           round((col("value") - mean)
             / sqrt(col("sxx") / col("n") - mean * mean), 4).as("z"))
         .orderBy("event_id")
+    },
+
+    // ── rank-decile binning (quantile feature bucketization): each event
+    //    lands in bin floor((rank−1)·10/n) within its type — pure integer
+    //    rank math, so bins are exactly equi-depth and engine-exact (no
+    //    percentile interpolation to disagree on). One shuffle keyed by
+    //    event_type; the output is the 10-row-per-type bin profile a
+    //    trainer uses to bucketize the feature at serve time.
+    QueryDef(
+      "q123_quantile_bins",
+      """WITH e AS (SELECT event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id)
+        |    AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |b AS (SELECT event_type,
+        |  CAST(floor((rn - 1) * 10 * 1.0 / n) AS INTEGER) AS bin, cents
+        |  FROM r)
+        |SELECT event_type, bin, CAST(count(*) AS INTEGER) AS n_rows,
+        |  CAST(min(cents) AS BIGINT) AS lo_cents,
+        |  CAST(max(cents) AS BIGINT) AS hi_cents
+        |FROM b GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+      val wn = Window.partitionBy("event_type")
+      T(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+        .select(col("event_type"), col("cents"),
+          row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+        .select(col("event_type"),
+          floor((col("rn") - 1) * 10 * lit(1.0) / col("n")).cast("int")
+            .as("bin"),
+          col("cents"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).cast("int").as("n_rows"),
+          min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+        .orderBy("event_type", "bin")
+    },
+
+    // ── class-balance weights: inverse-frequency sample weights in basis
+    //    points (total/(k·cnt), the standard balanced-class weighting) —
+    //    one tiny agg + a broadcast totals row; integer output so the
+    //    oracle is exact.
+    QueryDef(
+      "q124_class_weights",
+      """WITH c AS (SELECT label, count(*) AS cnt FROM embeddings
+        |           GROUP BY label),
+        |t AS (SELECT sum(cnt) AS total, count(*) AS k FROM c)
+        |SELECT label, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(floor(total * 10000.0 / (k * cnt)) AS BIGINT) AS weight_bp
+        |FROM c, t ORDER BY label""".stripMargin) { (s, dir) =>
+      val c = T(s, dir, "embeddings").groupBy("label")
+        .agg(count(lit(1)).as("cnt"))
+      val t = c.agg(sum("cnt").as("total"), count(lit(1)).as("k"))
+      c.crossJoin(broadcast(t))
+        .select(col("label"), col("cnt"),
+          floor(col("total") * 10000.0 / (col("k") * col("cnt")))
+            .as("weight_bp"))
+        .orderBy("label")
+    },
+
+    // ── hashed feature crosses (the hashing trick): event_type × hour-of-
+    //    day crossed into 256 md5 buckets — the portable hash both engines
+    //    compute bit-identically. Narrow map + one partial-agg'd groupBy;
+    //    top-20 bucket load shows the collision profile a trainer needs
+    //    before sizing the hash space.
+    QueryDef(
+      "q125_hashed_cross",
+      """WITH x AS (SELECT
+        |  event_type || '|' || CAST(hour(ts) AS VARCHAR) AS crossed FROM events),
+        |h AS (SELECT crossed,
+        |  ('0x' || substr(md5(crossed), 1, 15))::BIGINT % 256 AS bucket FROM x)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT crossed) AS INTEGER) AS n_keys
+        |FROM h GROUP BY bucket ORDER BY n DESC, bucket LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        T(s, dir, "events")
+          .select(concat_ws("|", col("event_type"),
+            hour(col("ts")).cast("string")).as("crossed"))
+          .select(col("crossed"),
+            graft.plans.HexWindowToLong.md5Bucket(col("crossed"), 256)
+              .as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("crossed")).cast("int").as("n_keys"))
+          .orderBy(col("n").desc, col("bucket"))
+          .limit(20)
     }
   )
 }

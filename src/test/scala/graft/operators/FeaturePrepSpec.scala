@@ -38,4 +38,44 @@ class FeaturePrepSpec extends SparkTestBase {
     }
     out.unpersist()
   }
+
+  test("q123 bins are equi-depth (±1 row) with ordered, non-overlapping ranges") {
+    val out = SparkEntry.queries("q123_quantile_bins")(spark, sf).cache()
+    val depth = out.groupBy("event_type")
+      .agg((max("n_rows") - min("n_rows")).as("spread"))
+    assert(depth.filter($"spread" > 1).count() == 0,
+      "rank-decile bins differ by at most one row")
+    // within a type, bin k's range sits at or below bin k+1's
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bin")
+    val bad = out
+      .withColumn("next_lo", lead("lo_cents", 1).over(w))
+      .filter($"next_lo".isNotNull && $"hi_cents" > $"next_lo")
+    assert(bad.count() == 0, "bin value ranges must be ordered")
+    out.unpersist()
+  }
+
+  test("q124 class weights: heaviest class gets the smallest weight") {
+    val rows = SparkEntry.queries("q124_class_weights")(spark, sf)
+      .as[(Int, Long, Long)].collect()
+    val byCnt = rows.sortBy(_._2)
+    assert(byCnt.head._3 >= byCnt.last._3,
+      "weight must be non-increasing in class frequency")
+    // a perfectly balanced class (cnt = total/k) would weigh 10000 bp;
+    // floor keeps every weight <= total*10000/(k*cnt)
+    rows.foreach { case (_, cnt, bp) =>
+      val total = rows.map(_._2).sum
+      assert(bp == total * 10000 / (rows.length * cnt), "exact floor formula")
+    }
+  }
+
+  test("q125 hashed cross: buckets in range, counts bound key counts") {
+    val rows = SparkEntry.queries("q125_hashed_cross")(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (b, n, k) =>
+      assert(b >= 0 && b < 256)
+      assert(n >= k && k >= 1, "each bucket holds >=1 key, n >= distinct keys")
+    }
+  }
 }
