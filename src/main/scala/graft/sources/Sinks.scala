@@ -30,4 +30,34 @@ object Sinks {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  // ── Interchange formats beyond Parquet (SURVEY.md §2B "file formats"
+  //    row). ORC is the second columnar format Spark ships natively —
+  //    same pushdown/pruning machinery as Parquet (spec-pinned). JSON
+  //    lines and CSV are the row-interchange formats; both lose type
+  //    fidelity (JSON has no int/long distinction, CSV is all strings),
+  //    so reads take an explicit schema — never infer in production:
+  //    inference costs a full extra pass and can flip types between
+  //    runs. No Avro: the spark-avro datasource jar isn't in this
+  //    distribution.
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.orc(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonLines(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
 }

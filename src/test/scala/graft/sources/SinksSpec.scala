@@ -49,4 +49,37 @@ class SinksSpec extends SparkTestBase {
         Tables(spark, sf, "lineitem").select("l_orderkey").distinct().count())
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("ORC round-trip preserves rows and pushes predicates to the scan") {
+    val path = Files.createTempDirectory("orc").toString + "/orders"
+    val src = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Sinks.writeOrc(src, path)
+    val back = Sinks.readOrc(spark, path)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "ORC round-trip must be lossless")
+    val plan = back.filter(col("o_custkey") === 7L).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("o_custkey"),
+      s"ORC scan must push the predicate:\n$plan")
+  }
+
+  test("JSON-lines round-trip with explicit schema preserves rows") {
+    val path = Files.createTempDirectory("json").toString + "/nation"
+    val src = Tables(spark, sf, "nation")
+    Sinks.writeJsonLines(src, path)
+    val back = Sinks.readJsonLines(spark, path, src.schema)
+    assert(back.schema == src.schema, "explicit schema must pin types")
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("CSV round-trip with explicit schema preserves rows") {
+    val path = Files.createTempDirectory("csv").toString + "/region"
+    val src = Tables(spark, sf, "region")
+    Sinks.writeCsv(src, path)
+    val back = Sinks.readCsv(spark, path, src.schema)
+    assert(back.schema == src.schema)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
 }
