@@ -28,6 +28,31 @@ object GraphOps {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  /** Fixed-point PageRank (d=0.85, scale 1e6) over directed `edges`
+    * (`src`, `dst`; pass both directions for an undirected graph).
+    * Returns (id, d = out-degree, r = rank after `iters` rounds).
+    * r0 = 1e6 per node; contrib = floor(r·1.0/deg);
+    * r' = 150000 + floor(85·Σcontrib·1.0/100) — every step is integer
+    * or an exact-integer IEEE divide-then-floor, so the result is
+    * bit-reproducible on any engine. Nodes with no out-edges do not
+    * appear (the candidate graphs this serves are symmetric, so every
+    * node has both). */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    // edges with the source degree attached once — reused every round
+    val ed = edges.join(deg, "src")
+    var r: DataFrame = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      r = ed.join(r, col("src") === col("id"))
+        .select(col("dst"), floor(col("r") * 1.0 / col("d")).as("c"))
+        .groupBy("dst")
+        .agg((lit(150000L)
+          + floor(lit(85) * sum(col("c")) * 1.0 / 100)).as("r"))
+        .select(col("dst").as("id"), col("r"))
+    }
+    deg.select(col("src").as("id"), col("d")).join(r, "id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── 3-iteration integer fixed-point PageRank (d=0.85) over the
@@ -67,22 +92,8 @@ object GraphOps {
         val cd = TextDedup.lshCandidatePairs(s, dir)
         val sym = cd.select(col("doc_i").as("src"), col("doc_j").as("dst"))
           .unionAll(cd.select(col("doc_j").as("src"), col("doc_i").as("dst")))
-        val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
-        // edges with the source degree attached once — reused every round
-        val ed = sym.join(deg, "src")
-        var r: DataFrame = deg.select(col("src").as("id"),
-          lit(1000000L).as("r"))
-        for (_ <- 1 to 3) {
-          r = ed.join(r, col("src") === col("id"))
-            .select(col("dst"),
-              floor(col("r") * 1.0 / col("d")).as("c"))
-            .groupBy("dst")
-            .agg((lit(150000L)
-              + floor(lit(85) * sum(col("c")) * 1.0 / 100)).as("r"))
-            .select(col("dst").as("id"), col("r"))
-        }
-        deg.join(r, col("src") === col("id"))
-          .select(col("src").as("doc_id"), col("d").cast("int").as("degree"),
+        pagerank(sym, 3)
+          .select(col("id").as("doc_id"), col("d").cast("int").as("degree"),
             col("r").cast("bigint").as("rank"))
           .orderBy("doc_id")
     }
