@@ -152,6 +152,52 @@ object AnalyticsExtras {
         .select(col("cnt"), col("n_keys"),
           (col("cnt") * col("n_keys")).as("n_rows"))
         .orderBy("cnt")
+    },
+
+    // ── count-min sketch heavy-hitter audit: a 2×64 CMS over user_id
+    //    built from the engine-portable md5 hash, then the top-10 exact
+    //    keys read back through the sketch — estimate = min over the two
+    //    salted rows, always ≥ exact (one-sided error, verified by the
+    //    overcount column). All integers, so the whole sketch is
+    //    hash-oracled. Shape: one narrow map + a 128-cell partial-agg'd
+    //    groupBy (the sketch), one exact top-k, and a broadcast join of
+    //    the 128-row sketch back to 10 keys — at 100 TB the sketch agg
+    //    is O(cells) network, the same trick CMS exists for.
+    QueryDef(
+      "q126_countmin_audit",
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        |h AS (SELECT k,
+        |  ('0x' || substr(md5('0:' || k), 1, 15))::BIGINT % 64 AS c0,
+        |  ('0x' || substr(md5('1:' || k), 1, 15))::BIGINT % 64 AS c1 FROM e),
+        |cms0 AS (SELECT c0 AS cell, count(*) AS n FROM h GROUP BY c0),
+        |cms1 AS (SELECT c1 AS cell, count(*) AS n FROM h GROUP BY c1),
+        |ex AS (SELECT k, count(*) AS cnt,
+        |  min(c0) AS c0, min(c1) AS c1 FROM h GROUP BY k
+        |  ORDER BY cnt DESC, k LIMIT 10)
+        |SELECT CAST(ex.k AS BIGINT) AS user_id, CAST(cnt AS BIGINT) AS exact,
+        |  CAST(least(cms0.n, cms1.n) AS BIGINT) AS estimate,
+        |  CAST(least(cms0.n, cms1.n) - cnt AS BIGINT) AS overcount
+        |FROM ex JOIN cms0 ON ex.c0 = cms0.cell
+        |        JOIN cms1 ON ex.c1 = cms1.cell
+        |ORDER BY exact DESC, user_id""".stripMargin) { (s, dir) =>
+      import graft.plans.HexWindowToLong.md5Bucket
+      val h = T(s, dir, "events")
+        .select(col("user_id").cast("string").as("k"))
+        .select(col("k"),
+          md5Bucket(concat(lit("0:"), col("k")), 64).as("c0"),
+          md5Bucket(concat(lit("1:"), col("k")), 64).as("c1"))
+      val cms0 = h.groupBy(col("c0").as("cell")).agg(count(lit(1)).as("n0"))
+      val cms1 = h.groupBy(col("c1").as("cell")).agg(count(lit(1)).as("n1"))
+      val ex = h.groupBy("k")
+        .agg(count(lit(1)).as("cnt"), min("c0").as("c0"), min("c1").as("c1"))
+        .orderBy(col("cnt").desc, col("k")).limit(10)
+      ex.join(broadcast(cms0), col("c0") === cms0("cell"))
+        .join(broadcast(cms1), col("c1") === cms1("cell"))
+        .select(col("k").cast("bigint").as("user_id"),
+          col("cnt").as("exact"),
+          least(col("n0"), col("n1")).as("estimate"),
+          (least(col("n0"), col("n1")) - col("cnt")).as("overcount"))
+        .orderBy(col("exact").desc, col("user_id"))
     }
   )
 }

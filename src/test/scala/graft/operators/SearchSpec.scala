@@ -110,6 +110,20 @@ class SearchSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("q126 count-min estimates are one-sided: estimate >= exact, top-10 exact") {
+    val rows = SparkEntry.queries("q126_countmin_audit")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (u, exact, est, over) =>
+      assert(est >= exact, s"user $u: CMS must never undercount")
+      assert(over == est - exact)
+    }
+    // the exact column must agree with a direct count
+    val direct = Tables(spark, sf, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("c")).as[(Long, Long)].collect().toMap
+    rows.foreach { case (u, exact, _, _) => assert(direct(u) == exact) }
+  }
+
   test("q122 sessions partition the event stream; ids are consecutive") {
     val out = SparkEntry.queries("q122_sessionize_gap")(spark, sf).cache()
     val total = out.agg(sum("n_events")).as[Long].head()
