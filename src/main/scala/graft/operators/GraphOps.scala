@@ -38,13 +38,25 @@ object GraphOps {
     * appear (the candidate graphs this serves are symmetric, so every
     * node has both). */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    // Materialize (src, dst, d) once: the iteration references this frame
+    // `iters` times, and without a cut each reference re-executes the
+    // degree shuffle + join — the unrolled plan grows a redundant subtree
+    // per round. localCheckpoint (eager) truncates lineage, so every
+    // iteration scans a materialized edge list; at cluster scale this is
+    // the standard "cache the graph structure, iterate over ranks" split
+    // (ranks stay lazy — they change every round, the structure doesn't).
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    // edges with the source degree attached once — reused every round
-    val ed = edges.join(deg, "src")
+      .localCheckpoint()
+    val ed = deg.join(edges, "src").localCheckpoint()
     var r: DataFrame = deg.select(col("src").as("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
-      r = ed.join(r, col("src") === col("id"))
-        .select(col("dst"), floor(col("r") * 1.0 / col("d")).as("c"))
+      // divide once per NODE (floor(r/d) is constant across a node's out-
+      // edges), then sum the per-edge contributions grouped by dst: the
+      // edge join carries a single long instead of repeating the divide
+      // |E| times — same math, same oracle.
+      val c = r.join(deg, col("id") === col("src"))
+        .select(col("id").as("cid"), floor(col("r") * 1.0 / col("d")).as("c"))
+      r = ed.join(c, col("src") === col("cid"))
         .groupBy("dst")
         .agg((lit(150000L)
           + floor(lit(85) * sum(col("c")) * 1.0 / 100)).as("r"))
