@@ -476,6 +476,73 @@ object ExtendedRelational {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ── PIVOT: long → wide with an EXPLICIT value list. Passing the
+    //    values to pivot() matters at scale: without them Spark runs an
+    //    extra distinct-collect job over the whole input just to discover
+    //    the column set; with them the plan is a single pass — one
+    //    hash aggregate keyed by the row dimension, each pivot cell a
+    //    conditional partial aggregate (exactly the oracle's CASE form).
+    //    Counts are integers, so cells are order-independent; absent
+    //    (status, month) cells surface as NULL from pivot and are
+    //    coalesced to 0 to match COUNT's no-rows semantics.
+    QueryDef(
+      "q127_pivot_month_counts",
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN month(o_orderdate) = 1 THEN 1 END) AS m01,
+        |  count(CASE WHEN month(o_orderdate) = 2 THEN 1 END) AS m02,
+        |  count(CASE WHEN month(o_orderdate) = 3 THEN 1 END) AS m03,
+        |  count(CASE WHEN month(o_orderdate) = 4 THEN 1 END) AS m04,
+        |  count(CASE WHEN month(o_orderdate) = 5 THEN 1 END) AS m05,
+        |  count(CASE WHEN month(o_orderdate) = 6 THEN 1 END) AS m06,
+        |  count(CASE WHEN month(o_orderdate) = 7 THEN 1 END) AS m07,
+        |  count(CASE WHEN month(o_orderdate) = 8 THEN 1 END) AS m08,
+        |  count(CASE WHEN month(o_orderdate) = 9 THEN 1 END) AS m09,
+        |  count(CASE WHEN month(o_orderdate) = 10 THEN 1 END) AS m10,
+        |  count(CASE WHEN month(o_orderdate) = 11 THEN 1 END) AS m11,
+        |  count(CASE WHEN month(o_orderdate) = 12 THEN 1 END) AS m12
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val wide = T(s, dir, "orders")
+        .select(col("o_orderstatus"), month(col("o_orderdate")).as("m"))
+        .groupBy("o_orderstatus")
+        .pivot("m", (1 to 12).map(Integer.valueOf))
+        .agg(count(lit(1)))
+      wide.select(col("o_orderstatus") +:
+          (1 to 12).map(i =>
+            coalesce(col(s"$i"), lit(0L)).as(f"m$i%02d")): _*)
+        .orderBy("o_orderstatus")
+    },
+
+    // ── UNPIVOT (melt): wide → long via the native unpivot operator —
+    //    a narrow per-row expand (each input row emits one row per value
+    //    column), no shuffle beyond the upstream aggregate. Every
+    //    (id, column) pair emits a row even when the measure is 0, which
+    //    a groupBy re-derivation would drop — the oracle therefore builds
+    //    the same wide frame and UNION ALLs one SELECT per column.
+    QueryDef(
+      "q128_unpivot_priority_counts",
+      """WITH w AS (SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+        |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+        |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, 'urgent' AS priority, urgent AS n FROM w
+        |UNION ALL SELECT o_orderstatus, 'medium', medium FROM w
+        |UNION ALL SELECT o_orderstatus, 'low', low FROM w
+        |ORDER BY o_orderstatus, priority""".stripMargin) { (s, dir) =>
+      val wide = T(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(when(col("o_orderpriority") === "1-URGENT", 1)).as("urgent"),
+          count(when(col("o_orderpriority") === "3-MEDIUM", 1)).as("medium"),
+          count(when(col("o_orderpriority") === "5-LOW", 1)).as("low"))
+      wide.unpivot(
+          Array(col("o_orderstatus")),
+          Array(col("urgent"), col("medium"), col("low")),
+          "priority", "n")
+        .orderBy("o_orderstatus", "priority")
     }
   )
 }

@@ -182,6 +182,68 @@ object Search {
             + lit(1.0) / (lit(60) + col("sem_rank")), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
+    },
+
+    // ── exact lexical cosine RERANK of the MinHash-LSH candidates: the
+    //    verify stage of the two-phase near-dup pipeline (q44 generates,
+    //    this scores). Term-frequency vectors stay SPARSE — the dot
+    //    product is a sum over shared terms only, computed by joining the
+    //    exploded (doc, term, tf) postings to the candidate pairs, never
+    //    by materializing dense vectors. Work is O(|candidates| ·
+    //    shared-terms), not O(n²·vocab); at 100 TB the postings join is
+    //    keyed by doc id, co-partitioned with the candidate list. Float
+    //    discipline: tf and the dot product are exact integers; the only
+    //    float expression is round(dot/(sqrt(n2_i)·sqrt(n2_j)), 4),
+    //    written with identical association on both engines.
+    QueryDef(
+      "q130_cosine_rerank",
+      TextDedup.oracleSig +
+        """,
+          |cd AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+          |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+          |  WHERE (a.mh0=b.mh0 AND a.mh1=b.mh1) OR (a.mh2=b.mh2 AND a.mh3=b.mh3)
+          |     OR (a.mh4=b.mh4 AND a.mh5=b.mh5) OR (a.mh6=b.mh6 AND a.mh7=b.mh7)),
+          |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          |        FROM documents)
+          |  GROUP BY doc_id, w),
+          |n2 AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+          |       FROM tf GROUP BY doc_id),
+          |dt AS (SELECT c.doc_i, c.doc_j,
+          |  CAST(sum(ti.tf * tj.tf) AS BIGINT) AS dot
+          |  FROM cd c
+          |  JOIN tf ti ON ti.doc_id = c.doc_i
+          |  JOIN tf tj ON tj.doc_id = c.doc_j AND tj.w = ti.w
+          |  GROUP BY c.doc_i, c.doc_j)
+          |SELECT d.doc_i, d.doc_j, d.dot,
+          |  round(d.dot * 1.0 / (sqrt(ni.n2) * sqrt(nj.n2)), 4) AS cosine
+          |FROM dt d
+          |JOIN n2 ni ON ni.doc_id = d.doc_i
+          |JOIN n2 nj ON nj.doc_id = d.doc_j
+          |ORDER BY d.doc_i, d.doc_j""".stripMargin) { (s, dir) =>
+      val tf = T(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("tf"))
+      val n2 = tf.groupBy("doc_id")
+        .agg(sum(col("tf") * col("tf")).as("n2"))
+      val cand = TextDedup.lshCandidatePairs(s, dir)
+      val ti = tf.select(col("doc_id").as("doc_i"), col("w"),
+        col("tf").as("tfi"))
+      val tj = tf.select(col("doc_id").as("doc_j"), col("w"),
+        col("tf").as("tfj"))
+      cand.join(ti, "doc_i")
+        .join(tj, Seq("doc_j", "w"))
+        .groupBy("doc_i", "doc_j")
+        .agg(sum(col("tfi") * col("tfj")).as("dot"))
+        .join(n2.select(col("doc_id").as("doc_i"), col("n2").as("n2i")),
+          "doc_i")
+        .join(n2.select(col("doc_id").as("doc_j"), col("n2").as("n2j")),
+          "doc_j")
+        .select(col("doc_i"), col("doc_j"), col("dot"),
+          round(col("dot") * lit(1.0)
+            / (sqrt(col("n2i")) * sqrt(col("n2j"))), 4).as("cosine"))
+        .orderBy("doc_i", "doc_j")
     }
   )
 }

@@ -246,6 +246,57 @@ object TimeSeriesJoins {
         .select(col("user_id"), col("sid").cast("int").as("session_id"),
           col("n_events"), col("start_s"), col("end_s"), col("duration_s"))
         .orderBy("user_id", "session_id")
+    },
+
+    // ── SCD2 state history (gaps-and-islands): collapse each user's
+    //    event stream into validity intervals — consecutive runs of the
+    //    same event_type become one row [valid_from, valid_to), the
+    //    NULL valid_to marking the currently-open state. The standard
+    //    three-window build: lag to flag state changes, running sum of
+    //    flags as the run id, lead over the collapsed runs for the
+    //    interval end. All three windows are keyed by user_id — ONE
+    //    shuffle total (the two row-windows share the (user_id; ts,
+    //    event_id) sort, and the lead runs on the already user-keyed
+    //    run frame), per-user state, embarrassingly parallel over users
+    //    at any corpus size. This is the batch construction of the
+    //    dimension-table history a warehouse MERGE maintains
+    //    incrementally (q111).
+    QueryDef(
+      "q129_scd2_state_history",
+      """WITH f AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |       THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS grp FROM f),
+        |r AS (SELECT user_id, grp, min(event_type) AS state,
+        |  min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, state, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        |    AS valid_to,
+        |  n_events
+        |FROM r ORDER BY user_id, valid_from""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        // IS DISTINCT FROM by hand: the first row's lag is NULL, which
+        // must count as a change (<=> would fold it into the run)
+        .withColumn("chg",
+          when(lag("event_type", 1).over(w).isNull
+            || lag("event_type", 1).over(w) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("grp", sum("chg").over(cum))
+        .groupBy("user_id", "grp")
+        .agg(min("event_type").as("state"),
+          min("ts").as("valid_from"),
+          count(lit(1)).as("n_events"))
+      val wv = Window.partitionBy("user_id").orderBy("valid_from")
+      runs
+        .select(col("user_id"), col("state"), col("valid_from"),
+          lead("valid_from", 1).over(wv).as("valid_to"), col("n_events"))
+        .orderBy("user_id", "valid_from")
     }
   )
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Semantic invariants of the reshape (pivot/unpivot), SCD2 history, and
+  * cosine-rerank operators — reconciliation against the source tables
+  * rather than value snapshots, so they hold at any scale factor. */
+class ReshapeHistorySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q127 pivot: the 12 month cells reconcile to the per-status total") {
+    val out = SparkEntry.queries("q127_pivot_month_counts")(spark, sf).cache()
+    val statuses = Tables(spark, sf, "orders")
+      .select("o_orderstatus").distinct().count()
+    assert(out.count() == statuses, "one row per order status")
+    val cells = (1 to 12).map(i => col(f"m$i%02d"))
+    val rowSum = out.select(col("o_orderstatus"),
+      cells.reduce(_ + _).as("total"))
+    val expect = Tables(spark, sf, "orders")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val bad = rowSum.join(expect, "o_orderstatus")
+      .filter($"total" =!= $"n")
+    assert(bad.count() == 0, "sum of pivot cells = count of orders")
+    out.unpersist()
+  }
+
+  test("q128 unpivot emits one row per (status, measure), zeros kept") {
+    val out = SparkEntry.queries("q128_unpivot_priority_counts")(spark, sf)
+      .cache()
+    val statuses = Tables(spark, sf, "orders")
+      .select("o_orderstatus").distinct().count()
+    assert(out.count() == statuses * 3,
+      "every (status, priority-measure) pair must surface, even when 0")
+    assert(out.filter($"n" < 0).count() == 0)
+    // melt is lossless over the measures it carries
+    val back = out.groupBy("o_orderstatus").agg(sum("n").as("n"))
+    val expect = Tables(spark, sf, "orders")
+      .filter(col("o_orderpriority")
+        .isin("1-URGENT", "3-MEDIUM", "5-LOW"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("e"))
+    val bad = back.join(expect, "o_orderstatus").filter($"n" =!= $"e")
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
+  test("q129 SCD2 intervals tile each user's timeline exactly") {
+    val out = SparkEntry.queries("q129_scd2_state_history")(spark, sf).cache()
+    // interval event counts sum back to the raw stream
+    val perUser = out.groupBy("user_id").agg(sum("n_events").as("n"))
+    val expect = Tables(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("e"))
+    assert(perUser.join(expect, "user_id").filter($"n" =!= $"e").count() == 0)
+    // exactly one open interval (NULL valid_to) per user
+    val open = out.filter($"valid_to".isNull)
+      .groupBy("user_id").agg(count(lit(1)).as("k"))
+    assert(open.filter($"k" =!= 1).count() == 0)
+    // adjacency: each interval's valid_to is the next valid_from, and
+    // consecutive intervals never carry the same state (maximal runs)
+    val w = Window.partitionBy("user_id").orderBy("valid_from")
+    val seq = out.select($"user_id", $"state", $"valid_from", $"valid_to",
+      lead("valid_from", 1).over(w).as("nxt"),
+      lead("state", 1).over(w).as("nxt_state"))
+    assert(seq.filter($"nxt".isNotNull && $"valid_to" =!= $"nxt").count() == 0)
+    assert(seq.filter($"nxt_state".isNotNull && $"state" === $"nxt_state")
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("q130 rerank scores every LSH candidate pair with a valid cosine") {
+    val out = SparkEntry.queries("q130_cosine_rerank")(spark, sf).cache()
+    assert(out.filter($"cosine" <= 0 || $"cosine" > 1).count() == 0,
+      "tf vectors are non-negative, so 0 < cosine <= 1")
+    assert(out.filter($"dot" <= 0).count() == 0)
+    // candidates share a 3-shingle, hence at least one unigram: the
+    // rerank must keep every candidate pair, no silent drops
+    val cand = TextDedup.lshCandidatePairs(spark, sf)
+    assert(out.count() == cand.count())
+    // a doc paired with itself would be a bug upstream
+    assert(out.filter($"doc_i" >= $"doc_j").count() == 0)
+    out.unpersist()
+  }
+}
