@@ -143,6 +143,44 @@ object CatalogOps {
         .union(updates.select("o_orderkey", "o_orderstatus", "o_totalprice"))
         .union(inserts)
         .orderBy("o_orderkey")
+    },
+
+    // ── order-independent table DIGEST: the integrity audit that makes
+    //    copies comparable without moving data. Per row, md5 over a
+    //    canonical '|'-joined rendering of the key columns (ints and
+    //    strings only — float/timestamp formatting is engine-specific),
+    //    folded with bit_xor: commutative and width-stable, so the
+    //    digest is one narrow scan + a partial-aggregated fold with NO
+    //    overflow and NO row-order sensitivity — two 100 TB replicas
+    //    compare by exchanging 16 bytes each. XOR's blind spot (a row
+    //    appearing an even number of times cancels out) is covered by
+    //    publishing n_rows beside the digest.
+    QueryDef(
+      "q132_table_digest",
+      """SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        |  bit_xor(('0x' || substr(md5(
+        |    concat_ws('|', c_custkey, c_name, c_mktsegment)), 1, 15))::BIGINT)
+        |    AS digest
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders', CAST(count(*) AS BIGINT),
+        |  bit_xor(('0x' || substr(md5(concat_ws('|',
+        |    o_orderkey, o_custkey, o_orderstatus, o_orderpriority)), 1, 15))
+        |    ::BIGINT)
+        |FROM orders
+        |ORDER BY tbl""".stripMargin) { (s, dir) =>
+      import graft.plans.HexWindowToLong.hexWindow
+      def digest(df: DataFrame, tbl: String, cols: Seq[String]): DataFrame =
+        df.select(hexWindow(
+            md5(encode(concat_ws("|", cols.map(col): _*), "UTF-8")), 1)
+            .as("h"))
+          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
+          .select(lit(tbl).as("tbl"), col("n_rows"), col("digest"))
+      digest(T(s, dir, "customer"), "customer",
+          Seq("c_custkey", "c_name", "c_mktsegment"))
+        .unionAll(digest(T(s, dir, "orders"), "orders",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+        .orderBy("tbl")
     }
   )
 }

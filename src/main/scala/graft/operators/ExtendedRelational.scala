@@ -543,6 +543,39 @@ object ExtendedRelational {
           Array(col("urgent"), col("medium"), col("low")),
           "priority", "n")
         .orderBy("o_orderstatus", "priority")
+    },
+
+    // ── salted SKEW JOIN (q70 is the salted aggregate; this is the join
+    //    half of the skew toolkit). A hot key floods one reducer in a
+    //    plain shuffle join; salting splits each probe-side key into 8
+    //    deterministic sub-keys (event_id % 8 — content-derived, no RNG)
+    //    and replicates each build-side row once per salt, so the hot
+    //    key's rows spread over 8 reducers. The salt is carried only in
+    //    the join key: the joined row set — and therefore the aggregate
+    //    and the oracle, which joins unsalted — is exactly the plain
+    //    join's. This is the manual form of what AQE skew-join does to
+    //    sort-merge partitions; salting also covers broadcast-ineligible
+    //    build sides and hash joins, which AQE's splitter does not.
+    QueryDef(
+      "q131_salted_join",
+      """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin) { (s, dir) =>
+      val nSalts = 8
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          (col("event_id") % nSalts).cast("int").as("_salt"))
+      val dim = T(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        .withColumn("_salt",
+          explode(array((0 until nSalts).map(lit): _*)))
+      ev.join(dim, Seq("user_id", "_salt"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("c_mktsegment", "event_type")
     }
   )
 }

@@ -71,6 +71,44 @@ class ReshapeHistorySpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("q131 salted join result is exactly the plain join's") {
+    val out = SparkEntry.queries("q131_salted_join")(spark, sf)
+    val ev = Tables(spark, sf, "events").select("user_id", "event_type")
+    val dim = Tables(spark, sf, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = ev.join(dim, "user_id")
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+    assert(out.collect().toSet == plain.collect().toSet,
+      "salt must redistribute work without changing the joined row set")
+  }
+
+  test("q132 digest is row-order independent and change-sensitive") {
+    val out = SparkEntry.queries("q132_table_digest")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.keySet == Set("customer", "orders"))
+    // same digest from a deliberately re-ordered, re-partitioned scan
+    import graft.plans.HexWindowToLong.hexWindow
+    val shuffled = Tables(spark, sf, "customer")
+      .orderBy(col("c_name").desc).repartition(7)
+      .select(hexWindow(md5(encode(
+        concat_ws("|", col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        "UTF-8")), 1).as("h"))
+      .agg(expr("bit_xor(h)")).first().getLong(0)
+    assert(shuffled == out("customer")._2)
+    // flipping one row's content flips the digest
+    val tampered = Tables(spark, sf, "customer")
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") === 0, lit("TAMPERED"))
+          .otherwise(col("c_mktsegment")))
+      .select(hexWindow(md5(encode(
+        concat_ws("|", col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        "UTF-8")), 1).as("h"))
+      .agg(expr("bit_xor(h)")).first().getLong(0)
+    assert(tampered != out("customer")._2)
+  }
+
   test("q130 rerank scores every LSH candidate pair with a valid cosine") {
     val out = SparkEntry.queries("q130_cosine_rerank")(spark, sf).cache()
     assert(out.filter($"cosine" <= 0 || $"cosine" > 1).count() == 0,
