@@ -270,4 +270,37 @@ class PlanAuditSpec extends SparkTestBase {
       s"both groupBys must run partial+final:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("q127: explicit-value pivot is one aggregate pass, no join") {
+    val p = plan("q127_pivot_month_counts")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pivot must compile to partial+final conditional aggregation:\n$p")
+    assert(!p.contains("Join"),
+      s"explicit pivot values must not add a discovery join:\n$p")
+  }
+
+  test("q129: SCD2 windows share ONE user-keyed shuffle") {
+    val p = plan("q129_scd2_state_history")
+    // lag + running-sum windows and the run groupBy all cluster by
+    // user_id: exactly one hash exchange (the ORDER BY contributes a
+    // rangepartitioning exchange, which is not counted here)
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected a single user_id hash exchange:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q131: salted join replicates the build side via Generate") {
+    val p = plan("q131_salted_join")
+    assert(p.contains("Generate"),
+      s"build side must explode one replica per salt:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q132: digest folds with partial aggregation, never a join") {
+    val p = plan("q132_table_digest")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"each table's digest must run partial+final:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }
