@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.{CacheRegistry, QueryDef, Tables}
 import graft.functions.VectorFunctions._
 
 /** Keyword / lexical retrieval over `documents` (SURVEY.md §2C "text
@@ -221,10 +221,16 @@ object Search {
           |JOIN n2 ni ON ni.doc_id = d.doc_i
           |JOIN n2 nj ON nj.doc_id = d.doc_j
           |ORDER BY d.doc_i, d.doc_j""".stripMargin) { (s, dir) =>
-      val tf = T(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "w")
-        .agg(count(lit(1)).as("tf"))
+      // the tf frame is referenced three times in this one plan (both
+      // join sides + the norms) — persist it once via the registry so
+      // the explode+groupBy shuffle runs once per session, not per
+      // reference
+      val tf = CacheRegistry.cached(s, s"unigram-tf:$dir") {
+        T(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w")
+          .agg(count(lit(1)).as("tf"))
+      }
       val n2 = tf.groupBy("doc_id")
         .agg(sum(col("tf") * col("tf")).as("n2"))
       val cand = TextDedup.lshCandidatePairs(s, dir)
