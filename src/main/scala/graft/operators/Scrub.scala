@@ -159,6 +159,76 @@ object Scrub {
           when(size(col("kept")) > 0,
             md5(encode(concat_ws(" ", col("kept")), "UTF-8"))).as("kept_md5"))
         .orderBy("doc_id")
+    },
+
+    // ── corpus-duplicated SPAN removal: the transform twin of q98's
+    //    score. Any 3-gram appearing in ≥5 distinct docs is boilerplate;
+    //    every token it covers is cut and the doc is rebuilt from the
+    //    surviving tokens (the repeated-span dedup of Lee et al.'s
+    //    "Deduplicating Training Data Makes Language Models Better",
+    //    expressed relationally). Scale shape: ONE corpus shuffle (the
+    //    gram→df partial-agg'd groupBy); the hot set is small by
+    //    construction (frequency-capped vocabulary) so it broadcasts
+    //    back to the positioned-gram stream; covered positions collapse
+    //    per doc and the rebuild is a narrow higher-order map. Docs with
+    //    no hot span pass through via the left join. Integer positions
+    //    and md5 output only — nothing float anywhere.
+    QueryDef(
+      "q133_span_scrub",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |pg AS (SELECT doc_id,
+        |  unnest(range(1, len(ws)-1)) AS p,
+        |  unnest([array_to_string(ws[i:i+2],' ')
+        |          for i in range(1, len(ws)-1)]) AS g
+        |  FROM w WHERE len(ws) >= 3),
+        |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+        |                       FROM pg GROUP BY g) WHERE df >= 5),
+        |cv AS (SELECT doc_id,
+        |         list_distinct(flatten(list([p, p+1, p+2]))) AS cov
+        |       FROM pg JOIN hot USING (g) GROUP BY doc_id),
+        |c AS (SELECT w.doc_id, w.ws, coalesce(cv.cov, []) AS cov
+        |      FROM w LEFT JOIN cv ON w.doc_id = cv.doc_id),
+        |k AS (SELECT doc_id, len(ws) AS n_tokens,
+        |        [ws[i] for i in range(1, len(ws)+1)
+        |         if NOT list_contains(cov, i)] AS kept
+        |      FROM c)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(n_tokens - len(kept) AS INTEGER) AS n_removed,
+        |  CASE WHEN len(kept) > 0 THEN md5(array_to_string(kept, ' '))
+        |       ELSE NULL END AS kept_md5
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val pg = docs.filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ws")) - 2),
+            i => struct(i.as("p"),
+              concat_ws(" ", element_at(col("ws"), i),
+                element_at(col("ws"), i + 1),
+                element_at(col("ws"), i + 2)).as("g")))).as("x"))
+        .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
+      val hot = pg.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 5).select("g")
+      val cov = pg.join(broadcast(hot), "g")
+        .select(col("doc_id"),
+          explode(array(col("p"), col("p") + 1, col("p") + 2)).as("i"))
+        .groupBy("doc_id")
+        .agg(collect_set(col("i")).as("cov"))
+      docs.join(cov, Seq("doc_id"), "left")
+        .withColumn("cov",
+          coalesce(col("cov"), typedLit(Array.empty[Int])))
+        .withColumn("kept",
+          transform(
+            filter(sequence(lit(1), size(col("ws"))),
+              i => !array_contains(col("cov"), i)),
+            i => element_at(col("ws"), i)))
+        .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+          (size(col("ws")) - size(col("kept"))).as("n_removed"),
+          when(size(col("kept")) > 0,
+            md5(encode(concat_ws(" ", col("kept")), "UTF-8")))
+            .as("kept_md5"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-import graft.{SparkEntry, SparkTestBase}
+import graft.{SparkEntry, SparkTestBase, Tables}
 
 /** Invariants of the scrubbing operators beyond the hash oracle. */
 class ScrubSpec extends SparkTestBase {
@@ -64,5 +64,35 @@ class ScrubSpec extends SparkTestBase {
     assert(out.filter($"scrubbed".rlike("[0-9]")).count() == 0)
     // masked rows must still record how many runs were masked
     assert(out.filter($"n_digit_runs" > 0).count() > 0)
+  }
+
+  test("q133 span scrub covers every doc, cuts real spans, never over-cuts") {
+    val out = SparkEntry.queries("q133_span_scrub")(spark, sf).cache()
+    // pass-through docs survive the left join
+    assert(out.count() == Tables(spark, sf, "documents").count())
+    assert(out.filter($"n_removed" < 0 || $"n_removed" > $"n_tokens")
+      .count() == 0)
+    // the hash is NULL exactly when everything was cut
+    assert(out.filter($"n_removed" === $"n_tokens" && $"kept_md5".isNotNull)
+      .count() == 0)
+    assert(out.filter($"n_removed" < $"n_tokens" && $"kept_md5".isNull)
+      .count() == 0)
+    // the threshold must bite on this corpus (its near-dup docs share
+    // boilerplate spans) without scrubbing everything
+    val cut = out.filter($"n_removed" > 0).count()
+    assert(cut > 0, "no spans cut - threshold dead")
+    assert(cut < out.count(), "every doc cut - threshold degenerate")
+    // a doc sharing no hot 3-gram keeps all tokens: recompute one
+    // untouched doc's hash from the raw text
+    import org.apache.spark.sql.Row
+    val id = out.filter($"n_removed" === 0).select("doc_id")
+      .orderBy("doc_id").head() match { case Row(i: Long) => i }
+    val txt = Tables(spark, sf, "documents")
+      .filter($"doc_id" === id).select("text").as[String].head()
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(txt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.filter($"doc_id" === id).select("kept_md5").as[String]
+      .head() == expected)
+    out.unpersist()
   }
 }
