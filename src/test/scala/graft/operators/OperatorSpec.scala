@@ -140,4 +140,17 @@ class OperatorSpec extends SparkTestBase {
     val r = nums.rollup($"grp").agg(count(lit(1))).count()
     assert(r == 7 + 1)
   }
+
+  test("unpivot ∘ pivot reconstructs the long form (present cells)") {
+    val keyed = nums.select($"grp", ($"id" % 3).cast("int").as("k"))
+    val long = keyed.groupBy("grp", "k").agg(count(lit(1)).as("n"))
+    val wide = keyed.groupBy("grp").pivot("k", Seq(0, 1, 2))
+      .agg(count(lit(1)))
+    val melted = wide
+      .unpivot(Array(col("grp")),
+        Array(col("0"), col("1"), col("2")), "k", "n")
+      .filter($"n".isNotNull) // absent cells: pivot NULL ≠ a long row
+      .select($"grp", $"k".cast("int").as("k"), $"n")
+    assert(melted.collect().toSet == long.collect().toSet)
+  }
 }
