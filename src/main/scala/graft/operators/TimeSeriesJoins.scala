@@ -297,6 +297,72 @@ object TimeSeriesJoins {
         .select(col("user_id"), col("state"), col("valid_from"),
           lead("valid_from", 1).over(wv).as("valid_to"), col("n_events"))
         .orderBy("user_id", "valid_from")
+    },
+
+    // ── session co-occurrence affinity (market-basket over sessions):
+    //    which event types appear in the SAME session, scored by cosine
+    //    on session-presence vectors — the count-based item-item
+    //    similarity a recommender bootstraps from. Reuses q122's exact
+    //    session definition (>30-min gap). Scale shape: sessions with
+    //    their distinct types are one user-keyed window + distinct;
+    //    the pair self-join is keyed by session id and each side is
+    //    capped by the per-session DISTINCT type count (≤5 here), so
+    //    the blow-up is Σ k² over sessions, never n²; the final agg is
+    //    |types|² rows. Integer counts; cosine is the single rounded
+    //    float, identical association both engines.
+    QueryDef(
+      "q134_session_cooccurrence",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |x AS (SELECT user_id, event_id, event_type, t,
+        |  CASE WHEN t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT DISTINCT user_id, event_type,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+        |n AS (SELECT event_type, count(*) AS n_sess FROM s
+        |      GROUP BY event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        count(*) AS n_both
+        |      FROM s a JOIN s b ON a.user_id = b.user_id AND a.sid = b.sid
+        |        AND a.event_type < b.event_type
+        |      GROUP BY a.event_type, b.event_type)
+        |SELECT type_a, type_b,
+        |  CAST(na.n_sess AS BIGINT) AS n_a, CAST(nb.n_sess AS BIGINT) AS n_b,
+        |  CAST(n_both AS BIGINT) AS n_both,
+        |  round(n_both * 1.0 / (sqrt(na.n_sess) * sqrt(nb.n_sess)), 4)
+        |    AS cosine
+        |FROM p JOIN n na ON na.event_type = type_a
+        |       JOIN n nb ON nb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("t"))
+        .withColumn("brk",
+          when(col("t") - lag("t", 1).over(w) > 1800, 1).otherwise(0))
+        .withColumn("sid", sum("brk").over(cum))
+        .select("user_id", "sid", "event_type")
+        .distinct()
+      val n = sess.groupBy("event_type").agg(count(lit(1)).as("n_sess"))
+      val a = sess.select(col("user_id"), col("sid"),
+        col("event_type").as("type_a"))
+      val b = sess.select(col("user_id"), col("sid"),
+        col("event_type").as("type_b"))
+      a.join(b, Seq("user_id", "sid"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_both"))
+        .join(broadcast(n.select(col("event_type").as("type_a"),
+          col("n_sess").as("n_a"))), "type_a")
+        .join(broadcast(n.select(col("event_type").as("type_b"),
+          col("n_sess").as("n_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          round(col("n_both") * lit(1.0)
+            / (sqrt(col("n_a")) * sqrt(col("n_b"))), 4).as("cosine"))
+        .orderBy("type_a", "type_b")
     }
   )
 }

@@ -109,6 +109,23 @@ class ReshapeHistorySpec extends SparkTestBase {
     assert(tampered != out("customer")._2)
   }
 
+  test("q134 co-occurrence: bounded counts, alphabetical pairs, exact cosine") {
+    val out = SparkEntry.queries("q134_session_cooccurrence")(spark, sf)
+      .cache()
+    val types = Tables(spark, sf, "events")
+      .select("event_type").distinct().count().toInt
+    assert(out.count() <= types.toLong * (types - 1) / 2)
+    assert(out.filter($"type_a" >= $"type_b").count() == 0)
+    // co-occurrence can never exceed either marginal
+    assert(out.filter($"n_both" > $"n_a" || $"n_both" > $"n_b" ||
+      $"n_both" < 1).count() == 0)
+    // cosine column is exactly the rounded formula over its own integers
+    val bad = out.filter(
+      $"cosine" =!= round($"n_both" * lit(1.0) / (sqrt($"n_a") * sqrt($"n_b")), 4))
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
   test("q130 rerank scores every LSH candidate pair with a valid cosine") {
     val out = SparkEntry.queries("q130_cosine_rerank")(spark, sf).cache()
     assert(out.filter($"cosine" <= 0 || $"cosine" > 1).count() == 0,
