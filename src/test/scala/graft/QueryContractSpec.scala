@@ -19,7 +19,8 @@ class QueryContractSpec extends SparkTestBase {
 
   test("representative queries are deterministic across runs") {
     val reps = Seq("q01_pricing_summary", "q22_window_rank", "q42_jaccard_pairs",
-      "q46_cosine_topk", "q53_fingerprint", "q60_window_tumbling")
+      "q46_cosine_topk", "q53_fingerprint", "q60_window_tumbling",
+      "q130_cosine_rerank", "q134_session_cooccurrence")
     reps.foreach { name =>
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf).collect()
