@@ -208,6 +208,54 @@ object Curation {
         .select(col("source"), col("ns").cast("long").as("n_tokens"),
           col("kl"))
         .orderBy("source")
+    },
+
+    // ── bigram-LM doc score: train add-one-smoothed bigram conditionals
+    //    p(w2|w1) = (c(w1,w2)+1)/(c(w1,·)+V) on the corpus, score every
+    //    doc by its mean log-likelihood — one modeling step up from
+    //    q103's unigram LM (repetitive/templated docs score high,
+    //    shuffled-word docs low even when their unigrams are typical).
+    //    Bigrams come from zipping the token array with its own tail —
+    //    a narrow map, no positional self-join; the count model is
+    //    map-side combined and broadcast back (vocab² possible pairs but
+    //    only observed pairs materialize — same caveat as q103: for an
+    //    open-web vocab drop the broadcast hints and let the scoring
+    //    joins shuffle).
+    QueryDef(
+      "q138_bigram_logprob",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |x AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM t
+        |      WHERE len(ws) >= 2),
+        |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM x),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        |cw AS (SELECT w1, sum(cb) AS cw FROM cb GROUP BY w1),
+        |vv AS (SELECT count(DISTINCT t2) AS vsz FROM
+        |       (SELECT unnest(string_split(text,' ')) AS t2 FROM documents))
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |  round(avg(ln((cb + 1.0) / (cw + vsz))), 4) AS avg_logprob
+        |FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN vv
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val toks = T(s, dir, "documents").select(col("doc_id"), ws.as("ws"))
+      val bg = toks.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val cw = cb.groupBy("w1").agg(sum("cb").as("cw"))
+      val vv = toks.select(explode(col("ws")).as("t2"))
+        .agg(countDistinct("t2").as("vsz"))
+      bg.join(broadcast(cb), Seq("w1", "w2"))
+        .join(broadcast(cw), Seq("w1"))
+        .crossJoin(broadcast(vv))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+          round(avg(log((col("cb") + lit(1.0)) / (col("cw") + col("vsz")))), 4)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
     }
   )
 }

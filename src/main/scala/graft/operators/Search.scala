@@ -250,6 +250,43 @@ object Search {
           round(col("dot") * lit(1.0)
             / (sqrt(col("n2i")) * sqrt(col("n2j"))), 4).as("cosine"))
         .orderBy("doc_i", "doc_j")
+    },
+
+    // ── fuzzy blocked join (entity resolution): canonicalize part names
+    //    to distinct entities FIRST (the dedupe-then-match discipline —
+    //    matching raw rows would inflate the pair count quadratically
+    //    with duplication), block on the last name token (the entity's
+    //    head noun) plus a cheap length band, and only then pay the
+    //    expensive metric (levenshtein ≤ 2) inside each block. At 100 TB
+    //    the block key is the shuffle key and the candidate set is
+    //    Σ|block|² over DISTINCT entities — corpus growth adds weight to
+    //    n_parts, not to the pair space.
+    QueryDef(
+      "q137_fuzzy_match",
+      """WITH nm AS (SELECT p_name AS name, count(*) AS n_parts
+        |            FROM part GROUP BY p_name),
+        |b AS (SELECT name, n_parts, string_split(name,' ')[-1] AS blk FROM nm)
+        |SELECT a.name AS name_a, b2.name AS name_b,
+        |  CAST(levenshtein(a.name, b2.name) AS INTEGER) AS dist,
+        |  CAST(a.n_parts AS INTEGER) AS n_parts_a,
+        |  CAST(b2.n_parts AS INTEGER) AS n_parts_b
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name < b2.name
+        |  AND abs(length(a.name) - length(b2.name)) <= 2
+        |WHERE levenshtein(a.name, b2.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+      val nm = T(s, dir, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).cast("int").as("n_parts"))
+        .withColumn("blk", substring_index(col("name"), " ", -1))
+      nm.as("a").join(nm.as("b"),
+          col("a.blk") === col("b.blk")
+            && col("a.name") < col("b.name")
+            && abs(length(col("a.name")) - length(col("b.name"))) <= 2)
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+          levenshtein(col("a.name"), col("b.name")).as("dist"),
+          col("a.n_parts").as("n_parts_a"), col("b.n_parts").as("n_parts_b"))
+        .filter(col("dist") <= 2)
+        .orderBy("name_a", "name_b")
     }
   )
 }

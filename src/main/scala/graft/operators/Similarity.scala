@@ -43,6 +43,24 @@ object Similarity {
         .withColumn("nrm", norm(col("v")))
     }
 
+  /** ±1 sign matrix for the JL projection (q136), a pure function of
+    * (in-dim i, out-dim j): parity of the first 15 hex chars of
+    * md5("i_j") — the exact construction the DuckDB oracle replays with
+    * `('0x' || substr(md5(i || '_' || j), 1, 15))::BIGINT % 2`. Computed
+    * driver-side (it is a CONSTANT, outDims×inDims ≤ a few KB, not data)
+    * and baked into the plan as literals so the projection itself is a
+    * shuffle-free narrow map. */
+  private[operators] def jlSignMatrix(
+      outDims: Int, inDims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDims, inDims) { (j, i) =>
+      val hex = md.digest(s"${i}_${j}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0
+      else -1.0
+    }
+  }
+
   /** Oracle CTE: embeddings as double arrays + norms. */
   private val oracleVec: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -271,6 +289,106 @@ object Similarity {
           .select(col("vec_i"), col("vec_j"), col("bucket"),
             round(col("raw"), 4).as("cos_sim"))
           .orderBy("vec_i", "vec_j")
+    },
+
+    // ── k-means (Lloyd), K=4, 2 unrolled iterations, fully deterministic:
+    //    centroids seed from vec_id < K; each assignment is a broadcast
+    //    K-row cross join + per-point argmin (ties → lowest cluster id);
+    //    the re-estimated centroid is the per-dim mean ROUNDED to 6
+    //    decimals, which pins the iteration bit-for-bit across engines
+    //    (a raw float sum's reduction order would otherwise leak ulps
+    //    into the next assignment). Data never leaves executors: the
+    //    model (K×D cells) is re-assembled with the q86 keyed-aggregate
+    //    shape and broadcast back — the same dataflow MLlib's k-means
+    //    uses, minus the driver round-trip. At 100 TB per iteration:
+    //    one narrow scan (assign) + one (cl, dim)-keyed shuffle whose
+    //    reduce state is K×D regardless of row count.
+    QueryDef(
+      "q135_kmeans",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cl, v AS c FROM e WHERE vec_id < 4),
+        |a1 AS (SELECT vec_id, cl FROM (
+        |  SELECT e.vec_id, c0.cl, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_sum([(e.v[i]-c0.c[i])*(e.v[i]-c0.c[i])
+        |                       for i in range(1, len(e.v)+1)]), c0.cl) AS rn
+        |  FROM e CROSS JOIN c0) WHERE rn = 1),
+        |d1 AS (SELECT a1.cl, generate_subscripts(e.v,1) AS i, unnest(e.v) AS x
+        |       FROM e JOIN a1 USING (vec_id)),
+        |c1 AS (SELECT cl, list(round(mx,6) ORDER BY i) AS c
+        |       FROM (SELECT cl, i, avg(x) AS mx FROM d1 GROUP BY cl, i)
+        |       GROUP BY cl),
+        |a2 AS (SELECT vec_id, cl, dist FROM (
+        |  SELECT e.vec_id, c1.cl,
+        |    list_sum([(e.v[i]-c1.c[i])*(e.v[i]-c1.c[i])
+        |              for i in range(1, len(e.v)+1)]) AS dist,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum([(e.v[i]-c1.c[i])*(e.v[i]-c1.c[i])
+        |                         for i in range(1, len(e.v)+1)]), c1.cl) AS rn
+        |  FROM e CROSS JOIN c1) WHERE rn = 1)
+        |SELECT cl AS cluster, CAST(count(*) AS INTEGER) AS n_points,
+        |  CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+        |  round(avg(dist), 4) AS mean_sqdist
+        |FROM a2 GROUP BY cl ORDER BY cl""".stripMargin) { (s, dir) =>
+      val vs = vectors(s, dir).select(col("vec_id"), col("v"))
+      val K = 4
+      // nearest centroid per point; `cents` is (cl, c) with K rows
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cl"))
+        vs.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cl"),
+            graft.plans.L2DistanceSq.l2DistSq(col("v"), col("c")).as("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cl"), col("dist"))
+      }
+      val c0 = vs.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cl"), col("v").as("c"))
+      val c1 = vs.join(assign(c0).select("vec_id", "cl"), "vec_id")
+        .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cl", "i").agg(round(avg("x"), 6).as("cx"))
+        .groupBy("cl")
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("cx")))),
+          e => e.getField("cx")).as("c"))
+      assign(c1)
+        .groupBy(col("cl").as("cluster"))
+        .agg(count(lit(1)).cast("int").as("n_points"),
+          min("vec_id").as("min_vec_id"),
+          round(avg("dist"), 4).as("mean_sqdist"))
+        .orderBy("cluster")
+    },
+
+    // ── Johnson–Lindenstrauss random projection, 64 → 8 dims: the sign
+    //    matrix is a deterministic function of (in-dim, out-dim) via md5,
+    //    so both engines rebuild it exactly and reruns are reproducible
+    //    (no RNG state to ship). The Spark side bakes the signs into
+    //    literal arrays — the projection is a pure NARROW map (8 fused
+    //    zip_with/aggregate folds per row, whole-stage codegen'd, zero
+    //    shuffles), the shape a 100 TB embedding-sketch pass needs;
+    //    the oracle rebuilds the same signs from md5 per (i,j).
+    QueryDef(
+      "q136_jl_projection",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT vec_id, generate_subscripts(v,1) AS i, unnest(v) AS xv
+        |      FROM e),
+        |jj AS (SELECT unnest(range(0,8)) AS j),
+        |s AS (SELECT vec_id, j, xv,
+        |        CASE WHEN ('0x' || substr(md5((i-1) || '_' || j), 1, 15))::BIGINT
+        |                  % 2 = 0
+        |             THEN 1.0 ELSE -1.0 END AS sg
+        |      FROM x CROSS JOIN jj)
+        |SELECT vec_id, CAST(j AS INTEGER) AS j, round(sum(xv * sg), 4) AS proj
+        |FROM s GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin) { (s, dir) =>
+      val signs = jlSignMatrix(outDims = 8, inDims = 64)
+      val projections = signs.map { row =>
+        aggregate(zip_with(col("v"), typedLit(row.toSeq), _ * _),
+          lit(0.0), _ + _)
+      }
+      vectors(s, dir)
+        .select(col("vec_id"), posexplode(array(projections: _*))
+          .as(Seq("j", "praw")))
+        .select(col("vec_id"), col("j").cast("int").as("j"),
+          round(col("praw"), 4).as("proj"))
+        .orderBy("vec_id", "j")
     },
 
     // ── per-label centroids: the aggregate-of-vectors building block

@@ -303,4 +303,35 @@ class PlanAuditSpec extends SparkTestBase {
       s"each table's digest must run partial+final:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("q135: k-means broadcasts the K-row centroid model each iteration") {
+    val p = plan("q135_kmeans")
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both assignment passes must broadcast centroids:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q136: JL projection is a shuffle-free narrow map") {
+    val p = plan("q136_jl_projection")
+    assert(!p.contains("Join"), s"sign matrix must be literal, not joined:\n$p")
+    // only the final presentation sort (rangepartitioning) may shuffle —
+    // no hash exchange anywhere means the projection itself is narrow
+    assert(!p.contains("hashpartitioning"),
+      s"projection itself must not shuffle:\n$p")
+  }
+
+  test("q137: fuzzy match joins on the block key, not all pairs") {
+    val p = plan("q137_fuzzy_match")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"blocked ER must be an equality join on blk:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q138: bigram model is map-side combined and broadcast back") {
+    val p = plan("q138_bigram_logprob")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"cb/cw scoring joins must broadcast:\n$p")
+  }
 }

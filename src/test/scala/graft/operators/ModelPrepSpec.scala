@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Semantic invariants of the model-prep additions: k-means clustering
+  * (q135), JL random projection (q136), fuzzy blocked entity matching
+  * (q137), and the bigram-LM doc score (q138). */
+class ModelPrepSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q135 k-means: clusters partition the corpus; seeds anchor ids") {
+    val out = SparkEntry.queries("q135_kmeans")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    val total = Tables(spark, sf, "embeddings").count()
+    assert(out.map(_._1).toSeq == out.map(_._1).sorted.toSeq)
+    assert(out.forall { case (cl, _, _, _) => cl >= 0 && cl < 4 })
+    assert(out.map(_._2.toLong).sum == total,
+      "every vector must land in exactly one cluster")
+    out.foreach { case (_, n, minId, msd) =>
+      assert(n > 0 && minId >= 0 && msd > 0.0)
+    }
+  }
+
+  test("q136 JL: sign matrix deterministic and balanced; projection exact") {
+    val s1 = Similarity.jlSignMatrix(8, 64)
+    val s2 = Similarity.jlSignMatrix(8, 64)
+    assert(s1.flatten.toSeq == s2.flatten.toSeq, "matrix must be a pure fn")
+    assert(s1.flatten.forall(v => v == 1.0 || v == -1.0))
+    val mean = s1.flatten.sum / 512
+    assert(math.abs(mean) < 0.3, s"signs should be roughly balanced: $mean")
+
+    // the query's proj for vec 0 equals the hand-computed fold
+    val v0 = Tables(spark, sf, "embeddings")
+      .filter($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
+    val got = SparkEntry.queries("q136_jl_projection")(spark, sf)
+      .filter($"vec_id" === 0).orderBy($"j")
+      .select($"proj").as[Double].collect()
+    val want = s1.map { row =>
+      val raw = v0.map(_.toDouble).zip(row).foldLeft(0.0) {
+        case (acc, (x, sg)) => acc + x * sg
+      }
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.length == 8)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-9, s"proj mismatch: $g vs $w")
+    }
+  }
+
+  test("q137 fuzzy match: blocking is lossless vs brute force over entities") {
+    val got = SparkEntry.queries("q137_fuzzy_match")(spark, sf)
+      .select($"name_a", $"name_b", $"dist").as[(String, String, Int)]
+      .collect().toSet
+    got.foreach { case (a, b, d) =>
+      assert(a < b, "pairs must be canonical (a < b)")
+      assert(d >= 1 && d <= 2, s"distinct names at distance $d")
+      assert(a.split(" ").last == b.split(" ").last, "pairs share the block")
+    }
+    // brute force over the (tiny) distinct-name set: the length band and
+    // head-noun block must not drop any true match — levenshtein <= 2
+    // implies equal head noun in this name family AND |len diff| <= 2
+    val names = Tables(spark, sf, "part")
+      .select($"p_name").distinct().as[String].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ").last == b.split(" ").last && lev(a, b) <= 2
+    } yield (a, b, lev(a, b))).toSet
+    assert(got == brute, s"blocked join must equal brute force within block:" +
+      s" missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("q138 bigram LM: doc score matches a hand-built corpus model") {
+    val docs = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val bigrams = docs.flatMap { case (_, t) =>
+      val ws = t.split(" "); ws.zip(ws.drop(1))
+    }
+    val cb = bigrams.groupBy(identity).map { case (k, v) => k -> v.length }
+    val cw = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val vsz = docs.flatMap(_._2.split(" ")).distinct.length
+    val (docId, text) = docs.minBy(_._1)
+    val ws = text.split(" ")
+    val lp = ws.zip(ws.drop(1)).map { bg =>
+      math.log((cb(bg) + 1.0) / (cw(bg._1) + vsz))
+    }
+    val want = BigDecimal(lp.sum / lp.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("q138_bigram_logprob")(spark, sf)
+      .filter($"doc_id" === docId)
+      .select($"n_bigrams", $"avg_logprob").as[(Int, Double)].head()
+    assert(got._1 == lp.length)
+    assert(math.abs(got._2 - want) < 1e-9, s"got ${got._2} want $want")
+  }
+}
