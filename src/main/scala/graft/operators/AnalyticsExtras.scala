@@ -198,6 +198,48 @@ object AnalyticsExtras {
           least(col("n0"), col("n1")).as("estimate"),
           (least(col("n0"), col("n1")) - col("cnt")).as("overcount"))
         .orderBy(col("exact").desc, col("user_id"))
+    },
+
+    // ── incremental aggregate maintenance (materialized-view delta
+    //    merge): the base partition (orders before 2001) keeps its
+    //    aggregate STATE (count/sum/min/max per group); when the delta
+    //    partition (2001+) arrives, only its own state is computed and
+    //    the two states MERGE — count+count, sum+sum, min(min), max(max),
+    //    avg derived from merged sum/count. At 100 TB this is the
+    //    difference between touching the 0.1% of new data and
+    //    recomputing the world; the mergeable-state algebra here is
+    //    exactly what Spark's partial aggregation uses inside one query,
+    //    lifted to cross-run maintenance. The oracle recomputes from
+    //    scratch over the full table — hash-equality IS the proof that
+    //    merge(base, delta) == recompute(all).
+    QueryDef(
+      "q139_incremental_agg",
+      """SELECT o_orderpriority, CAST(count(*) AS INTEGER) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  round(sum(o_totalprice) / count(*), 4) AS avg_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val split = lit("2001-01-01").cast("timestamp")
+      // both states carry the SAME mergeable shape; each scan's filter
+      // is pushed to parquet, so at scale each run reads only its slice
+      def state(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        T(s, dir, "orders")
+          .filter(f(col("o_orderdate")))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("tot"),
+            min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      state(_ < split).unionByName(state(_ >= split))
+        .groupBy("o_orderpriority")
+        .agg(sum("cnt").as("cnt"), sum("tot").as("tot"),
+          min("mn").as("mn"), max("mx").as("mx"))
+        .select(col("o_orderpriority"),
+          col("cnt").cast("int").as("n_orders"),
+          round(col("tot"), 2).as("total_price"),
+          col("mn").as("min_price"), col("mx").as("max_price"),
+          round(col("tot") / col("cnt"), 4).as("avg_price"))
+        .orderBy("o_orderpriority")
     }
   )
 }

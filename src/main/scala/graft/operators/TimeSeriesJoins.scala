@@ -363,6 +363,54 @@ object TimeSeriesJoins {
           round(col("n_both") * lit(1.0)
             / (sqrt(col("n_a")) * sqrt(col("n_b"))), 4).as("cosine"))
         .orderBy("type_a", "type_b")
+    },
+
+    // ── EWMA smoothing (α = 0.5, window 8, pandas ewm-adjusted
+    //    semantics): weights (1-α)^k over the last 8 observations per
+    //    user, renormalized over the terms that exist — so the first
+    //    rows of each series are smoothed over their shorter history
+    //    instead of biased toward zero. Eight lag columns over ONE
+    //    user-keyed window = one shuffle total; the weighted sum is a
+    //    fixed-association scalar expression, so both engines produce
+    //    bit-equal doubles before the final round. At 100 TB the state
+    //    per key is 8 values — this is the batch twin of a streaming
+    //    mapGroupsWithState smoother.
+    QueryDef(
+      "q140_ewma_smooth",
+      """WITH v AS (SELECT user_id, event_id, value,
+        |  lag(value,1) OVER w AS l1, lag(value,2) OVER w AS l2,
+        |  lag(value,3) OVER w AS l3, lag(value,4) OVER w AS l4,
+        |  lag(value,5) OVER w AS l5, lag(value,6) OVER w AS l6,
+        |  lag(value,7) OVER w AS l7
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id,
+        |  round((value
+        |    + coalesce(l1,0)*0.5 + coalesce(l2,0)*0.25 + coalesce(l3,0)*0.125
+        |    + coalesce(l4,0)*0.0625 + coalesce(l5,0)*0.03125
+        |    + coalesce(l6,0)*0.015625 + coalesce(l7,0)*0.0078125)
+        |  / (1.0
+        |    + CASE WHEN l1 IS NULL THEN 0 ELSE 0.5 END
+        |    + CASE WHEN l2 IS NULL THEN 0 ELSE 0.25 END
+        |    + CASE WHEN l3 IS NULL THEN 0 ELSE 0.125 END
+        |    + CASE WHEN l4 IS NULL THEN 0 ELSE 0.0625 END
+        |    + CASE WHEN l5 IS NULL THEN 0 ELSE 0.03125 END
+        |    + CASE WHEN l6 IS NULL THEN 0 ELSE 0.015625 END
+        |    + CASE WHEN l7 IS NULL THEN 0 ELSE 0.0078125 END), 4) AS ewma8
+        |FROM v ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val lags = (1 to 7).map(k => lag(col("value"), k).over(w).as(s"l$k"))
+      val weights = (1 to 7).map(k => math.pow(0.5, k))
+      val v = T(s, dir, "events")
+        .select(col("user_id") +: col("event_id") +: col("value") +: lags: _*)
+      val num = (1 to 7).foldLeft(col("value")) { (acc, k) =>
+        acc + coalesce(col(s"l$k"), lit(0)) * lit(weights(k - 1))
+      }
+      val den = (1 to 7).foldLeft(lit(1.0)) { (acc, k) =>
+        acc + when(col(s"l$k").isNull, lit(0)).otherwise(lit(weights(k - 1)))
+      }
+      v.select(col("user_id"), col("event_id"),
+          round(num / den, 4).as("ewma8"))
+        .orderBy("user_id", "event_id")
     }
   )
 }

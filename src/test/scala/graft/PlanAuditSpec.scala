@@ -334,4 +334,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"cb/cw scoring joins must broadcast:\n$p")
   }
+
+  test("q139: each state scan pushes its date slice; merge is agg, not join") {
+    val p = plan("q139_incremental_agg")
+    assert(p.contains("LessThan(o_orderdate") &&
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"base/delta slices must reach the parquet scans:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"state + merge must both run partial+final:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q140: EWMA lags share ONE user-keyed shuffle") {
+    val p = plan("q140_ewma_smooth")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"all 7 lags must ride one window exchange:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }
