@@ -391,6 +391,58 @@ object Similarity {
         .orderBy("vec_id", "j")
     },
 
+    // ── quantized coarse scan + exact rerank: the memory-bandwidth ANN
+    //    pattern — the corpus sweep reads int8 codes (4× fewer bytes than
+    //    float32, q106's symmetric absmax quantization), takes the top-50
+    //    by INTEGER dot product (exact on any engine — no float drift in
+    //    the recall-critical stage), and only the 50 survivors pay the
+    //    full-precision cosine. At 100 TB the coarse scan is the only
+    //    corpus-wide pass and it touches a quarter of the bytes; rerank
+    //    cost is O(k), independent of corpus size.
+    QueryDef(
+      "q142_quantized_rerank",
+      oracleVec +
+        """,
+          |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))
+          |        AS absmax FROM e),
+          |c AS (SELECT vec_id,
+          |  list_transform(v, x -> CAST(floor(x * 127 / absmax + 0.5) AS BIGINT))
+          |    AS codes FROM a),
+          |q AS (SELECT c.codes AS qc, n.v AS qv, n.nrm AS qnrm
+          |      FROM c JOIN n USING (vec_id) WHERE vec_id = 0),
+          |coarse AS (SELECT c.vec_id,
+          |  CAST(list_sum([c.codes[i]*q.qc[i] for i in range(1, len(c.codes)+1)])
+          |       AS BIGINT) AS coarse
+          |  FROM c, q WHERE c.vec_id <> 0
+          |  ORDER BY coarse DESC, c.vec_id LIMIT 50)
+          |SELECT co.vec_id, co.coarse,
+          |  round(list_sum([n.v[i]*q.qv[i] for i in range(1, len(n.v)+1)])
+          |        / (n.nrm*q.qnrm), 4) AS cos_sim
+          |FROM coarse co JOIN n USING (vec_id), q
+          |ORDER BY cos_sim DESC, co.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val vs = vectors(s, dir)
+      val codes = vs.select(col("vec_id"), col("v"), col("nrm"),
+        transform(col("v"),
+          x => floor(x * 127 / array_max(transform(col("v"), y => abs(y)))
+            + 0.5).cast("long")).as("codes"))
+      val q = codes.filter(col("vec_id") === 0)
+        .select(col("codes").as("qc"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      val coarse = codes.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("qv"), col("qnrm"),
+          aggregate(zip_with(col("codes"), col("qc"), _ * _),
+            lit(0L), _ + _).as("coarse"))
+        .orderBy(col("coarse").desc, col("vec_id"))
+        .limit(50)
+      coarse
+        .select(col("vec_id"), col("coarse"),
+          round(cosineFast(col("v"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // ── per-label centroids: the aggregate-of-vectors building block
     //    (IVF/k-means training step). explode → (label, dim) partial
     //    avgs → re-assemble: one shuffle keyed by (label, dim), so at

@@ -158,6 +158,50 @@ object StorageLayout {
         .select(col("event_type"), col("lo"), col("hi"),
           col("n_low"), col("n_high"), col("sum_winsorized"))
         .orderBy("event_type")
+    },
+
+    // ── robust outlier detection: median + MAD (median absolute
+    //    deviation), the breakdown-point-0.5 alternative to q113's
+    //    mean/stddev z-score — a single corrupted batch can't drag the
+    //    threshold. Two keyed median passes (value, then |value−med|),
+    //    each a 5-group aggregate broadcast back; the outlier test
+    //    compares raw doubles against 3·MAD — medians are selections
+    //    (or the midpoint of two values), not sums, so both engines
+    //    compute bit-equal thresholds and the flag is exactly
+    //    reproducible. At 100 TB swap percentile for approx_percentile
+    //    (same shape, documented tolerance) — exact grouped medians are
+    //    the declared oracle-parity semantics here.
+    QueryDef(
+      "q141_mad_outliers",
+      """WITH med AS (SELECT event_type, median(value) AS med FROM events
+        |             GROUP BY event_type),
+        |dev AS (SELECT e.event_type, abs(e.value - m.med) AS ad
+        |        FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, median(ad) AS mad FROM dev
+        |        GROUP BY event_type)
+        |SELECT e.event_type, round(m.med, 4) AS med, round(d.mad, 4) AS mad,
+        |  CAST(count(*) AS INTEGER) AS n,
+        |  CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * d.mad
+        |           THEN 1 ELSE 0 END) AS INTEGER) AS n_outliers
+        |FROM events e JOIN med m USING (event_type)
+        |  JOIN mad d USING (event_type)
+        |GROUP BY e.event_type, m.med, d.mad
+        |ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+      val ev = T(s, dir, "events").select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(count(lit(1)).cast("int").as("n"),
+          sum(when(col("ad") > lit(3) * col("mad"), 1).otherwise(0))
+            .cast("int").as("n_outliers"))
+        .select(col("event_type"), round(col("med"), 4).as("med"),
+          round(col("mad"), 4).as("mad"), col("n"), col("n_outliers"))
+        .orderBy("event_type")
     }
   )
 }

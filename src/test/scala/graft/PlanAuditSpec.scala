@@ -351,4 +351,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"all 7 lags must ride one window exchange:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("q141: both median passes broadcast back — corpus never sort-merges") {
+    val p = plan("q141_mad_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"med and mad must broadcast to the scan side:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q142: coarse stage is top-k (no global sort), rerank bounded") {
+    val p = plan("q142_quantized_rerank")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"coarse top-50 must heap-select, not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 
 import graft.{SparkEntry, SparkTestBase, Tables}
 
-/** Semantic invariants of the maintenance / time-series additions:
-  * incremental aggregate merge (q139) and EWMA smoothing (q140). */
+/** Semantic invariants of the maintenance / time-series / robust-stat
+  * additions: incremental aggregate merge (q139), EWMA smoothing (q140),
+  * MAD outliers (q141), and quantized-rerank ANN (q142). */
 class IncrementalSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -54,5 +55,57 @@ class IncrementalSpec extends SparkTestBase {
     assert(math.abs(got(firstEid) -
       BigDecimal(firstVal).setScale(4, BigDecimal.RoundingMode.HALF_UP)
         .toDouble) < 1e-9)
+  }
+
+  test("q141: MAD matches a reference computation; outlier rule exact") {
+    val vals = Tables(spark, sf, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val want = vals.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.map(_._2)
+      val med = median(xs)
+      val mad = median(xs.map(x => math.abs(x - med)))
+      t -> (med, mad, xs.length, xs.count(x => math.abs(x - med) > 3 * mad))
+    }
+    val got = SparkEntry.queries("q141_mad_outliers")(spark, sf)
+      .as[(String, Double, Double, Int, Int)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (t, med, mad, n, nOut) =>
+      val (wmed, wmad, wn, wout) = want(t)
+      assert(math.abs(med - wmed) < 1e-4 && math.abs(mad - wmad) < 1e-4)
+      assert(n == wn && nOut == wout, s"$t: got ($n,$nOut) want ($wn,$wout)")
+    }
+  }
+
+  test("q142: rerank results are a subset of the integer-coarse top-50") {
+    val out = SparkEntry.queries("q142_quantized_rerank")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 10)
+    // exact-rerank scores are sorted desc with vec_id tiebreak
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._1 < b._1) },
+      "rerank order must be (cos_sim desc, vec_id)")
+    // every survivor's coarse score is within the corpus-wide top-50:
+    // recompute the integer coarse scores directly
+    val emb = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val q = emb.find(_._1 == 0L).get._2.map(_.toDouble)
+    def codes(v: Seq[Double]): Seq[Long] = {
+      val am = v.map(math.abs).max
+      v.map(x => math.floor(x * 127 / am + 0.5).toLong)
+    }
+    val qc = codes(q)
+    val coarseAll = emb.filter(_._1 != 0L).map { case (id, v) =>
+      id -> codes(v.map(_.toDouble)).zip(qc).map { case (a, b) => a * b }.sum
+    }
+    val top50 = coarseAll.sortBy { case (id, c) => (-c, id) }.take(50)
+      .map(_._1).toSet
+    out.foreach { case (id, coarse, _) =>
+      assert(top50.contains(id), s"vec $id not in true coarse top-50")
+      assert(coarseAll.toMap.apply(id) == coarse, s"coarse mismatch for $id")
+    }
   }
 }
