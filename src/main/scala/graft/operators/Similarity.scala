@@ -166,9 +166,13 @@ object Similarity {
           // fused native expression (plans.L2DistanceSq): bit-identical
           // to the zip_with/aggregate fold and the oracle's list_sum
           graft.plans.L2DistanceSq.l2DistSq(col("v"), col("cv")).as("dist"))
-      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      val assign = dist.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+      // argmin via min(struct(dist, cid)) — lexicographic struct order is
+      // (nearest, ties → lowest id), and it partial-aggregates map-side:
+      // the corpus-wide n×K expansion never crosses the wire (a window
+      // rank would shuffle and sort all n×K rows)
+      val assign = dist.groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
       val assigned = vs.join(assign, "vec_id")
       val q = assigned.filter(col("vec_id") === 0)
         .select(col("v").as("qv"), col("nrm").as("qnrm"), col("cid").as("qcid"))
@@ -214,9 +218,10 @@ object Similarity {
       val dist = vs.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cid"),
           graft.plans.L2DistanceSq.l2DistSq(col("v"), col("cv")).as("dist"))
-      val aw = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      val assign = dist.withColumn("rn", row_number().over(aw))
-        .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+      // same map-side-combinable argmin as q73/q135
+      val assign = dist.groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
       val assigned = vs.join(assign, "vec_id")
       val qs = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -331,16 +336,18 @@ object Similarity {
         |FROM a2 GROUP BY cl ORDER BY cl""".stripMargin) { (s, dir) =>
       val vs = vectors(s, dir).select(col("vec_id"), col("v"))
       val K = 4
-      // nearest centroid per point; `cents` is (cl, c) with K rows
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cl"))
+      // nearest centroid per point; `cents` is (cl, c) with K rows.
+      // argmin via min(struct(dist, cl)) — lexicographic struct order IS
+      // the (smallest distance, ties → lowest cluster) rule, and unlike
+      // a window rank it partial-aggregates map-side: the shuffle moves
+      // n pre-reduced rows, never the n×K expansion, and nothing sorts.
+      def assign(cents: DataFrame): DataFrame =
         vs.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("cl"),
             graft.plans.L2DistanceSq.l2DistSq(col("v"), col("c")).as("dist"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cl"), col("dist"))
-      }
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cl"))).as("m"))
+          .select(col("vec_id"), col("m.cl").as("cl"), col("m.dist").as("dist"))
       val c0 = vs.filter(col("vec_id") < K)
         .select(col("vec_id").as("cl"), col("v").as("c"))
       val c1 = vs.join(assign(c0).select("vec_id", "cl"), "vec_id")

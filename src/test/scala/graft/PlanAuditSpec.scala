@@ -304,11 +304,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
   }
 
-  test("q135: k-means broadcasts the K-row centroid model each iteration") {
+  test("q135: k-means broadcasts the model; assignment partial-aggregates") {
     val p = plan("q135_kmeans")
     assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"both assignment passes must broadcast centroids:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+    // argmin is min(struct(dist,cl)) — a map-side-combinable aggregate,
+    // NOT a window rank: the n×K expansion must never cross the wire
+    assert(!p.toLowerCase.contains("windowspecdefinition"),
+      s"assignment must not use a window sort:\n$p")
   }
 
   test("q136: JL projection is a shuffle-free narrow map") {
