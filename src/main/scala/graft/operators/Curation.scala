@@ -80,12 +80,19 @@ object Curation {
         .select(col("doc_id"), col("k").cast("int").as("chunk_idx"),
           concat_ws(" ", slice(col("ws"), col("k") * P + 1, lit(P)))
             .as("chunk_text"))
-      val keepFirst = Window
-        .partitionBy(md5(encode(col("chunk_text"), "UTF-8")))
-        .orderBy("doc_id", "chunk_idx")
+      // keep-first = min(struct(doc_id, chunk_idx, chunk_text)) keyed on
+      // the chunk hash: (doc_id, chunk_idx) is unique so the min is the
+      // first occurrence, and the aggregate partial-combines map-side —
+      // the pathologically hot chunk (one boilerplate paragraph a billion
+      // times) reduces to one buffer entry per partition instead of one
+      // giant sorted window partition
       chunks
-        .withColumn("rn", row_number().over(keepFirst))
-        .filter(col("rn") === 1)
+        .groupBy(md5(encode(col("chunk_text"), "UTF-8")).as("h"))
+        .agg(min(struct(col("doc_id"), col("chunk_idx"), col("chunk_text")))
+          .as("m"))
+        .select(col("m.doc_id").as("doc_id"),
+          col("m.chunk_idx").as("chunk_idx"),
+          col("m.chunk_text").as("chunk_text"))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("int").as("n_kept"),
           // rebuild in chunk order: collect (idx, text), sort by idx

@@ -102,16 +102,23 @@ object PipelineCapstone {
         |  CAST(sum(CAST(ceil(n_chars / 4.0) AS INTEGER)) AS BIGINT)
         |    AS est_llm_tokens
         |FROM quality GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(md5(encode(col("text"), "UTF-8")))
-        .orderBy("doc_id")
       val ws = split(col("text"), " ")
+      // quality stats are pure functions of text, so compute them in the
+      // narrow map BEFORE the dedup agg; keep-first is then a map-side
+      // min(struct(doc_id, ...)) on the content hash — the reduce buffer
+      // holds one small survivor tuple per hash, never the text, and no
+      // duplicate row crosses the wire unreduced (a window rank shuffles
+      // and sorts them all)
       T(s, dir, "documents")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang"),
-          size(ws).as("n_words"),
-          size(array_distinct(ws)).as("n_distinct"),
-          length(col("text")).as("n_chars"))
+        .select(md5(encode(col("text"), "UTF-8")).as("h"),
+          struct(col("doc_id"), col("lang"), size(ws).as("n_words"),
+            size(array_distinct(ws)).as("n_distinct"),
+            length(col("text")).as("n_chars")).as("r"))
+        .groupBy("h").agg(min(col("r")).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"),
+          col("m.n_words").as("n_words"),
+          col("m.n_distinct").as("n_distinct"),
+          col("m.n_chars").as("n_chars"))
         .filter(col("n_words").between(20, 1000)
           && col("n_distinct") * 2 >= col("n_words"))
         .groupBy("lang")

@@ -318,12 +318,16 @@ object TextDedup {
         |  SELECT doc_id, lang, source,
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(md5(encode(col("text"), "UTF-8")))
-        .orderBy("doc_id")
+      // keep-first = min(struct(doc_id, ...)) keyed on the content hash:
+      // partial-aggregates map-side (the reduce buffer holds ONE survivor
+      // per hash), where a window rank would shuffle and sort every
+      // duplicate row — the difference that matters when one boilerplate
+      // doc repeats a billion times at corpus scale
       T(s, dir, "documents")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("doc_id", "lang", "source")
+        .groupBy(md5(encode(col("text"), "UTF-8")).as("h"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("source"))).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"),
+          col("m.source").as("source"))
         .orderBy("doc_id")
     },
 

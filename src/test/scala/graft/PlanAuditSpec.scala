@@ -193,10 +193,24 @@ class PlanAuditSpec extends SparkTestBase {
       s"the 1-row stoplist must broadcast:\n$p")
   }
 
-  test("q102: chunk dedup is join-free — one window keyed on the chunk hash") {
+  test("q102: chunk dedup is join-free; keep-first partial-aggregates") {
     val p = plan("q102_chunk_dedup")
     assert(!p.contains("Join"), s"q102 must not join:\n$p")
-    assert(p.contains("Window"), p)
+    // keep-first is min(struct(...)) on the chunk hash — map-side
+    // combinable, so a hot duplicate chunk never forms one giant sorted
+    // window partition
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(p).size >= 4,
+      s"dedup + reassembly aggs must run partial+final:\n$p")
+  }
+
+  test("q40/q78: exact-dedup keep-first is an aggregate, not a window sort") {
+    Seq("q40_dedup_exact", "q78_curation_pipeline").foreach { q =>
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("windowspecdefinition"),
+        s"$q keep-first must partial-aggregate:\n$p")
+      assert(!p.contains("Join"), p)
+    }
   }
 
   test("q103/q105: vocabulary-sized frames broadcast, corpus never sort-merges") {
