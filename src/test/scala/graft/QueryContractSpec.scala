@@ -20,7 +20,9 @@ class QueryContractSpec extends SparkTestBase {
   test("representative queries are deterministic across runs") {
     val reps = Seq("q01_pricing_summary", "q22_window_rank", "q42_jaccard_pairs",
       "q46_cosine_topk", "q53_fingerprint", "q60_window_tumbling",
-      "q130_cosine_rerank", "q134_session_cooccurrence")
+      "q130_cosine_rerank", "q134_session_cooccurrence", "q135_kmeans",
+      "q138_bigram_logprob", "q140_ewma_smooth", "q141_mad_outliers",
+      "q142_quantized_rerank")
     reps.foreach { name =>
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf).collect()
