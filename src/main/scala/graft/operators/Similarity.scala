@@ -61,6 +61,52 @@ object Similarity {
     }
   }
 
+  /** Lloyd's k-means over an (id: LONG, v: ARRAY<DOUBLE>) frame —
+    * the reusable operator behind q135. Deterministic by construction:
+    * seeds are the `k` lowest ids, assignment ties break to the lowest
+    * cluster id, and each re-estimated centroid is the per-dim mean
+    * ROUNDED to 6 decimals so the next iteration is a pure function of
+    * values any engine reproduces (no float-reduction-order leakage).
+    *
+    * Dataflow (per iteration, at any corpus size): assignment is a
+    * broadcast of the k-row model + a map-side-combinable
+    * min(struct(dist, cl)) argmin — only n pre-reduced rows shuffle,
+    * never the n×k expansion, and nothing sorts; re-estimation is one
+    * (cl, dim)-keyed aggregate whose reduce state is k×D cells
+    * regardless of row count. The k-row centroid frame is eagerly
+    * localCheckpointed each round, so lineage (and optimizer time)
+    * stays O(1) in the iteration count — same discipline as PageRank
+    * (GraphOps) and connected components (TextDedup).
+    *
+    * Returns (id, cl, dist): final assignment + squared L2 distance to
+    * the final (rounded) centroid. */
+  private[operators] def kmeans(
+      points: DataFrame, k: Int, iters: Int): DataFrame = {
+    val vs = points.select(col("id"), col("v"))
+    def assign(cents: DataFrame): DataFrame =
+      vs.crossJoin(broadcast(cents))
+        .select(col("id"), col("cl"),
+          graft.plans.L2DistanceSq.l2DistSq(col("v"), col("c")).as("dist"))
+        .groupBy("id")
+        .agg(min(struct(col("dist"), col("cl"))).as("m"))
+        .select(col("id"), col("m.cl").as("cl"), col("m.dist").as("dist"))
+    var cents = vs.orderBy("id").limit(k)
+      .select(col("id").as("cl"), col("v").as("c"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters - 1) {
+      cents = vs.join(assign(cents).select("id", "cl"), "id")
+        .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cl", "i").agg(round(avg("x"), 6).as("cx"))
+        .groupBy("cl")
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("cx")))),
+          e => e.getField("cx")).as("c"))
+        .localCheckpoint()
+      it += 1
+    }
+    assign(cents)
+  }
+
   /** Oracle CTE: embeddings as double arrays + norms. */
   private val oracleVec: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -334,32 +380,11 @@ object Similarity {
         |  CAST(min(vec_id) AS BIGINT) AS min_vec_id,
         |  round(avg(dist), 4) AS mean_sqdist
         |FROM a2 GROUP BY cl ORDER BY cl""".stripMargin) { (s, dir) =>
-      val vs = vectors(s, dir).select(col("vec_id"), col("v"))
-      val K = 4
-      // nearest centroid per point; `cents` is (cl, c) with K rows.
-      // argmin via min(struct(dist, cl)) — lexicographic struct order IS
-      // the (smallest distance, ties → lowest cluster) rule, and unlike
-      // a window rank it partial-aggregates map-side: the shuffle moves
-      // n pre-reduced rows, never the n×K expansion, and nothing sorts.
-      def assign(cents: DataFrame): DataFrame =
-        vs.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cl"),
-            graft.plans.L2DistanceSq.l2DistSq(col("v"), col("c")).as("dist"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("dist"), col("cl"))).as("m"))
-          .select(col("vec_id"), col("m.cl").as("cl"), col("m.dist").as("dist"))
-      val c0 = vs.filter(col("vec_id") < K)
-        .select(col("vec_id").as("cl"), col("v").as("c"))
-      val c1 = vs.join(assign(c0).select("vec_id", "cl"), "vec_id")
-        .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("cl", "i").agg(round(avg("x"), 6).as("cx"))
-        .groupBy("cl")
-        .agg(transform(sort_array(collect_list(struct(col("i"), col("cx")))),
-          e => e.getField("cx")).as("c"))
-      assign(c1)
+      kmeans(vectors(s, dir)
+          .select(col("vec_id").as("id"), col("v")), k = 4, iters = 2)
         .groupBy(col("cl").as("cluster"))
         .agg(count(lit(1)).cast("int").as("n_points"),
-          min("vec_id").as("min_vec_id"),
+          min("id").as("min_vec_id"),
           round(avg("dist"), 4).as("mean_sqdist"))
         .orderBy("cluster")
     },

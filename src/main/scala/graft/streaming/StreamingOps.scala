@@ -147,4 +147,51 @@ object StreamingOps {
           }
       }
   }
+
+  final case class EwmaState(recent: List[Double])
+
+  final case class SmoothOut(user_id: Long, event_id: Long, ewma8: Double)
+
+  /** Per-user streaming EWMA smoother — the streaming twin of the batch
+    * q140 operator (α = 0.5, window 8, pandas ewm-adjusted weights,
+    * rounded to 4 dp). State per key is the last 7 observed values in
+    * event order: O(1) memory per user regardless of stream length,
+    * which is the whole point of the stateful form — the batch version
+    * needs the full history partition, the stream carries 7 doubles.
+    *
+    * Each micro-batch's events are sorted by (ts, event_id) and folded
+    * against the carried history with the SAME left-to-right float
+    * association as the batch SQL, so for an in-order stream (per-key
+    * event time monotone across batches — the replay contract) the
+    * emitted values are bit-identical to `q140_ewma_smooth`;
+    * StreamingOpsSpec proves the equality on a two-batch replay of real
+    * table data. */
+  def ewmaSmooth(events: Dataset[Event]): Dataset[SmoothOut] = {
+    import events.sparkSession.implicits._
+    val weights = (0 to 7).map(k => math.pow(0.5, k))
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, SmoothOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[EwmaState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = Seq.newBuilder[SmoothOut]
+          sorted.foreach { e =>
+            val window = e.value :: recent // most recent first, ≤ 8 terms
+            var num = 0.0
+            var den = 0.0
+            window.zip(weights).foreach { case (x, w) =>
+              num += x * w
+              den += w
+            }
+            out += SmoothOut(userId, e.event_id,
+              BigDecimal(num / den)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            recent = (e.value :: recent).take(7)
+          }
+          state.update(EwmaState(recent))
+          out.result().iterator
+      }
+  }
 }

@@ -25,6 +25,36 @@ class ModelPrepSpec extends SparkTestBase {
     }
   }
 
+  test("kmeans operator: hand-computed two-cluster fixed point") {
+    val pts: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(0.0, 0.0), 1L -> Seq(10.0, 10.0), 2L -> Seq(0.0, 1.0),
+      3L -> Seq(10.0, 11.0), 4L -> Seq(1.0, 0.0), 5L -> Seq(11.0, 10.0))
+    val df = pts.toDF("id", "v")
+    val got = Similarity.kmeans(df, k = 2, iters = 2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // seeds are ids 0 (origin cluster) and 1 (far cluster); membership
+    // is unambiguous
+    val want = Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L, 5L -> 1L)
+    got.foreach { case (id, cl, _) => assert(cl == want(id), s"id $id") }
+    // distances are to the ROUNDED re-estimated centroids: cl0 mean =
+    // (1/3, 1/3) -> (0.333333, 0.333333); cl1 = (31/3, 31/3)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c = Map(0L -> Seq(r6(1.0 / 3), r6(1.0 / 3)),
+      1L -> Seq(r6(31.0 / 3), r6(31.0 / 3)))
+    got.foreach { case (id, cl, dist) =>
+      val v = pts.find(_._1 == id).get._2
+      val wantD = v.zip(c(cl)).map { case (x, cx) =>
+        (x - cx) * (x - cx) }.sum
+      assert(math.abs(dist - wantD) < 1e-12, s"id $id: $dist vs $wantD")
+    }
+    // iters = 1 assigns against the raw seeds themselves
+    val one = Similarity.kmeans(df, k = 2, iters = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(one.find(_._1 == 0L).get._3 == 0.0)
+    assert(one.find(_._1 == 1L).get._3 == 0.0)
+  }
+
   test("q136 JL: sign matrix deterministic and balanced; projection exact") {
     val s1 = Similarity.jlSignMatrix(8, 64)
     val s2 = Similarity.jlSignMatrix(8, 64)

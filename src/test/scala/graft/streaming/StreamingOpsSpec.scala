@@ -161,4 +161,35 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(users.count(_ == 1L) == 2)  // second u1 session closed by timeout
     }
   }
+
+  test("streaming EWMA equals batch q140 on an in-order two-batch replay") {
+    val sf = "/root/testdata/sf0.001"
+    val uids = Seq(0L, 1L, 2L)
+    val evs = graft.Tables(spark, sf, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+      .filter(e => uids.contains(e.user_id))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    assert(evs.length > 20, "need a real series per user")
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+
+    val in = MemoryStream[Event]
+    val q = ewmaSmooth(in.toDS()).writeStream.format("memory")
+      .queryName("ewma").outputMode("append").start()
+    val got = withQuery(q) {
+      in.addData(b1.toSeq)
+      q.processAllAvailable()
+      in.addData(b2.toSeq)
+      q.processAllAvailable()
+      spark.table("ewma").select("user_id", "event_id", "ewma8")
+        .as[(Long, Long, Double)].collect()
+    }
+    val want = graft.SparkEntry.queries("q140_ewma_smooth")(spark, sf)
+      .filter($"user_id".isin(uids: _*))
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == want.length)
+    // bit-identical, not approximately equal: same fold, same rounding
+    assert(got.sortBy(r => (r._1, r._2)).toSeq ==
+      want.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }
