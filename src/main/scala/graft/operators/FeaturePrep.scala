@@ -176,6 +176,56 @@ object FeaturePrep {
             countDistinct(col("crossed")).cast("int").as("n_keys"))
           .orderBy(col("n").desc, col("bucket"))
           .limit(20)
+    },
+
+    // ── per-key OLS trend: closed-form regression of value (integer
+    //    cents) on time (hour index from the group's own start), one
+    //    partial-agg'd pass collecting the five sufficient statistics
+    //    (n, Σx, Σy, Σxy, Σx²). Everything up to the final division is
+    //    EXACT 64-bit integer arithmetic — no float reduction-order
+    //    drift anywhere in the sums, so the slope/intercept are a pure
+    //    function of the data on any engine and at any partitioning.
+    //    The drift/trend monitor a feature pipeline runs per key at
+    //    100 TB: reduce state is 5 longs per key; magnitudes stay in
+    //    range because x is centered at the per-key minimum hour
+    //    (n·Σxy ≲ 7·10¹⁵ here — checked against long overflow).
+    QueryDef(
+      "q143_trend_per_key",
+      """WITH b AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, min(h) AS h0 FROM b GROUP BY event_type),
+        |p AS (SELECT b.event_type, b.h - m.h0 AS x, b.cents AS y
+        |      FROM b JOIN m USING (event_type)),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x*y) AS BIGINT) AS sxy,
+        |        CAST(sum(x*x) AS BIGINT) AS sxx
+        |      FROM p GROUP BY event_type)
+        |SELECT event_type, CAST(n AS INTEGER) AS n,
+        |  round((n*sxy - sx*sy) * 1.0 / (n*sxx - sx*sx), 6)
+        |    AS slope_cents_per_hr,
+        |  round((sy - (n*sxy - sx*sy) * 1.0 / (n*sxx - sx*sx) * sx) / n, 4)
+        |    AS intercept_cents
+        |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val b = T(s, dir, "events").select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("h"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val m = b.groupBy("event_type").agg(min("h").as("h0"))
+      val stats = b.join(broadcast(m), "event_type")
+        .select(col("event_type"), (col("h") - col("h0")).as("x"),
+          col("cents").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) * lit(1.0) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      stats.select(col("event_type"), col("n").cast("int").as("n"),
+          round(slope, 6).as("slope_cents_per_hr"),
+          round((col("sy") - slope * col("sx")) / col("n"), 4)
+            .as("intercept_cents"))
+        .orderBy("event_type")
     }
   )
 }

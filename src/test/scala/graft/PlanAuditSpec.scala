@@ -383,4 +383,12 @@ class PlanAuditSpec extends SparkTestBase {
       s"coarse top-50 must heap-select, not global-sort:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q143: sufficient statistics partial-aggregate; h0 broadcasts back") {
+    val p = plan("q143_trend_per_key")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"min-hour and stats aggs must run partial+final:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row per-key min must broadcast to the scan side:\n$p")
+  }
 }

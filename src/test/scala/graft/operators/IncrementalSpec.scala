@@ -80,6 +80,34 @@ class IncrementalSpec extends SparkTestBase {
     }
   }
 
+  test("q143: slope/intercept match a reference OLS on exact integers") {
+    val rows = Tables(spark, sf, "events")
+      .select($"event_type", $"ts", $"value")
+      .as[(String, java.sql.Timestamp, Double)].collect()
+    val want = rows.groupBy(_._1).map { case (t, es) =>
+      val h = es.map(e => e._2.getTime / 1000 / 3600)
+      val h0 = h.min
+      val x = h.map(_ - h0)
+      val y = es.map(e => math.round(e._3 * 100))
+      val n = x.length.toLong
+      val (sx, sy) = (x.sum, y.sum)
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      val sxx = x.map(a => a * a).sum
+      val slope = (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+      def r(v: Double, s: Int) =
+        BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+      t -> (n.toInt, r(slope, 6), r((sy - slope * sx) / n, 4))
+    }
+    val got = SparkEntry.queries("q143_trend_per_key")(spark, sf)
+      .as[(String, Int, Double, Double)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (t, n, sl, ic) =>
+      val (wn, wsl, wic) = want(t)
+      assert(n == wn && sl == wsl && ic == wic,
+        s"$t: got ($n,$sl,$ic) want ($wn,$wsl,$wic)")
+    }
+  }
+
   test("q142: rerank results are a subset of the integer-coarse top-50") {
     val out = SparkEntry.queries("q142_quantized_rerank")(spark, sf)
       .as[(Long, Long, Double)].collect()
