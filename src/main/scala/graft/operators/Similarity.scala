@@ -416,7 +416,7 @@ object Similarity {
           lit(0.0), _ + _)
       }
       vectors(s, dir)
-        .select(col("vec_id"), posexplode(array(projections: _*))
+        .select(col("vec_id"), posexplode(array(projections.toIndexedSeq: _*))
           .as(Seq("j", "praw")))
         .select(col("vec_id"), col("j").cast("int").as("j"),
           round(col("praw"), 4).as("proj"))

@@ -377,8 +377,8 @@ object TextDedup {
           |ORDER BY doc_i, doc_j""".stripMargin) { (s, dir) =>
       val sig = signatures(s, dir) // shared persisted cache (also q41)
       val cand = lshCandidatePairs(s, dir)
-      val a = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
-      val b = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+      val a = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
+      val b = sig.toDF(sig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
       def eq(k: Int): Column =
         when(col(s"a_mh$k") === col(s"b_mh$k"), 1).otherwise(0)
       def bandEq(k: Int): Column =

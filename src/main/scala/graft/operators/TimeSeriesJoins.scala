@@ -52,7 +52,7 @@ object TimeSeriesJoins {
     }
     carried
       .filter(col("_is_r") === 0 && col(s"asof_${rCols.head}").isNotNull)
-      .drop("_t" +: "_is_r" +: rCols: _*)
+      .drop(("_t" +: "_is_r" +: rCols).toIndexedSeq: _*)
   }
 
   val defs: Seq[QueryDef] = Seq(
