@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The library facade: the reusable, table-agnostic operators behind the
+  * named queries, re-exported under one import for users who bring their
+  * OWN DataFrames rather than the driver's test tables.
+  *
+  * {{{
+  * import graft.Graft
+  *
+  * val labeled  = Graft.kmeans(points, k = 16, iters = 5)       // (id, cl, dist)
+  * val clusters = Graft.connectedComponents(dupEdges)           // (id, lbl)
+  * val ranks    = Graft.pagerank(edges, iters = 3)              // (node, rank)
+  * val joined   = Graft.asofJoin(trades, quotes, "sym", "t", "qt")
+  * val smoothed = Graft.ewmaSmooth(eventStream)                 // streaming
+  * }}}
+  *
+  * Everything here follows the repo-wide scale discipline: broadcast the
+  * model/small side, key every shuffle, partial-aggregate before the
+  * exchange, keep iteration lineage O(1) with eager localCheckpoints.
+  * Semantics and plan shapes are pinned by the operator specs
+  * (ModelPrepSpec, GraphOpsSpec, StreamingOpsSpec, PlanAuditSpec) and by
+  * the DuckDB-oracled queries listed per member.
+  */
+object Graft {
+
+  /** Lloyd's k-means over an (id: LONG, v: ARRAY<DOUBLE>) frame; returns
+    * (id, cl, dist). Deterministic: seeds = k lowest ids, ties to the
+    * lowest cluster, centroids rounded to 6 dp per iteration. Backs
+    * q135_kmeans. See [[operators.Similarity.kmeans]]. */
+  def kmeans(points: DataFrame, k: Int, iters: Int): DataFrame =
+    operators.Similarity.kmeans(points, k, iters)
+
+  /** Connected components over undirected (src, dst) edges via seeded
+    * min-label propagation; returns (id, lbl) with lbl = the component's
+    * minimum vertex id. Backs q89_dup_clusters. See
+    * [[operators.TextDedup.connectedComponents]]. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame =
+    operators.TextDedup.connectedComponents(edges, maxIter)
+
+  /** Fixed-point integer PageRank (d = 0.85, scale 1e6) over directed
+    * (src, dst) edges — pass both directions for an undirected graph;
+    * returns (id, d, r) with the rank in 1e-6 fixed point, so it is
+    * bit-reproducible on any engine. Backs q121_pagerank_neardup. See
+    * [[operators.GraphOps.pagerank]]. */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame =
+    operators.GraphOps.pagerank(edges, iters)
+
+  /** As-of join: each left row gets the latest right row with the same
+    * key and rTime <= lTime (inner semantics). One shuffle on the key,
+    * no range explosion. Backs q67_asof_join (verified against DuckDB's
+    * native ASOF JOIN). See [[operators.TimeSeriesJoins.asofJoin]]. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      lTime: String, rTime: String): DataFrame =
+    operators.TimeSeriesJoins.asofJoin(left, right, key, lTime, rTime)
+
+  /** Streaming EWMA smoother (α=0.5, window 8, ewm-adjusted weights):
+    * the stateful twin of batch q140_ewma_smooth, bit-identical on
+    * in-order replays (StreamingOpsSpec). State = 7 doubles per key. */
+  def ewmaSmooth(events: org.apache.spark.sql.Dataset[streaming.StreamingOps.Event])
+      : org.apache.spark.sql.Dataset[streaming.StreamingOps.SmoothOut] =
+    streaming.StreamingOps.ewmaSmooth(events)
+
+  /** Gap-based streaming sessionizer with explicit state and event-time
+    * timeout. See [[streaming.StreamingOps.sessionize]]. */
+  def sessionize(events: org.apache.spark.sql.Dataset[streaming.StreamingOps.Event],
+      gapMs: Long = 10 * 60 * 1000L)
+      : org.apache.spark.sql.Dataset[streaming.StreamingOps.SessionOut] =
+    streaming.StreamingOps.sessionize(events, gapMs)
+
+  /** Deterministic md5 bucket gate — THE sampling/splitting primitive
+    * (q87/q88/q92/q104...): first 15 hex chars of md5(key) as a long,
+    * mod `mod`. DuckDB twin documented at the definition. See
+    * [[plans.HexWindowToLong.md5Bucket]]. */
+  def md5Bucket(key: Column, mod: Int): Column =
+    plans.HexWindowToLong.md5Bucket(key, mod)
+
+  /** Codegen'd vector math over ARRAY<DOUBLE> columns: dot, norm,
+    * cosine (fused native expression), LSH bucketing. See
+    * [[functions.VectorFunctions]]. */
+  val vectors: functions.VectorFunctions.type = functions.VectorFunctions
+}

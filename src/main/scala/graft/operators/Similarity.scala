@@ -80,8 +80,7 @@ object Similarity {
     *
     * Returns (id, cl, dist): final assignment + squared L2 distance to
     * the final (rounded) centroid. */
-  private[operators] def kmeans(
-      points: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeans(points: DataFrame, k: Int, iters: Int): DataFrame = {
     val vs = points.select(col("id"), col("v"))
     def assign(cents: DataFrame): DataFrame =
       vs.crossJoin(broadcast(cents))

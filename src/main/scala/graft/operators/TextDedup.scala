@@ -258,7 +258,7 @@ object TextDedup {
     *
     * Input: undirected edges (src, dst), one row per pair.
     * Output: (id, lbl) — lbl = min vertex id of the component. */
-  private[operators] def connectedComponents(
+  def connectedComponents(
       edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges

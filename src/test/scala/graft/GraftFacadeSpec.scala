@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The library facade works on user-supplied frames (not the test
+  * tables): every forwarder runs end-to-end on a tiny in-memory input
+  * and returns the documented schema. Deep semantics are covered by the
+  * per-operator suites; this pins the public surface. */
+class GraftFacadeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("kmeans on a user frame returns (id, cl, dist)") {
+    val pts = Seq(0L -> Seq(0.0, 0.0), 1L -> Seq(9.0, 9.0),
+      2L -> Seq(0.5, 0.0), 3L -> Seq(9.0, 8.5)).toDF("id", "v")
+    val out = Graft.kmeans(pts, k = 2, iters = 2)
+    assert(out.columns.toSeq == Seq("id", "cl", "dist"))
+    val m = out.as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(m(0L) == m(2L) && m(1L) == m(3L) && m(0L) != m(1L))
+  }
+
+  test("connectedComponents labels by component minimum") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
+    val lbl = Graft.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(lbl(1L) == 1L && lbl(2L) == 1L && lbl(3L) == 1L)
+    assert(lbl(7L) == 7L && lbl(8L) == 7L)
+  }
+
+  test("pagerank on a symmetric pair splits rank evenly") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graft.pagerank(edges, iters = 2).as[(Long, Long, Long)]
+      .collect().map(x => x._1 -> x._3).toMap
+    assert(r(1L) == r(2L), "symmetric 2-cycle must hold equal rank")
+    assert(r(1L) == 1000000L, "rank mass is conserved at 1e6 per node")
+  }
+
+  test("asofJoin attaches the latest prior right row") {
+    val l = Seq(("a", 10L, "x")).toDF("k", "t", "payload")
+    val r = Seq(("a", 5L, 1.0), ("a", 9L, 2.0), ("a", 11L, 3.0))
+      .toDF("k", "qt", "quote")
+    val out = Graft.asofJoin(l, r, "k", "t", "qt")
+      .select($"payload", $"asof_quote").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("x", 2.0)), "must pick qt=9, not 5 or 11")
+  }
+
+  test("md5Bucket partitions deterministically") {
+    val out = spark.range(100)
+      .select(Graft.md5Bucket(col("id"), 10).as("b"))
+      .as[Long].collect()
+    assert(out.forall(b => b >= 0 && b < 10))
+    val again = spark.range(100)
+      .select(Graft.md5Bucket(col("id"), 10).as("b")).as[Long].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("vector helpers compute dot/norm/cosine") {
+    val df = Seq((Seq(3.0, 4.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val (d, n, c) = df.select(
+      Graft.vectors.dot($"a", $"b"), Graft.vectors.norm($"a"),
+      Graft.vectors.cosineFast($"a", $"b"))
+      .as[(Double, Double, Double)].head()
+    assert(d == 25.0 && n == 5.0 && math.abs(c - 1.0) < 1e-12)
+  }
+}
