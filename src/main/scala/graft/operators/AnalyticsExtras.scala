@@ -223,14 +223,18 @@ object AnalyticsExtras {
         |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
       val split = lit("2001-01-01").cast("timestamp")
       // both states carry the SAME mergeable shape; each scan's filter
-      // is pushed to parquet, so at scale each run reads only its slice
+      // is pushed to parquet, so at scale each run reads only its slice.
+      // The slices must be a true PARTITION of the table: the delta side
+      // is the complement (>= split OR NULL), not just >= split — a bare
+      // >= would silently drop NULL-dated rows from both slices and break
+      // the merge == recompute invariant the oracle proves
       def state(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
         T(s, dir, "orders")
           .filter(f(col("o_orderdate")))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("tot"),
             min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
-      state(_ < split).unionByName(state(_ >= split))
+      state(_ < split).unionByName(state(c => c >= split || c.isNull))
         .groupBy("o_orderpriority")
         .agg(sum("cnt").as("cnt"), sum("tot").as("tot"),
           min("mn").as("mn"), max("mx").as("mx"))

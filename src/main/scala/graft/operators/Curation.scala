@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -15,12 +14,11 @@ import graft.plans.HexWindowToLong
   * Scale notes (100 TB posture):
   *  - chunk dedup (q102) keys its ONE dedup shuffle on the chunk content
   *    hash — the partitioning a corpus-scale paragraph dedup actually
-  *    wants (each key's group is tiny; a pathologically hot chunk — the
-  *    same boilerplate paragraph a billion times — would make one key
-  *    large, in which case the keep-first rank can be computed with a
-  *    partial min-aggregate instead of a window sort; at the declared
-  *    semantics the window is one sort shuffle). Reassembly is a second
-  *    shuffle keyed by doc_id — both are linear, no cross joins;
+  *    wants. Keep-first IS a partial min-aggregate (min(struct), not a
+  *    window sort), so a pathologically hot chunk — the same boilerplate
+  *    paragraph a billion times — reduces to one buffer entry per input
+  *    partition before the shuffle. Reassembly is a second shuffle keyed
+  *    by doc_id — both are linear, no cross joins;
   *  - the unigram LM (q103) is the "train a tiny model on the corpus,
   *    score every doc with it" shape: the vocabulary aggregate is
   *    map-side-combined (vocab ≪ corpus), broadcast back, and scoring is

@@ -207,7 +207,8 @@ object FeaturePrep {
         |    AS slope_cents_per_hr,
         |  round((sy - (n*sxy - sx*sy) * 1.0 / (n*sxx - sx*sx) * sx) / n, 4)
         |    AS intercept_cents
-        |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
+        |FROM s WHERE n*sxx - sx*sx <> 0 ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
       val b = T(s, dir, "events").select(col("event_type"),
         floor(unix_timestamp(col("ts")) / 3600).cast("long").as("h"),
         round(col("value") * 100).cast("long").as("cents"))
@@ -221,7 +222,11 @@ object FeaturePrep {
           sum(col("x") * col("x")).as("sxx"))
       val slope = (col("n") * col("sxy") - col("sx") * col("sy")) * lit(1.0) /
         (col("n") * col("sxx") - col("sx") * col("sx"))
-      stats.select(col("event_type"), col("n").cast("int").as("n"),
+      // a key with no time variance (every event in one hour, or n = 1)
+      // has denominator 0 and no defined trend — excluded on BOTH sides
+      // rather than emitting an engine-dependent NaN/NULL
+      stats.filter(col("n") * col("sxx") - col("sx") * col("sx") =!= 0)
+        .select(col("event_type"), col("n").cast("int").as("n"),
           round(slope, 6).as("slope_cents_per_hr"),
           round((col("sy") - slope * col("sx")) / col("n"), 4)
             .as("intercept_cents"))

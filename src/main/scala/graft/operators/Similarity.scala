@@ -78,6 +78,10 @@ object Similarity {
     * stays O(1) in the iteration count — same discipline as PageRank
     * (GraphOps) and connected components (TextDedup).
     *
+    * A cluster that loses every member keeps its previous centroid
+    * (the model never shrinks below k rows; the cluster may still end
+    * empty in the returned assignment).
+    *
     * Returns (id, cl, dist): final assignment + squared L2 distance to
     * the final (rounded) centroid. */
   def kmeans(points: DataFrame, k: Int, iters: Int): DataFrame = {
@@ -94,12 +98,18 @@ object Similarity {
       .localCheckpoint()
     var it = 0
     while (it < iters - 1) {
-      cents = vs.join(assign(cents).select("id", "cl"), "id")
+      val re = vs.join(assign(cents).select("id", "cl"), "id")
         .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("cl", "i").agg(round(avg("x"), 6).as("cx"))
         .groupBy("cl")
         .agg(transform(sort_array(collect_list(struct(col("i"), col("cx")))),
           e => e.getField("cx")).as("c"))
+      // a cluster that lost every member (possible with duplicate seed
+      // points: ties all go to the lowest cl) produces no re-estimated
+      // row; keep its previous centroid instead of silently shrinking
+      // the model below k — standard Lloyd practice
+      cents = re
+        .unionByName(cents.join(re.select("cl"), Seq("cl"), "left_anti"))
         .localCheckpoint()
       it += 1
     }
@@ -438,7 +448,7 @@ object Similarity {
           |        AS absmax FROM e),
           |c AS (SELECT vec_id,
           |  list_transform(v, x -> CAST(floor(x * 127 / absmax + 0.5) AS BIGINT))
-          |    AS codes FROM a),
+          |    AS codes FROM a WHERE absmax > 0),
           |q AS (SELECT c.codes AS qc, n.v AS qv, n.nrm AS qnrm
           |      FROM c JOIN n USING (vec_id) WHERE vec_id = 0),
           |coarse AS (SELECT c.vec_id,
@@ -452,10 +462,19 @@ object Similarity {
           |FROM coarse co JOIN n USING (vec_id), q
           |ORDER BY cos_sim DESC, co.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
       val vs = vectors(s, dir)
-      val codes = vs.select(col("vec_id"), col("v"), col("nrm"),
-        transform(col("v"),
-          x => floor(x * 127 / array_max(transform(col("v"), y => abs(y)))
-            + 0.5).cast("long")).as("codes"))
+      // absmax computed ONCE per row (q106's pattern), not inside the
+      // element lambda — this is the corpus-wide scan, so an O(D²)
+      // per-row re-evaluation would defeat the stage's whole point.
+      // Zero vectors are unquantizable (absmax = 0 → division by zero,
+      // engine-dependent NaN/NULL) and have no direction to match —
+      // excluded on both sides.
+      val codes = vs
+        .withColumn("absmax", array_max(transform(col("v"), y => abs(y))))
+        .filter(col("absmax") > 0)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          transform(col("v"),
+            x => floor(x * 127 / col("absmax") + 0.5).cast("long"))
+            .as("codes"))
       val q = codes.filter(col("vec_id") === 0)
         .select(col("codes").as("qc"), col("v").as("qv"),
           col("nrm").as("qnrm"))

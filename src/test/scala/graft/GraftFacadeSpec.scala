@@ -18,6 +18,18 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(m(0L) == m(2L) && m(1L) == m(3L) && m(0L) != m(1L))
   }
 
+  test("kmeans keeps k model rows when a duplicate seed empties a cluster") {
+    // ids 0 and 1 are identical seeds: every point ties to cl 0, so cl 1
+    // loses all members in round 1 — the model must keep its centroid
+    // instead of shrinking, and the run must not throw
+    val pts = Seq(0L -> Seq(1.0, 1.0), 1L -> Seq(1.0, 1.0),
+      2L -> Seq(1.1, 1.0), 3L -> Seq(0.9, 1.0)).toDF("id", "v")
+    val out = Graft.kmeans(pts, k = 2, iters = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 4)
+    assert(out.forall(_._2 == 0L), "all points tie to the lowest cluster")
+  }
+
   test("connectedComponents labels by component minimum") {
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
     val lbl = Graft.connectedComponents(edges)

@@ -90,9 +90,11 @@ class ModelPrepSpec extends SparkTestBase {
       assert(d >= 1 && d <= 2, s"distinct names at distance $d")
       assert(a.split(" ").last == b.split(" ").last, "pairs share the block")
     }
-    // brute force over the (tiny) distinct-name set: the length band and
-    // head-noun block must not drop any true match — levenshtein <= 2
-    // implies equal head noun in this name family AND |len diff| <= 2
+    // brute force over the (tiny) distinct-name set with NO blocking —
+    // every pair at levenshtein <= 2 corpus-wide. If a true match ever
+    // crossed head-noun blocks (or the length band) this would fail,
+    // exposing real recall lost to the blocking; on this name family it
+    // proves the blocking lossless rather than assuming it
     val names = Tables(spark, sf, "part")
       .select($"p_name").distinct().as[String].collect()
     def lev(a: String, b: String): Int = {
@@ -106,9 +108,9 @@ class ModelPrepSpec extends SparkTestBase {
     }
     val brute = (for {
       a <- names; b <- names
-      if a < b && a.split(" ").last == b.split(" ").last && lev(a, b) <= 2
+      if a < b && lev(a, b) <= 2
     } yield (a, b, lev(a, b))).toSet
-    assert(got == brute, s"blocked join must equal brute force within block:" +
+    assert(got == brute, s"blocked join must equal UNBLOCKED brute force:" +
       s" missing=${brute -- got} extra=${got -- brute}")
   }
 
