@@ -83,6 +83,29 @@ class OperatorSpec extends SparkTestBase {
     assert(top2.groupBy($"grp").count().select(max($"count")).as[Long].head == 2)
   }
 
+  test("min(struct) argmin ≡ window rank-1 on a tie-heavy random frame") {
+    // the invariant behind the q40/q73/q78/q90/q102/q135 conversions:
+    // keep-first/argmin as a map-side-combinable aggregate must select
+    // exactly the row a row_number()-over-window rank-1 would. Seeded
+    // ties in BOTH the key and the ordering value stress the tiebreak.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 500).map { i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(5).toDouble, i.toLong)
+    }
+    val df = rows.toDF("key", "ord", "uniq")
+    val viaAgg = df.groupBy("key")
+      .agg(min(struct($"ord", $"uniq")).as("m"))
+      .select($"key", $"m.ord".as("ord"), $"m.uniq".as("uniq"))
+      .collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("ord", "uniq")
+    val viaWindow = df
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"key", $"ord", $"uniq")
+      .collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("HexWindowToLong ≡ conv(substr(hex,k,15),16,10) on real digests") {
     val digests = (1 to 500).map(i => Tuple1(s"seed$i")).toDF("s")
       .select(md5(encode($"s", "UTF-8")).as("d"))
