@@ -9,7 +9,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver keeps only the LAST 2000 chars of our
+    // output, and a single WARN line (e.g. WindowExec's bounded
+    // single-partition-window notice, ~170 chars, interleaved right
+    // before the JSON in BENCH_r08) eats the budget the JSON line needs.
+    // Real failures still surface via the "failed" key and ERROR logs.
+    spark.sparkContext.setLogLevel("ERROR")
     // absorb JVM/codegen/session warm-up outside any query's timing
     // (BASELINE.md: startup is excluded from per-query numbers). Beyond
     // plain codegen, exercise the interpreted higher-order-function
@@ -67,11 +72,16 @@ object Bench {
     // The driver keeps only the LAST 2000 chars of output and sbt prints a
     // ~75-char [success] line after us, so the JSON line must stay under
     // ~1900 chars or it is truncated mid-line and unparseable (this is
-    // exactly what nulled BENCH_r01–r03). Two compactions: 3-decimal
-    // seconds, and per-query keys abbreviated to their unique qNN prefix
-    // (the full names are in Verify's dump / CORRECTNESS report; the
-    // contract's own example uses short keys). ~1.2 KB for 84 queries.
-    def f(v: Double): String = "%.3f".format(v)
+    // exactly what nulled BENCH_r01–r03). Three compactions: 2-decimal
+    // per-query seconds with trailing zeros stripped (±5ms of precision
+    // is far below the ±30-40% machine variance BASELINE.md documents;
+    // the total keeps all its digits either way), per-query keys
+    // abbreviated to their unique qNN prefix (the full names are in
+    // Verify's dump / CORRECTNESS report; the contract's own example uses
+    // short keys), and the sf tag shortened to the directory basename.
+    // ~1.65 KB at 141 queries → ~270 chars (≈20 queries) of headroom.
+    def f(v: Double): String = "%.2f".format(v)
+      .replaceAll("0+$", "").replaceAll("\\.$", "")
     def short(name: String): String = name.takeWhile(_ != '_')
     require(results.map(r => short(r._1)).toSet.size == results.size,
       "qNN prefixes must stay unique for the compact bench JSON")
@@ -82,7 +92,8 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"${short(k)}\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val sfTag = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

@@ -48,38 +48,51 @@ object Scrub {
       .select("doc_id").distinct()
 
   /** Bloom-prefiltered variant for when the eval vocab exceeds the raw
-    * broadcast threshold but its sketch fits: broadcast the Bloom filter,
-    * drop definite-negative postings at the scan (no false negatives →
-    * zero recall loss), then verify the small maybe-set with an exact
-    * shuffle semi join that removes the sketch's false positives. Output
-    * is bit-identical to [[contaminatedIds]] (ScrubSpec proves it). */
+    * broadcast threshold but its sketch fits: build the sketch with the
+    * native distributed `bloom_filter_agg` (partial sketches OR-merged
+    * map-side), broadcast the one-row binary, drop definite-negative
+    * postings at the scan with the codegen'd `might_contain` (no false
+    * negatives → zero recall loss), then verify the small maybe-set with
+    * an exact shuffle semi join that removes the sketch's false
+    * positives. Output is bit-identical to [[contaminatedIds]] (ScrubSpec
+    * proves it) — the sketch's false-positive SET may differ from the
+    * old driver-side Guava sketch, but false positives never survive the
+    * verify join, so the result cannot depend on them.
+    *
+    * Everything is plan-internal (no driver-collected filter, no Scala
+    * broadcast variable, no closure UDF), so nothing needs eager
+    * materialization or early teardown; the result and the thrice-read
+    * vocab frame live in [[graft.CacheRegistry]] — repeated calls reuse
+    * one persisted copy and `CacheRegistry.clear(session)` releases
+    * both. Keyed by the inputs' semantic plan hashes: two calls with
+    * semantically-equal inputs share an entry, distinct inputs cannot
+    * collide. */
   private[operators] def bloomPrefilteredContaminated(
       train: DataFrame, testVocab: DataFrame): DataFrame = {
     val spark = train.sparkSession
-    // the vocab frame feeds THREE actions (count, bloomFilter, and the
-    // verify join) — persist it once or the explode+distinct scan that
-    // this path exists to amortize runs three times
-    val tv = testVocab.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    def planKey(df: DataFrame): Int = df.queryExecution.analyzed.semanticHash()
+    val key = s"bloom-contam:${planKey(train)}:${planKey(testVocab)}"
+    graft.CacheRegistry.cached(spark, key) {
+      // the vocab feeds three consumers (sizing count, the sketch
+      // aggregate, the verify join) — registry-persisted so the
+      // explode+distinct scan this path exists to amortize runs once
+      val tv = graft.CacheRegistry.cached(
+        spark, s"bloom-vocab:${planKey(testVocab)}")(testVocab)
       val expected = math.max(tv.count(), 1L)
-      val bf = tv.stat.bloomFilter("tok", expected, 0.03)
-      val bfB = spark.sparkContext.broadcast(bf)
-      try {
-        val mightContain =
-          udf((t: String) => t != null && bfB.value.mightContainString(t))
-        train.select(col("doc_id"), explode(col("sh")).as("tok"))
-          .filter(mightContain(col("tok")))
-          // exact verify: shuffle semi join (hint the small side away from
-          // broadcast to exercise the shape the bloom path exists for)
-          .join(tv.hint("shuffle_hash"), Seq("tok"), "left_semi")
-          .select("doc_id").distinct()
-          // eager materialization so the persisted vocab and the broadcast
-          // Bloom filter can be released HERE instead of leaking for the
-          // session's lifetime (nothing routes them through CacheRegistry)
-          .localCheckpoint()
-      } finally bfB.destroy()
-    } finally tv.unpersist()
+      val bits = graft.plans.BloomSketch.optimalNumBits(expected, 0.03)
+      // might_contain requires its sketch as a constant or scalar
+      // subquery (the shape InjectRuntimeFilter emits): the subquery
+      // runs once and its binary result ships to every probe task
+      val bf = tv.agg(graft.plans.BloomSketch
+        .bloomFilterAgg(xxhash64(col("tok")), expected, bits)).scalar()
+      train.select(col("doc_id"), explode(col("sh")).as("tok"))
+        .filter(graft.plans.BloomSketch
+          .mightContain(bf, xxhash64(col("tok"))))
+        // exact verify: shuffle semi join (hint the small side away from
+        // broadcast to exercise the shape the bloom path exists for)
+        .join(tv.hint("shuffle_hash"), Seq("tok"), "left_semi")
+        .select("doc_id").distinct()
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -56,8 +56,17 @@ object Search {
         }: _*)
   }
 
-  /** BM25-scored docs: doc_id, dl, tf1..tf3, score (rounded 4 dp). */
-  private def bm25(s: SparkSession, dir: String): DataFrame = {
+  /** BM25-scored docs: doc_id, dl, tf1..tf3, score (rounded 4 dp).
+    *
+    * Registry-cached: q115 (top-k) and q116 (hybrid RRF) both consume
+    * this exact frame, and before round 9 each rebuilt it — re-running
+    * the 3-term docFeatures scan twice made them the #2/#3 slowest bench
+    * queries. One persisted copy per (session, sf-dir), same lifecycle
+    * as the shared unigram-tf frame below. */
+  private def bm25(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.cached(s, s"bm25:$dir") { bm25Build(s, dir) }
+
+  private def bm25Build(s: SparkSession, dir: String): DataFrame = {
     val d = docFeatures(s, dir)
     val stCols = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
       terms.indices.map(i =>

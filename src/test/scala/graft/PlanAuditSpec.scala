@@ -269,6 +269,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q116: rank windows read only the pre-limited top-R") {
+    // the RRF windows are global (no PARTITION BY) and legal ONLY
+    // because each retriever pre-limits to its top-100 — the invariant
+    // the Search.scala comment promises. Pin it: every Window node must
+    // sit ABOVE a TakeOrderedAndProject in its subtree (formatted
+    // explain prints parents before children, so "below it in the text"
+    // means "upstream of it in execution").
+    val p = plan("q116_hybrid_rrf")
+    val wins = "(?<!Generate)Window".r.findAllMatchIn(p).map(_.start).toList
+    val tops = "TakeOrderedAndProject".r.findAllMatchIn(p).map(_.start).toList
+    assert(wins.size >= 2, s"expected the two rank windows:\n$p")
+    assert(tops.size >= 3,
+      s"expected two per-retriever limits plus the final top-10:\n$p")
+    wins.foreach { w =>
+      assert(tops.exists(_ > w),
+        s"a rank window is not fed by a TakeOrderedAndProject below it:\n$p")
+    }
+  }
+
   test("q118: rolling window keyed per user — exactly one shuffle") {
     val p = plan("q118_rolling_1h")
     assert("windowspecdefinition\\(user_id#".r.findFirstIn(p).isDefined,
