@@ -580,6 +580,89 @@ object TextDedup {
           col("n_hit").cast("int").as("n_hit"),
           floor(col("n_hit") * 10000.0 / col("n_truth")).as("recall_bp"),
           floor(col("n_hit") * 10000.0 / col("n_cand")).as("precision_bp"))
+    },
+
+    // ── SAMPLED LSH quality audit: q117's exact-truth side is inherently
+    //    all-pairs (Σ C(df,2)) — fine as an acceptance test, unrunnable
+    //    as a recurring production audit at 100 TB. This variant bounds
+    //    the audit budget by construction: a deterministic per-source
+    //    quota sample (q95's md5-rank machinery — reruns and appends
+    //    never swap picks) caps the audited set at quota·n_sources docs,
+    //    so the exact-truth join costs O(sample²) REGARDLESS of corpus
+    //    size. The candidate side is the production LSH pair set itself
+    //    (the thing under audit), restricted to in-sample endpoints by
+    //    two broadcast semi joins. Estimator variance shrinks as the
+    //    quota grows — the quota IS the audit budget knob; the
+    //    convergence-to-full-audit property is pinned in TextDedupSpec.
+    //    Zero-guards: an unlucky sample with no truth/candidate pairs
+    //    yields NULL rates, not a division blow-up (identical CASE on
+    //    both engines).
+    QueryDef(
+      "q144_lsh_recall_sampled",
+      oracleSig +
+        """,
+          |smp AS (SELECT doc_id FROM (SELECT doc_id,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents) WHERE rn <= 12),
+          |ssh AS (SELECT sh.doc_id, sh.s FROM sh JOIN smp USING (doc_id)),
+          |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+          |  len(list_intersect(a.s, b.s)) AS c, len(a.s) AS na, len(b.s) AS nb
+          |  FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id),
+          |tr AS (SELECT doc_i, doc_j FROM p WHERE 3*c >= na + nb),
+          |cd AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+          |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+          |  WHERE (a.mh0=b.mh0 AND a.mh1=b.mh1) OR (a.mh2=b.mh2 AND a.mh3=b.mh3)
+          |     OR (a.mh4=b.mh4 AND a.mh5=b.mh5) OR (a.mh6=b.mh6 AND a.mh7=b.mh7)),
+          |scd AS (SELECT cd.doc_i, cd.doc_j FROM cd
+          |  JOIN smp si ON si.doc_id = cd.doc_i
+          |  JOIN smp sj ON sj.doc_id = cd.doc_j),
+          |hit AS (SELECT count(*) AS n_hit FROM tr JOIN scd USING (doc_i, doc_j))
+          |SELECT CAST((SELECT count(*) FROM tr) AS INTEGER) AS n_truth,
+          |  CAST((SELECT count(*) FROM scd) AS INTEGER) AS n_cand,
+          |  CAST(n_hit AS INTEGER) AS n_hit,
+          |  CASE WHEN (SELECT count(*) FROM tr) = 0 THEN NULL ELSE
+          |    CAST(floor(n_hit * 10000.0 / (SELECT count(*) FROM tr)) AS BIGINT)
+          |  END AS recall_bp,
+          |  CASE WHEN (SELECT count(*) FROM scd) = 0 THEN NULL ELSE
+          |    CAST(floor(n_hit * 10000.0 / (SELECT count(*) FROM scd)) AS BIGINT)
+          |  END AS precision_bp
+          |FROM hit""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy(md5(encode(col("doc_id").cast("string"), "UTF-8")),
+          col("doc_id"))
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 12)
+        .select("doc_id")
+      // exact truth over the SAMPLE only — the count-join shape of q42,
+      // but its input is budget-bounded, so the df-amplification branch
+      // is unnecessary: worst case is the sample's own all-pairs
+      val sampledDocs = docShingles(s, dir).join(broadcast(ids), "doc_id")
+      val truth = countJoinPairs(sampledDocs)
+        .select(col("doc_i"), col("doc_j"), lit(1).as("in_t"))
+      // the audited candidate set is the PRODUCTION pair set, restricted
+      // to pairs whose both endpoints were sampled
+      val cand = lshCandidatePairs(s, dir)
+        .join(broadcast(ids.select(col("doc_id").as("doc_i"))),
+          Seq("doc_i"), "left_semi")
+        .join(broadcast(ids.select(col("doc_id").as("doc_j"))),
+          Seq("doc_j"), "left_semi")
+        .select(col("doc_i"), col("doc_j"), lit(1).as("in_c"))
+      truth.join(cand, Seq("doc_i", "doc_j"), "full")
+        .agg(count(col("in_t")).as("n_truth"),
+          count(col("in_c")).as("n_cand"),
+          count(when(col("in_t") === 1 && col("in_c") === 1, 1)).as("n_hit"))
+        .select(col("n_truth").cast("int").as("n_truth"),
+          col("n_cand").cast("int").as("n_cand"),
+          col("n_hit").cast("int").as("n_hit"),
+          when(col("n_truth") === 0, lit(null).cast("long"))
+            .otherwise(floor(col("n_hit") * 10000.0 / col("n_truth")))
+            .as("recall_bp"),
+          when(col("n_cand") === 0, lit(null).cast("long"))
+            .otherwise(floor(col("n_hit") * 10000.0 / col("n_cand")))
+            .as("precision_bp"))
     }
   )
 }

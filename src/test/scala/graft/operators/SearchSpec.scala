@@ -57,6 +57,26 @@ class SearchSpec extends SparkTestBase {
     assert(nH > 0, "LSH should recover at least one true near-dup pair")
   }
 
+  test("q144 sampled audit: budget-bounded subset, converges to full audit") {
+    val full = SparkEntry.queries("q117_lsh_recall")(spark, sf)
+      .as[(Int, Int, Int, Long, Long)].head()
+    val samp = SparkEntry.queries("q144_lsh_recall_sampled")(spark, sf)
+      .as[(Int, Int, Int, Option[Long], Option[Long])].head()
+    val (nT, nC, nH, rBp, _) = samp
+    // a real subset: the quota sample must see SOME truth pairs (else the
+    // estimator is vacuous) but fewer than the full all-pairs audit
+    // (else it isn't sampling)
+    assert(nT > 0, "quota sample found no truth pairs - estimator vacuous")
+    assert(nT < full._1, s"sampled truth $nT not a strict subset of ${full._1}")
+    assert(nH <= nT && nH <= nC, "hits bound by both sets")
+    // convergence: the sampled recall estimate tracks the full audit's
+    // (both are exact computations over their pair sets; the tolerance
+    // absorbs small-sample variance on the 500-doc test corpus)
+    assert(rBp.isDefined, "non-degenerate sample must yield a recall")
+    assert(math.abs(rBp.get - full._4) <= 1500,
+      s"sampled recall ${rBp.get}bp diverges from full ${full._4}bp")
+  }
+
   test("q118 rolling 1h window includes the row itself and only same-user peers") {
     val out = SparkEntry.queries("q118_rolling_1h")(spark, sf).cache()
     assert(out.filter($"n_1h" < 1).count() == 0, "frame includes current row")
