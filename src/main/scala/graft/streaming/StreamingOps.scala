@@ -102,11 +102,19 @@ object StreamingOps {
       n: Int, total: Double)
 
   /** Per-user sessionizer with explicit state: emits a SessionOut each
-    * time a 10-minute-gap session closes (either a new event beyond the
-    * gap, or event-time timeout once the watermark passes last+gap).
+    * time a session closes (either a new event past the gap, or
+    * event-time timeout once the watermark passes last+gap).
     * Demonstrates arbitrary stateful processing where the built-in
     * session_window aggregation is not expressive enough (e.g. emitting
-    * mid-session markers or non-associative session summaries). */
+    * mid-session markers or non-associative session summaries).
+    *
+    * This is the stateful-streaming twin of the batch `q122` gap
+    * sessionizer and uses its exact boundary rule: a session CLOSES only
+    * when the silence EXCEEDS the gap (an event at exactly last+gap
+    * still continues the session — q122's `diff > gap` break test), and
+    * in-batch ties on ts order by event_id, the same sort key as the
+    * batch window. StreamingOpsSpec proves session-for-session equality
+    * with q122 on a two-batch replay of real table data. */
   def sessionize(events: Dataset[Event],
       gapMs: Long = 10 * 60 * 1000L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -122,13 +130,13 @@ object StreamingOps {
             Iterator(SessionOut(userId, new Timestamp(s.start),
               new Timestamp(s.lastTs + gapMs), s.n, s.total))
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t < s.lastTs + gapMs =>
+                case Some(s) if t <= s.lastTs + gapMs =>
                   cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1,
                     total = s.total + e.value))
                 case Some(s) =>

@@ -162,6 +162,58 @@ class StreamingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("stateful sessionizer equals batch q122 on an in-order two-batch replay") {
+    val sf = "/root/testdata/sf0.001"
+    val uids = Seq(0L, 1L, 2L)
+    // q122 sessionizes on unix_timestamp SECONDS — feed the stream the
+    // same floored-second time base so the gap comparisons are identical
+    val evs = graft.Tables(spark, sf, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+      .filter(e => uids.contains(e.user_id))
+      .map(e => e.copy(ts =
+        new Timestamp(Math.floorDiv(e.ts.getTime, 1000L) * 1000L)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    assert(evs.length > 20, "need a real series per user")
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val maxT = evs.map(_.ts.getTime).max
+    val gapMs = 1800 * 1000L
+
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapMs = gapMs).writeStream.format("memory")
+      .queryName("sess122").outputMode("append").start()
+    val got = withQuery(q) {
+      in.addData(b1.toSeq)
+      q.processAllAvailable()
+      in.addData(b2.toSeq)
+      q.processAllAvailable()
+      // a sentinel user advances the watermark past every open session's
+      // timeout; the second sentinel batch lets those timeouts fire
+      in.addData(Event(900001L, new Timestamp(maxT + 4 * gapMs), 999L, "x", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(900002L, new Timestamp(maxT + 5 * gapMs), 999L, "x", 0.0))
+      q.processAllAvailable()
+      spark.table("sess122").filter($"user_id".isin(uids: _*))
+        .select("user_id", "start", "end", "n")
+        .as[(Long, Timestamp, Timestamp, Int)].collect()
+    }
+    // map the stream's (start, last+gap) sessions onto q122's schema:
+    // end_s = last event second; session ordinal by start per user
+    val gotMapped = got.groupBy(_._1).toSeq.flatMap { case (u, ss) =>
+      ss.sortBy(_._2.getTime).zipWithIndex.map { case ((_, st, en, n), i) =>
+        val startS = st.getTime / 1000L
+        val endS = (en.getTime - gapMs) / 1000L
+        (u, i, n, startS, endS, endS - startS)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val want = graft.SparkEntry.queries("q122_sessionize_gap")(spark, sf)
+      .filter($"user_id".isin(uids: _*))
+      .as[(Long, Int, Int, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(gotMapped.nonEmpty && gotMapped == want,
+      s"stream sessions ${gotMapped.take(5)}... != batch ${want.take(5)}...")
+  }
+
   test("streaming EWMA equals batch q140 on an in-order two-batch replay") {
     val sf = "/root/testdata/sf0.001"
     val uids = Seq(0L, 1L, 2L)
