@@ -11,7 +11,7 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * val labeled  = Graft.kmeans(points, k = 16, iters = 5)       // (id, cl, dist)
   * val clusters = Graft.connectedComponents(dupEdges)           // (id, lbl)
-  * val ranks    = Graft.pagerank(edges, iters = 3)              // (node, rank)
+  * val ranks    = Graft.pagerank(edges, iters = 3)              // (id, d, r)
   * val joined   = Graft.asofJoin(trades, quotes, "sym", "t", "qt")
   * val smoothed = Graft.ewmaSmooth(eventStream)                 // streaming
   * }}}
@@ -63,7 +63,9 @@ object Graft {
     streaming.StreamingOps.ewmaSmooth(events)
 
   /** Gap-based streaming sessionizer with explicit state and event-time
-    * timeout. See [[streaming.StreamingOps.sessionize]]. */
+    * timeout — the stateful twin of batch q122_sessionize_gap,
+    * session-for-session equal on in-order replays (StreamingOpsSpec).
+    * See [[streaming.StreamingOps.sessionize]]. */
   def sessionize(events: org.apache.spark.sql.Dataset[streaming.StreamingOps.Event],
       gapMs: Long = 10 * 60 * 1000L)
       : org.apache.spark.sql.Dataset[streaming.StreamingOps.SessionOut] =

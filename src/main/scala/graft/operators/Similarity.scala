@@ -355,9 +355,17 @@ object Similarity {
     //    centroids seed from vec_id < K; each assignment is a broadcast
     //    K-row cross join + per-point argmin (ties → lowest cluster id);
     //    the re-estimated centroid is the per-dim mean ROUNDED to 6
-    //    decimals, which pins the iteration bit-for-bit across engines
-    //    (a raw float sum's reduction order would otherwise leak ulps
-    //    into the next assignment). Data never leaves executors: the
+    //    decimals, which pins the iteration across engines up to means
+    //    whose unrounded value lies within an ulp of a 0.5e-6 rounding
+    //    boundary (reduction order could still flip those; none occur on
+    //    this corpus — a raw float sum would leak ulps into EVERY next
+    //    assignment instead). Known oracle asymmetry: the operator
+    //    carries a cluster's previous centroid forward if it loses every
+    //    member (duplicate seed points), while this SQL's c1 simply has
+    //    no row for an empty cluster — safe here because every seed is
+    //    distinct and no cluster empties on this corpus; a regenerated
+    //    corpus that empties one would hash-red THIS query, not signal
+    //    an operator bug. Data never leaves executors: the
     //    model (K×D cells) is re-assembled with the q86 keyed-aggregate
     //    shape and broadcast back — the same dataflow MLlib's k-means
     //    uses, minus the driver round-trip. At 100 TB per iteration:

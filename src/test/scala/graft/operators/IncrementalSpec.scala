@@ -22,8 +22,19 @@ class IncrementalSpec extends SparkTestBase {
         max("o_totalprice").as("max_price"),
         round(sum("o_totalprice") / count(lit(1)), 4).as("avg_price"))
       .orderBy("o_orderpriority").collect()
-    assert(got.sameElements(want),
-      s"merge(base,delta) must equal recompute(all):\n${got.toSeq}\n${want.toSeq}")
+    // the two plans sum o_totalprice in different associations, so the
+    // doubles may differ by ulps before rounding — compare the numeric
+    // columns with a tolerance instead of whole-Row equality, or the
+    // test is partition-layout sensitive (could flake under different
+    // parallelism/AQE settings even though both results are correct)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0) && g.getInt(1) == e.getInt(1))
+      (2 to 5).foreach { i =>
+        assert(math.abs(g.getDouble(i) - e.getDouble(i)) <= 1e-6,
+          s"col $i: ${g.toSeq} vs ${e.toSeq}")
+      }
+    }
   }
 
   test("q140: EWMA matches a per-user reference fold; head rows renormalize") {
