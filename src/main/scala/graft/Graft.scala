@@ -71,6 +71,15 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.StreamingOps.SessionOut] =
     streaming.StreamingOps.sessionize(events, gapMs)
 
+  /** Winnowing fingerprints (k=3, w=4 — the MOSS sketch) of a
+    * (doc_id, text) frame → (doc_id, fp). Two docs sharing a token run
+    * of length ≥ 6 are guaranteed to share a fingerprint; join on fp for
+    * substring-level near-dup pairs (global set overlap is MinHash's
+    * job). Backs q146_winnow_pairs. See
+    * [[operators.TextDedup.winnowFingerprints]]. */
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    operators.TextDedup.winnowFingerprints(docs)
+
   /** Deterministic md5 bucket gate — THE sampling/splitting primitive
     * (q87/q88/q92/q104...): first 15 hex chars of md5(key) as a long,
     * mod `mod`. DuckDB twin documented at the definition. See

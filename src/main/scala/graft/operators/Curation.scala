@@ -261,6 +261,68 @@ object Curation {
           round(avg(log((col("cb") + lit(1.0)) / (col("cw") + col("vsz")))), 4)
             .as("avg_logprob"))
         .orderBy("doc_id")
+    },
+
+    // ── source×source overlap matrix: for every source pair, how much of
+    //    their 3-gram shingle VOCABULARY is shared (count + Jaccard) —
+    //    the mirror/re-crawl detector a mixture pipeline runs before
+    //    weighting sources as if they were independent (two mirrors of
+    //    the same crawl would otherwise get double weight). Scale shape:
+    //    one corpus shuffle to the distinct (source, shingle) vocabulary
+    //    (partial-agg'd — duplicates collapse map-side), then a join
+    //    KEYED BY SHINGLE whose per-key cost is C(df_sources, 2) ≤
+    //    C(n_sources, 2) — bounded by the source count squared, NOT the
+    //    corpus; everything downstream is n_sources²-sized. Only the
+    //    final Jaccard is a float, computed from three exact integers
+    //    with identical association on both engines and rounded to 4 dp.
+    //    Pairs sharing zero shingles drop at the inner join (both
+    //    engines). Reuses the session shingle cache (TextDedup).
+    QueryDef(
+      "q145_source_overlap",
+      """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS ws
+        |           FROM documents),
+        |sh AS (SELECT source,
+        |  unnest(list_distinct([array_to_string(ws[i:i+2],' ')
+        |                        for i in range(1, len(ws)-1)])) AS tok
+        |  FROM w WHERE len(ws) >= 3),
+        |sv AS (SELECT DISTINCT source, tok FROM sh),
+        |nv AS (SELECT source, count(*) AS n FROM sv GROUP BY source),
+        |cm AS (SELECT a.source AS source_a, b.source AS source_b,
+        |         CAST(count(*) AS BIGINT) AS n_common
+        |       FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+        |       GROUP BY a.source, b.source)
+        |SELECT cm.source_a, cm.source_b, cm.n_common,
+        |  CAST(na.n AS BIGINT) AS n_vocab_a, CAST(nb.n AS BIGINT) AS n_vocab_b,
+        |  round(cm.n_common * 1.0 / (na.n + nb.n - cm.n_common), 4) AS jaccard
+        |FROM cm
+        |JOIN nv na ON na.source = cm.source_a
+        |JOIN nv nb ON nb.source = cm.source_b
+        |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      val src = T(s, dir, "documents").select(col("doc_id"), col("source"))
+      // referenced three times below (vocab sizes + both join sides) —
+      // one registry-persisted copy of the (source, shingle) vocabulary
+      val sv = graft.CacheRegistry.cached(s, s"source-vocab:$dir") {
+        TextDedup.docShingles(s, dir)
+          .join(src, "doc_id")
+          .select(col("source"), explode(col("sh")).as("tok"))
+          .distinct()
+      }
+      val nv = sv.groupBy("source").agg(count(lit(1)).as("n"))
+      val cm = sv.as("a")
+        .join(sv.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+      cm.join(broadcast(nv.select(col("source").as("source_a"),
+          col("n").as("n_vocab_a"))), "source_a")
+        .join(broadcast(nv.select(col("source").as("source_b"),
+          col("n").as("n_vocab_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_common"),
+          col("n_vocab_a"), col("n_vocab_b"),
+          round(col("n_common") * lit(1.0)
+            / (col("n_vocab_a") + col("n_vocab_b") - col("n_common")), 4)
+            .as("jaccard"))
+        .orderBy("source_a", "source_b")
     }
   )
 }

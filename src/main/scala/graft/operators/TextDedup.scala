@@ -663,6 +663,71 @@ object TextDedup {
           when(col("n_cand") === 0, lit(null).cast("long"))
             .otherwise(floor(col("n_hit") * 10000.0 / col("n_cand")))
             .as("precision_bp"))
+    },
+
+    // ── winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    //    sketch): per doc, hash every POSITIONAL 3-gram (k=3), slide a
+    //    window of w=4 consecutive hashes, keep each window's minimum —
+    //    any shared token run of length ≥ k+w-1 = 6 between two docs is
+    //    GUARANTEED to surface as a shared fingerprint. This is the
+    //    LOCAL (substring-level) near-dup detector — complementary to
+    //    MinHash, which sketches global set overlap and misses a copied
+    //    paragraph inside two otherwise-different docs. Report = doc
+    //    pairs sharing ≥2 fingerprints. Scale shape: the sketch is a
+    //    narrow per-doc map (fingerprints ≈ 2/(w+1) of the grams); the
+    //    pair join is KEYED BY FINGERPRINT with per-key cost C(df,2) —
+    //    on an open-web corpus, frequency-cap the boilerplate
+    //    fingerprints first (the q133 hot-gram discipline) to bound df.
+    //    Docs under 6 tokens have no full window and are skipped — the
+    //    global MinHash path (q41/q44) covers them. Integer-exact end to
+    //    end: md5-window hashes, counts, no floats anywhere.
+    QueryDef(
+      "q146_winnow_pairs",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |  [('0x'||substr(md5(array_to_string(ws[i:i+2],' ')),1,15))::BIGINT
+        |   for i in range(1, len(ws)-1)] AS hs
+        |  FROM w WHERE len(ws) >= 6),
+        |f AS (SELECT doc_id, list_distinct([list_min(hs[j:j+3])
+        |        for j in range(1, len(hs)-2)]) AS fps FROM g),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |        CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_i, doc_j, n_shared FROM p
+        |WHERE n_shared >= 2 ORDER BY doc_i, doc_j""".stripMargin) { (s, dir) =>
+      // both sides of the pair self-join read the fingerprint frame —
+      // registry-persisted so the sketch map runs once per session
+      val fps = CacheRegistry.cached(s, s"winnow-fp:$dir") {
+        winnowFingerprints(
+          T(s, dir, "documents").select(col("doc_id"), col("text")))
+      }
+      fps.as("a")
+        .join(fps.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("doc_i", "doc_j")
     }
   )
+
+  /** Winnowing fingerprints (k=3, w=4) of a (doc_id, text) frame →
+    * (doc_id, fp) with fp a 60-bit md5-window integer. Guarantee: two
+    * docs sharing a token run of length ≥ k+w-1 = 6 share ≥1 fp
+    * (WinnowSpec pins it); docs under 6 tokens emit nothing. A narrow
+    * per-doc map — no shuffle until the caller joins on fp. The sketch
+    * is the native one-pass plans.WinnowFP (bit-equal to the
+    * compositional transform/md5/array_min form, property-tested in
+    * WinnowSpec — the compositional form's interpreted HOF lambdas cost
+    * ~500 s at sf0.1); the repartition spreads the single-file
+    * documents scan across cores, same as docShingles. */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 6)
+      .select(col("doc_id"),
+        explode(graft.plans.WinnowFP.winnowFp(col("ws"))).as("fp"))
 }

@@ -11,6 +11,32 @@ class CurationSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("q145 source overlap matches a brute-force recompute") {
+    val out = SparkEntry.queries("q145_source_overlap")(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty, "a 20-source corpus with a shared vocabulary " +
+      "must produce overlapping pairs")
+    val docs = graft.Tables(spark, sf, "documents").select("source", "text")
+      .as[(String, String)].collect()
+    def vocab(src: String): Set[String] = docs.iterator
+      .filter(_._1 == src)
+      .flatMap { case (_, t) =>
+        val w = t.split(" ")
+        if (w.length >= 3)
+          (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" "))
+        else Nil
+      }.toSet
+    // re-derive every column of the first and last reported rows
+    Seq(out.head, out.last).foreach { case (sa, sb, nc, nva, nvb, j) =>
+      val (va, vb) = (vocab(sa), vocab(sb))
+      assert(va.size.toLong == nva && vb.size.toLong == nvb, s"vocab ($sa,$sb)")
+      assert(va.intersect(vb).size.toLong == nc, s"common ($sa,$sb)")
+      val expJ = BigDecimal(nc.toDouble / (nva + nvb - nc).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(j - expJ) < 1e-12, s"jaccard ($sa,$sb): $j vs $expJ")
+    }
+  }
+
   test("q102 keeps exactly one copy of every distinct chunk") {
     val out = SparkEntry.queries("q102_chunk_dedup")(spark, sf)
     // independent recount of distinct P=4 chunks in the corpus: kept
