@@ -64,13 +64,19 @@ object Scrub {
     * materialization or early teardown; the result and the thrice-read
     * vocab frame live in [[graft.CacheRegistry]] — repeated calls reuse
     * one persisted copy and `CacheRegistry.clear(session)` releases
-    * both. Keyed by the inputs' semantic plan hashes: two calls with
-    * semantically-equal inputs share an entry, distinct inputs cannot
-    * collide. */
+    * both. Keyed by a SHA-256 of each input's canonicalized plan — a
+    * 32-bit semanticHash would invite silent cross-input aliasing at
+    * the birthday bound; a 256-bit digest of the full canonical form
+    * makes two distinct inputs sharing a key a non-event. */
   private[operators] def bloomPrefilteredContaminated(
       train: DataFrame, testVocab: DataFrame): DataFrame = {
     val spark = train.sparkSession
-    def planKey(df: DataFrame): Int = df.queryExecution.analyzed.semanticHash()
+    def planKey(df: DataFrame): String = {
+      val canon = df.queryExecution.analyzed.canonicalized.toString
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(canon.getBytes("UTF-8")).take(16)
+        .map("%02x".format(_)).mkString
+    }
     val key = s"bloom-contam:${planKey(train)}:${planKey(testVocab)}"
     graft.CacheRegistry.cached(spark, key) {
       // the vocab feeds three consumers (sizing count, the sketch
@@ -80,6 +86,16 @@ object Scrub {
         spark, s"bloom-vocab:${planKey(testVocab)}")(testVocab)
       val expected = math.max(tv.count(), 1L)
       val bits = graft.plans.BloomSketch.optimalNumBits(expected, 0.03)
+      // BloomFilterAggregate silently clamps its sizing to the runtime-
+      // filter conf caps (4M items / 64M bits by default) — at the
+      // large-vocab scale this path exists for, a clamped sketch's real
+      // fpp quietly approaches 1 and the prefilter stops filtering.
+      // Raise the caps to what the requested 3% fpp actually needs.
+      def raiseCap(conf: String, needed: Long): Unit =
+        if (spark.conf.get(conf).toLong < needed)
+          spark.conf.set(conf, needed.toString)
+      raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expected)
+      raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
       // might_contain requires its sketch as a constant or scalar
       // subquery (the shape InjectRuntimeFilter emits): the subquery
       // runs once and its binary result ships to every probe task

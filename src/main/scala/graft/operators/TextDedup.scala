@@ -631,11 +631,15 @@ object TextDedup {
       val w = Window.partitionBy("source")
         .orderBy(md5(encode(col("doc_id").cast("string"), "UTF-8")),
           col("doc_id"))
-      val ids = T(s, dir, "documents")
-        .select(col("doc_id"), col("source"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 12)
-        .select("doc_id")
+      // three consumers below (truth join + two semi-join restrictions)
+      // — registry-persisted so the per-source rank window runs once
+      val ids = CacheRegistry.cached(s, s"lsh-audit-sample:$dir") {
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 12)
+          .select("doc_id")
+      }
       // exact truth over the SAMPLE only — the count-join shape of q42,
       // but its input is budget-bounded, so the df-amplification branch
       // is unnecessary: worst case is the sample's own all-pairs

@@ -27,7 +27,11 @@ object BloomSketch {
   /** Aggregate a column of xxhash64 values into one Bloom sketch
     * (binary). `expectedItems`/`numBits` size the sketch; use
     * [[optimalNumBits]] to derive bits from a target false-positive
-    * rate. */
+    * rate. CAVEAT: the underlying aggregate silently clamps both values
+    * to `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/
+    * `.maxNumBits` (4M / 64M-bit defaults) — when sizing past those,
+    * raise the confs first or the real fpp quietly degrades (the Scrub
+    * call site does this). */
   def bloomFilterAgg(hashes: Column, expectedItems: Long, numBits: Long): Column =
     Bridge.column(new BloomFilterAggregate(
       Bridge.expression(hashes),

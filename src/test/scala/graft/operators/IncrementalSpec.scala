@@ -22,16 +22,20 @@ class IncrementalSpec extends SparkTestBase {
         max("o_totalprice").as("max_price"),
         round(sum("o_totalprice") / count(lit(1)), 4).as("avg_price"))
       .orderBy("o_orderpriority").collect()
-    // the two plans sum o_totalprice in different associations, so the
-    // doubles may differ by ulps before rounding — compare the numeric
-    // columns with a tolerance instead of whole-Row equality, or the
-    // test is partition-layout sensitive (could flake under different
-    // parallelism/AQE settings even though both results are correct)
+    // the two plans sum o_totalprice in different associations, so an
+    // unrounded sum within an ulp of a rounding boundary can round
+    // differently — a whole-Row equality would then flake on partition
+    // layout even though both results are correct. Tolerance per column
+    // must be the column's OWN rounding quantum (a boundary flip moves
+    // the value by exactly one quantum; anything smaller absorbs
+    // nothing): total_price rounds to 2dp, avg_price to 4dp; min/max
+    // select an input value unchanged, so they compare exactly.
     assert(got.length == want.length)
+    val eps = Map(2 -> 0.011, 3 -> 0.0, 4 -> 0.0, 5 -> 1.1e-4)
     got.zip(want).foreach { case (g, e) =>
       assert(g.getString(0) == e.getString(0) && g.getInt(1) == e.getInt(1))
       (2 to 5).foreach { i =>
-        assert(math.abs(g.getDouble(i) - e.getDouble(i)) <= 1e-6,
+        assert(math.abs(g.getDouble(i) - e.getDouble(i)) <= eps(i),
           s"col $i: ${g.toSeq} vs ${e.toSeq}")
       }
     }
