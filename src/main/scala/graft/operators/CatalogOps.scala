@@ -181,6 +181,137 @@ object CatalogOps {
         .unionAll(digest(T(s, dir, "orders"), "orders",
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
         .orderBy("tbl")
+    },
+
+    // ── data-quality audit: the constraint report a pipeline gates a
+    //    publish on — PK uniqueness, FK orphans both directions,
+    //    domain-band violations. Each referential check is ONE scan of
+    //    the child table left-joined to the broadcast distinct key set
+    //    of its parent (violations and totals counted in the same
+    //    conditional aggregate — no second pass, no anti-join + count
+    //    double-scan); domain checks are pure conditional aggregates.
+    //    At 100 TB the fact-side scan dominates and shuffles nothing;
+    //    zero-violation rows are the PASS state and stay in the report.
+    QueryDef(
+      "q147_dq_audit",
+      """WITH ck AS (SELECT c_custkey AS k FROM customer),
+        |ok AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+        |ouk AS (SELECT DISTINCT o_custkey AS k FROM orders)
+        |SELECT * FROM (
+        |SELECT 'customer_negative_acctbal' AS chk,
+        |  CAST(count(CASE WHEN c_acctbal < 0 THEN 1 END) AS BIGINT)
+        |    AS n_violations,
+        |  CAST(count(*) AS BIGINT) AS n_rows FROM customer
+        |UNION ALL
+        |SELECT 'customer_without_orders',
+        |  CAST(count(CASE WHEN ouk.k IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT)
+        |FROM customer LEFT JOIN ouk ON c_custkey = ouk.k
+        |UNION ALL
+        |SELECT 'lineitem_discount_band',
+        |  CAST(count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END)
+        |    AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_fk_orphans',
+        |  CAST(count(CASE WHEN ok.k IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT)
+        |FROM lineitem LEFT JOIN ok ON l_orderkey = ok.k
+        |UNION ALL
+        |SELECT 'orders_fk_orphans',
+        |  CAST(count(CASE WHEN ck.k IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT)
+        |FROM orders LEFT JOIN ck ON o_custkey = ck.k
+        |UNION ALL
+        |SELECT 'orders_pk_duplicates',
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM orders
+        |) ORDER BY chk""".stripMargin) { (s, dir) =>
+      val cust = T(s, dir, "customer")
+      val ord = T(s, dir, "orders")
+      val li = T(s, dir, "lineitem")
+      def row(chk: String, viol: org.apache.spark.sql.Column,
+          base: DataFrame): DataFrame =
+        base.agg(count(viol).as("n_violations"), count(lit(1)).as("n_rows"))
+          .select(lit(chk).as("chk"), col("n_violations"), col("n_rows"))
+      val negBal = row("customer_negative_acctbal",
+        when(col("c_acctbal") < 0, 1), cust)
+      val noOrders = row("customer_without_orders",
+        when(col("k").isNull, 1),
+        cust.join(broadcast(ord.select(col("o_custkey").as("k")).distinct()),
+          col("c_custkey") === col("k"), "left"))
+      val discBand = row("lineitem_discount_band",
+        when(col("l_discount") < 0 || col("l_discount") > 0.1, 1), li)
+      val liOrphans = row("lineitem_fk_orphans",
+        when(col("k").isNull, 1),
+        li.join(broadcast(ord.select(col("o_orderkey").as("k")).distinct()),
+          col("l_orderkey") === col("k"), "left"))
+      val ordOrphans = row("orders_fk_orphans",
+        when(col("k").isNull, 1),
+        ord.join(broadcast(cust.select(col("c_custkey").as("k"))),
+          col("o_custkey") === col("k"), "left"))
+      val pkDup = ord
+        .agg((count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("n_violations"), count(lit(1)).as("n_rows"))
+        .select(lit("orders_pk_duplicates").as("chk"),
+          col("n_violations"), col("n_rows"))
+      negBal.unionAll(noOrders).unionAll(discBand).unionAll(liOrphans)
+        .unionAll(ordOrphans).unionAll(pkDup)
+        .orderBy("chk")
+    },
+
+    // ── snapshot diff (CDC without a table format): classify every key
+    //    across two snapshots as added / removed / changed / unchanged
+    //    and net the ledger impact per class. Snapshots derive
+    //    deterministically from the md5 gate (old = buckets 0-94,
+    //    new = 5-99, buckets 40-49 get +$5.00), so both engines build
+    //    bit-identical inputs with no second table. The diff itself is
+    //    the production shape: ONE full-outer join keyed by the primary
+    //    key — co-partitionable at any scale — then a 4-group aggregate.
+    //    Money in integer cents end to end.
+    QueryDef(
+      "q148_snapshot_diff",
+      """WITH b AS (SELECT o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+        |    % 100 AS bk
+        |  FROM orders),
+        |old AS (SELECT k, cents AS old_c FROM b WHERE bk < 95),
+        |new_ AS (SELECT k,
+        |  CASE WHEN bk BETWEEN 40 AND 49 THEN cents + 500 ELSE cents END
+        |    AS new_c
+        |  FROM b WHERE bk >= 5),
+        |d AS (SELECT coalesce(old.k, new_.k) AS k, old_c, new_c,
+        |  CASE WHEN old_c IS NULL THEN 'added'
+        |       WHEN new_c IS NULL THEN 'removed'
+        |       WHEN old_c <> new_c THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(new_c, 0) - coalesce(old_c, 0) AS dc
+        |  FROM old FULL JOIN new_ ON old.k = new_.k)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(dc) AS BIGINT) AS delta_cents
+        |FROM d GROUP BY status ORDER BY status""".stripMargin) { (s, dir) =>
+      val bk = graft.plans.HexWindowToLong.md5Bucket(col("o_orderkey"), 100)
+      val b = T(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"),
+          bk.as("bk"))
+      val old = b.filter(col("bk") < 95).select(col("k"), col("cents").as("old_c"))
+      val neu = b.filter(col("bk") >= 5)
+        .select(col("k"),
+          when(col("bk").between(40, 49), col("cents") + 500)
+            .otherwise(col("cents")).as("new_c"))
+      old.join(neu, Seq("k"), "full")
+        .select(
+          when(col("old_c").isNull, "added")
+            .when(col("new_c").isNull, "removed")
+            .when(col("old_c") =!= col("new_c"), "changed")
+            .otherwise("unchanged").as("status"),
+          (coalesce(col("new_c"), lit(0L)) - coalesce(col("old_c"), lit(0L)))
+            .as("dc"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_rows"), sum(col("dc")).as("delta_cents"))
+        .orderBy("status")
     }
   )
 }

@@ -417,6 +417,72 @@ object TimeSeriesJoins {
       v.select(col("user_id"), col("event_id"),
           round(num / den, 4).as("ewma8"))
         .orderBy("user_id", "event_id")
+    },
+
+    // ── ordered session funnel: view → click → purchase WITHIN a q122
+    //    gap session, each stage's event required at-or-after the
+    //    previous stage's first occurrence (conditional min, not mere
+    //    presence — 'clicked before ever viewing' does not convert).
+    //    The standard conversion readout over the sessionizer's output.
+    //    Scale shape: sessions come from the q122 windows (one
+    //    user-keyed shuffle); every stage aggregate and both stage
+    //    joins are keyed by (user_id, sid), so the session partitioning
+    //    is reused end to end and the final readout is a single
+    //    4-counter row. Integer epochs and counts only.
+    QueryDef(
+      "q149_session_funnel",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |x AS (SELECT user_id, event_id, event_type, t,
+        |  CASE WHEN t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id, event_type, t,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+        |g1 AS (SELECT user_id, sid,
+        |  min(CASE WHEN event_type = 'view' THEN t END) AS tv
+        |  FROM s GROUP BY user_id, sid),
+        |g2 AS (SELECT s.user_id, s.sid, min(g1.tv) AS tv,
+        |  min(CASE WHEN s.event_type = 'click' AND s.t >= g1.tv THEN s.t END)
+        |    AS tc
+        |  FROM s JOIN g1 ON s.user_id = g1.user_id AND s.sid = g1.sid
+        |  GROUP BY s.user_id, s.sid),
+        |g3 AS (SELECT s.user_id, s.sid, min(g2.tv) AS tv, min(g2.tc) AS tc,
+        |  min(CASE WHEN s.event_type = 'purchase' AND s.t >= g2.tc THEN s.t END)
+        |    AS tp
+        |  FROM s JOIN g2 ON s.user_id = g2.user_id AND s.sid = g2.sid
+        |  GROUP BY s.user_id, s.sid)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(count(tv) AS BIGINT) AS n_viewed,
+        |  CAST(count(tc) AS BIGINT) AS n_clicked_after,
+        |  CAST(count(tp) AS BIGINT) AS n_purchased_after
+        |FROM g3""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("t"))
+        .withColumn("brk",
+          when(col("t") - lag("t", 1).over(w) > 1800, 1).otherwise(0))
+        .withColumn("sid", sum("brk").over(cum))
+        .select("user_id", "sid", "event_type", "t")
+      val keys = Seq("user_id", "sid")
+      val g1 = sess.groupBy(keys.map(col): _*)
+        .agg(min(when(col("event_type") === "view", col("t"))).as("tv"))
+      val g2 = sess.join(g1, keys)
+        .groupBy(keys.map(col): _*)
+        .agg(min(col("tv")).as("tv"),
+          min(when(col("event_type") === "click" && col("t") >= col("tv"),
+            col("t"))).as("tc"))
+      val g3 = sess.join(g2, keys)
+        .groupBy(keys.map(col): _*)
+        .agg(min(col("tv")).as("tv"), min(col("tc")).as("tc"),
+          min(when(col("event_type") === "purchase" && col("t") >= col("tc"),
+            col("t"))).as("tp"))
+      g3.agg(count(lit(1)).as("n_sessions"),
+        count(col("tv")).as("n_viewed"),
+        count(col("tc")).as("n_clicked_after"),
+        count(col("tp")).as("n_purchased_after"))
     }
   )
 }

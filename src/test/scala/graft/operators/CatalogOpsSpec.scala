@@ -81,6 +81,41 @@ class CatalogOpsSpec extends SparkTestBase {
     assert(math.abs(oSum - oExpect) < 1e-6, "O partition is untouched")
   }
 
+  test("q147 DQ audit: brute-force one check, violations bounded by rows") {
+    val out = SparkEntry.queries("q147_dq_audit")(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 6)
+    out.foreach { case (chk, (v, n)) =>
+      assert(v >= 0 && v <= n, s"$chk: $v violations of $n rows")
+    }
+    // re-derive customer_without_orders from the raw tables
+    val custKeys = graft.Tables(spark, sf, "customer")
+      .select("c_custkey").as[Long].collect().toSet
+    val orderCust = graft.Tables(spark, sf, "orders")
+      .select("o_custkey").as[Long].collect().toSet
+    val expected = custKeys.count(k => !orderCust.contains(k)).toLong
+    assert(out("customer_without_orders")._1 == expected)
+    assert(out("customer_without_orders")._2 == custKeys.size.toLong)
+  }
+
+  test("q148 snapshot diff: statuses partition the key universe, deltas add up") {
+    val out = SparkEntry.queries("q148_snapshot_diff")(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val bk = graft.plans.HexWindowToLong.md5Bucket($"o_orderkey", 100)
+    val buckets = graft.Tables(spark, sf, "orders")
+      .select(bk.as("bk")).as[Long].collect()
+    val nOld = buckets.count(_ < 95).toLong
+    val nNew = buckets.count(_ >= 5).toLong
+    val nBoth = buckets.count(b => b >= 5 && b < 95).toLong
+    assert(out("removed")._1 == nOld - nBoth)
+    assert(out("added")._1 == nNew - nBoth)
+    assert(out("changed")._1 + out("unchanged")._1 == nBoth)
+    // every changed row is the deterministic +$5.00 edit
+    assert(out("changed")._1 == buckets.count(b => b >= 40 && b < 50).toLong)
+    assert(out("changed")._2 == out("changed")._1 * 500)
+    assert(out("unchanged")._2 == 0L)
+  }
+
   test("q111 merge preserves row accounting: kept + updated + inserted") {
     val out = SparkEntry.queries("q111_merge_upsert")(spark, sf).cache()
     val base = Tables(spark, sf, "orders")

@@ -57,6 +57,23 @@ class SearchSpec extends SparkTestBase {
     assert(nH > 0, "LSH should recover at least one true near-dup pair")
   }
 
+  test("q149 funnel: stages are monotone and sessions reconcile with q122") {
+    val (nS, nV, nC, nP) = SparkEntry.queries("q149_session_funnel")(spark, sf)
+      .as[(Long, Long, Long, Long)].head()
+    assert(nS >= nV && nV >= nC && nC >= nP,
+      s"funnel must be monotone: $nS >= $nV >= $nC >= $nP")
+    // the synthetic sessions are short: views are common, ordered
+    // view→click conversions rare, full conversions absent — assert the
+    // ordered-stage logic BITES (strictly narrows) rather than a full
+    // conversion existing
+    assert(nV > 0 && nC > 0, s"stages must be exercised: $nV viewed, $nC clicked")
+    assert(nC < nV, "the ordered-click stage must strictly narrow the funnel")
+    val q122Sessions = SparkEntry.queries("q122_sessionize_gap")(spark, sf)
+      .count()
+    assert(nS == q122Sessions,
+      s"funnel session universe $nS != q122's $q122Sessions")
+  }
+
   test("q144 sampled audit: budget-bounded subset, converges to full audit") {
     val full = SparkEntry.queries("q117_lsh_recall")(spark, sf)
       .as[(Int, Int, Int, Long, Long)].head()
