@@ -79,7 +79,8 @@ object Bench {
     // abbreviated to their unique qNN prefix (the full names are in
     // Verify's dump / CORRECTNESS report; the contract's own example uses
     // short keys), and the sf tag shortened to the directory basename.
-    // ~1.7 KB at 144 queries → ~220 chars (≈18 queries) of headroom.
+    // BASELINE.md tracks the current line length and headroom per
+    // inventory (~12 chars/query against the ~1900-char ceiling).
     def f(v: Double): String = "%.2f".format(v)
       .replaceAll("0+$", "").replaceAll("\\.$", "")
     def short(name: String): String = name.takeWhile(_ != '_')

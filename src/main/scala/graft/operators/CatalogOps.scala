@@ -194,7 +194,7 @@ object CatalogOps {
     //    zero-violation rows are the PASS state and stay in the report.
     QueryDef(
       "q147_dq_audit",
-      """WITH ck AS (SELECT c_custkey AS k FROM customer),
+      """WITH ck AS (SELECT DISTINCT c_custkey AS k FROM customer),
         |ok AS (SELECT DISTINCT o_orderkey AS k FROM orders),
         |ouk AS (SELECT DISTINCT o_custkey AS k FROM orders)
         |SELECT * FROM (
@@ -246,9 +246,12 @@ object CatalogOps {
         when(col("k").isNull, 1),
         li.join(broadcast(ord.select(col("o_orderkey").as("k")).distinct()),
           col("l_orderkey") === col("k"), "left"))
+      // distinct() even though c_custkey is nominally the PK: a DQ audit
+      // must SURVIVE dirty data, and a duplicated parent key would
+      // otherwise fan out child rows and inflate n_rows past the table
       val ordOrphans = row("orders_fk_orphans",
         when(col("k").isNull, 1),
-        ord.join(broadcast(cust.select(col("c_custkey").as("k"))),
+        ord.join(broadcast(cust.select(col("c_custkey").as("k")).distinct()),
           col("o_custkey") === col("k"), "left"))
       val pkDup = ord
         .agg((count(lit(1)) - countDistinct(col("o_orderkey")))
@@ -291,11 +294,10 @@ object CatalogOps {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(dc) AS BIGINT) AS delta_cents
         |FROM d GROUP BY status ORDER BY status""".stripMargin) { (s, dir) =>
-      val bk = graft.plans.HexWindowToLong.md5Bucket(col("o_orderkey"), 100)
       val b = T(s, dir, "orders")
         .select(col("o_orderkey").as("k"),
           round(col("o_totalprice") * 100).cast("bigint").as("cents"),
-          bk.as("bk"))
+          keyGate.as("bk"))
       val old = b.filter(col("bk") < 95).select(col("k"), col("cents").as("old_c"))
       val neu = b.filter(col("bk") >= 5)
         .select(col("k"),

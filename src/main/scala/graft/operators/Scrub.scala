@@ -64,15 +64,17 @@ object Scrub {
     * materialization or early teardown; the result and the thrice-read
     * vocab frame live in [[graft.CacheRegistry]] — repeated calls reuse
     * one persisted copy and `CacheRegistry.clear(session)` releases
-    * both. Keyed by a SHA-256 of each input's canonicalized plan — a
-    * 32-bit semanticHash would invite silent cross-input aliasing at
-    * the birthday bound; a 256-bit digest of the full canonical form
-    * makes two distinct inputs sharing a key a non-event. */
+    * both. Keyed by a 128-bit SHA-256 prefix of each input's
+    * canonicalized plan JSON — a 32-bit semanticHash would invite
+    * silent cross-input aliasing at the birthday bound, and the plan's
+    * toString is unusable as key material because it elides argument
+    * lists past spark.sql.debug.maxToStringFields; toJSON renders every
+    * field untruncated. */
   private[operators] def bloomPrefilteredContaminated(
       train: DataFrame, testVocab: DataFrame): DataFrame = {
     val spark = train.sparkSession
     def planKey(df: DataFrame): String = {
-      val canon = df.queryExecution.analyzed.canonicalized.toString
+      val canon = df.queryExecution.analyzed.canonicalized.toJSON
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(canon.getBytes("UTF-8")).take(16)
         .map("%02x".format(_)).mkString
@@ -90,20 +92,33 @@ object Scrub {
       // filter conf caps (4M items / 64M bits by default) — at the
       // large-vocab scale this path exists for, a clamped sketch's real
       // fpp quietly approaches 1 and the prefilter stops filtering.
-      // Raise the caps to what the requested 3% fpp actually needs.
-      def raiseCap(conf: String, needed: Long): Unit =
-        if (spark.conf.get(conf).toLong < needed)
-          spark.conf.set(conf, needed.toString)
-      raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expected)
-      raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
+      // Raise the caps only for the duration of the (eager, distributed)
+      // sketch build, then restore: leaving them raised would let
+      // Spark's own InjectRuntimeFilter build arbitrarily large runtime
+      // sketches for every later join in the session.
+      val capConfs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expected,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)
+      val saved = capConfs.map { case (c, _) => c -> spark.conf.get(c) }
+      val sketch: Array[Byte] =
+        try {
+          capConfs.foreach { case (c, needed) =>
+            if (spark.conf.get(c).toLong < needed)
+              spark.conf.set(c, needed.toString)
+          }
+          // the aggregate runs NOW (partial sketches OR-merged map-side)
+          // so the conf window can close; only the final binary reaches
+          // the driver — inherent to any constant/scalar-subquery probe
+          tv.agg(graft.plans.BloomSketch
+            .bloomFilterAgg(xxhash64(col("tok")), expected, bits).as("bf"))
+            .head().getAs[Array[Byte]]("bf")
+        } finally saved.foreach { case (c, v) => spark.conf.set(c, v) }
       // might_contain requires its sketch as a constant or scalar
-      // subquery (the shape InjectRuntimeFilter emits): the subquery
-      // runs once and its binary result ships to every probe task
-      val bf = tv.agg(graft.plans.BloomSketch
-        .bloomFilterAgg(xxhash64(col("tok")), expected, bits)).scalar()
+      // subquery; binding the built sketch as a literal keeps the cached
+      // result frame re-executable with no dependency on session confs
       train.select(col("doc_id"), explode(col("sh")).as("tok"))
         .filter(graft.plans.BloomSketch
-          .mightContain(bf, xxhash64(col("tok"))))
+          .mightContain(lit(sketch), xxhash64(col("tok"))))
         // exact verify: shuffle semi join (hint the small side away from
         // broadcast to exercise the shape the bloom path exists for)
         .join(tv.hint("shuffle_hash"), Seq("tok"), "left_semi")

@@ -424,11 +424,15 @@ object TimeSeriesJoins {
     //    previous stage's first occurrence (conditional min, not mere
     //    presence — 'clicked before ever viewing' does not convert).
     //    The standard conversion readout over the sessionizer's output.
-    //    Scale shape: sessions come from the q122 windows (one
-    //    user-keyed shuffle); every stage aggregate and both stage
-    //    joins are keyed by (user_id, sid), so the session partitioning
-    //    is reused end to end and the final readout is a single
-    //    4-counter row. Integer epochs and counts only.
+    //    Scale shape: ONE pass over events — sessions come from the
+    //    q122 windows (one user-keyed shuffle), and each stage's
+    //    conditional min is a full-partition window over (user_id, sid),
+    //    which hashpartitioning(user_id) already satisfies (subset
+    //    clustering), so no second exchange and no self-joins that
+    //    would recompute the session subtree. tv/tc/tp are partition
+    //    constants, so each successive window can gate on the previous
+    //    stage's value. Final readout is a single 4-counter row.
+    //    Integer epochs and counts only.
     QueryDef(
       "q149_session_funnel",
       """WITH e AS (SELECT user_id, event_id, event_type,
@@ -459,30 +463,28 @@ object TimeSeriesJoins {
         |FROM g3""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("t", "event_id")
       val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sess = T(s, dir, "events")
+      val part = Window.partitionBy("user_id", "sid")
+      T(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_timestamp(col("ts")).as("t"))
         .withColumn("brk",
           when(col("t") - lag("t", 1).over(w) > 1800, 1).otherwise(0))
         .withColumn("sid", sum("brk").over(cum))
-        .select("user_id", "sid", "event_type", "t")
-      val keys = Seq("user_id", "sid")
-      val g1 = sess.groupBy(keys.map(col): _*)
-        .agg(min(when(col("event_type") === "view", col("t"))).as("tv"))
-      val g2 = sess.join(g1, keys)
-        .groupBy(keys.map(col): _*)
-        .agg(min(col("tv")).as("tv"),
+        .withColumn("tv",
+          min(when(col("event_type") === "view", col("t"))).over(part))
+        .withColumn("tc",
           min(when(col("event_type") === "click" && col("t") >= col("tv"),
-            col("t"))).as("tc"))
-      val g3 = sess.join(g2, keys)
-        .groupBy(keys.map(col): _*)
-        .agg(min(col("tv")).as("tv"), min(col("tc")).as("tc"),
+            col("t"))).over(part))
+        .withColumn("tp",
           min(when(col("event_type") === "purchase" && col("t") >= col("tc"),
-            col("t"))).as("tp"))
-      g3.agg(count(lit(1)).as("n_sessions"),
-        count(col("tv")).as("n_viewed"),
-        count(col("tc")).as("n_clicked_after"),
-        count(col("tp")).as("n_purchased_after"))
+            col("t"))).over(part))
+        .groupBy("user_id", "sid")
+        .agg(min(col("tv")).as("tv"), min(col("tc")).as("tc"),
+          min(col("tp")).as("tp"))
+        .agg(count(lit(1)).as("n_sessions"),
+          count(col("tv")).as("n_viewed"),
+          count(col("tc")).as("n_clicked_after"),
+          count(col("tp")).as("n_purchased_after"))
     }
   )
 }

@@ -15,12 +15,12 @@ import org.apache.spark.sql.graft.Bridge
   * object, and probes it through an interpreted UDF — three driver
   * round-trips and a codegen break per probe. Here the sketch is built
   * by a distributed aggregate (partial sketches OR-merged map-side),
-  * reaches the probe side as a scalar subquery (`might_contain`
-  * requires a constant or scalar-subquery sketch — the shape Spark's
-  * own InjectRuntimeFilter emits; `Dataset.scalar()` produces it), and
-  * the probe is a native expression that stays inside whole-stage
-  * codegen. Both sides hash with `xxhash64`, the same keying the
-  * runtime-filter rule uses.
+  * reaches the probe side as a constant or scalar subquery — the only
+  * two sketch shapes `might_contain` accepts (InjectRuntimeFilter emits
+  * the subquery form via `Dataset.scalar()`; an eagerly-built sketch
+  * binds as a binary literal) — and the probe is a native expression
+  * that stays inside whole-stage codegen. Both sides hash with
+  * `xxhash64`, the same keying the runtime-filter rule uses.
   */
 object BloomSketch {
 

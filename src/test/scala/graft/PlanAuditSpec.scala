@@ -288,6 +288,16 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q149: funnel rides ONE user-keyed shuffle, no self-joins") {
+    // sessionization windows, the three (user, sid) stage windows, and
+    // the per-session groupBy must all reuse hashpartitioning(user_id)
+    // — a subset clustering satisfies them all; the only other exchange
+    // is the final single-partition 4-counter readout
+    val p = plan("q149_session_funnel")
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), s"stage gating must not self-join:\n$p")
+  }
+
   test("q118: rolling window keyed per user — exactly one shuffle") {
     val p = plan("q118_rolling_1h")
     assert("windowspecdefinition\\(user_id#".r.findFirstIn(p).isDefined,
