@@ -314,6 +314,60 @@ object CatalogOps {
         .groupBy("status")
         .agg(count(lit(1)).as("n_rows"), sum(col("dc")).as("delta_cents"))
         .orderBy("status")
+    },
+
+    // ── partition-level digest diff: the incremental-processing
+    //    front-door. Before reprocessing a 100 TB table, compare each
+    //    partition's order-independent digest (q132's bit_xor fold)
+    //    between the old and new snapshot and re-run ONLY the partitions
+    //    whose digest moved — the standard manifest-diff trick when the
+    //    source has no CDC log. Snapshots derive deterministically from
+    //    the md5 gate (new pays +$5.00 on gate<10 rows in every third
+    //    month), so one scan computes both digests side by side; a real
+    //    deployment digests each snapshot where it lives and joins the
+    //    O(partitions) digest frames. Month is the partition key —
+    //    exactly the layout q139's slice-merge maintenance consumes.
+    QueryDef(
+      "q153_partition_digest_diff",
+      """WITH b AS (SELECT
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+        |  o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+        |    % 100 AS bk
+        |  FROM orders),
+        |p AS (SELECT mon, k, cents AS old_c,
+        |  CASE WHEN bk < 10 AND month(mon) % 3 = 0 THEN cents + 500
+        |       ELSE cents END AS new_c
+        |  FROM b)
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CASE WHEN
+        |    bit_xor(('0x' || substr(md5(concat_ws('|', k, old_c)), 1, 15))::BIGINT)
+        |    = bit_xor(('0x' || substr(md5(concat_ws('|', k, new_c)), 1, 15))::BIGINT)
+        |    THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM p GROUP BY mon
+        |ORDER BY mon""".stripMargin) { (s, dir) =>
+      import graft.plans.HexWindowToLong.hexWindow
+      val p = T(s, dir, "orders")
+        .select(date_trunc("month", col("o_orderdate")).as("mon"),
+          col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"),
+          keyGate.as("bk"))
+        .select(col("mon"), col("k"), col("cents").as("old_c"),
+          when(col("bk") < 10 && month(col("mon")) % 3 === 0,
+            col("cents") + 500).otherwise(col("cents")).as("new_c"))
+        .select(col("mon"),
+          hexWindow(md5(encode(
+            concat_ws("|", col("k"), col("old_c")), "UTF-8")), 1).as("ho"),
+          hexWindow(md5(encode(
+            concat_ws("|", col("k"), col("new_c")), "UTF-8")), 1).as("hn"))
+      p.groupBy("mon")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(ho)").as("xo"), expr("bit_xor(hn)").as("xn"))
+        .select(col("mon"), col("n_rows"),
+          when(col("xo") === col("xn"), "unchanged")
+            .otherwise("changed").as("status"))
+        .orderBy("mon")
     }
   )
 }

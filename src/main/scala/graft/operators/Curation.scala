@@ -323,6 +323,101 @@ object Curation {
             / (col("n_vocab_a") + col("n_vocab_b") - col("n_common")), 4)
             .as("jaccard"))
         .orderBy("source_a", "source_b")
+    },
+
+    // ── vocabulary coverage / OOV audit: induce the top-K corpus
+    //    vocabulary (here K=10 — a real tokenizer build uses 32k–256k;
+    //    same plan either way) and report each source's out-of-vocab
+    //    token rate — the number that decides whether a source needs its
+    //    own tokenizer budget. The vocab is a global top-K by frequency
+    //    with a term tiebreak: orderBy+limit compiles to
+    //    TakeOrderedAndProject, so every partition forwards only its own
+    //    top-K and no single node ever holds the full term table; the
+    //    coverage pass then broadcast-joins the K-row vocab against the
+    //    exploded token stream — linear, one partial-agg'd groupBy.
+    QueryDef(
+      "q154_vocab_coverage",
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM w GROUP BY tok),
+        |v AS (SELECT tok FROM c ORDER BY cnt DESC, tok LIMIT 10)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(CASE WHEN v.tok IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+        |  CAST(count(CASE WHEN v.tok IS NULL THEN 1 END) * 10000
+        |    // count(*) AS INTEGER) AS oov_bp
+        |FROM w LEFT JOIN v ON w.tok = v.tok
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val w = T(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = w.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(10)
+        .select(col("tok").as("vtok"))
+      w.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("vtok").isNull, 1)).as("n_oov"),
+          expr("count(CASE WHEN vtok IS NULL THEN 1 END) * 10000"
+            + " div count(1)").cast("int").as("oov_bp"))
+        .orderBy("source")
+    },
+
+    // ── probability-proportional-to-size systematic sampling: the
+    //    standard survey-sampling pick for "give me ~N docs whose
+    //    selection probability tracks their length" (dataset ablations,
+    //    eval carve-outs). Docs are laid on a line in a deterministic
+    //    md5-shuffled order, each occupying its n_chars; a grid of
+    //    step = total/50 selects every doc whose span contains a grid
+    //    point. All integer `div` arithmetic. The Spark side computes
+    //    the global running sum the scalable way — per-bucket partials
+    //    (32 hash buckets), a 32-row prefix ladder, offsets broadcast
+    //    back, within-bucket windows — so no executor ever sees more
+    //    than its bucket; the oracle's single global window is the
+    //    naive reference the two-phase plan must (and does) equal.
+    QueryDef(
+      "q155_pps_sample",
+      """WITH b AS (SELECT doc_id, source, n_chars,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |c AS (SELECT *, h % 32 AS bucket FROM b),
+        |w AS (SELECT doc_id, source, n_chars,
+        |  coalesce(sum(n_chars) OVER (ORDER BY bucket, h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+        |  FROM c),
+        |t AS (SELECT greatest(sum(n_chars) // 50, 1) AS step FROM c)
+        |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM w, t
+        |WHERE (cum0 // step) < ((cum0 + n_chars) // step)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.plans.HexWindowToLong.hexWindow
+      import org.apache.spark.sql.expressions.Window
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          hexWindow(md5(encode(col("doc_id").cast("string"), "UTF-8")), 1)
+            .as("h"))
+        .withColumn("bucket", col("h") % 32)
+      // phase 1: per-bucket byte totals → a 32-row prefix ladder (the
+      // only single-partition window in the plan — over 32 rows)
+      val offsets = base.groupBy("bucket")
+        .agg(sum(col("n_chars")).as("bw"))
+        .select(col("bucket"),
+          coalesce(sum(col("bw")).over(
+            Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("off"))
+      // phase 2: within-bucket running sums ride the bucket partitioning
+      val inBucket = Window.partitionBy("bucket").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = base
+        .join(broadcast(offsets), "bucket")
+        .withColumn("cum0",
+          col("off") + coalesce(sum(col("n_chars")).over(inBucket), lit(0L)))
+      val step = base.agg(
+        greatest(expr("sum(n_chars) div 50"), lit(1L)).as("step"))
+      cum.crossJoin(broadcast(step))
+        .filter(expr("(cum0 div step) < ((cum0 + n_chars) div step)"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -231,6 +231,51 @@ object FeaturePrep {
           round((col("sy") - slope * col("sx")) / col("n"), 4)
             .as("intercept_cents"))
         .orderBy("event_type")
+    },
+
+    // ── padding-waste audit: the batching-efficiency report that decides
+    //    a trainer's bucketing config. Docs are length-bucketed to the
+    //    next multiple of 64 tokens (capped at a 512 context), the way a
+    //    bucketed batcher pads; per bucket the audit reports how many
+    //    padding tokens that costs and the waste in basis points —
+    //    all integer `div` arithmetic, ONE narrow map + one tiny
+    //    aggregate over ≤9 buckets, so it runs at any corpus size for
+    //    the price of a token-count scan. Docs past the cap truncate
+    //    (trunc_tokens counts the loss), matching q91's packing contract.
+    QueryDef(
+      "q151_padding_waste",
+      """WITH t AS (SELECT
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+        |b AS (SELECT toks,
+        |  least(((toks + 15) // 16) * 16, 80) AS bucket,
+        |  least(toks, 80) AS kept FROM t)
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(count(*) AS INTEGER) AS n_docs,
+        |  CAST(sum(kept) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(bucket - kept) AS BIGINT) AS pad_tokens,
+        |  CAST(sum(CASE WHEN toks > 80 THEN toks - 80 ELSE 0 END) AS BIGINT)
+        |    AS trunc_tokens,
+        |  CAST(sum(bucket - kept) * 10000 // sum(bucket) AS INTEGER)
+        |    AS waste_bp
+        |FROM b GROUP BY bucket
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val b = T(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("toks"))
+        .select(col("toks"),
+          least(expr("((toks + 15) div 16) * 16"), lit(80L)).as("bucket"),
+          least(col("toks"), lit(80L)).as("kept"))
+      b.groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("kept")).as("kept_tokens"),
+          sum(col("bucket") - col("kept")).as("pad_tokens"),
+          sum(when(col("toks") > 80, col("toks") - 80).otherwise(0L))
+            .as("trunc_tokens"),
+          expr("sum(bucket - kept) * 10000 div sum(bucket)").cast("int")
+            .as("waste_bp"))
+        .select(col("bucket").cast("int").as("bucket"), col("n_docs"),
+          col("kept_tokens"), col("pad_tokens"), col("trunc_tokens"),
+          col("waste_bp"))
+        .orderBy("bucket")
     }
   )
 }

@@ -282,6 +282,67 @@ object Scrub {
             md5(encode(concat_ws(" ", col("kept")), "UTF-8")))
             .as("kept_md5"))
         .orderBy("doc_id")
+    },
+
+    // ── PII audit: the per-source leak report a scrub pipeline publishes
+    //    before release — how many documents carry an email / phone /
+    //    URL pattern and how many total hits each source contributes.
+    //    The synthetic corpus carries no natural PII, so the audited
+    //    corpus derives deterministically from the md5 gate (q148
+    //    discipline): gate-selected docs get an email, phone, or URL
+    //    appended — both engines decorate identically, and the audit's
+    //    regexes must then find EXACTLY the planted set (the ScrubSpec
+    //    pin). The audit itself is production-shaped: one narrow map of
+    //    3 regexp_extract_all counts per doc, one partial-agg'd groupBy
+    //    per source — linear scan cost at any corpus size, no shuffle
+    //    beyond the 20-group aggregate. Patterns stay inside the
+    //    Java-regex ∩ RE2 common dialect (no backrefs, no lookaround),
+    //    so both engines match the same language.
+    QueryDef(
+      "q152_pii_audit",
+      """WITH d AS (SELECT source,
+        |  CASE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10
+        |    WHEN 0 THEN text || ' contact bob.smith@example.com now'
+        |    WHEN 1 THEN text || ' call 555-867-5309 today'
+        |    WHEN 2 THEN text || ' see https://example.org/p?id=7 page'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |c AS (SELECT source,
+        |  len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+[.][a-z]+')) AS e,
+        |  len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS p,
+        |  len(regexp_extract_all(t, 'https?://[a-z0-9./?=]+')) AS u
+        |  FROM d)
+        |SELECT source,
+        |  CAST(count(*) AS INTEGER) AS n_docs,
+        |  CAST(sum(e) AS BIGINT) AS n_emails,
+        |  CAST(sum(p) AS BIGINT) AS n_phones,
+        |  CAST(sum(u) AS BIGINT) AS n_urls,
+        |  CAST(count(CASE WHEN e + p + u > 0 THEN 1 END) AS BIGINT)
+        |    AS n_pii_docs
+        |FROM c GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val gate = graft.plans.HexWindowToLong.md5Bucket(col("doc_id"), 10)
+      val t = when(gate === 0,
+          concat(col("text"), lit(" contact bob.smith@example.com now")))
+        .when(gate === 1, concat(col("text"), lit(" call 555-867-5309 today")))
+        .when(gate === 2,
+          concat(col("text"), lit(" see https://example.org/p?id=7 page")))
+        .otherwise(col("text"))
+      val c = T(s, dir, "documents")
+        .select(col("source"),
+          size(regexp_extract_all(t,
+            lit("[a-z0-9.]+@[a-z0-9.]+[.][a-z]+"), lit(0))).as("e"),
+          size(regexp_extract_all(t,
+            lit("[0-9]{3}-[0-9]{3}-[0-9]{4}"), lit(0))).as("p"),
+          size(regexp_extract_all(t,
+            lit("https?://[a-z0-9./?=]+"), lit(0))).as("u"))
+      c.groupBy("source")
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("e")).as("n_emails"),
+          sum(col("p")).as("n_phones"),
+          sum(col("u")).as("n_urls"),
+          count(when(col("e") + col("p") + col("u") > 0, 1)).as("n_pii_docs"))
+        .orderBy("source")
     }
   )
 }

@@ -202,6 +202,42 @@ object StorageLayout {
         .select(col("event_type"), round(col("med"), 4).as("med"),
           round(col("mad"), 4).as("mad"), col("n"), col("n_outliers"))
         .orderBy("event_type")
+    },
+
+    // ── small-file compaction planner: the maintenance job every lake
+    //    runs nightly — group each partition's files (here: docs per
+    //    source, sized by n_chars) into target-sized output bins by
+    //    cumulative-sum chunking: bin = floor(running-bytes-before /
+    //    target). Pure integer `div` arithmetic, one source-keyed window
+    //    shuffle, and the plan output is O(bins) — at 100 TB this runs
+    //    on the FILE MANIFEST (count ≈ millions), never the data, and
+    //    each bin maps 1:1 to one rewrite task reading only its own
+    //    files. Cumsum-chunking (vs first-fit) keeps input order, so the
+    //    rewrite preserves any clustering the data already has; a file
+    //    larger than the target gets its own bin rather than splitting.
+    QueryDef(
+      "q150_compaction_plan",
+      """WITH f AS (SELECT source, doc_id, n_chars,
+        |  coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+        |  FROM documents)
+        |SELECT source, CAST(cum0 // 2048 AS INTEGER) AS bin,
+        |  CAST(count(*) AS INTEGER) AS n_files,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM f GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          coalesce(sum(col("n_chars")).over(w), lit(0L)).as("cum0"))
+        .groupBy(col("source"), expr("cum0 div 2048").cast("int").as("bin"))
+        .agg(count(lit(1)).cast("int").as("n_files"),
+          sum(col("n_chars")).as("bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin")
     }
   )
 }

@@ -714,6 +714,60 @@ object TextDedup {
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
         .orderBy("doc_i", "doc_j")
+    },
+
+    // ── incremental ingest dedup: the shape a crawler actually runs —
+    //    match ONLY the new batch (md5 gate ≥ 95, ~5% of docs) against
+    //    the existing corpus's MinHash signatures and admit/reject each
+    //    new doc by whether it shares an LSH band with any resident doc.
+    //    Join cost is |new| × band-collisions, never corpus² and never
+    //    corpus×corpus re-pairing: the resident signature store (9
+    //    columns/doc, ~100× smaller than text) is the only standing
+    //    state, exactly what a 100 TB dedup service keeps hot, and the
+    //    band join partitions by (band, band-value) at any scale. The
+    //    oracle is the quadratic OR-of-bands reference join — same
+    //    candidate predicate, naive plan — so hash-equality proves the
+    //    banded equality join loses nothing. IncrementalDedupSpec
+    //    additionally pins consistency with the full-corpus pair set.
+    QueryDef(
+      "q156_incremental_dedup",
+      oracleSig +
+        """,
+          |g AS (SELECT m.*,
+          |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          |    % 100 AS bk FROM m)
+          |SELECT n.doc_id,
+          |  CAST(count(DISTINCT o.doc_id) AS INTEGER) AS n_dups,
+          |  CASE WHEN count(DISTINCT o.doc_id) > 0 THEN 'reject'
+          |       ELSE 'admit' END AS status
+          |FROM (SELECT * FROM g WHERE bk >= 95) n
+          |LEFT JOIN (SELECT * FROM g WHERE bk < 95) o
+          |  ON (n.mh0 = o.mh0 AND n.mh1 = o.mh1)
+          |  OR (n.mh2 = o.mh2 AND n.mh3 = o.mh3)
+          |  OR (n.mh4 = o.mh4 AND n.mh5 = o.mh5)
+          |  OR (n.mh6 = o.mh6 AND n.mh7 = o.mh7)
+          |GROUP BY n.doc_id
+          |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+      val gate = graft.plans.HexWindowToLong.md5Bucket(col("doc_id"), 100)
+      val sig = signatures(s, dir) // shared persisted cache
+      def bands(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), explode(array(
+          (0 until 4).map(b => struct(lit(b).as("band"),
+            concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+              .as("bv"))): _*
+        )).as("bd")).select(col("doc_id"), col("bd.band"), col("bd.bv"))
+      val neu = bands(sig.filter(gate >= 95))
+        .toDF("doc_id", "band", "bv")
+      val old = bands(sig.filter(gate < 95))
+        .toDF("old_id", "old_band", "old_bv")
+      neu.join(old,
+          col("band") === col("old_band") && col("bv") === col("old_bv"),
+          "left")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("old_id")).cast("int").as("n_dups"))
+        .select(col("doc_id"), col("n_dups"),
+          when(col("n_dups") > 0, "reject").otherwise("admit").as("status"))
+        .orderBy("doc_id")
     }
   )
 

@@ -116,6 +116,25 @@ class CatalogOpsSpec extends SparkTestBase {
     assert(out("unchanged")._2 == 0L)
   }
 
+  test("q153 flags exactly the months containing a modified row") {
+    val out = SparkEntry.queries("q153_partition_digest_diff")(spark, sf)
+      .as[(java.sql.Timestamp, Long, String)].collect()
+    val bk = graft.plans.HexWindowToLong.md5Bucket($"o_orderkey", 100)
+    // a month's digest moves iff >=1 of its rows takes the +500 edit
+    val touched = Tables(spark, sf, "orders")
+      .select(date_trunc("month", $"o_orderdate").as("mon"), bk.as("bk"))
+      .filter($"bk" < 10 && month($"mon") % 3 === 0)
+      .select("mon").distinct()
+      .as[java.sql.Timestamp].collect().toSet
+    val flagged = out.filter(_._3 == "changed").map(_._1).toSet
+    assert(flagged == touched,
+      "changed set must equal the months holding an edited row")
+    assert(out.exists(_._3 == "unchanged"),
+      "the gate must leave some months untouched or the diff is vacuous")
+    // row accounting: months partition the table
+    assert(out.map(_._2).sum == Tables(spark, sf, "orders").count())
+  }
+
   test("q111 merge preserves row accounting: kept + updated + inserted") {
     val out = SparkEntry.queries("q111_merge_upsert")(spark, sf).cache()
     val base = Tables(spark, sf, "orders")

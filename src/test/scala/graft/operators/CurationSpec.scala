@@ -92,4 +92,50 @@ class CurationSpec extends SparkTestBase {
     assert(out.agg(sum("n_tokens")).as[Long].head() == total)
     out.unpersist()
   }
+
+  test("q154 vocab is the true top-10 and OOV rates recount exactly") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val toks = docs.select($"source", explode(split($"text", " ")).as("tok"))
+    // brute-force top-10 vocabulary in driver memory
+    val vocab = toks.groupBy("tok").count()
+      .as[(String, Long)].collect()
+      .sortBy { case (t, c) => (-c, t) }.take(10).map(_._1).toSet
+    val expected = toks.as[(String, String)].collect()
+      .groupBy(_._1).map { case (src, ts) =>
+        val oov = ts.count(t => !vocab.contains(t._2)).toLong
+        (src, ts.length.toLong, oov, (oov * 10000 / ts.length).toInt)
+      }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q154_vocab_coverage")(spark, sf)
+      .as[(String, Long, Long, Int)].collect().toSeq
+    assert(got == expected, "per-source OOV audit must match brute force")
+  }
+
+  test("q155 two-phase prefix sum equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.HexWindowToLong.hexWindow
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"n_chars",
+        hexWindow(md5(encode($"doc_id".cast("string"), "UTF-8")), 1).as("h"))
+      .withColumn("bucket", $"h" % 32)
+    // naive reference: ONE global running sum (the oracle's plan)
+    val naive = docs.withColumn("cum0",
+        coalesce(sum($"n_chars").over(
+          Window.orderBy("bucket", "h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"n_chars", $"cum0")
+      .as[(Long, Long, Long)].collect()
+    val total = naive.map(_._2).sum
+    val step = math.max(total / 50, 1L)
+    val expected = naive
+      .filter { case (_, w, c0) => c0 / step < (c0 + w) / step }
+      .map(_._1).sorted.toSeq
+    val got = SparkEntry.queries("q155_pps_sample")(spark, sf)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == expected, "sampled ids must match the naive prefix sum")
+    // grid accounting: every grid multiple selects a doc, a doc wider
+    // than step can absorb several — so size is in [distinct-covering
+    // docs, grid count] and never zero
+    assert(got.nonEmpty && got.size <= (total / step).toInt,
+      s"sample size ${got.size} vs grid count ${total / step}")
+  }
 }

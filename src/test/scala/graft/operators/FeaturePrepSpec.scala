@@ -78,4 +78,22 @@ class FeaturePrepSpec extends SparkTestBase {
       assert(n >= k && k >= 1, "each bucket holds >=1 key, n >= distinct keys")
     }
   }
+
+  test("q151 padding buckets reconcile with the raw token counts") {
+    val rows = SparkEntry.queries("q151_padding_waste")(spark, sf)
+      .as[(Int, Int, Long, Long, Long, Int)].collect()
+    // buckets are multiples of 16 capped at 80, rows internally consistent
+    rows.foreach { case (bucket, n, kept, pad, _, bp) =>
+      assert(bucket % 16 == 0 && bucket >= 16 && bucket <= 80)
+      assert(pad == bucket.toLong * n - kept,
+        "pad = capacity - kept must hold per bucket")
+      assert(bp == pad * 10000 / (bucket.toLong * n), "exact waste formula")
+    }
+    // kept + truncated must re-add to the corpus token count
+    val total = Tables(spark, sf, "documents")
+      .select(size(split($"text", " ")).cast("long")).as[Long]
+      .collect().sum
+    assert(rows.map(r => r._3 + r._5).sum == total,
+      "kept + truncated tokens must equal the corpus total")
+  }
 }

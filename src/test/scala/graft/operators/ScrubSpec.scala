@@ -95,4 +95,25 @@ class ScrubSpec extends SparkTestBase {
       .head() == expected)
     out.unpersist()
   }
+
+  test("q152 finds exactly the planted PII, source by source") {
+    val out = SparkEntry.queries("q152_pii_audit")(spark, sf).cache()
+    // the raw corpus carries no natural PII, so every hit is planted by
+    // the md5 gate: gate 0 -> email, 1 -> phone, 2 -> url
+    val gate = graft.plans.HexWindowToLong.md5Bucket($"doc_id", 10)
+    val planted = Tables(spark, sf, "documents")
+      .select($"source", gate.as("g"))
+      .groupBy("source")
+      .agg(
+        sum(when($"g" === 0, 1L).otherwise(0L)).as("e"),
+        sum(when($"g" === 1, 1L).otherwise(0L)).as("p"),
+        sum(when($"g" === 2, 1L).otherwise(0L)).as("u"))
+    val bad = out.join(planted, "source")
+      .filter($"n_emails" =!= $"e" || $"n_phones" =!= $"p" ||
+        $"n_urls" =!= $"u" ||
+        $"n_pii_docs" =!= $"e" + $"p" + $"u")
+      .count()
+    assert(bad == 0, "audit counts must equal the planted-PII counts")
+    out.unpersist()
+  }
 }
