@@ -420,4 +420,59 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       s"the 5-row per-key min must broadcast to the scan side:\n$p")
   }
+
+  /** Formatted-mode output repeats each node name in the details
+    * section; shape counts must look at the tree block only. */
+  private def tree(name: String): String = plan(name).split("\n\n")(0)
+
+  test("q150: bin aggregation rides the window's source partitioning") {
+    val t = tree("q150_compaction_plan")
+    // the groupBy(source, bin) keys are a superset of the window's
+    // source partitioning, so the aggregate needs NO second shuffle:
+    // exactly two Exchanges — the window's and the final sort's
+    assert("Exchange".r.findAllIn(t).size == 2,
+      s"expected window + sort exchanges only:\n$t")
+    assert(t.contains("Window"), t)
+    assert(!t.contains("Join"), t)
+  }
+
+  test("q152/q153: one scan feeds the whole audit — no join, one agg shuffle") {
+    Seq("q152_pii_audit", "q153_partition_digest_diff").foreach { n =>
+      val t = tree(n)
+      assert("Scan parquet".r.findAllIn(t).size == 1,
+        s"$n must read its table exactly once:\n$t")
+      assert(!t.contains("Join"), s"$n must not join:\n$t")
+      assert("Exchange".r.findAllIn(t).size == 2,
+        s"$n: aggregation shuffle + result sort only:\n$t")
+    }
+  }
+
+  test("q154: vocab heap-selects top-K and broadcasts to the token stream") {
+    val p = plan("q154_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K vocab must heap-select per partition, not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin LeftOuter"),
+      s"the K-row vocab must broadcast to the exploded tokens:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q155: scalars broadcast; windows stay bucket-partitioned") {
+    val t = tree("q155_pps_sample")
+    // offsets (32 rows) and step (1 row) must broadcast — the doc-side
+    // stream is never sort-merge- or shuffle-joined
+    assert(t.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$t")
+    assert(!t.contains("SortMergeJoin"), t)
+    assert("Window".r.findAllIn(t).size == 2,
+      s"exactly the 32-row ladder + the in-bucket running sum:\n$t")
+  }
+
+  test("q156: band match is an equality join over the cached signatures") {
+    val p = plan("q156_incremental_dedup")
+    assert(p.contains("InMemoryTableScan"),
+      s"both sides must reuse the shared signature cache:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"band match must be an equality join, never nested-loop:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
