@@ -13,6 +13,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   * val clusters = Graft.connectedComponents(dupEdges)           // (id, lbl)
   * val ranks    = Graft.pagerank(edges, iters = 3)              // (id, d, r)
   * val joined   = Graft.asofJoin(trades, quotes, "sym", "t", "qt")
+  * val sample   = Graft.ppsSample(docs, "doc_id", "n_chars", 500)
+  * val plan     = Graft.compactionPlan(manifest, "part", "path", "bytes", 128L << 20)
   * val smoothed = Graft.ewmaSmooth(eventStream)                 // streaming
   * }}}
   *
@@ -86,6 +88,26 @@ object Graft {
     * [[plans.HexWindowToLong.md5Bucket]]. */
   def md5Bucket(key: Column, mod: Int): Column =
     plans.HexWindowToLong.md5Bucket(key, mod)
+
+  /** Deterministic probability-proportional-to-size systematic sample of
+    * ~`n` rows (selection probability ∝ `weightCol`, no RNG): rows lie
+    * on a line in md5(`idCol`) order, a Σweight/n grid picks them. The
+    * global running sum is a two-phase distributed prefix sum — no
+    * single-partition pass over the data. Backs q155_pps_sample. See
+    * [[operators.Curation.ppsSample]]. */
+  def ppsSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame =
+    operators.Curation.ppsSample(df, idCol, weightCol, n)
+
+  /** Cumsum-chunked small-file compaction plan: appends `bin` assigning
+    * each file row (`partCol`, `orderCol`, `sizeCol`) to a ~`target`-
+    * sized rewrite bin; order-preserving, one keyed window shuffle, runs
+    * on the manifest. Backs q150_compaction_plan. See
+    * [[operators.StorageLayout.compactionPlan]]. */
+  def compactionPlan(files: DataFrame, partCol: String, orderCol: String,
+      sizeCol: String, target: Long): DataFrame =
+    operators.StorageLayout.compactionPlan(
+      files, partCol, orderCol, sizeCol, target)
 
   /** Codegen'd vector math over ARRAY<DOUBLE> columns: dot, norm,
     * cosine (fused native expression), LSH bucketing. See

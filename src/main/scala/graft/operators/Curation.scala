@@ -37,6 +37,57 @@ object Curation {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  /** Exclusive global prefix sum of `weightCol` over the total order
+    * (`bucketCol`, `orderCols`...), appended as column `cum0` — computed
+    * the distributed way: per-bucket totals, a bucket-count-sized prefix
+    * ladder (the ONLY single-partition window, over ~dozens of rows),
+    * offsets broadcast back, then within-bucket running sums riding the
+    * bucket partitioning. No executor ever materializes more than one
+    * bucket's rows; spec-proven equal to the naive single global window
+    * (CurationSpec). `bucketCol` must already exist and its order must
+    * be the intended leading sort key. */
+  private[graft] def exclusivePrefixSum(df: DataFrame, bucketCol: String,
+      orderCols: Seq[String], weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val offsets = df.groupBy(bucketCol)
+      .agg(sum(col(weightCol)).as("__bw"))
+      .select(col(bucketCol),
+        coalesce(sum(col("__bw")).over(
+          Window.orderBy(bucketCol)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__off"))
+    val inBucket = Window.partitionBy(bucketCol)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.join(broadcast(offsets), bucketCol)
+      .withColumn("cum0",
+        col("__off") + coalesce(sum(col(weightCol)).over(inBucket), lit(0L)))
+      .drop("__off")
+  }
+
+  /** Probability-proportional-to-size systematic sample of ~`n` rows:
+    * rows are laid on a line in md5(`idCol`)-shuffled order, each
+    * occupying `weightCol`; a grid of step = Σweight/n selects every row
+    * whose span contains a grid point. Deterministic (no RNG), integer
+    * `div` arithmetic end to end, selection probability ∝ weight (rows
+    * wider than the step are certain and may absorb several grid
+    * points, so the sample size is ≤ n). Backs q155_pps_sample. */
+  private[graft] def ppsSample(df: DataFrame, idCol: String,
+      weightCol: String, n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val base = df
+      .withColumn("__h", HexWindowToLong.hexWindow(
+        md5(encode(col(idCol).cast("string"), "UTF-8")), 1))
+      .withColumn("__bucket", col("__h") % 32)
+    val step = base.agg(
+      greatest(expr(s"sum($weightCol) div $n"), lit(1L)).as("__step"))
+    exclusivePrefixSum(base, "__bucket", Seq("__h", idCol), weightCol)
+      .crossJoin(broadcast(step))
+      .filter(expr(
+        s"(cum0 div __step) < ((cum0 + $weightCol) div __step)"))
+      .drop("__h", "__bucket", "cum0", "__step")
+  }
+
   /** Non-overlapping chunk width for q102 — small enough that the
     * synthetic corpus actually contains cross-document duplicates. */
   private val P = 4
@@ -389,34 +440,9 @@ object Curation {
         |FROM w, t
         |WHERE (cum0 // step) < ((cum0 + n_chars) // step)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import graft.plans.HexWindowToLong.hexWindow
-      import org.apache.spark.sql.expressions.Window
-      val base = T(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          hexWindow(md5(encode(col("doc_id").cast("string"), "UTF-8")), 1)
-            .as("h"))
-        .withColumn("bucket", col("h") % 32)
-      // phase 1: per-bucket byte totals → a 32-row prefix ladder (the
-      // only single-partition window in the plan — over 32 rows)
-      val offsets = base.groupBy("bucket")
-        .agg(sum(col("n_chars")).as("bw"))
-        .select(col("bucket"),
-          coalesce(sum(col("bw")).over(
-            Window.orderBy("bucket")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-            .as("off"))
-      // phase 2: within-bucket running sums ride the bucket partitioning
-      val inBucket = Window.partitionBy("bucket").orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = base
-        .join(broadcast(offsets), "bucket")
-        .withColumn("cum0",
-          col("off") + coalesce(sum(col("n_chars")).over(inBucket), lit(0L)))
-      val step = base.agg(
-        greatest(expr("sum(n_chars) div 50"), lit(1L)).as("step"))
-      cum.crossJoin(broadcast(step))
-        .filter(expr("(cum0 div step) < ((cum0 + n_chars) div step)"))
-        .select(col("doc_id"), col("source"), col("n_chars"))
+      ppsSample(T(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", "n_chars", 50)
         .orderBy("doc_id")
     }
   )

@@ -37,6 +37,26 @@ object StorageLayout {
   /** Bits per dimension for the q107 interleave (8+8 → 16-bit z). */
   private val B = 8
 
+  /** Cumsum-chunked compaction plan: appends column `bin` assigning each
+    * file (one row: partition key `partCol`, rewrite order `orderCol`,
+    * size `sizeCol`) to a ~`target`-sized output bin — bin = the running
+    * size before the file, integer-divided by `target`. Order-preserving
+    * (keeps any existing clustering), one `partCol`-keyed window shuffle,
+    * runs on the manifest rather than the data; a file larger than
+    * `target` gets its own bin rather than splitting. Backs
+    * q150_compaction_plan. */
+  private[graft] def compactionPlan(files: DataFrame, partCol: String,
+      orderCol: String, sizeCol: String, target: Long): DataFrame = {
+    require(target > 0, "target bin size must be positive")
+    val w = Window.partitionBy(partCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("__cum0",
+        coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum0 div $target").cast("int"))
+      .drop("__cum0")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── symmetric int8 quantization: scale = absmax/127, code =
@@ -227,12 +247,11 @@ object StorageLayout {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM f GROUP BY source, bin
         |ORDER BY source, bin""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      T(s, dir, "documents")
-        .select(col("source"), col("doc_id"), col("n_chars"),
-          coalesce(sum(col("n_chars")).over(w), lit(0L)).as("cum0"))
-        .groupBy(col("source"), expr("cum0 div 2048").cast("int").as("bin"))
+      compactionPlan(
+          T(s, dir, "documents")
+            .select(col("source"), col("doc_id"), col("n_chars")),
+          "source", "doc_id", "n_chars", 2048L)
+        .groupBy("source", "bin")
         .agg(count(lit(1)).cast("int").as("n_files"),
           sum(col("n_chars")).as("bytes"),
           min(col("doc_id")).as("first_doc"),

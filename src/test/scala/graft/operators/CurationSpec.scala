@@ -138,4 +138,20 @@ class CurationSpec extends SparkTestBase {
     assert(got.nonEmpty && got.size <= (total / step).toInt,
       s"sample size ${got.size} vs grid count ${total / step}")
   }
+
+  test("ppsSample with unit weights is exact systematic sampling") {
+    // 200 unit-weight rows, n = 20 -> step = 10, every span is width 1,
+    // so EXACTLY every 10th row of the hash order is picked: size == n
+    val df = spark.range(0, 200).toDF("id").withColumn("w", lit(1L))
+    val got = graft.Graft.ppsSample(df, "id", "w", 20)
+    assert(got.count() == 20,
+      "unit weights + divisible total must select exactly n rows")
+    assert(got.columns.toSeq == Seq("id", "w"),
+      "helper columns must not leak into the sample")
+    // determinism: a rerun picks the identical rows
+    val a = got.select("id").as[Long].collect().sorted.toSeq
+    val b = graft.Graft.ppsSample(df, "id", "w", 20)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
 }
