@@ -90,8 +90,11 @@ object Graft {
     plans.HexWindowToLong.md5Bucket(key, mod)
 
   /** Deterministic probability-proportional-to-size systematic sample of
-    * ~`n` rows (selection probability ∝ `weightCol`, no RNG): rows lie
-    * on a line in md5(`idCol`) order, a Σweight/n grid picks them. The
+    * ≤ `n` rows (selection probability ∝ `weightCol`, no RNG): rows lie
+    * on a line in md5(`idCol`) order, a ceil(Σweight/n) grid picks them
+    * (a row wider than the step absorbs several grid points, shrinking
+    * the sample below `n`). NULL-id rows are excluded up front; the
+    * input must not carry `cum0`/`__h`/`__bucket`/`__step` columns. The
     * global running sum is a two-phase distributed prefix sum — no
     * single-partition pass over the data. Backs q155_pps_sample. See
     * [[operators.Curation.ppsSample]]. */

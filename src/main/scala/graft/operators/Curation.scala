@@ -37,55 +37,58 @@ object Curation {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  /** Exclusive global prefix sum of `weightCol` over the total order
-    * (`bucketCol`, `orderCols`...), appended as column `cum0` — computed
-    * the distributed way: per-bucket totals, a bucket-count-sized prefix
-    * ladder (the ONLY single-partition window, over ~dozens of rows),
-    * offsets broadcast back, then within-bucket running sums riding the
-    * bucket partitioning. No executor ever materializes more than one
-    * bucket's rows; spec-proven equal to the naive single global window
-    * (CurationSpec). `bucketCol` must already exist and its order must
-    * be the intended leading sort key. */
-  private[graft] def exclusivePrefixSum(df: DataFrame, bucketCol: String,
-      orderCols: Seq[String], weightCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val offsets = df.groupBy(bucketCol)
-      .agg(sum(col(weightCol)).as("__bw"))
-      .select(col(bucketCol),
-        coalesce(sum(col("__bw")).over(
-          Window.orderBy(bucketCol)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-          .as("__off"))
-    val inBucket = Window.partitionBy(bucketCol)
-      .orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.join(broadcast(offsets), bucketCol)
-      .withColumn("cum0",
-        col("__off") + coalesce(sum(col(weightCol)).over(inBucket), lit(0L)))
-      .drop("__off")
-  }
-
-  /** Probability-proportional-to-size systematic sample of ~`n` rows:
+  /** Probability-proportional-to-size systematic sample of ≤ `n` rows:
     * rows are laid on a line in md5(`idCol`)-shuffled order, each
-    * occupying `weightCol`; a grid of step = Σweight/n selects every row
-    * whose span contains a grid point. Deterministic (no RNG), integer
-    * `div` arithmetic end to end, selection probability ∝ weight (rows
-    * wider than the step are certain and may absorb several grid
-    * points, so the sample size is ≤ n). Backs q155_pps_sample. */
+    * occupying `weightCol`; a grid of step = ceil(Σweight/n) selects
+    * every row whose span contains a grid point. Deterministic (no
+    * RNG), integer `div` arithmetic end to end, selection probability
+    * ∝ weight. The ceil keeps the grid count — and so the sample — at
+    * most `n` (a row wider than the step is certain and may absorb
+    * several grid points, shrinking the sample further). Rows with a
+    * NULL id are excluded from the population up front (they have no
+    * deterministic position on the line); `df` must not already carry
+    * columns named `cum0`, `__h`, `__bucket`, or `__step` (enforced).
+    * One pass builds the per-bucket totals; the prefix ladder, the
+    * grand total, and the step all derive from that ~32-row frame, so
+    * the input is scanned exactly twice (totals + the sampling pass).
+    * Backs q155_pps_sample. */
   private[graft] def ppsSample(df: DataFrame, idCol: String,
       weightCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(n > 0, "sample size must be positive")
+    val reserved = Seq("cum0", "__h", "__bucket", "__step", "__off", "__bw")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not carry the reserved columns ${reserved.mkString(", ")}")
     val base = df
+      .filter(col(idCol).isNotNull)
       .withColumn("__h", HexWindowToLong.hexWindow(
         md5(encode(col(idCol).cast("string"), "UTF-8")), 1))
       .withColumn("__bucket", col("__h") % 32)
-    val step = base.agg(
-      greatest(expr(s"sum($weightCol) div $n"), lit(1L)).as("__step"))
-    exclusivePrefixSum(base, "__bucket", Seq("__h", idCol), weightCol)
-      .crossJoin(broadcast(step))
+    // ONE aggregation pass yields the 32-row bucket-total frame; the
+    // exclusive ladder (__off) and the grand total (→ __step) are two
+    // window expressions over that same tiny sorted frame — no second
+    // scan of the input, no separate scalar join for the step
+    val ladder = Window.orderBy("__bucket")
+    val offsets = base.groupBy("__bucket")
+      .agg(sum(col(weightCol)).as("__bw"))
+      .select(col("__bucket"),
+        coalesce(sum(col("__bw")).over(
+          ladder.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__off"),
+        sum(col("__bw")).over(
+          ladder.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("__total"))
+      .withColumn("__step",
+        expr(s"greatest((__total + ${n - 1}) div $n, 1)"))
+      .drop("__total")
+    val inBucket = Window.partitionBy("__bucket").orderBy("__h", idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "__bucket")
+      .withColumn("cum0",
+        col("__off") + coalesce(sum(col(weightCol)).over(inBucket), lit(0L)))
       .filter(expr(
         s"(cum0 div __step) < ((cum0 + $weightCol) div __step)"))
-      .drop("__h", "__bucket", "cum0", "__step")
+      .drop("__h", "__bucket", "cum0", "__step", "__off")
   }
 
   /** Non-overlapping chunk width for q102 — small enough that the
@@ -418,7 +421,7 @@ object Curation {
     //    selection probability tracks their length" (dataset ablations,
     //    eval carve-outs). Docs are laid on a line in a deterministic
     //    md5-shuffled order, each occupying its n_chars; a grid of
-    //    step = total/50 selects every doc whose span contains a grid
+    //    step = ceil(total/50) selects every doc whose span contains a
     //    point. All integer `div` arithmetic. The Spark side computes
     //    the global running sum the scalable way — per-bucket partials
     //    (32 hash buckets), a 32-row prefix ladder, offsets broadcast
@@ -435,7 +438,7 @@ object Curation {
         |  coalesce(sum(n_chars) OVER (ORDER BY bucket, h, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
         |  FROM c),
-        |t AS (SELECT greatest(sum(n_chars) // 50, 1) AS step FROM c)
+        |t AS (SELECT greatest((sum(n_chars) + 49) // 50, 1) AS step FROM c)
         |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM w, t
         |WHERE (cum0 // step) < ((cum0 + n_chars) // step)

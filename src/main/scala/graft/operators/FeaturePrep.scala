@@ -235,12 +235,14 @@ object FeaturePrep {
 
     // ── padding-waste audit: the batching-efficiency report that decides
     //    a trainer's bucketing config. Docs are length-bucketed to the
-    //    next multiple of 64 tokens (capped at a 512 context), the way a
-    //    bucketed batcher pads; per bucket the audit reports how many
-    //    padding tokens that costs and the waste in basis points —
-    //    all integer `div` arithmetic, ONE narrow map + one tiny
-    //    aggregate over ≤9 buckets, so it runs at any corpus size for
-    //    the price of a token-count scan. Docs past the cap truncate
+    //    next multiple of 16 tokens, capped at an 80-token context —
+    //    fixture-scaled constants (the corpus runs 10–99 tokens; a real
+    //    trainer uses 64-multiples up to 512+, same plan either way) —
+    //    the way a bucketed batcher pads; per bucket the audit reports
+    //    how many padding tokens that costs and the waste in basis
+    //    points — all integer `div` arithmetic, ONE narrow map + one
+    //    tiny aggregate over ≤5 buckets, so it runs at any corpus size
+    //    for the price of a token-count scan. Docs past the cap truncate
     //    (trunc_tokens counts the loss), matching q91's packing contract.
     QueryDef(
       "q151_padding_waste",

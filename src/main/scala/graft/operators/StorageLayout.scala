@@ -43,11 +43,14 @@ object StorageLayout {
     * size before the file, integer-divided by `target`. Order-preserving
     * (keeps any existing clustering), one `partCol`-keyed window shuffle,
     * runs on the manifest rather than the data; a file larger than
-    * `target` gets its own bin rather than splitting. Backs
-    * q150_compaction_plan. */
+    * `target` gets its own bin rather than splitting. `files` must not
+    * already carry a `bin` or `__cum0` column (enforced — `bin` would
+    * be silently clobbered otherwise). Backs q150_compaction_plan. */
   private[graft] def compactionPlan(files: DataFrame, partCol: String,
       orderCol: String, sizeCol: String, target: Long): DataFrame = {
     require(target > 0, "target bin size must be positive")
+    require(!files.columns.contains("bin") && !files.columns.contains("__cum0"),
+      "input must not carry a 'bin' or '__cum0' column")
     val w = Window.partitionBy(partCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     files

@@ -101,13 +101,19 @@ object TextDedup {
     * Cached per (session, dir): three queries consume the pair set, and
     * q121's unrolled PageRank iterations would otherwise replay the
     * band join once per iteration (7s → sub-second at sf0.1). */
+  /** The 4-band × 2-row banding of an 8-column MinHash signature frame →
+    * (doc_id, band, bv) — THE shared LSH gate: q44/q117/q121 derive
+    * their candidate pairs from it and q156 its ingest matches, so the
+    * band count and separator must never fork per site. */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bv"))): _*
+    )).as("bd")).select(col("doc_id"), col("bd.band"), col("bd.bv"))
+
   private[operators] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cached(s, s"lsh-cand:$dir") {
-      val sig = signatures(s, dir)
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until 4).map(b => struct(lit(b).as("band"),
-          concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bv"))): _*
-      )).as("bd")).select(col("doc_id"), col("bd.band"), col("bd.bv"))
+      val bands = bandsOf(signatures(s, dir))
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
@@ -727,7 +733,7 @@ object TextDedup {
     //    band join partitions by (band, band-value) at any scale. The
     //    oracle is the quadratic OR-of-bands reference join — same
     //    candidate predicate, naive plan — so hash-equality proves the
-    //    banded equality join loses nothing. IncrementalDedupSpec
+    //    banded equality join loses nothing. IngestDedupSpec
     //    additionally pins consistency with the full-corpus pair set.
     QueryDef(
       "q156_incremental_dedup",
@@ -750,15 +756,9 @@ object TextDedup {
           |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
       val gate = graft.plans.HexWindowToLong.md5Bucket(col("doc_id"), 100)
       val sig = signatures(s, dir) // shared persisted cache
-      def bands(df: DataFrame): DataFrame =
-        df.select(col("doc_id"), explode(array(
-          (0 until 4).map(b => struct(lit(b).as("band"),
-            concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
-              .as("bv"))): _*
-        )).as("bd")).select(col("doc_id"), col("bd.band"), col("bd.bv"))
-      val neu = bands(sig.filter(gate >= 95))
+      val neu = bandsOf(sig.filter(gate >= 95))
         .toDF("doc_id", "band", "bv")
-      val old = bands(sig.filter(gate < 95))
+      val old = bandsOf(sig.filter(gate < 95))
         .toDF("old_id", "old_band", "old_bv")
       neu.join(old,
           col("band") === col("old_band") && col("bv") === col("old_bv"),

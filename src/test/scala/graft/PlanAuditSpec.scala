@@ -456,14 +456,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q155: scalars broadcast; windows stay bucket-partitioned") {
+  test("q155: one broadcast join carries offsets AND step — no scalar join") {
     val t = tree("q155_pps_sample")
-    // offsets (32 rows) and step (1 row) must broadcast — the doc-side
-    // stream is never sort-merge- or shuffle-joined
+    // the 32-row offsets frame (ladder + step fused into one pass over
+    // the bucket totals) must broadcast; the doc-side stream is never
+    // sort-merge-, shuffle-, or nested-loop-joined
     assert(t.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$t")
     assert(!t.contains("SortMergeJoin"), t)
-    assert("Window".r.findAllIn(t).size == 2,
-      s"exactly the 32-row ladder + the in-bucket running sum:\n$t")
+    assert(!t.contains("BroadcastNestedLoopJoin"),
+      s"the step must ride the offsets frame, not a scalar cross join:\n$t")
+    assert("Scan parquet".r.findAllIn(t).size == 2,
+      s"bucket totals + sampling pass — exactly two scans:\n$t")
   }
 
   test("q156: band match is an equality join over the cached signatures") {

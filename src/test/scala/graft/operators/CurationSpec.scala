@@ -125,7 +125,7 @@ class CurationSpec extends SparkTestBase {
       .select($"doc_id", $"n_chars", $"cum0")
       .as[(Long, Long, Long)].collect()
     val total = naive.map(_._2).sum
-    val step = math.max(total / 50, 1L)
+    val step = math.max((total + 49) / 50, 1L)
     val expected = naive
       .filter { case (_, w, c0) => c0 / step < (c0 + w) / step }
       .map(_._1).sorted.toSeq

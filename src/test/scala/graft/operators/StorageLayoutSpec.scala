@@ -55,22 +55,33 @@ class StorageLayoutSpec extends SparkTestBase {
     val docs = graft.Tables(spark, sf, "documents")
       .select($"source", $"doc_id", $"n_chars")
       .as[(String, Long, Long)].collect()
-    // reference plan computed independently per source in driver memory
-    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, fs) =>
+    // reference fold computed independently per source in driver memory:
+    // each file keeps its (src, bin, id, sz) assignment
+    val assigned = docs.groupBy(_._1).toSeq.flatMap { case (src, fs) =>
       var cum = 0L
       fs.sortBy(_._2).map { case (_, id, sz) =>
         val bin = (cum / 2048).toInt; cum += sz; (src, bin, id, sz)
       }
-    }.groupBy(t => (t._1, t._2)).map { case ((src, bin), fs) =>
-      (src, bin, fs.size, fs.map(_._4).sum, fs.map(_._3).min, fs.map(_._3).max)
+    }
+    val expected = assigned.groupBy(t => (t._1, t._2)).map {
+      case ((src, bin), fs) =>
+        (src, bin, fs.size, fs.map(_._4).sum, fs.map(_._3).min,
+          fs.map(_._3).max)
     }.toSeq.sortBy(t => (t._1, t._2))
     val got = out.as[(String, Int, Int, Long, Long, Long)].collect()
       .map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSeq
     assert(got == expected, "cumsum-chunked plan must match the reference fold")
-    // every bin except a source's last holds < target + its largest file
-    // bytes (the cumsum-chunk guarantee); bins are contiguous from 0
-    val perSource = got.groupBy(_._1)
-    perSource.foreach { case (src, bins) =>
+    // the cumsum-chunk size guarantee: a bin's bytes minus its largest
+    // file stay under the target (every file but the boundary-crossing
+    // one fits inside the 2048 window) — what makes each bin a valid
+    // ~target-sized rewrite task; and bins are contiguous from 0
+    val maxFile = assigned.groupBy(t => (t._1, t._2))
+      .map { case (k, fs) => k -> fs.map(_._4).max }
+    got.foreach { case (src, bin, _, bytes, _, _) =>
+      assert(bytes - maxFile((src, bin)) < 2048,
+        s"$src bin $bin: $bytes bytes exceeds target + largest file")
+    }
+    got.groupBy(_._1).foreach { case (src, bins) =>
       assert(bins.map(_._2).sorted == (0 until bins.size).toList,
         s"$src bins must be contiguous from 0")
     }
