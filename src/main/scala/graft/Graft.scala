@@ -102,6 +102,19 @@ object Graft {
       n: Int): DataFrame =
     operators.Curation.ppsSample(df, idCol, weightCol, n)
 
+  /** Quality-ranked selection under a weight budget: keeps the
+    * (`scoreCol` desc, `idCol`) prefix whose running `weightCol` sum
+    * stays under Σweight·`budgetBp`/10000 (the boundary row is kept).
+    * `scoreCol` must be an integer score in [0, 10000] basis points.
+    * Deterministic, integer arithmetic; the global running sum is a
+    * two-phase score-band prefix sum — no single-partition pass. The
+    * input must not carry `cum0`/`__band`/`__off`/`__bw`/`__budget`
+    * columns (enforced). Backs q157_budget_select. See
+    * [[operators.Curation.budgetSelect]]. */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+      weightCol: String, budgetBp: Int): DataFrame =
+    operators.Curation.budgetSelect(df, idCol, scoreCol, weightCol, budgetBp)
+
   /** Cumsum-chunked small-file compaction plan: appends `bin` assigning
     * each file row (`partCol`, `orderCol`, `sizeCol`) to a ~`target`-
     * sized rewrite bin; order-preserving, one keyed window shuffle, runs

@@ -91,6 +91,60 @@ object Curation {
       .drop("__h", "__bucket", "cum0", "__step", "__off")
   }
 
+  /** Score-descending prefix selection under a weight budget: orders
+    * rows by (`scoreCol` desc, `idCol`) and keeps the prefix whose
+    * exclusive running `weightCol` sum stays under
+    * Σweight·`budgetBp`/10000 — the row that crosses the budget line is
+    * kept, rows after it are not. `scoreCol` must be an integer score
+    * in [0, 10000] (basis points; out-of-range values are clamped into
+    * the end bands, preserving the order). Deterministic, integer
+    * arithmetic end to end, no RNG.
+    *
+    * The global running sum is two-phase like [[ppsSample]]'s, but the
+    * buckets here must follow the SCORE order, not a hash: band =
+    * (10000−score) div 320 gives 32 buckets monotone in descending
+    * score, so (band asc, score desc, id) IS the global
+    * (score desc, id) order. Per-band totals → 32-row prefix ladder
+    * (the only single-partition window, over 32 rows) → offsets + the
+    * budget broadcast back → in-band running sums riding the band
+    * partitioning. Two input scans, one band-keyed shuffle, no
+    * executor ever holds more than its band. Backs q157_budget_select;
+    * spec-proven equal to the naive single global window
+    * (CurationSpec). */
+  private[graft] def budgetSelect(df: DataFrame, idCol: String,
+      scoreCol: String, weightCol: String, budgetBp: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetBp > 0 && budgetBp <= 10000,
+      "budget must be 1..10000 basis points of the total weight")
+    val reserved = Seq("cum0", "__band", "__off", "__bw", "__budget")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not carry the reserved columns ${reserved.mkString(", ")}")
+    val base = df
+      .filter(col(idCol).isNotNull)
+      .withColumn("__band",
+        expr(s"greatest(0, least(31, (10000 - $scoreCol) div 320))"))
+    val ladder = Window.orderBy("__band")
+    val offsets = base.groupBy("__band")
+      .agg(sum(col(weightCol)).as("__bw"))
+      .select(col("__band"),
+        coalesce(sum(col("__bw")).over(
+          ladder.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__off"),
+        sum(col("__bw")).over(
+          ladder.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("__total"))
+      .withColumn("__budget", expr(s"__total * $budgetBp div 10000"))
+      .drop("__total")
+    val inBand = Window.partitionBy("__band")
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "__band")
+      .withColumn("cum0",
+        col("__off") + coalesce(sum(col(weightCol)).over(inBand), lit(0L)))
+      .filter(col("cum0") < col("__budget"))
+      .drop("__band", "__off", "__budget", "cum0")
+  }
+
   /** Non-overlapping chunk width for q102 — small enough that the
     * synthetic corpus actually contains cross-document duplicates. */
   private val P = 4
@@ -447,6 +501,96 @@ object Curation {
           .select(col("doc_id"), col("source"), col("n_chars")),
           "doc_id", "n_chars", 50)
         .orderBy("doc_id")
+    },
+
+    // ── quality-ranked data selection under a token budget: the "build
+    //    the pretraining set" op — rank every doc by an integer quality
+    //    score (distinct-word ratio in basis points, the q51 family) and
+    //    keep the best docs until half the corpus' characters are spent.
+    //    Selection = the score-descending prefix whose running weight
+    //    stays under the budget (the boundary doc that crosses it is
+    //    kept). All integer arithmetic, fully deterministic. The Spark
+    //    side computes the global running sum the scalable way: score
+    //    bands ARE the buckets ((10000-score) div 320 → 32 ordered
+    //    bands, monotone in score), so per-band partials + a 32-row
+    //    prefix ladder + in-band windows reproduce the score-descending
+    //    global order without any executor seeing more than its band —
+    //    the oracle's single global window is the naive reference the
+    //    two-phase plan must (and does) equal. At 100 TB: two corpus
+    //    scans (band totals + selection), one band-keyed shuffle.
+    QueryDef(
+      "q157_budget_select",
+      """WITH s AS (SELECT doc_id, source, n_chars,
+        |  len(list_distinct(string_split(text, ' '))) * 10000
+        |    // len(string_split(text, ' ')) AS score_bp
+        |  FROM documents),
+        |w AS (SELECT *, coalesce(sum(n_chars) OVER (
+        |    ORDER BY score_bp DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+        |  FROM s),
+        |t AS (SELECT sum(n_chars) * 5000 // 10000 AS b FROM s)
+        |SELECT doc_id, source, CAST(score_bp AS BIGINT) AS score_bp,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM w, t WHERE cum0 < b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scored = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("size(array_distinct(split(text, ' '))) * 10000L" +
+            " div size(split(text, ' '))").as("score_bp"))
+      budgetSelect(scored, "doc_id", "score_bp", "n_chars", 5000)
+        .select(col("doc_id"), col("source"), col("score_bp"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ── epoch / repetition-factor planner: the "data recipe" table a
+    //    multi-epoch training run is configured from. Per-source token
+    //    mass → temperature-flattened share (α=0.5, the q104 rule:
+    //    weight ∝ √mass, normalized to basis points) → target tokens
+    //    under a 3×-corpus budget → repetition factor in milli-epochs
+    //    (target·1000 div mass; >1000 means the source repeats). The
+    //    √-share normalizer needs a SUM of doubles across sources —
+    //    pinned cross-engine by folding the per-source √masses in
+    //    source order (Spark sequential `aggregate` fold == DuckDB
+    //    `list_sum` over `list(... ORDER BY source)`, both strict
+    //    left-to-right in double). One corpus scan to a 20-row frame;
+    //    everything after is broadcast arithmetic on that frame.
+    QueryDef(
+      "q159_epoch_plan",
+      """WITH m AS (SELECT source, sum(n_chars) AS mass
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT list_sum(list(sqrt(mass * 1.0) ORDER BY source)) AS tot,
+        |             3 * sum(mass) AS budget
+        |      FROM m),
+        |r AS (SELECT source, mass,
+        |        CAST(floor(10000 * sqrt(mass * 1.0) / tot) AS BIGINT)
+        |          AS share_bp,
+        |        budget
+        |      FROM m, t)
+        |SELECT source, CAST(mass AS BIGINT) AS mass, share_bp,
+        |  CAST(budget * share_bp // 10000 AS BIGINT) AS target_chars,
+        |  CAST((budget * share_bp // 10000) * 1000 // mass AS BIGINT)
+        |    AS epochs_milli
+        |FROM r ORDER BY source""".stripMargin) { (s, dir) =>
+      val m = T(s, dir, "documents")
+        .groupBy("source").agg(sum("n_chars").as("mass"))
+      val t = m.agg(
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("source"),
+              sqrt(col("mass").cast("double")).as("sq")))),
+            e => e.getField("sq")),
+          lit(0.0), (a, x) => a + x).as("tot"),
+        (sum("mass") * 3).as("budget"))
+      m.crossJoin(broadcast(t))
+        .select(col("source"), col("mass"),
+          floor(lit(10000) * sqrt(col("mass").cast("double")) / col("tot"))
+            .as("share_bp"),
+          col("budget"))
+        .withColumn("target_chars", expr("budget * share_bp div 10000"))
+        .select(col("source"), col("mass"), col("share_bp"),
+          col("target_chars"),
+          expr("target_chars * 1000 div mass").as("epochs_milli"))
+        .orderBy("source")
     }
   )
 }

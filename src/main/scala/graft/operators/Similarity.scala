@@ -523,6 +523,73 @@ object Similarity {
         .agg(count(lit(1)).as("n_dims"),
           round(sqrt(sum(col("cval") * col("cval"))), 4).as("centroid_norm"))
         .orderBy("label")
+    },
+
+    // ── hard-negative mining: the contrastive-training pair miner — for
+    //    each query vector (deterministic md5 2% gate), the top-5 most
+    //    similar vectors with a DIFFERENT label (same label = positive,
+    //    so the highest-scoring other-label vectors are the hard
+    //    negatives a metric-learning run wants). Similarity is the
+    //    exact INTEGER dot product of q106's int8 absmax codes (the
+    //    q142 coarse-stage discipline: 4× fewer scan bytes and zero
+    //    float drift in the ranking). Per-query top-5 is a true
+    //    AGGREGATE, not a window: (dot, vec_id) packs into one BIGINT —
+    //    (dot + 2^21)·2^40 + (2^40−1 − vec_id), monotone in
+    //    (dot desc, vec_id asc) since |dot| ≤ 127²·64 < 2^21 — and
+    //    plans.TopKLongs keeps the 5 largest with O(5) state per query,
+    //    map-side combinable (the oracle's row_number window is the
+    //    naive reference). At 100 TB: queries broadcast (the gate keeps
+    //    that side small), ONE corpus scan, k-long buffers shuffle —
+    //    never the n×q expansion.
+    QueryDef(
+      "q158_hard_negatives",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |a AS (SELECT vec_id, label, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS absmax FROM e),
+        |c AS (SELECT vec_id, label,
+        |  list_transform(v, x -> CAST(floor(x * 127 / absmax + 0.5) AS BIGINT))
+        |    AS codes
+        |  FROM a WHERE absmax > 0),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, codes AS qc FROM c
+        |      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |            % 50 = 0),
+        |d AS (SELECT q.q_id, c.vec_id,
+        |  CAST(list_sum([c.codes[i] * q.qc[i]
+        |                 for i in range(1, len(c.codes) + 1)]) AS BIGINT) AS dot
+        |  FROM c, q WHERE c.label <> q.q_label),
+        |r AS (SELECT q_id, vec_id, dot,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id)
+        |    AS rank FROM d)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, dot
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val codes = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          toDouble(col("embedding")).as("v"))
+        .withColumn("absmax", array_max(transform(col("v"), y => abs(y))))
+        .filter(col("absmax") > 0)
+        .select(col("vec_id"), col("label"),
+          transform(col("v"),
+            x => floor(x * 127 / col("absmax") + 0.5).cast("long"))
+            .as("codes"))
+      val qs = codes
+        .filter(graft.plans.HexWindowToLong.md5Bucket(col("vec_id"), 50) === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("codes").as("qc"))
+      codes.join(broadcast(qs), col("label") =!= col("q_label"))
+        .select(col("q_id"),
+          ((aggregate(zip_with(col("codes"), col("qc"), _ * _),
+            lit(0L), _ + _) + lit(1L << 21)) * lit(1L << 40)
+            + (lit((1L << 40) - 1) - col("vec_id"))).as("packed"))
+        .groupBy("q_id")
+        .agg(graft.plans.TopKLongs.topk(col("packed"), 5).as("top"))
+        .select(col("q_id"),
+          posexplode(split(col("top"), ",")).as(Seq("pos", "p")))
+        .withColumn("p", col("p").cast("long"))
+        .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+          (lit((1L << 40) - 1) - col("p") % lit(1L << 40)).as("vec_id"),
+          (expr(s"p div ${1L << 40}") - lit(1L << 21)).as("dot"))
+        .orderBy("q_id", "rank")
     }
   )
 }

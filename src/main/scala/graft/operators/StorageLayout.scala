@@ -260,6 +260,47 @@ object StorageLayout {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy("source", "bin")
+    },
+
+    // ── deterministic training-shard plan: the writer-side op that turns
+    //    a curated corpus into the sharded, globally-shuffled layout a
+    //    data loader streams. Each doc's md5 long h gives both its shard
+    //    (h % 8) and its within-shard order (h, doc_id — a deterministic
+    //    shuffle: no RNG, append-stable, and any engine reproduces it);
+    //    global_pos = pos·8 + shard is the round-robin interleave — the
+    //    exact read order of a loader cycling shards — so a step number
+    //    maps back to (shard, offset) by div/mod alone (the provenance
+    //    lookup a loss-spike post-mortem needs). ONE shard-keyed window
+    //    shuffle; within-shard sort is exactly what the shard writer
+    //    does anyway. 8 shards is fixture-scaled (a real run uses
+    //    thousands — same plan, more window partitions).
+    QueryDef(
+      "q160_shard_plan",
+      """WITH b AS (SELECT doc_id, n_chars,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_chars, h, h % 8 AS shard FROM b),
+        |r AS (SELECT doc_id, n_chars, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS pos
+        |  FROM s)
+        |SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+        |  CAST(pos AS BIGINT) AS pos,
+        |  CAST(pos * 8 + shard AS BIGINT) AS global_pos,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("h", graft.plans.HexWindowToLong.hexWindow(
+          md5(encode(col("doc_id").cast("string"), "UTF-8")), 1))
+        .withColumn("shard", (col("h") % 8).cast("int"))
+      base
+        .withColumn("pos",
+          (row_number().over(Window.partitionBy("shard")
+            .orderBy("h", "doc_id")) - 1).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"),
+          (col("pos") * 8 + col("shard")).as("global_pos"),
+          col("n_chars"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -478,4 +478,51 @@ class PlanAuditSpec extends SparkTestBase {
       s"band match must be an equality join, never nested-loop:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q157: band-bucketed prefix sum — offsets broadcast, two scans") {
+    val t = tree("q157_budget_select")
+    // the 32-row band frame (ladder + budget) broadcasts back; the
+    // doc-side stream is never sort-merge- or nested-loop-joined
+    assert(t.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$t")
+    assert(!t.contains("SortMergeJoin"), t)
+    assert(!t.contains("BroadcastNestedLoopJoin"), t)
+    assert("Scan parquet".r.findAllIn(t).size == 2,
+      s"band totals + selection pass — exactly two scans:\n$t")
+  }
+
+  test("q158: per-query top-5 is an O(k)-state aggregate, not a window") {
+    val t = tree("q158_hard_negatives")
+    // TopKLongs is a TypedImperativeAggregate -> ObjectHashAggregate;
+    // the naive plan (rank window over the n×q expansion) would show
+    // Window + a corpus-wide sort instead
+    assert(t.contains("ObjectHashAggregate"),
+      s"top-5 must be the TopKLongs aggregate:\n$t")
+    assert(!t.contains("Window"), s"no rank window over the expansion:\n$t")
+    // the small gated query side broadcasts into the label-mismatch
+    // join; the corpus side streams exactly once
+    assert(t.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast into the inequality join:\n$t")
+    assert(!t.contains("SortMergeJoin"), t)
+  }
+
+  test("q159: one corpus scan reduced to a source-sized frame") {
+    val t = tree("q159_epoch_plan")
+    assert("Scan parquet".r.findAllIn(t).size <= 2,
+      s"per-source masses + budget must come from the tiny frame:\n$t")
+    assert(!t.contains("SortMergeJoin"), t)
+    assert("HashAggregate".r.findAllIn(t).size >= 2,
+      s"source masses must partial-aggregate map-side:\n$t")
+  }
+
+  test("q160: shard plan is one keyed window over one scan, no join") {
+    val t = tree("q160_shard_plan")
+    assert("Scan parquet".r.findAllIn(t).size == 1, s"one scan:\n$t")
+    assert(t.contains("Window"), s"per-shard positions ride a window:\n$t")
+    assert(!t.contains("Join"), s"no join anywhere:\n$t")
+    // the window partitions by shard — a real shuffle key, never a
+    // single-partition global sort (Exchange arguments live in the
+    // details section, not the tree)
+    assert(plan("q160_shard_plan").contains("hashpartitioning(shard"),
+      "window must partition by shard")
+  }
 }

@@ -139,6 +139,55 @@ class CurationSpec extends SparkTestBase {
       s"sample size ${got.size} vs grid count ${total / step}")
   }
 
+  test("q157 budget selection equals the naive score-descending prefix") {
+    val scored = graft.Tables(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "size(array_distinct(split(text, ' '))) * 10000L" +
+          " div size(split(text, ' ')) AS score_bp",
+        "n_chars")
+      .as[(Long, Long, Long)].collect()
+    // naive reference: sort by (score desc, id), walk until the budget
+    val order = scored.sortBy { case (id, sc, _) => (-sc, id) }
+    val budget = scored.map(_._3).sum * 5000 / 10000
+    var cum = 0L
+    val expected = order.takeWhile { case (_, _, w) =>
+      val keep = cum < budget; cum += w; keep
+    }.map(_._1).sorted.toSeq
+    val got = SparkEntry.queries("q157_budget_select")(spark, sf)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == expected, "selection must be the exact budget prefix")
+    // the selection spends at least the budget (boundary doc included)
+    // and dropping its last doc goes back under
+    val byId = scored.map(t => t._1 -> t._3).toMap
+    val spent = got.map(byId).sum
+    val lastW = order(got.size - 1)._3
+    assert(spent >= budget && spent - lastW < budget,
+      s"spent $spent vs budget $budget (last doc $lastW)")
+  }
+
+  test("budgetSelect on unit weights picks exactly the top-bp share") {
+    // 400 unit-weight rows, deterministic spread-out scores; budget
+    // 2500 bp -> exactly 100 rows: the 100 best by (score desc, id)
+    val df = spark.range(0, 400).toDF("id")
+      .withColumn("score", (($"id" * 37) % 10001).cast("long"))
+      .withColumn("w", lit(1L))
+    val got = graft.operators.Curation
+      .budgetSelect(df, "id", "score", "w", 2500)
+    assert(got.columns.toSeq == Seq("id", "score", "w"),
+      "helper columns must not leak")
+    val ids = got.select("id").as[Long].collect().sorted.toSeq
+    val expected = (0L until 400L)
+      .map(i => (i, i * 37 % 10001))
+      .sortBy { case (i, sc) => (-sc, i) }
+      .take(100).map(_._1).sorted.toSeq
+    assert(ids == expected, "unit weights must select exactly budget rows")
+    // reserved working columns are rejected up front
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.budgetSelect(
+        df.withColumn("cum0", lit(0L)), "id", "score", "w", 2500)
+    }
+  }
+
   test("ppsSample with unit weights is exact systematic sampling") {
     // 200 unit-weight rows, n = 20 -> step = 10, every span is width 1,
     // so EXACTLY every 10th row of the hash order is picked: size == n

@@ -136,4 +136,46 @@ class ModelPrepSpec extends SparkTestBase {
     assert(got._1 == lp.length)
     assert(math.abs(got._2 - want) < 1e-9, s"got ${got._2} want $want")
   }
+
+  test("q158 hard negatives: TopK aggregate equals brute force, labels differ") {
+    // brute-force reference entirely in driver memory, replaying the
+    // exact quantization + gate + ranking the query declares
+    val rows = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    val codes = rows.flatMap { case (id, lbl, emb) =>
+      val v = emb.map(_.toDouble)
+      val absmax = v.map(math.abs).max
+      if (absmax > 0)
+        Some((id, lbl, v.map(x => math.floor(x * 127 / absmax + 0.5).toLong)))
+      else None
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gate(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 50
+    }
+    val expected = codes.filter(q => gate(q._1) == 0).flatMap {
+      case (qId, qLbl, qc) =>
+        codes.filter(_._2 != qLbl)
+          .map { case (id, _, c) =>
+            (id, c.zip(qc).map { case (a, b) => a * b }.sum)
+          }
+          .sortBy { case (id, dot) => (-dot, id) }
+          .take(5).zipWithIndex
+          .map { case ((id, dot), i) => (qId, i + 1, id, dot) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = SparkEntry.queries("q158_hard_negatives")(spark, sf)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == expected,
+      "O(5)-state TopK aggregate must equal the brute-force window rank")
+    // the mined negatives really are negatives: no result shares its
+    // query's label, and no query returns itself
+    val lbl = rows.map(r => r._1 -> r._2).toMap
+    got.foreach { case (q, _, v, _) =>
+      assert(lbl(q) != lbl(v), s"query $q and negative $v share a label")
+      assert(q != v)
+    }
+  }
 }

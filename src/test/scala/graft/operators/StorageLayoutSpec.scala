@@ -87,4 +87,34 @@ class StorageLayoutSpec extends SparkTestBase {
     }
     out.unpersist()
   }
+
+  test("q160 shard plan: contiguous positions, invertible interleave") {
+    val got = SparkEntry.queries("q160_shard_plan")(spark, sf)
+      .select($"doc_id", $"shard", $"pos", $"global_pos")
+      .as[(Long, Int, Long, Long)].collect()
+    // every doc appears once; shard/pos pairs are unique
+    assert(got.map(_._1).distinct.length == got.length)
+    // per shard: positions are exactly 0..n_s-1 (a loader can stream a
+    // shard by offset with no gaps)
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $sh positions not contiguous")
+    }
+    // the round-robin interleave is invertible: a global step number
+    // maps back to (shard, offset) by mod/div alone
+    got.foreach { case (_, sh, pos, g) =>
+      assert(g % 8 == sh && g / 8 == pos, s"interleave broken at $g")
+    }
+    // determinism + hash order: the within-shard order is the md5 order
+    // the driver can replay
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._3).map(_._1).toSeq
+      val byHash = rows.map(_._1).sortBy(id => (h(id), id)).toSeq
+      assert(byPos == byHash, "within-shard order must be the md5 order")
+    }
+  }
 }
