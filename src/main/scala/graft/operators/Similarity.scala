@@ -43,6 +43,29 @@ object Similarity {
         .withColumn("nrm", norm(col("v")))
     }
 
+  /** Symmetric int8 absmax codes alongside the full-precision vector —
+    * (vec_id, label, v, nrm, codes), zero vectors excluded (absmax = 0
+    * has no direction to quantize; q106's own per-vector report keeps
+    * them). Persisted per (session, dir): q142's coarse sweep and
+    * q158's hard-negative miner both rank on these exact-integer codes,
+    * and re-decoding + re-quantizing the parquet per query was most of
+    * their cost. The quantization rule (floor(x·127/absmax + 0.5)) must
+    * stay byte-identical to q106's — both engines take the same IEEE
+    * path. */
+  private[operators] def int8Codes(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.cached(s, s"int8codes:$dir") {
+      T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .withColumn("absmax", array_max(transform(col("v"), y => abs(y))))
+        .filter(col("absmax") > 0)
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+          transform(col("v"),
+            x => floor(x * 127 / col("absmax") + 0.5).cast("long"))
+            .as("codes"))
+    }
+
   /** ±1 sign matrix for the JL projection (q136), a pure function of
     * (in-dim i, out-dim j): parity of the first 15 hex chars of
     * md5("i_j") — the exact construction the DuckDB oracle replays with
@@ -469,20 +492,12 @@ object Similarity {
           |        / (n.nrm*q.qnrm), 4) AS cos_sim
           |FROM coarse co JOIN n USING (vec_id), q
           |ORDER BY cos_sim DESC, co.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
-      val vs = vectors(s, dir)
       // absmax computed ONCE per row (q106's pattern), not inside the
-      // element lambda — this is the corpus-wide scan, so an O(D²)
-      // per-row re-evaluation would defeat the stage's whole point.
-      // Zero vectors are unquantizable (absmax = 0 → division by zero,
-      // engine-dependent NaN/NULL) and have no direction to match —
-      // excluded on both sides.
-      val codes = vs
-        .withColumn("absmax", array_max(transform(col("v"), y => abs(y))))
-        .filter(col("absmax") > 0)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          transform(col("v"),
-            x => floor(x * 127 / col("absmax") + 0.5).cast("long"))
-            .as("codes"))
+      // element lambda; zero vectors are unquantizable (absmax = 0 →
+      // division by zero, engine-dependent NaN/NULL) and have no
+      // direction to match — excluded on both sides. The codes frame
+      // is the registry-cached int8Codes shared with q158.
+      val codes = int8Codes(s, dir)
       val q = codes.filter(col("vec_id") === 0)
         .select(col("codes").as("qc"), col("v").as("qv"),
           col("nrm").as("qnrm"))
@@ -539,8 +554,9 @@ object Similarity {
     //    plans.TopKLongs keeps the 5 largest with O(5) state per query,
     //    map-side combinable (the oracle's row_number window is the
     //    naive reference). At 100 TB: queries broadcast (the gate keeps
-    //    that side small), ONE corpus scan, k-long buffers shuffle —
-    //    never the n×q expansion.
+    //    that side small), the corpus streams once from the shared
+    //    int8Codes cache (q142's frame), k-long buffers shuffle — never
+    //    the n×q expansion.
     QueryDef(
       "q158_hard_negatives",
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
@@ -563,15 +579,8 @@ object Similarity {
         |    AS rank FROM d)
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, dot
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
-      val codes = T(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          toDouble(col("embedding")).as("v"))
-        .withColumn("absmax", array_max(transform(col("v"), y => abs(y))))
-        .filter(col("absmax") > 0)
-        .select(col("vec_id"), col("label"),
-          transform(col("v"),
-            x => floor(x * 127 / col("absmax") + 0.5).cast("long"))
-            .as("codes"))
+      val codes = int8Codes(s, dir)
+        .select(col("vec_id"), col("label"), col("codes"))
       val qs = codes
         .filter(graft.plans.HexWindowToLong.md5Bucket(col("vec_id"), 50) === 0)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),

@@ -503,6 +503,10 @@ class PlanAuditSpec extends SparkTestBase {
     assert(t.contains("BroadcastNestedLoopJoin"),
       s"queries must broadcast into the inequality join:\n$t")
     assert(!t.contains("SortMergeJoin"), t)
+    // both the corpus side and the gated query side read the shared
+    // int8Codes cache (q142 reuses the same frame)
+    assert(t.contains("InMemoryTableScan"),
+      s"codes must come from the shared cache:\n$t")
   }
 
   test("q159: one corpus scan reduced to a source-sized frame") {

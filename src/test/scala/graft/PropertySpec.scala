@@ -40,6 +40,32 @@ object PropertySpec extends Properties("graft") {
       VectorKernel.round4(r) == r
     }
 
+  // q158's (dot, vec_id) → BIGINT packing: packed order must be exactly
+  // (dot desc, vec_id asc) so an O(k) top-k heap over packed longs
+  // equals a rank window over the pair — including ties and negative
+  // dots. Bounds are the query's own: |dot| ≤ 127²·64 < 2^21,
+  // vec_id < 2^40.
+  private def pack(dot: Long, vecId: Long): Long =
+    (dot + (1L << 21)) * (1L << 40) + ((1L << 40) - 1 - vecId)
+
+  private val dotGen = Gen.chooseNum(-127L * 127 * 64, 127L * 127 * 64)
+  private val idGen = Gen.chooseNum(0L, (1L << 40) - 1)
+
+  property("q158 packing orders by (dot desc, id asc) and round-trips") =
+    Prop.forAll(dotGen, idGen, dotGen, idGen) { (d1, i1, d2, i2) =>
+      val (p1, p2) = (pack(d1, i1), pack(d2, i2))
+      val orderOk =
+        if (d1 != d2) (p1 > p2) == (d1 > d2)
+        else if (i1 != i2) (p1 > p2) == (i1 < i2)
+        else p1 == p2
+      val decodeOk = {
+        val id = (1L << 40) - 1 - java.lang.Math.floorMod(p1, 1L << 40)
+        val dot = java.lang.Math.floorDiv(p1, 1L << 40) - (1L << 21)
+        id == i1 && dot == d1
+      }
+      orderOk && decodeOk && p1 > 0
+    }
+
   property("metadata.txt parse round-trips table blocks") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.identifier.suchThat(_.nonEmpty))
       .map(_.distinct.take(5))) { cols =>
