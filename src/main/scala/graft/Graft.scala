@@ -94,7 +94,8 @@ object Graft {
     * on a line in md5(`idCol`) order, a ceil(Σweight/n) grid picks them
     * (a row wider than the step absorbs several grid points, shrinking
     * the sample below `n`). NULL-id rows are excluded up front; the
-    * input must not carry `cum0`/`__h`/`__bucket`/`__step` columns. The
+    * input must not carry the `cum0`/`__`-prefixed working columns
+    * (enforced; see operators.Curation.prefixReserved). The
     * global running sum is a two-phase distributed prefix sum — no
     * single-partition pass over the data. Backs q155_pps_sample. See
     * [[operators.Curation.ppsSample]]. */
@@ -108,8 +109,9 @@ object Graft {
     * `scoreCol` must be an integer score in [0, 10000] basis points.
     * Deterministic, integer arithmetic; the global running sum is a
     * two-phase score-band prefix sum — no single-partition pass. The
-    * input must not carry `cum0`/`__band`/`__off`/`__bw`/`__budget`
-    * columns (enforced). Backs q157_budget_select. See
+    * input must not carry the `cum0`/`__`-prefixed working columns
+    * (enforced; see operators.Curation.prefixReserved). Backs
+    * q157_budget_select. See
     * [[operators.Curation.budgetSelect]]. */
   def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
       weightCol: String, budgetBp: Int): DataFrame =

@@ -37,6 +37,21 @@ object VectorFunctions {
         org.apache.spark.sql.graft.Bridge.expression(a),
         org.apache.spark.sql.graft.Bridge.expression(b)))
 
+  /** Largest |xᵢ| of a double array — the symmetric-quantization scale
+    * denominator. */
+  def absMax(v: Column): Column = array_max(transform(v, x => abs(x)))
+
+  /** Symmetric int8 absmax quantization codes: floor(x·127/absmax + 0.5)
+    * per element — floor(+0.5) instead of round() so every engine takes
+    * the identical IEEE path (no HALF_UP vs half-away divergence). THE
+    * single definition of the code rule: q106's per-vector report and
+    * the shared int8Codes frame (q142 coarse sweep, q158 hard-negative
+    * miner) and their DuckDB oracles must all agree bit-for-bit, so the
+    * expression must never fork per site. Caller guards absmax > 0
+    * (a zero vector has no direction to quantize). */
+  def int8Code(v: Column, absmax: Column): Column =
+    transform(v, x => floor(x * 127 / absmax + 0.5).cast("long"))
+
   /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
     * integer arithmetic only, so any engine reproduces it exactly.
     * Values lie in [-48, 48]. */

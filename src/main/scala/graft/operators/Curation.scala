@@ -47,30 +47,37 @@ object Curation {
     * several grid points, shrinking the sample further). Rows with a
     * NULL id are excluded from the population up front (they have no
     * deterministic position on the line); `df` must not already carry
-    * columns named `cum0`, `__h`, `__bucket`, or `__step` (enforced).
-    * One pass builds the per-bucket totals; the prefix ladder, the
-    * grand total, and the step all derive from that ~32-row frame, so
-    * the input is scanned exactly twice (totals + the sampling pass).
-    * Backs q155_pps_sample. */
-  private[graft] def ppsSample(df: DataFrame, idCol: String,
-      weightCol: String, n: Int): DataFrame = {
+    * the [[prefixReserved]] working columns (enforced). One pass builds
+    * the per-bucket totals; the prefix ladder, the grand total, and the
+    * step all derive from that ~32-row frame, so the input is scanned
+    * exactly twice (totals + the sampling pass). Backs
+    * q155_pps_sample. */
+  /** Reserved working columns of the two-phase prefix-sum operators
+    * ([[ppsSample]], [[budgetSelect]]) — inputs must not carry them. */
+  private val prefixReserved =
+    Seq("cum0", "__h", "__w", "__score", "__bucket", "__step", "__off",
+      "__bw", "__budget")
+
+  /** THE shared two-phase distributed prefix-sum mechanism behind
+    * [[ppsSample]] and [[budgetSelect]]: per-`__bucket` weight totals,
+    * a bucket-count-sized prefix ladder (the ONLY single-partition
+    * window, over ~32 rows), a derived scalar (`scalarName` =
+    * `scalarSql`, an expr over that same tiny frame's `__total`),
+    * offsets + scalar broadcast back, then within-bucket exclusive
+    * running sums of `__w` riding the bucket partitioning. The input
+    * must already carry `__bucket` (the leading sort key — its order
+    * IS the intended global order) and `__w` (the weight); `orderCols`
+    * complete the within-bucket order. Returns the input plus `cum0`
+    * (exclusive global prefix sum) and `scalarName`. One aggregation
+    * pass + one broadcast join: the input is scanned exactly twice
+    * end-to-end (totals + the consuming pass), and no executor ever
+    * materializes more than one bucket's rows. */
+  private def twoPhasePrefixSum(base: DataFrame, orderCols: Seq[Column],
+      scalarSql: String, scalarName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(n > 0, "sample size must be positive")
-    val reserved = Seq("cum0", "__h", "__bucket", "__step", "__off", "__bw")
-    require(!df.columns.exists(reserved.contains),
-      s"input must not carry the reserved columns ${reserved.mkString(", ")}")
-    val base = df
-      .filter(col(idCol).isNotNull)
-      .withColumn("__h", HexWindowToLong.hexWindow(
-        md5(encode(col(idCol).cast("string"), "UTF-8")), 1))
-      .withColumn("__bucket", col("__h") % 32)
-    // ONE aggregation pass yields the 32-row bucket-total frame; the
-    // exclusive ladder (__off) and the grand total (→ __step) are two
-    // window expressions over that same tiny sorted frame — no second
-    // scan of the input, no separate scalar join for the step
     val ladder = Window.orderBy("__bucket")
     val offsets = base.groupBy("__bucket")
-      .agg(sum(col(weightCol)).as("__bw"))
+      .agg(sum(col("__w")).as("__bw"))
       .select(col("__bucket"),
         coalesce(sum(col("__bw")).over(
           ladder.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
@@ -78,17 +85,32 @@ object Curation {
         sum(col("__bw")).over(
           ladder.rowsBetween(Window.unboundedPreceding,
             Window.unboundedFollowing)).as("__total"))
-      .withColumn("__step",
-        expr(s"greatest((__total + ${n - 1}) div $n, 1)"))
+      .withColumn(scalarName, expr(scalarSql))
       .drop("__total")
-    val inBucket = Window.partitionBy("__bucket").orderBy("__h", idCol)
+    val inBucket = Window.partitionBy("__bucket")
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     base.join(broadcast(offsets), "__bucket")
       .withColumn("cum0",
-        col("__off") + coalesce(sum(col(weightCol)).over(inBucket), lit(0L)))
-      .filter(expr(
-        s"(cum0 div __step) < ((cum0 + $weightCol) div __step)"))
-      .drop("__h", "__bucket", "cum0", "__step", "__off")
+        col("__off") + coalesce(sum(col("__w")).over(inBucket), lit(0L)))
+      .drop("__off")
+  }
+
+  private[graft] def ppsSample(df: DataFrame, idCol: String,
+      weightCol: String, n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    require(!df.columns.exists(prefixReserved.contains),
+      s"input must not carry the reserved columns ${prefixReserved.mkString(", ")}")
+    val base = df
+      .filter(col(idCol).isNotNull)
+      .withColumn("__w", col(weightCol))
+      .withColumn("__h", HexWindowToLong.hexWindow(
+        md5(encode(col(idCol).cast("string"), "UTF-8")), 1))
+      .withColumn("__bucket", col("__h") % 32)
+    twoPhasePrefixSum(base, Seq(col("__h"), col(idCol)),
+        s"greatest((__total + ${n - 1}) div $n, 1)", "__step")
+      .filter(expr("(cum0 div __step) < ((cum0 + __w) div __step)"))
+      .drop("__h", "__w", "__bucket", "cum0", "__step")
   }
 
   /** Score-descending prefix selection under a weight budget: orders
@@ -113,36 +135,30 @@ object Curation {
     * (CurationSpec). */
   private[graft] def budgetSelect(df: DataFrame, idCol: String,
       scoreCol: String, weightCol: String, budgetBp: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budgetBp > 0 && budgetBp <= 10000,
       "budget must be 1..10000 basis points of the total weight")
-    val reserved = Seq("cum0", "__band", "__off", "__bw", "__budget")
-    require(!df.columns.exists(reserved.contains),
-      s"input must not carry the reserved columns ${reserved.mkString(", ")}")
+    require(!df.columns.exists(prefixReserved.contains),
+      s"input must not carry the reserved columns ${prefixReserved.mkString(", ")}")
+    // caller-supplied names go through col() into internal columns, so
+    // a name needing backticks cannot be misparsed inside the band expr;
+    // score bands ARE the buckets: (10000-score) div 320 is monotone in
+    // descending score (clamping keeps out-of-range scores monotone
+    // too), so (bucket asc, score desc, id) IS the global order.
+    // The budget splits the multiply (q = total div 1e4, r = remainder:
+    // q·bp + r·bp div 1e4 == total·bp div 1e4 exactly) so Σweight up to
+    // Long.MaxValue cannot overflow — total·bp alone would wrap at
+    // ~9.2e14 total with bp=10000.
     val base = df
       .filter(col(idCol).isNotNull)
-      .withColumn("__band",
-        expr(s"greatest(0, least(31, (10000 - $scoreCol) div 320))"))
-    val ladder = Window.orderBy("__band")
-    val offsets = base.groupBy("__band")
-      .agg(sum(col(weightCol)).as("__bw"))
-      .select(col("__band"),
-        coalesce(sum(col("__bw")).over(
-          ladder.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-          .as("__off"),
-        sum(col("__bw")).over(
-          ladder.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)).as("__total"))
-      .withColumn("__budget", expr(s"__total * $budgetBp div 10000"))
-      .drop("__total")
-    val inBand = Window.partitionBy("__band")
-      .orderBy(col(scoreCol).desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    base.join(broadcast(offsets), "__band")
-      .withColumn("cum0",
-        col("__off") + coalesce(sum(col(weightCol)).over(inBand), lit(0L)))
+      .withColumn("__w", col(weightCol))
+      .withColumn("__score", col(scoreCol))
+      .withColumn("__bucket",
+        expr("greatest(0, least(31, (10000 - __score) div 320))"))
+    twoPhasePrefixSum(base, Seq(col("__score").desc, col(idCol)),
+        s"__total div 10000 * $budgetBp" +
+          s" + __total % 10000 * $budgetBp div 10000", "__budget")
       .filter(col("cum0") < col("__budget"))
-      .drop("__band", "__off", "__budget", "cum0")
+      .drop("__w", "__score", "__bucket", "cum0", "__budget")
   }
 
   /** Non-overlapping chunk width for q102 — small enough that the

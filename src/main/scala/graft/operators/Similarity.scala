@@ -32,39 +32,34 @@ object Similarity {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  /** embeddings with double-cast vector + norm. Persisted per
-    * (session, dir): q45/q46/q47/q48/q73/q90/q93 all start from this
-    * projection, and re-decoding + re-normalizing the parquet per query
-    * was the dominant cost of the cheap ANN queries. */
+  /** embeddings with double-cast vector, norm, label, and int8 absmax
+    * codes (`codes` is NULL for a zero vector — no direction to
+    * quantize). ONE persisted frame per (session, dir):
+    * q45/q46/q47/q48/q73/q90/q93 read (vec_id, v, nrm), q142/q158 read
+    * the codes — the cache is columnar, so each consumer's
+    * InMemoryTableScan prunes to the columns it names, and the
+    * full-precision corpus is stored once, not once per derived frame.
+    * Re-decoding + re-normalizing the parquet per query was the
+    * dominant cost of the cheap ANN queries. The code rule is the ONE
+    * shared [[graft.functions.VectorFunctions.int8Code]] definition
+    * (bit-identical to q106's report and the DuckDB oracles). */
   private[operators] def vectors(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cached(s, s"vectors:$dir") {
-      T(s, dir, "embeddings")
-        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", norm(col("v")))
-    }
-
-  /** Symmetric int8 absmax codes alongside the full-precision vector —
-    * (vec_id, label, v, nrm, codes), zero vectors excluded (absmax = 0
-    * has no direction to quantize; q106's own per-vector report keeps
-    * them). Persisted per (session, dir): q142's coarse sweep and
-    * q158's hard-negative miner both rank on these exact-integer codes,
-    * and re-decoding + re-quantizing the parquet per query was most of
-    * their cost. The quantization rule (floor(x·127/absmax + 0.5)) must
-    * stay byte-identical to q106's — both engines take the same IEEE
-    * path. */
-  private[operators] def int8Codes(s: SparkSession, dir: String): DataFrame =
-    CacheRegistry.cached(s, s"int8codes:$dir") {
       T(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           toDouble(col("embedding")).as("v"))
         .withColumn("nrm", norm(col("v")))
-        .withColumn("absmax", array_max(transform(col("v"), y => abs(y))))
-        .filter(col("absmax") > 0)
-        .select(col("vec_id"), col("label"), col("v"), col("nrm"),
-          transform(col("v"),
-            x => floor(x * 127 / col("absmax") + 0.5).cast("long"))
-            .as("codes"))
+        .withColumn("absmax", absMax(col("v")))
+        .withColumn("codes",
+          when(col("absmax") > 0, int8Code(col("v"), col("absmax"))))
+        .drop("absmax")
     }
+
+  /** The quantized slice of [[vectors]]: rows with defined int8 codes
+    * (zero vectors excluded). Not a second cache — a filter over the
+    * shared frame. */
+  private[operators] def int8Codes(s: SparkSession, dir: String): DataFrame =
+    vectors(s, dir).filter(col("codes").isNotNull)
 
   /** ±1 sign matrix for the JL projection (q136), a pure function of
     * (in-dim i, out-dim j): parity of the first 15 hex chars of

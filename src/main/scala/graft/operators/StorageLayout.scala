@@ -82,12 +82,16 @@ object StorageLayout {
         |  CAST(list_min(codes) AS INTEGER) AS min_code,
         |  CAST(list_max(codes) AS INTEGER) AS max_code
         |FROM c ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      // the code rule is the ONE shared VectorFunctions.int8Code
+      // definition (also behind Similarity's cached codes frame and
+      // both engines' oracles) — it must never fork per site
       T(s, dir, "embeddings")
         .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("absmax", array_max(transform(col("v"), x => abs(x))))
-        .withColumn("codes", transform(col("v"),
-          x => floor(x * 127 / col("absmax") + 0.5).cast("long")))
+          graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+        .withColumn("absmax",
+          graft.functions.VectorFunctions.absMax(col("v")))
+        .withColumn("codes",
+          graft.functions.VectorFunctions.int8Code(col("v"), col("absmax")))
         .select(col("vec_id"), col("absmax"),
           aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("sum_code"),
           array_min(col("codes")).cast("int").as("min_code"),

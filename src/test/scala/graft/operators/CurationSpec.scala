@@ -188,6 +188,19 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("budgetSelect survives total weights near Long.MaxValue") {
+    // 300 rows of 4e15 weight -> total 1.2e18; a naive total*bp budget
+    // multiply would wrap negative at bp=5000 and select nothing. The
+    // split multiply keeps it exact: budget = 6e17 -> 150 rows.
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("score", (($"id" * 37) % 10001).cast("long"))
+      .withColumn("w", lit(4_000_000_000_000_000L))
+    val got = graft.operators.Curation
+      .budgetSelect(df, "id", "score", "w", 5000)
+    assert(got.count() == 150,
+      "huge-weight budget must not overflow to an empty selection")
+  }
+
   test("ppsSample with unit weights is exact systematic sampling") {
     // 200 unit-weight rows, n = 20 -> step = 10, every span is width 1,
     // so EXACTLY every 10th row of the hash order is picked: size == n
