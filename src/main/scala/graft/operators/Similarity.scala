@@ -594,6 +594,69 @@ object Similarity {
           (lit((1L << 40) - 1) - col("p") % lit(1L << 40)).as("vec_id"),
           (expr(s"p div ${1L << 40}") - lit(1L << 21)).as("dot"))
         .orderBy("q_id", "rank")
+    },
+
+    // ── SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
+    //    embedding space and comparing pairs only WITHIN a cluster — the
+    //    clustering bounds the pair join (per-cluster |C|², never
+    //    corpus²; at 100 TB, K grows with the corpus to hold |C| fixed,
+    //    and the pair join's shuffle key IS the cluster id). Assignment
+    //    is one broadcast-centroid argmin round (the q135 kmeans
+    //    machinery, seeds = vec_id < 8); a doc is removed when its
+    //    cosine to ANY earlier (lower vec_id) doc of the same cluster
+    //    reaches the q45 near-dup threshold 0.45 — the paper's one-sweep
+    //    keep-first rule, fully deterministic, no transitive chasing
+    //    (threshold is fixture-scaled: synthetic embeddings never reach
+    //    a real corpus' 0.95). Reports each doc's verdict with its
+    //    max-prior-similarity evidence.
+    QueryDef(
+      "q161_semdedup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cl, v AS c FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cl FROM (
+        |  SELECT e.vec_id, c0.cl, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_sum([(e.v[i]-c0.c[i])*(e.v[i]-c0.c[i])
+        |                       for i in range(1, len(e.v)+1)]), c0.cl) AS rn
+        |  FROM e CROSS JOIN c0) WHERE rn = 1),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+        |      FROM e),
+        |x AS (SELECT a1.vec_id, a1.cl, n.v, n.nrm
+        |      FROM a1 JOIN n USING (vec_id)),
+        |p AS (SELECT a.vec_id AS j,
+        |  max(round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)])
+        |            / (a.nrm*b.nrm), 4)) AS mx
+        |  FROM x a JOIN x b ON a.cl = b.cl AND b.vec_id < a.vec_id
+        |  GROUP BY a.vec_id)
+        |SELECT x.vec_id, CAST(x.cl AS BIGINT) AS cluster,
+        |  p.mx AS max_prior_sim,
+        |  (p.mx IS NULL OR p.mx < 0.45) AS keep
+        |FROM x LEFT JOIN p ON x.vec_id = p.j
+        |ORDER BY x.vec_id""".stripMargin) { (s, dir) =>
+      val vs = vectors(s, dir)
+      val cents = vs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cl"), col("v").as("c"))
+      // one broadcast argmin round — kmeans' assignment dataflow: only
+      // n pre-reduced rows shuffle, never the n×K expansion
+      val assigned = vs.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          struct(graft.plans.L2DistanceSq.l2DistSq(col("v"), col("c"))
+            .as("dist"), col("cl")).as("dc"))
+        .groupBy("vec_id").agg(min(col("dc")).as("m"))
+        .select(col("vec_id"), col("m.cl").as("cl"))
+      val x = vs.select(col("vec_id"), col("v"), col("nrm"))
+        .join(assigned, "vec_id")
+      val prior = x.as("a")
+        .join(x.as("b"),
+          col("a.cl") === col("b.cl") && col("b.vec_id") < col("a.vec_id"))
+        .select(col("a.vec_id").as("j"),
+          round(cosineFast(col("a.v"), col("b.v")), 4).as("cs"))
+        .groupBy("j").agg(max(col("cs")).as("max_prior_sim"))
+      x.join(prior, col("vec_id") === col("j"), "left")
+        .select(col("vec_id"), col("cl").as("cluster"),
+          col("max_prior_sim"),
+          (col("max_prior_sim").isNull || col("max_prior_sim") < 0.45)
+            .as("keep"))
+        .orderBy("vec_id")
     }
   )
 }

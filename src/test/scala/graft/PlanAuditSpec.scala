@@ -509,6 +509,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"codes must come from the shared cache:\n$t")
   }
 
+  test("q161: within-cluster pairs ride an equality join on cluster id") {
+    val p = plan("q161_semdedup")
+    // the SemDeDup design point: the pair join's shuffle key IS the
+    // cluster id — an equality join, never an unkeyed pair expansion
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"pair join must be keyed by cluster:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"all sides must reuse the shared vectors cache:\n$p")
+  }
+
   test("q159: one corpus scan reduced to a source-sized frame") {
     val t = tree("q159_epoch_plan")
     assert("Scan parquet".r.findAllIn(t).size <= 2,

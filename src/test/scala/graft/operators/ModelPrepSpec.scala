@@ -178,4 +178,36 @@ class ModelPrepSpec extends SparkTestBase {
       assert(q != v)
     }
   }
+
+  test("q161 SemDeDup equals the brute-force one-sweep keep rule") {
+    val rows = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) => (id, e.map(_.toDouble)) }.sortBy(_._1)
+    def l2sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cents = rows.filter(_._1 < 8)
+    val cluster = rows.map { case (id, v) =>
+      id -> cents.minBy { case (cl, c) => (l2sq(v, c), cl) }._1
+    }.toMap
+    val byId = rows.toMap
+    val expected = rows.map { case (id, v) =>
+      val prior = rows.filter(r => r._1 < id && cluster(r._1) == cluster(id))
+        .map(r => BigDecimal(cos(v, byId(r._1)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val mx = if (prior.isEmpty) None else Some(prior.max)
+      (id, cluster(id), mx, mx.forall(_ < 0.45))
+    }.toSeq
+    val got = SparkEntry.queries("q161_semdedup")(spark, sf)
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSeq
+    assert(got == expected, "SemDeDup verdicts must match brute force")
+    // the dedup is non-degenerate on this corpus: something is removed,
+    // most is kept
+    val removed = got.count(!_._4)
+    assert(removed > 0 && removed < got.size / 10,
+      s"$removed removed of ${got.size}")
+  }
 }
