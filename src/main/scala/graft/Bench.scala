@@ -72,21 +72,24 @@ object Bench {
     // The driver keeps only the LAST 2000 chars of output and sbt prints a
     // ~75-char [success] line after us, so the JSON line must stay under
     // ~1900 chars or it is truncated mid-line and unparseable (this is
-    // exactly what nulled BENCH_r01–r03). Three compactions: 2-decimal
-    // per-query seconds with trailing zeros stripped (±5ms of precision
-    // is far below the ±30-40% machine variance BASELINE.md documents;
-    // the total keeps all its digits either way), per-query keys
+    // exactly what nulled BENCH_r01–r03). Three compactions: 1-decimal
+    // per-query seconds with trailing zeros stripped (±50ms of precision
+    // is far below the ±30-40% machine variance BASELINE.md documents,
+    // and regressions that matter are ≥ the 0.1s quantum; the TOTAL
+    // keeps 2 decimals — it is the judged number), per-query keys
     // abbreviated to their unique qNN prefix (the full names are in
     // Verify's dump / CORRECTNESS report; the contract's own example uses
     // short keys), and the sf tag shortened to the directory basename.
     // BASELINE.md tracks the current line length and headroom per
-    // inventory (~12 chars/query against the ~1900-char ceiling).
+    // inventory (~11 chars/query against the ~1900-char ceiling).
     def f(v: Double): String = "%.2f".format(v)
+      .replaceAll("0+$", "").replaceAll("\\.$", "")
+    def f1(v: Double): String = "%.1f".format(v)
       .replaceAll("0+$", "").replaceAll("\\.$", "")
     def short(name: String): String = name.takeWhile(_ != '_')
     require(results.map(r => short(r._1)).toSet.size == results.size,
       "qNN prefixes must stay unique for the compact bench JSON")
-    val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + f(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + f1(v) }
       .mkString("{", ",", "}")
     // A failed query must be loud, not a -1s "speedup": list failures in
     // their own key (the driver sees them; an empty list is the pass state).

@@ -188,6 +188,31 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("budgetSelect equals the naive fold on randomized weights/scores") {
+    // seeded randomized corpus with the edge cases the fixture lacks:
+    // zero weights, heavy score ties (only 20 distinct scores, so band
+    // boundaries and in-band ordering both get exercised), and a budget
+    // that lands mid-row
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 600L).map { id =>
+      (id, (rnd.nextInt(21) * 500).toLong, rnd.nextInt(50).toLong)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "score", "w")
+    for (bp <- Seq(1, 3333, 9999)) {
+      val total = rows.map(_._3).sum
+      val budget = total / 10000 * bp + total % 10000 * bp / 10000
+      var cum = 0L
+      val expected = rows.sortBy { case (id, sc, _) => (-sc, id) }
+        .takeWhile { case (_, _, w) =>
+          val keep = cum < budget; cum += w; keep
+        }.map(_._1).sorted
+      val got = graft.operators.Curation
+        .budgetSelect(df, "id", "score", "w", bp)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == expected, s"bp=$bp: two-phase must equal the fold")
+    }
+  }
+
   test("budgetSelect survives total weights near Long.MaxValue") {
     // 300 rows of 4e15 weight -> total 1.2e18; a naive total*bp budget
     // multiply would wrap negative at bp=5000 and select nothing. The
