@@ -227,6 +227,101 @@ object TextAnalysis {
           ((col("n_total") - col("n_distinct")) * 50 > col("n_total"))
             .as("dup_heavy"))
         .orderBy("doc_id")
+    },
+
+    // ── n-gram novelty: for each doc, the fraction of its DISTINCT
+    //    3-grams that occur NOWHERE else in the corpus (gram df = 1) —
+    //    the data-diversity/memorization-risk metric dual to q98's
+    //    within-doc repetition: low novelty = the doc is assembled from
+    //    corpus-common phrasing, high = it contributes unique text.
+    //    Rides the shared shingle cache; one gram-keyed df shuffle +
+    //    one gram-keyed membership join + one doc-keyed count — the
+    //    exact q92/q98 posture, all integer outputs.
+    QueryDef(
+      "q162_ngram_novelty",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(ws[i:i+2],' ')
+        |    for i in range(1, len(ws)-1)]) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+        |d AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+        |nv AS (SELECT g.doc_id, count(*) AS n_novel
+        |       FROM g JOIN d USING (gram) WHERE d.df = 1 GROUP BY g.doc_id)
+        |SELECT sh.doc_id, CAST(len(sh.s) AS INTEGER) AS n_grams,
+        |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(coalesce(nv.n_novel, 0) * 10000 // len(sh.s) AS BIGINT)
+        |    AS novelty_bp
+        |FROM sh LEFT JOIN nv USING (doc_id)
+        |ORDER BY sh.doc_id""".stripMargin) { (s, dir) =>
+      val sh = TextDedup.docShingles(s, dir)
+      val g = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
+      val nv = g
+        .join(g.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") === 1).select("gram"), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      sh.select(col("doc_id"), size(col("sh")).as("n_grams"))
+        .join(nv, Seq("doc_id"), "left")
+        .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+        .withColumn("novelty_bp", expr("n_novel * 10000 div n_grams"))
+        .orderBy("doc_id")
+    },
+
+    // ── octave-binned Zipf slope per source: the corpus-health
+    //    diagnostic that catches a broken tokenizer or a template-spam
+    //    source (token frequencies should decay roughly power-law; a
+    //    flat or cliff-shaped curve is a red flag). Exact-integer
+    //    construction end to end: top-100 tokens per source by
+    //    (count desc, token), x = bitlen(rank), y = bitlen(count)
+    //    (integer log2 octaves via length(bin(n)) — identical on both
+    //    engines, no float log anywhere), then the q143 closed-form OLS
+    //    from exact-integer sufficient statistics; only the final slope
+    //    division is floating and it divides bit-equal integers. One
+    //    vocab-sized aggregate + a per-source top-100 window over the
+    //    20-row-keyed vocab frame — the corpus is scanned once.
+    QueryDef(
+      "q163_zipf_octave",
+      """WITH t AS (SELECT source, unnest(string_split(text,' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+        |r AS (SELECT source, c, row_number() OVER (PARTITION BY source
+        |        ORDER BY c DESC, tok) AS rn FROM c
+        |      QUALIFY rn <= 100),
+        |p AS (SELECT source, CAST(length(bin(rn)) AS BIGINT) AS x,
+        |             CAST(length(bin(c)) AS BIGINT) AS y FROM r),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x*y) AS BIGINT) AS sxy,
+        |        CAST(sum(x*x) AS BIGINT) AS sxx
+        |      FROM p GROUP BY source)
+        |SELECT source, CAST(n AS INTEGER) AS n,
+        |  round((n*sxy - sx*sy) * 1.0 / (n*sxx - sx*sx), 6) AS slope_octaves
+        |FROM s WHERE n*sxx - sx*sx <> 0 ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = T(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val ranked = counts
+        .withColumn("rn", row_number().over(Window.partitionBy("source")
+          .orderBy(col("c").desc, col("tok"))))
+        .filter(col("rn") <= 100)
+      val stats = ranked
+        .select(col("source"),
+          length(bin(col("rn").cast("long"))).cast("long").as("x"),
+          length(bin(col("c"))).cast("long").as("y"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      // a degenerate source (a single token in the top list) has no
+      // x variance and no defined slope — excluded on BOTH sides
+      stats.filter(col("n") * col("sxx") - col("sx") * col("sx") =!= 0)
+        .select(col("source"), col("n").cast("int").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) * lit(1.0)
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("slope_octaves"))
+        .orderBy("source")
     }
   )
 }

@@ -520,6 +520,23 @@ class PlanAuditSpec extends SparkTestBase {
       s"all sides must reuse the shared vectors cache:\n$p")
   }
 
+  test("q162: novelty rides the shingle cache, no nested-loop joins") {
+    val p = plan("q162_ngram_novelty")
+    assert(p.contains("InMemoryTableScan"),
+      s"grams must come from the shared shingle cache:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q163: one corpus scan; top-100 window partitions by source") {
+    val t = tree("q163_zipf_octave")
+    assert("Scan parquet".r.findAllIn(t).size == 1, s"one scan:\n$t")
+    assert("HashAggregate".r.findAllIn(t).size >= 2,
+      s"token counts must partial-aggregate map-side:\n$t")
+    assert(plan("q163_zipf_octave").contains("hashpartitioning(source"),
+      "the rank window must partition by source, never a global sort")
+  }
+
   test("q159: one corpus scan reduced to a source-sized frame") {
     val t = tree("q159_epoch_plan")
     assert("Scan parquet".r.findAllIn(t).size <= 2,
