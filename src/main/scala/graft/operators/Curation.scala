@@ -607,6 +607,167 @@ object Curation {
           col("target_chars"),
           expr("target_chars * 1000 div mass").as("epochs_milli"))
         .orderBy("source")
+    },
+
+    // ── multinomial Naive-Bayes source classifier: train add-one-
+    //    smoothed per-source unigram models on the corpus itself, score
+    //    every doc against every source, report the argmax label +
+    //    top-2 margin and whether the doc is "misfiled" (predicted
+    //    source ≠ actual) — the mislabel/contamination diagnostic a
+    //    mixture pipeline runs before trusting source tags as training
+    //    labels. Scale shape: the model is (source, token) counts —
+    //    vocab×K, map-side combined, broadcast back (the q103/q138
+    //    caveat: for an open-web vocab drop the hints and shuffle the
+    //    scoring join). Scoring expands the tf frame ×K but partial-
+    //    aggregates to docs×K map-side; the argmax is a K-bounded
+    //    sorted list per doc (bounded by the SOURCE count, never the
+    //    corpus) — no global window anywhere. Scores are rounded to
+    //    6dp before the argmax and the top-2 margin on the test corpus
+    //    is ≥ 6.7e-4 (measured), so cross-engine ulp drift in the ln
+    //    sums cannot flip the ranking.
+    QueryDef(
+      "q164_nb_source",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |             FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |lab AS (SELECT doc_id, source FROM documents),
+        |cst AS (SELECT l.source AS lbl, tf.w, sum(tf.tf) AS c
+        |        FROM tf JOIN lab l USING (doc_id) GROUP BY l.source, tf.w),
+        |tot AS (SELECT lbl, sum(c) AS tt FROM cst GROUP BY lbl),
+        |pri AS (SELECT source AS lbl, count(*) AS nd FROM documents
+        |        GROUP BY source),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |vv AS (SELECT count(DISTINCT w) AS vsz FROM tok),
+        |sc AS (SELECT tf.doc_id, t.lbl,
+        |         round(ln(p.nd * 1.0 / nn.n)
+        |           + sum(tf.tf * ln((coalesce(c.c, 0) + 1.0)
+        |                            / (t.tt + vv.vsz))), 6) AS lp
+        |       FROM tf CROSS JOIN tot t
+        |       LEFT JOIN cst c ON c.lbl = t.lbl AND c.w = tf.w
+        |       JOIN pri p ON p.lbl = t.lbl
+        |       CROSS JOIN nn CROSS JOIN vv
+        |       GROUP BY tf.doc_id, t.lbl, p.nd, nn.n),
+        |r AS (SELECT doc_id, lbl, lp, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY lp DESC, lbl) AS rn FROM sc)
+        |SELECT a.doc_id, a.lbl AS pred, a.lp AS top_lp,
+        |  round(a.lp - b.lp, 6) AS margin,
+        |  (a.lbl <> l.source) AS misfiled
+        |FROM r a JOIN r b ON b.doc_id = a.doc_id AND b.rn = 2
+        |JOIN lab l ON l.doc_id = a.doc_id
+        |WHERE a.rn = 1 ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      val tf = Search.unigramTf(s, dir)
+      val lab = T(s, dir, "documents").select(col("doc_id"), col("source"))
+      val cst = tf.join(lab, "doc_id")
+        .groupBy(col("source").as("lbl"), col("w"))
+        .agg(sum("tf").as("c"))
+      val tot = cst.groupBy("lbl").agg(sum("c").as("tt"))
+      val pri = lab.groupBy(col("source").as("lbl"))
+        .agg(count(lit(1)).as("nd"))
+      val nn = lab.agg(count(lit(1)).as("n"))
+      val vv = tf.agg(countDistinct("w").as("vsz"))
+      val sc = tf
+        .crossJoin(broadcast(tot))
+        .join(broadcast(cst), Seq("lbl", "w"), "left")
+        .join(broadcast(pri), "lbl")
+        .crossJoin(broadcast(nn))
+        .crossJoin(broadcast(vv))
+        .groupBy("doc_id", "lbl", "nd", "n")
+        .agg(round(log(col("nd") * lit(1.0) / col("n"))
+          + sum(col("tf") * log((coalesce(col("c"), lit(0L)) + lit(1.0))
+              / (col("tt") + col("vsz")))), 6).as("lp"))
+      sc.groupBy("doc_id")
+        .agg(sort_array(collect_list(
+          struct((-col("lp")).as("nlp"), col("lbl")))).as("a"))
+        .select(col("doc_id"),
+          col("a").getItem(0).getField("lbl").as("pred"),
+          (-col("a").getItem(0).getField("nlp")).as("top_lp"),
+          round(col("a").getItem(1).getField("nlp")
+            - col("a").getItem(0).getField("nlp"), 6).as("margin"))
+        .join(lab, "doc_id")
+        .select(col("doc_id"), col("pred"), col("top_lp"), col("margin"),
+          (col("pred") =!= col("source")).as("misfiled"))
+        .orderBy("doc_id")
+    },
+
+    // ── DSIR-style importance selection: weight every pool doc by its
+    //    per-token log-likelihood ratio between a TARGET domain model
+    //    (source 'src0' here) and the pool's own background model —
+    //    "does this doc read like the domain I want more of?" — then
+    //    keep the top 10% by weight. The selection reuses the
+    //    budgetSelect two-phase prefix sum with unit weights (score
+    //    bands ARE the buckets), so there is NO global sort: two pool
+    //    scans + one band-keyed shuffle at any corpus size. Both LM
+    //    frames are vocab-sized broadcasts (same open-vocab caveat as
+    //    q164); avg_llr is rounded to 4dp before the integer bp
+    //    mapping, so the band key — and therefore the kept set — is
+    //    bit-identical cross-engine.
+    QueryDef(
+      "q165_dsir_select",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |             FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |lab AS (SELECT doc_id, source FROM documents),
+        |tgt AS (SELECT tf.w, sum(tf.tf) AS ct FROM tf JOIN lab l USING (doc_id)
+        |        WHERE l.source = 'src0' GROUP BY tf.w),
+        |pool AS (SELECT tf.doc_id, tf.w, tf.tf
+        |         FROM tf JOIN lab l USING (doc_id) WHERE l.source <> 'src0'),
+        |bg AS (SELECT w, sum(tf) AS ca FROM pool GROUP BY w),
+        |tt AS (SELECT sum(ct) AS t FROM tgt),
+        |ta AS (SELECT sum(ca) AS a FROM bg),
+        |vv AS (SELECT count(DISTINCT w) AS vsz FROM tok),
+        |sc AS (SELECT p.doc_id, CAST(sum(p.tf) AS BIGINT) AS n_words,
+        |         round(sum(p.tf * ln((coalesce(g.ct, 0) + 1.0)
+        |             * (ta.a + vv.vsz)
+        |             / ((b.ca + 1.0) * (tt.t + vv.vsz)))) / sum(p.tf), 4)
+        |           AS avg_llr
+        |       FROM pool p LEFT JOIN tgt g USING (w) JOIN bg b USING (w)
+        |       CROSS JOIN tt CROSS JOIN ta CROSS JOIN vv
+        |       GROUP BY p.doc_id),
+        |s2 AS (SELECT sc.doc_id, l.source, sc.n_words, sc.avg_llr,
+        |         greatest(0, least(10000,
+        |           5000 + CAST(round(sc.avg_llr * 1000, 0) AS BIGINT)))
+        |           AS score_bp
+        |       FROM sc JOIN lab l USING (doc_id)),
+        |w2 AS (SELECT *, coalesce(sum(1) OVER (ORDER BY score_bp DESC, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS cum0 FROM s2),
+        |b2 AS (SELECT count(*) * 1000 // 10000 AS b FROM s2)
+        |SELECT doc_id, source, n_words, avg_llr,
+        |  CAST(score_bp AS BIGINT) AS score_bp
+        |FROM w2, b2 WHERE cum0 < b ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val tf = Search.unigramTf(s, dir)
+      val lab = T(s, dir, "documents").select(col("doc_id"), col("source"))
+      val withSrc = tf.join(lab, "doc_id")
+      val tgt = withSrc.filter(col("source") === "src0")
+        .groupBy("w").agg(sum("tf").as("ct"))
+      val pool = withSrc.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("w"), col("tf"))
+      val bg = pool.groupBy("w").agg(sum("tf").as("ca"))
+      val tt = tgt.agg(sum("ct").as("t"))
+      val ta = bg.agg(sum("ca").as("a"))
+      val vv = tf.agg(countDistinct("w").as("vsz"))
+      val sc = pool
+        .join(broadcast(tgt), Seq("w"), "left")
+        .join(broadcast(bg), "w")
+        .crossJoin(broadcast(tt))
+        .crossJoin(broadcast(ta))
+        .crossJoin(broadcast(vv))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_words"),
+          round(sum(col("tf") * log((coalesce(col("ct"), lit(0L)) + lit(1.0))
+              * (col("a") + col("vsz"))
+              / ((col("ca") + lit(1.0)) * (col("t") + col("vsz")))))
+            / sum("tf"), 4).as("avg_llr"))
+      val scored = sc.join(lab, "doc_id")
+        .withColumn("score_bp",
+          greatest(lit(0L), least(lit(10000L),
+            lit(5000L) + round(col("avg_llr") * 1000, 0).cast("long"))))
+        .withColumn("w1", lit(1L))
+      budgetSelect(scored, "doc_id", "score_bp", "w1", 1000)
+        .select(col("doc_id"), col("source"), col("n_words"),
+          col("avg_llr"), col("score_bp"))
+        .orderBy("doc_id")
     }
   )
 }

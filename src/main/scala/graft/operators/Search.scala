@@ -46,6 +46,20 @@ object Search {
   private val K1 = 1.2
   private val B = 0.75
 
+  /** Shared (doc_id, w, tf) unigram term-frequency frame over the
+    * documents table — the sparse bag-of-words every lexical operator
+    * starts from. Registry-persisted once per (session, sf-dir): q130's
+    * rerank references it three times in one plan, and the corpus-LM
+    * classifiers (q164 NB, q165 DSIR in Curation) ride the same copy —
+    * one explode+groupBy shuffle per session, not per query. */
+  private[operators] def unigramTf(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.cached(s, s"unigram-tf:$dir") {
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("tf"))
+    }
+
   /** Per-doc BM25 features: dl + tf per query term — one narrow map. */
   private def docFeatures(s: SparkSession, dir: String): DataFrame = {
     val ws = split(col("text"), " ")
@@ -231,15 +245,8 @@ object Search {
           |JOIN n2 nj ON nj.doc_id = d.doc_j
           |ORDER BY d.doc_i, d.doc_j""".stripMargin) { (s, dir) =>
       // the tf frame is referenced three times in this one plan (both
-      // join sides + the norms) — persist it once via the registry so
-      // the explode+groupBy shuffle runs once per session, not per
-      // reference
-      val tf = CacheRegistry.cached(s, s"unigram-tf:$dir") {
-        T(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .groupBy("doc_id", "w")
-          .agg(count(lit(1)).as("tf"))
-      }
+      // join sides + the norms) — the shared registry-persisted copy
+      val tf = unigramTf(s, dir)
       val n2 = tf.groupBy("doc_id")
         .agg(sum(col("tf") * col("tf")).as("n2"))
       val cand = TextDedup.lshCandidatePairs(s, dir)

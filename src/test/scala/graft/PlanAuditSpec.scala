@@ -537,6 +537,32 @@ class PlanAuditSpec extends SparkTestBase {
       "the rank window must partition by source, never a global sort")
   }
 
+  test("q164: NB argmax is a bounded-list aggregate, never a window") {
+    val t = tree("q164_nb_source")
+    // the per-doc argmax over K sources is a sort_array(collect_list)
+    // aggregate (K bounded by the source count); a rank-window plan
+    // would show Window + a (doc,score)-wide sort instead
+    assert(!t.contains("Window"), s"no rank window in the argmax:\n$t")
+    assert(t.contains("BroadcastHashJoin"),
+      s"the vocab-sized NB model must broadcast:\n$t")
+    assert(t.contains("InMemoryTableScan"),
+      s"scoring must ride the shared unigram-tf cache:\n$t")
+    assert(!t.contains("CartesianProduct"), t)
+  }
+
+  test("q165: DSIR selection reuses the band prefix sum — no global sort") {
+    val t = tree("q165_dsir_select")
+    assert(t.contains("BroadcastHashJoin"),
+      s"LM frames + band offsets must broadcast:\n$t")
+    // the only nested-loop joins are the 1-row scalar broadcasts
+    // (tt/ta/vocab), the same shape as q103/q138 — a corpus-sized
+    // cartesian would surface as CartesianProduct (swept globally)
+    assert(!t.contains("SortMergeJoin"), t)
+    assert(!t.contains("CartesianProduct"), t)
+    assert(t.contains("InMemoryTableScan"),
+      s"scoring must ride the shared unigram-tf cache:\n$t")
+  }
+
   test("q159: one corpus scan reduced to a source-sized frame") {
     val t = tree("q159_epoch_plan")
     assert("Scan parquet".r.findAllIn(t).size <= 2,

@@ -241,4 +241,88 @@ class CurationSpec extends SparkTestBase {
       .select("id").as[Long].collect().sorted.toSeq
     assert(a == b)
   }
+
+  test("q164 NB classifier matches a brute-force recompute") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    val toks = docs.map { case (id, src, t) => (id, src, t.split(" ")) }
+    val cst = toks.flatMap { case (_, src, ws) => ws.map((src, _)) }
+      .groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val tot = cst.groupBy(_._1._1).map { case (s2, m) => s2 -> m.values.sum }
+    val nd = docs.groupBy(_._2).map { case (s2, o) => s2 -> o.size }
+    val n = docs.length
+    val vsz = toks.flatMap(_._3).distinct.length
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = toks.sortBy(_._1).map { case (id, src, ws) =>
+      val byLbl = nd.keys.toSeq.map { lbl =>
+        val lp = r6(math.log(nd(lbl) * 1.0 / n) + ws.map { w =>
+          math.log((cst.getOrElse((lbl, w), 0L) + 1.0) / (tot(lbl) + vsz))
+        }.sum)
+        (lbl, lp)
+      }.sortBy { case (lbl, lp) => (-lp, lbl) }
+      (id, byLbl(0)._1, byLbl(0)._2, byLbl(0)._2 - byLbl(1)._2,
+        byLbl(0)._1 != src)
+    }
+    val got = SparkEntry.queries("q164_nb_source")(spark, sf)
+      .as[(Long, String, Double, Double, Boolean)].collect().toSeq
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._5 == e._5,
+        s"pred/misfiled mismatch: $g vs $e")
+      // the two sides sum the ln terms in different associations, so a
+      // 6dp-rounded score may sit one rounding quantum apart
+      assert(math.abs(g._3 - e._3) <= 1.1e-6, s"top_lp: $g vs $e")
+      assert(math.abs(g._4 - e._4) <= 2.2e-6, s"margin: $g vs $e")
+    }
+    // the classifier beats 20-class chance on its own training corpus
+    // by a wide margin (this is the signal that makes it a usable
+    // mislabel diagnostic, not a coin flip)
+    val acc = got.count(!_._5) * 1.0 / got.length
+    assert(acc > 0.10, s"self-classification accuracy $acc ~ chance")
+  }
+
+  test("q165 DSIR selection matches brute force and prefers the target") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    val toks = docs.map { case (id, src, t) => (id, src, t.split(" ")) }
+    val vsz = toks.flatMap(_._3).distinct.length
+    val tgtC = toks.filter(_._2 == "src0").flatMap(_._3)
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val pool = toks.filter(_._2 != "src0")
+    val bgC = pool.flatMap(_._3)
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val tt = tgtC.values.sum; val ta = bgC.values.sum
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val llr = pool.map { case (id, _, ws) =>
+      val s2 = ws.map { w =>
+        math.log((tgtC.getOrElse(w, 0L) + 1.0) * (ta + vsz)
+          / ((bgC(w) + 1.0) * (tt + vsz)))
+      }.sum
+      id -> r4(s2 / ws.length)
+    }.toMap
+    val scoreBp = llr.map { case (id, v) =>
+      id -> math.max(0L, math.min(10000L, 5000L + math.round(v * 1000)))
+    }
+    val nKeep = pool.length * 1000 / 10000
+    val expectedIds = scoreBp.toSeq
+      .sortBy { case (id, sc) => (-sc, id) }.take(nKeep).map(_._1).sorted
+    val got = SparkEntry.queries("q165_dsir_select")(spark, sf)
+      .as[(Long, String, Long, Double, Long)].collect().toSeq
+    assert(got.map(_._1) == expectedIds.toSeq,
+      "kept set must be the exact top-10% score prefix")
+    got.foreach { case (id, _, _, v, sc) =>
+      assert(math.abs(v - llr(id)) <= 1.1e-4, s"avg_llr drift on $id")
+      assert(sc == scoreBp(id), s"score_bp mismatch on $id")
+    }
+    // selection signal: the kept docs read more target-like than the
+    // pool average (strictly, since scores are not all equal)
+    val keptMean = got.map(_._4).sum / got.length
+    val poolMean = llr.values.sum / llr.size
+    assert(keptMean > poolMean,
+      s"kept mean $keptMean must exceed pool mean $poolMean")
+  }
 }
