@@ -72,7 +72,7 @@ object Curation {
     * pass + one broadcast join: the input is scanned exactly twice
     * end-to-end (totals + the consuming pass), and no executor ever
     * materializes more than one bucket's rows. */
-  private def twoPhasePrefixSum(base: DataFrame, orderCols: Seq[Column],
+  private[operators] def twoPhasePrefixSum(base: DataFrame, orderCols: Seq[Column],
       scalarSql: String, scalarName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ladder = Window.orderBy("__bucket")
@@ -160,6 +160,20 @@ object Curation {
       .filter(col("cum0") < col("__budget"))
       .drop("__w", "__score", "__bucket", "cum0", "__budget")
   }
+
+  /** Distinct (source, tok) 3-gram shingle vocabulary of the corpus,
+    * derived from the shared shingle cache and registry-persisted once
+    * per (session, sf-dir): q145's exact overlap matrix references it
+    * three times in one plan and q167's KMV sketches ride the same
+    * copy — one corpus shuffle per session, not per query. */
+  private[operators] def sourceVocab(s: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.cached(s, s"source-vocab:$dir") {
+      TextDedup.docShingles(s, dir)
+        .join(T(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("source"), explode(col("sh")).as("tok"))
+        .distinct()
+    }
 
   /** Non-overlapping chunk width for q102 — small enough that the
     * synthetic corpus actually contains cross-document duplicates. */
@@ -422,15 +436,9 @@ object Curation {
         |JOIN nv na ON na.source = cm.source_a
         |JOIN nv nb ON nb.source = cm.source_b
         |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
-      val src = T(s, dir, "documents").select(col("doc_id"), col("source"))
       // referenced three times below (vocab sizes + both join sides) —
-      // one registry-persisted copy of the (source, shingle) vocabulary
-      val sv = graft.CacheRegistry.cached(s, s"source-vocab:$dir") {
-        TextDedup.docShingles(s, dir)
-          .join(src, "doc_id")
-          .select(col("source"), explode(col("sh")).as("tok"))
-          .distinct()
-      }
+      // the shared registry-persisted (source, shingle) vocabulary
+      val sv = sourceVocab(s, dir)
       val nv = sv.groupBy("source").agg(count(lit(1)).as("n"))
       val cm = sv.as("a")
         .join(sv.as("b"),
@@ -768,6 +776,126 @@ object Curation {
         .select(col("doc_id"), col("source"), col("n_words"),
           col("avg_llr"), col("score_bp"))
         .orderBy("doc_id")
+    },
+
+    // ── training-sequence packing plan: lay the corpus tokens on one
+    //    global line in doc_id order and cut it into fixed L=512-token
+    //    training sequences — each doc gets its global token offset and
+    //    the [seq_first, seq_last] span of sequences it feeds, the
+    //    manifest a packed-pretraining writer shards by seq_first. The
+    //    global offset is the two-phase prefix sum (doc_id ranges are
+    //    the buckets — monotone in the packing order — with per-bucket
+    //    token totals and a 32-row broadcast ladder), so there is NO
+    //    global sort and no executor ever holds more than one bucket:
+    //    two corpus scans at any corpus size. Integer end to end.
+    QueryDef(
+      "q166_seq_pack",
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok_cnt,
+        |        CAST(coalesce(sum(tok_cnt) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS start_off
+        |      FROM t)
+        |SELECT doc_id, tok_cnt, start_off,
+        |  CAST(start_off // 512 AS BIGINT) AS seq_first,
+        |  CAST((start_off + tok_cnt - 1) // 512 AS BIGINT) AS seq_last,
+        |  CAST((start_off + tok_cnt - 1) // 512 - start_off // 512 + 1
+        |    AS BIGINT) AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+      // doc_id div B is monotone in doc_id, so bucket order IS packing
+      // order; B derives from max(doc_id) inside the plan (a one-row
+      // broadcast), keeping ~32 buckets at any corpus size
+      val mx = docs.agg(max("doc_id").as("mx"))
+      val base = docs.crossJoin(broadcast(mx))
+        .withColumn("__bucket", expr("doc_id div ((mx div 32) + 1)"))
+        .withColumn("__w", col("tok_cnt"))
+      twoPhasePrefixSum(base, Seq(col("doc_id")), "__total", "__tot")
+        .select(col("doc_id"), col("tok_cnt"), col("cum0").as("start_off"),
+          expr("cum0 div 512").as("seq_first"),
+          expr("(cum0 + tok_cnt - 1) div 512").as("seq_last"))
+        .withColumn("n_seqs", col("seq_last") - col("seq_first") + lit(1))
+        .orderBy("doc_id")
+    },
+
+    // ── KMV-sketch source overlap: the O(k)-state scale twin of q145's
+    //    exact overlap matrix. Each source is reduced to its k=64
+    //    SMALLEST distinct shingle-md5 values (a bottom-k KMV sketch —
+    //    TopKLongs over the negated hashes, O(k) state per source,
+    //    map-side partials like any sketch aggregate), and each pair's
+    //    Jaccard is estimated as |A ∩ B ∩ U|/|U| with U the bottom-k of
+    //    the union — all on k-long arrays of a 20-row frame. At 100 TB
+    //    the corpus cost is ONE pass to vocab + ONE sketch aggregate;
+    //    the quadratic part touches only n_sources²·k longs. Estimate
+    //    kept in exact integer basis points (count div count) — no
+    //    float anywhere, so the hash compare is immune to ulp drift.
+    //    Zero-overlap pairs are reported (est 0), unlike q145 where
+    //    they drop at the inner shingle join.
+    QueryDef(
+      "q167_kmv_overlap",
+      """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS ws
+        |           FROM documents),
+        |sh AS (SELECT source,
+        |  unnest(list_distinct([array_to_string(ws[i:i+2],' ')
+        |                        for i in range(1, len(ws)-1)])) AS tok
+        |  FROM w WHERE len(ws) >= 3),
+        |sv AS (SELECT DISTINCT source, tok FROM sh),
+        |hh AS (SELECT DISTINCT source,
+        |         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM sv),
+        |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source
+        |         ORDER BY h) AS rn FROM hh),
+        |sk AS (SELECT source, h FROM rk WHERE rn <= 64),
+        |pr AS (SELECT a.source AS sa, b.source AS sb
+        |       FROM (SELECT DISTINCT source FROM sk) a,
+        |            (SELECT DISTINCT source FROM sk) b
+        |       WHERE a.source < b.source),
+        |pu AS (SELECT DISTINCT pr.sa, pr.sb, s.h
+        |       FROM pr JOIN sk s ON s.source = pr.sa OR s.source = pr.sb),
+        |un AS (SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb
+        |         ORDER BY h) AS rn FROM pu),
+        |uk AS (SELECT sa, sb, h FROM un WHERE rn <= 64),
+        |ic AS (SELECT uk.sa, uk.sb, count(*) AS n_inter
+        |       FROM uk JOIN sk x ON x.source = uk.sa AND x.h = uk.h
+        |               JOIN sk y ON y.source = uk.sb AND y.h = uk.h
+        |       GROUP BY uk.sa, uk.sb),
+        |ku AS (SELECT sa, sb, count(*) AS k_used FROM uk GROUP BY sa, sb)
+        |SELECT ku.sa AS source_a, ku.sb AS source_b,
+        |  CAST(ku.k_used AS BIGINT) AS k_used,
+        |  CAST(coalesce(ic.n_inter, 0) AS BIGINT) AS n_inter,
+        |  CAST(coalesce(ic.n_inter, 0) * 10000 // ku.k_used AS BIGINT)
+        |    AS est_jaccard_bp
+        |FROM ku LEFT JOIN ic ON ic.sa = ku.sa AND ic.sb = ku.sb
+        |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      // bottom-k via TopKLongs over negated hashes: the buffer keeps the
+      // k LARGEST of -h, i.e. the k smallest hashes; negate back and the
+      // comma-joined descending string becomes an ascending long array
+      val sk = sourceVocab(s, dir)
+        .select(col("source"),
+          HexWindowToLong.hexWindow(
+            md5(encode(col("tok"), "UTF-8")), 1).as("h"))
+        .distinct()
+        .groupBy("source")
+        .agg(graft.plans.TopKLongs.topk(-col("h"), 64).as("neg"))
+        .select(col("source"),
+          transform(split(col("neg"), ","), x => -x.cast("long")).as("sk"))
+      sk.as("a")
+        .join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"),
+          col("b.source").as("source_b"),
+          col("a.sk").as("sa"), col("b.sk").as("sb"))
+        .withColumn("u",
+          slice(array_sort(array_distinct(concat(col("sa"), col("sb")))),
+            1, 64))
+        .select(col("source_a"), col("source_b"),
+          size(col("u")).cast("long").as("k_used"),
+          size(array_intersect(array_intersect(col("sa"), col("sb")),
+            col("u"))).cast("long").as("n_inter"))
+        .withColumn("est_jaccard_bp", expr("n_inter * 10000 div k_used"))
+        .orderBy("source_a", "source_b")
     }
   )
 }

@@ -305,6 +305,50 @@ object StorageLayout {
           (col("pos") * 8 + col("shard")).as("global_pos"),
           col("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // ── exact equi-depth histogram: decile bins of o_totalprice by
+    //    exact global rank — the file-layout / partition-boundary
+    //    profile a range-bucketing writer needs (each bin ≈ N/10 rows;
+    //    bin edges are actual data values). The global rank is NOT a
+    //    global sort: prices in integer cents bucket by their bit
+    //    length PLUS the 4 bits after the leading 1 (a float-style
+    //    exponent+mantissa key — strictly monotone in the value, 16×
+    //    finer than raw octaves so no single bucket holds an octave's
+    //    whole mass), and the q155/q157 two-phase prefix sum with unit
+    //    weights turns per-bucket counts + a few-hundred-row broadcast
+    //    ladder into every row's exact rank; bin = rank·10 div N.
+    //    The bucket key is Spark-internal — the oracle needs only the
+    //    global (cents, key) order. Integer end to end (cents, ranks,
+    //    counts) — no float, no ulp exposure, two scans at any scale.
+    QueryDef(
+      "q168_equidepth_hist",
+      """WITH b AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT cents,
+        |        row_number() OVER (ORDER BY cents, o_orderkey) - 1 AS cum0,
+        |        count(*) OVER () AS n
+        |      FROM b)
+        |SELECT CAST(cum0 * 10 // n AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(cents) AS BIGINT) AS lo_cents,
+        |  CAST(max(cents) AS BIGINT) AS hi_cents
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .withColumn("__bucket", expr(
+          "CAST(length(bin(cents)) AS BIGINT) * 16" +
+            " + shiftright(cents, greatest(length(bin(cents)) - 5, 0)) % 16"))
+        .withColumn("__w", lit(1L))
+      Curation.twoPhasePrefixSum(base,
+          Seq(col("cents"), col("o_orderkey")), "__total", "__n")
+        .select(expr("cum0 * 10 div __n").as("bin"), col("cents"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"),
+          min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+        .orderBy("bin")
     }
   )
 }

@@ -583,4 +583,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("q160_shard_plan").contains("hashpartitioning(shard"),
       "window must partition by shard")
   }
+
+  test("q166: packing offsets ride the prefix sum — no global sort") {
+    val t = tree("q166_seq_pack")
+    // per-bucket totals + packing pass, each carrying the one-row
+    // max(doc_id) divisor branch (column-pruned; AQE reuses the
+    // broadcast at runtime): four static scans, the ladder/offsets
+    // frame broadcasts back, and the doc stream is never
+    // sort-merge-joined (a global-sort running_sum plan would be)
+    assert(t.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$t")
+    assert(!t.contains("SortMergeJoin"), t)
+    assert("Scan parquet".r.findAllIn(t).size == 4,
+      s"(totals + packing) x (docs + max divisor) — four scans:\n$t")
+  }
+
+  test("q167: KMV sketches are O(k)-state aggregates over the vocab cache") {
+    val t = tree("q167_kmv_overlap")
+    // TopKLongs -> ObjectHashAggregate; the corpus-sized work ends at
+    // the sketch aggregate — the pair stage only sees the 20-row
+    // sketch frame (its inequality self-join broadcasts)
+    assert(t.contains("ObjectHashAggregate"),
+      s"bottom-k must be the TopKLongs aggregate:\n$t")
+    assert(t.contains("InMemoryTableScan"),
+      s"hashes must come from the shared source-vocab cache:\n$t")
+    assert(!t.contains("SortMergeJoin"), t)
+    assert(!t.contains("Window"),
+      s"no rank window anywhere — the sketch IS the aggregate:\n$t")
+  }
+
+  test("q168: equi-depth ranks ride the prefix sum — two scans, no sort join") {
+    val t = tree("q168_equidepth_hist")
+    assert(t.contains("BroadcastHashJoin"),
+      s"octave offsets must broadcast:\n$t")
+    assert(!t.contains("SortMergeJoin"), t)
+    assert("Scan parquet".r.findAllIn(t).size == 2,
+      s"octave totals + binning pass — exactly two scans:\n$t")
+  }
 }

@@ -325,4 +325,71 @@ class CurationSpec extends SparkTestBase {
     assert(keptMean > poolMean,
       s"kept mean $keptMean must exceed pool mean $poolMean")
   }
+
+  test("q166 packing offsets match a sequential brute-force prefix sum") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    var off = 0L
+    val expected = docs.map { case (id, t) =>
+      val tc = t.split(" ", -1).length.toLong
+      val row = (id, tc, off, off / 512, (off + tc - 1) / 512,
+        (off + tc - 1) / 512 - off / 512 + 1)
+      off += tc
+      row
+    }.toSeq
+    val got = SparkEntry.queries("q166_seq_pack")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected,
+      "distributed two-phase offsets must equal the sequential walk")
+    // the spans tile the token line with no gap or overlap, and the
+    // final doc ends at the corpus token total
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 + a._2 == b._3, s"gap between ${a._1} and ${b._1}")
+    case _ => }
+    assert(got.last._3 + got.last._2 == off)
+  }
+
+  test("q167 KMV sketch overlap matches brute force; estimator is sane") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    def vocab(src: String): Set[String] = docs.iterator
+      .filter(_._1 == src)
+      .flatMap { case (_, t) =>
+        val w = t.split(" ")
+        if (w.length >= 3)
+          (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" "))
+        else Nil
+      }.toSet
+    def h(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val sources = docs.map(_._1).distinct.sorted.toSeq
+    val sk = sources.map(s2 =>
+      s2 -> vocab(s2).map(h).toVector.sorted.take(64)).toMap
+    val expected = (for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+    } yield {
+      val (sa, sb) = (sources(i), sources(j))
+      val u = (sk(sa) ++ sk(sb)).distinct.sorted.take(64)
+      val inter =
+        u.count(x => sk(sa).contains(x) && sk(sb).contains(x)).toLong
+      (sa, sb, u.size.toLong, inter, inter * 10000L / u.size)
+    }).toSeq
+    val got = SparkEntry.queries("q167_kmv_overlap")(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == expected,
+      "TopKLongs bottom-k sketches must reproduce the brute-force KMV")
+    // estimator quality on this (fixed, deterministic) corpus: the
+    // k=64 sketch estimate tracks the exact vocabulary Jaccard within
+    // the ~1/sqrt(k) band on average
+    val errs = got.map { case (sa, sb, _, _, bp) =>
+      val (va, vb) = (vocab(sa), vocab(sb))
+      val exact = va.intersect(vb).size.toDouble / va.union(vb).size
+      math.abs(bp / 10000.0 - exact)
+    }
+    assert(errs.sum / errs.length < 0.15,
+      s"mean |KMV - exact| = ${errs.sum / errs.length} is off the band")
+  }
 }

@@ -117,4 +117,31 @@ class StorageLayoutSpec extends SparkTestBase {
       assert(byPos == byHash, "within-shard order must be the md5 order")
     }
   }
+
+  test("q168 equi-depth bins match brute-force ranks and balance depth") {
+    val rows = graft.Tables(spark, sf, "orders")
+      .select($"o_orderkey", $"o_totalprice").as[(Long, Double)].collect()
+      .map { case (k, p) => (k, math.round(p * 100)) }
+      .sortBy { case (k, c) => (c, k) }
+    val n = rows.length
+    val expected = rows.zipWithIndex
+      .map { case ((_, c), i) => (i.toLong * 10 / n, c) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, g) =>
+        (b, g.length.toLong, g.map(_._2).min, g.map(_._2).max) }
+    val got = SparkEntry.queries("q168_equidepth_hist")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected,
+      "two-phase octave ranks must equal the sequential sort ranks")
+    // exactly 10 bins partitioning the table, each within one row of
+    // the ideal depth (the equi-depth guarantee rank-binning provides)
+    assert(got.map(_._1) == (0L to 9L) && got.map(_._2).sum == n)
+    got.foreach { case (b, cnt, _, _) =>
+      assert(math.abs(cnt - n / 10.0) <= 1.0, s"bin $b depth $cnt skewed")
+    }
+    // bins are value-contiguous: each bin's hi <= next bin's lo
+    got.sliding(2).foreach { case Seq(a, b2) =>
+      assert(a._4 <= b2._3, s"bins $a and $b2 overlap")
+    case _ => }
+  }
 }
