@@ -1,6 +1,56 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Which shared CacheRegistry frames to release after which query —
+    * key = query name, value = key PREFIXES (the part before ':') whose
+    * last consumer that query is. Bench runs queries in sorted name
+    * order, so releasing a frame right after its last consumer bounds
+    * the peak resident cache to the frames still ahead of their
+    * consumers instead of the union of everything built (the r9 driver
+    * bench collapsed 10–80× on the cache segment when ~14 frames stayed
+    * resident against a pressured storage pool for the whole run).
+    *
+    * HAND-PASTED from `tools.ReleasePlan` output; `BenchReleaseSpec`
+    * re-derives the plan from the real query definitions each build and
+    * fails on any drift, so this list cannot silently rot. */
+  val releaseAfter: Map[String, Seq[String]] = Map(
+    "q116_hybrid_rrf" -> Seq("bm25"),
+    "q117_lsh_recall" -> Seq("lsh-audit-sample50"),
+    "q126_countmin_audit" -> Seq("cms-hashed"),
+    "q144_lsh_recall_sampled" -> Seq("lsh-audit-sample12"),
+    "q146_winnow_pairs" -> Seq("winnow-fp"),
+    "q165_dsir_select" -> Seq("dsir-bg", "dsir-scored", "dsir-tgt", "unigram-tf"),
+    "q167_kmv_overlap" -> Seq("source-vocab"),
+    "q43_simhash_pairs" -> Seq("simhash"),
+    "q44_lsh_candidates" -> Seq("lsh-cand", "minhash-sig"),
+    "q89_dup_clusters" -> Seq("jaccard-pairs"),
+    "q93_lsh_near_dup" -> Seq("vectors"),
+    "q99_decontam_clean" -> Seq("shingles"),
+  )
+
+  /** Derive each cache key-prefix's LAST consumer by replaying plan
+    * construction of every query in Bench's sorted order with the
+    * registry's access hook armed. Plan construction is cheap (the one
+    * exception — the jaccard-pairs branch probe — runs a small stats
+    * job), so both the spec and the ReleasePlan tool can afford it;
+    * Bench itself does NOT call this (a pre-pass would move cache
+    * builds out of the timed sections and silently change the
+    * methodology BASELINE.md records). */
+  private[graft] def deriveReleasePlan(
+      spark: SparkSession, sfDir: String): Map[String, Seq[String]] = {
+    val last = scala.collection.mutable.LinkedHashMap[String, String]()
+    var current = ""
+    CacheRegistry.onAccess = k => last(k.takeWhile(_ != ':')) = current
+    try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      current = name
+      fn(spark, sfDir)
+    } finally CacheRegistry.onAccess = null
+    last.toSeq.groupBy(_._2).map { case (q, kvs) =>
+      q -> kvs.map(_._1).toSeq.sorted
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -67,7 +117,12 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // scoped release OUTSIDE the timed section: this query was the
+      // last consumer of these shared frames (spec-verified plan)
+      releaseAfter.getOrElse(name, Nil)
+        .foreach(p => CacheRegistry.releaseByPrefix(spark, p))
+      (name, dt, ok)
     }
     // The driver keeps only the LAST 2000 chars of output and sbt prints a
     // ~75-char [success] line after us, so the JSON line must stay under

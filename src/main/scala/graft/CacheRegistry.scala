@@ -47,7 +47,16 @@ object CacheRegistry {
     * loser's persist was a no-op on the shared entry, so dropping its
     * local reference leaks nothing. (In practice the driver is
     * single-threaded anyway.) */
+  /** Observation hook for tests and lifecycle audits: when non-null,
+    * every `cached` call (hit or build) reports its key. Bench's
+    * release-plan spec uses it to derive each key's true last consumer
+    * from the real query definitions instead of trusting a hand-written
+    * list. */
+  @volatile private[graft] var onAccess: String => Unit = null
+
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val cb = onAccess
+    if (cb != null) cb(key)
     val k = (s, key)
     val hit = entries.get(k)
     if (hit != null) hit
@@ -63,18 +72,45 @@ object CacheRegistry {
     }
   }
 
+  /** Unpersist and drop every live entry whose key starts with `prefix`
+    * — the scoped-release half of the lifecycle: a long single-session
+    * run (Bench) releases each shared frame right after its LAST
+    * consumer instead of holding every frame to session end, so the
+    * peak resident cache is the frames still ahead of their consumers,
+    * not the union of everything ever built. */
+  def releaseByPrefix(s: SparkSession, prefix: String): Unit = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq s) && e.getKey._2.startsWith(prefix)) {
+        safeUnpersist(s, e.getValue)
+        it.remove()
+      }
+    }
+  }
+
   /** Unpersist and drop every entry built under `s`. */
   def clear(s: SparkSession): Unit = {
     val it = entries.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq s) {
-        e.getValue.unpersist()
+        safeUnpersist(s, e.getValue)
         it.remove()
       }
     }
     hooked.remove(s)
   }
+
+  /** Unpersist that cannot crash teardown: the ApplicationEnd listener
+    * fires while the context is stopping, where `Dataset.unpersist`
+    * throws (observed in the r9 shutdown log) — skip it once the
+    * context is gone and swallow the inherently-racy remainder (the
+    * blocks die with the context anyway; dropping the map entry is the
+    * part that must still happen). */
+  private def safeUnpersist(s: SparkSession, df: DataFrame): Unit =
+    if (!s.sparkContext.isStopped)
+      try df.unpersist() catch { case _: Throwable => () }
 
   /** Number of live entries for `s` (test hook). */
   private[graft] def liveCount(s: SparkSession): Int = {

@@ -377,13 +377,12 @@ object Similarity {
     //    whose unrounded value lies within an ulp of a 0.5e-6 rounding
     //    boundary (reduction order could still flip those; none occur on
     //    this corpus — a raw float sum would leak ulps into EVERY next
-    //    assignment instead). Known oracle asymmetry: the operator
-    //    carries a cluster's previous centroid forward if it loses every
-    //    member (duplicate seed points), while this SQL's c1 simply has
-    //    no row for an empty cluster — safe here because every seed is
-    //    distinct and no cluster empties on this corpus; a regenerated
-    //    corpus that empties one would hash-red THIS query, not signal
-    //    an operator bug. Data never leaves executors: the
+    //    assignment instead). The operator carries a cluster's previous
+    //    centroid forward if it loses every member (duplicate seed
+    //    points); the oracle's cf CTE mirrors that carry-forward (c0
+    //    rows absent from c1), so a regenerated corpus that empties a
+    //    cluster stays hash-green — the degenerate-seed case is pinned
+    //    in ModelPrepSpec. Data never leaves executors: the
     //    model (K×D cells) is re-assembled with the q86 keyed-aggregate
     //    shape and broadcast back — the same dataflow MLlib's k-means
     //    uses, minus the driver round-trip. At 100 TB per iteration:
@@ -403,14 +402,18 @@ object Similarity {
         |c1 AS (SELECT cl, list(round(mx,6) ORDER BY i) AS c
         |       FROM (SELECT cl, i, avg(x) AS mx FROM d1 GROUP BY cl, i)
         |       GROUP BY cl),
+        |cf AS (SELECT cl, c FROM c1
+        |       UNION ALL
+        |       SELECT c0.cl, c0.c FROM c0
+        |       WHERE c0.cl NOT IN (SELECT cl FROM c1)),
         |a2 AS (SELECT vec_id, cl, dist FROM (
-        |  SELECT e.vec_id, c1.cl,
-        |    list_sum([(e.v[i]-c1.c[i])*(e.v[i]-c1.c[i])
+        |  SELECT e.vec_id, cf.cl,
+        |    list_sum([(e.v[i]-cf.c[i])*(e.v[i]-cf.c[i])
         |              for i in range(1, len(e.v)+1)]) AS dist,
         |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_sum([(e.v[i]-c1.c[i])*(e.v[i]-c1.c[i])
-        |                         for i in range(1, len(e.v)+1)]), c1.cl) AS rn
-        |  FROM e CROSS JOIN c1) WHERE rn = 1)
+        |      ORDER BY list_sum([(e.v[i]-cf.c[i])*(e.v[i]-cf.c[i])
+        |                         for i in range(1, len(e.v)+1)]), cf.cl) AS rn
+        |  FROM e CROSS JOIN cf) WHERE rn = 1)
         |SELECT cl AS cluster, CAST(count(*) AS INTEGER) AS n_points,
         |  CAST(min(vec_id) AS BIGINT) AS min_vec_id,
         |  round(avg(dist), 4) AS mean_sqdist

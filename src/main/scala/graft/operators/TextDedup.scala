@@ -249,6 +249,24 @@ object TextDedup {
       jaccardPairsPlan(docShingles(s, dir))
     }
 
+  /** Deterministic per-source quota sample of doc_ids (q95's md5-rank
+    * machinery — reruns and appends never swap picks): the shared audit
+    * budget knob behind q117 (quota 50) and q144 (quota 12). Cached per
+    * (session, dir, quota): each audit reads its sample ≥2 times (truth
+    * join + candidate restriction). */
+  private[operators] def quotaSample(
+      s: SparkSession, dir: String, quota: Int): DataFrame =
+    CacheRegistry.cached(s, s"lsh-audit-sample$quota:$dir") {
+      val w = Window.partitionBy("source")
+        .orderBy(md5(encode(col("doc_id").cast("string"), "UTF-8")),
+          col("doc_id"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= quota)
+        .select("doc_id")
+    }
+
   /** Connected components by min-label propagation: every vertex starts
     * as its own label; each round every vertex takes the minimum label
     * among itself and its neighbors; converged when nothing changes —
@@ -544,65 +562,98 @@ object TextDedup {
         .orderBy("doc_id")
     },
 
-    // ── LSH quality audit: recall/precision of the banded MinHash
-    //    candidate generator (q44's pairs) against exact Jaccard ≥ 0.5
-    //    ground truth (q42's pairs) — the acceptance test any production
-    //    dedup pipeline runs before trusting its sub-quadratic path.
-    //    One full-outer join of two narrow pair sets then a single global
-    //    count row; all outputs integers (counts + basis points, with
-    //    floor(a*10000.0/b) exact for int-valued quotients on both
-    //    engines since 10000·a is integer-exact in double).
+    // ── LSH quality audit, production form: exact PRECISION over the
+    //    FULL candidate set (every LSH candidate pair is verified with
+    //    one bounded array_intersect — O(|candidates|), never all-pairs)
+    //    plus RECALL estimated over a deterministic per-source quota
+    //    sample (quota 50 — q144's machinery with a 4× budget; reruns
+    //    and appends never swap picks). The r9 form computed truth over
+    //    the whole corpus — Σ C(df,2) pair rows by definition, the one
+    //    audit shape that cannot run recurrently at 100 TB (112 s in the
+    //    r9 driver bench; the #1 gate liability). This form is the audit
+    //    a production pipeline actually schedules: candidate-bounded
+    //    precision is exact at any scale, and the recall estimator's
+    //    budget is the quota knob. At sf0.001 the quota covers the whole
+    //    corpus, so the full-audit semantics are still pinned by spec.
+    //    Zero-guards as in q144: an empty truth/candidate set yields
+    //    NULL rates, not a division blow-up.
     QueryDef(
       "q117_lsh_recall",
       oracleSig +
         """,
+          |smp AS (SELECT doc_id FROM (SELECT doc_id,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents) WHERE rn <= 50),
+          |ssh AS (SELECT sh.doc_id, sh.s FROM sh JOIN smp USING (doc_id)),
           |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
           |  len(list_intersect(a.s, b.s)) AS c, len(a.s) AS na, len(b.s) AS nb
-          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+          |  FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id),
           |tr AS (SELECT doc_i, doc_j FROM p WHERE 3*c >= na + nb),
           |cd AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
           |  FROM m a JOIN m b ON a.doc_id < b.doc_id
           |  WHERE (a.mh0=b.mh0 AND a.mh1=b.mh1) OR (a.mh2=b.mh2 AND a.mh3=b.mh3)
           |     OR (a.mh4=b.mh4 AND a.mh5=b.mh5) OR (a.mh6=b.mh6 AND a.mh7=b.mh7)),
+          |cv AS (SELECT cd.doc_i, cd.doc_j,
+          |  len(list_intersect(sa.s, sb.s)) AS c, len(sa.s) AS na, len(sb.s) AS nb
+          |  FROM cd JOIN sh sa ON sa.doc_id = cd.doc_i
+          |          JOIN sh sb ON sb.doc_id = cd.doc_j),
+          |tp AS (SELECT count(*) AS n_true FROM cv WHERE 3*c >= na + nb),
           |hit AS (SELECT count(*) AS n_hit FROM tr JOIN cd USING (doc_i, doc_j))
           |SELECT CAST((SELECT count(*) FROM tr) AS INTEGER) AS n_truth,
           |  CAST((SELECT count(*) FROM cd) AS INTEGER) AS n_cand,
-          |  CAST(n_hit AS INTEGER) AS n_hit,
-          |  CAST(floor(n_hit * 10000.0 / (SELECT count(*) FROM tr)) AS BIGINT)
-          |    AS recall_bp,
-          |  CAST(floor(n_hit * 10000.0 / (SELECT count(*) FROM cd)) AS BIGINT)
-          |    AS precision_bp
-          |FROM hit""".stripMargin) { (s, dir) =>
-      val truth = jaccardPairs(s, dir)
+          |  CAST(hit.n_hit AS INTEGER) AS n_hit,
+          |  CASE WHEN (SELECT count(*) FROM tr) = 0 THEN NULL ELSE
+          |    CAST(floor(hit.n_hit * 10000.0 / (SELECT count(*) FROM tr))
+          |      AS BIGINT) END AS recall_bp,
+          |  CASE WHEN (SELECT count(*) FROM cd) = 0 THEN NULL ELSE
+          |    CAST(floor(tp.n_true * 10000.0 / (SELECT count(*) FROM cd))
+          |      AS BIGINT) END AS precision_bp
+          |FROM hit, tp""".stripMargin) { (s, dir) =>
+      val ids = quotaSample(s, dir, 50)
+      // exact truth over the SAMPLE only (the count-join shape of q42,
+      // budget-bounded by construction — worst case the sample's own
+      // all-pairs)
+      val truth = countJoinPairs(docShingles(s, dir).join(broadcast(ids), "doc_id"))
         .select(col("doc_i"), col("doc_j"), lit(1).as("in_t"))
+      // every candidate verified exactly against the cached shingle
+      // arrays: one join per endpoint + one array_intersect per pair
+      val a = docShingles(s, dir).select(col("doc_id").as("doc_i"), col("sh").as("sh_i"))
+      val b = docShingles(s, dir).select(col("doc_id").as("doc_j"), col("sh").as("sh_j"))
       val cand = lshCandidatePairs(s, dir)
-        .select(col("doc_i"), col("doc_j"), lit(1).as("in_c"))
+        .join(a, "doc_i").join(b, "doc_j")
+        .select(col("doc_i"), col("doc_j"), lit(1).as("in_c"),
+          (size(array_intersect(col("sh_i"), col("sh_j"))) * 3 >=
+            size(col("sh_i")) + size(col("sh_j"))).as("is_true"))
       truth.join(cand, Seq("doc_i", "doc_j"), "full")
         .agg(count(col("in_t")).as("n_truth"),
           count(col("in_c")).as("n_cand"),
-          count(when(col("in_t") === 1 && col("in_c") === 1, 1)).as("n_hit"))
+          count(when(col("in_t") === 1 && col("in_c") === 1, 1)).as("n_hit"),
+          count(when(col("is_true"), 1)).as("n_true"))
         .select(col("n_truth").cast("int").as("n_truth"),
           col("n_cand").cast("int").as("n_cand"),
           col("n_hit").cast("int").as("n_hit"),
-          floor(col("n_hit") * 10000.0 / col("n_truth")).as("recall_bp"),
-          floor(col("n_hit") * 10000.0 / col("n_cand")).as("precision_bp"))
+          when(col("n_truth") === 0, lit(null).cast("long"))
+            .otherwise(floor(col("n_hit") * 10000.0 / col("n_truth")))
+            .as("recall_bp"),
+          when(col("n_cand") === 0, lit(null).cast("long"))
+            .otherwise(floor(col("n_true") * 10000.0 / col("n_cand")))
+            .as("precision_bp"))
     },
 
-    // ── SAMPLED LSH quality audit: q117's exact-truth side is inherently
-    //    all-pairs (Σ C(df,2)) — fine as an acceptance test, unrunnable
-    //    as a recurring production audit at 100 TB. This variant bounds
-    //    the audit budget by construction: a deterministic per-source
-    //    quota sample (q95's md5-rank machinery — reruns and appends
-    //    never swap picks) caps the audited set at quota·n_sources docs,
-    //    so the exact-truth join costs O(sample²) REGARDLESS of corpus
-    //    size. The candidate side is the production LSH pair set itself
-    //    (the thing under audit), restricted to in-sample endpoints by
-    //    two broadcast semi joins. Estimator variance shrinks as the
-    //    quota grows — the quota IS the audit budget knob; the
-    //    convergence-to-full-audit property is pinned in TextDedupSpec.
-    //    Zero-guards: an unlucky sample with no truth/candidate pairs
-    //    yields NULL rates, not a division blow-up (identical CASE on
-    //    both engines).
+    // ── SAMPLED LSH quality audit, small-budget form: BOTH sides of the
+    //    audit restricted to a deterministic per-source quota sample
+    //    (quota 12 — a 4× smaller budget than q117's recall side), so
+    //    the exact-truth join costs O(sample²) REGARDLESS of corpus
+    //    size and even the precision estimate is sample-bounded (q117
+    //    instead verifies the FULL candidate set). The candidate side is
+    //    the production LSH pair set itself (the thing under audit),
+    //    restricted to in-sample endpoints by two broadcast semi joins.
+    //    Estimator variance shrinks as the quota grows — the quota IS
+    //    the audit budget knob; convergence toward the full audit is
+    //    pinned in SearchSpec. Zero-guards: an unlucky sample with no
+    //    truth/candidate pairs yields NULL rates, not a division
+    //    blow-up (identical CASE on both engines).
     QueryDef(
       "q144_lsh_recall_sampled",
       oracleSig +
@@ -634,18 +685,9 @@ object TextDedup {
           |    CAST(floor(n_hit * 10000.0 / (SELECT count(*) FROM scd)) AS BIGINT)
           |  END AS precision_bp
           |FROM hit""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("source")
-        .orderBy(md5(encode(col("doc_id").cast("string"), "UTF-8")),
-          col("doc_id"))
       // three consumers below (truth join + two semi-join restrictions)
       // — registry-persisted so the per-source rank window runs once
-      val ids = CacheRegistry.cached(s, s"lsh-audit-sample:$dir") {
-        T(s, dir, "documents")
-          .select(col("doc_id"), col("source"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 12)
-          .select("doc_id")
-      }
+      val ids = quotaSample(s, dir, 12)
       // exact truth over the SAMPLE only — the count-join shape of q42,
       // but its input is budget-bounded, so the df-amplification branch
       // is unnecessary: worst case is the sample's own all-pairs

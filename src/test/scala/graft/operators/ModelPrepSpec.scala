@@ -55,6 +55,31 @@ class ModelPrepSpec extends SparkTestBase {
     assert(one.find(_._1 == 1L).get._3 == 0.0)
   }
 
+  test("kmeans operator: duplicate seeds — emptied cluster carries its centroid") {
+    // seeds are ids 0 and 1, BOTH at the origin: round 1 ties every
+    // point to cluster 0, so cluster 1 empties and must carry its seed
+    // centroid (0,0) forward instead of shrinking the model below k.
+    // Round 2 then re-assigns the origin points to the carried cluster
+    // (its centroid is nearer than the dragged-away mean) — the carried
+    // centroid is a live competitor, not dead weight. Mirrors the
+    // oracle's cf carry-forward CTE (q135).
+    val pts: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(0.0, 0.0), 1L -> Seq(0.0, 0.0),
+      2L -> Seq(5.0, 5.0), 3L -> Seq(5.0, 6.0))
+    val got = Similarity.kmeans(pts.toDF("id", "v"), k = 2, iters = 2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // cl0 mean after round 1 = (2.5, 2.75); carried cl1 = (0, 0)
+    val want = Map(
+      0L -> (1L, 0.0), 1L -> (1L, 0.0),
+      2L -> (0L, 2.5 * 2.5 + 2.25 * 2.25),
+      3L -> (0L, 2.5 * 2.5 + 3.25 * 3.25))
+    assert(got.length == 4)
+    got.foreach { case (id, cl, dist) =>
+      assert(cl == want(id)._1, s"id $id cluster")
+      assert(math.abs(dist - want(id)._2) < 1e-12, s"id $id dist")
+    }
+  }
+
   test("q136 JL: sign matrix deterministic and balanced; projection exact") {
     val s1 = Similarity.jlSignMatrix(8, 64)
     val s2 = Similarity.jlSignMatrix(8, 64)
