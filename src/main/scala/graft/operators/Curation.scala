@@ -707,8 +707,9 @@ object Curation {
     //    scans + one band-keyed shuffle at any corpus size. Both LM
     //    frames are vocab-sized broadcasts (same open-vocab caveat as
     //    q164); avg_llr is rounded to 4dp before the integer bp
-    //    mapping, so the band key — and therefore the kept set — is
-    //    bit-identical cross-engine.
+    //    mapping, so the band key — and therefore the kept set — agrees
+    //    cross-engine up to log-sums within an ulp of a 0.5e-4 rounding
+    //    boundary (reduction order could flip those; none occur here).
     QueryDef(
       "q165_dsir_select",
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
