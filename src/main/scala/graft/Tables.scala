@@ -16,7 +16,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized per (session, dir, table) DataFrame — the catalog role a
+    * metastore plays: resolve a table ONCE per session (file listing +
+    * footer/schema read) and hand every query the same immutable
+    * relation. Without this each of a session's queries re-lists and
+    * re-reads footers for every table it touches (~tens of ms each —
+    * ~10 s across a 166-query bench run). Data is NOT cached here —
+    * scans still read parquet; only the resolved plan is reused, so
+    * predicate pushdown/pruning per query are unaffected. A table whose
+    * FILES change mid-session needs a new session (or this map cleared)
+    * — same contract as a metastore's cached file index before a
+    * REFRESH TABLE. */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val k = (spark, sfDir, name)
+    val hit = resolved.get(k)
+    if (hit != null) hit
+    else {
+      val df = resolve(spark, sfDir, name)
+      val prev = resolved.putIfAbsent(k, df)
+      if (prev == null) df else prev
+    }
+  }
+
+  private def resolve(
+      spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
       // ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos LongType via the
