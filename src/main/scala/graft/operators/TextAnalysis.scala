@@ -322,6 +322,48 @@ object TextAnalysis {
             / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
             .as("slope_octaves"))
         .orderBy("source")
+    },
+
+    // ── UDTF-style doc expansion: tokenize WITH CHARACTER OFFSETS —
+    //    one row per (doc, token) with its position and [char_start,
+    //    char_end) span in the original text. This is the alignment
+    //    primitive span-level pipelines need (PII span redaction,
+    //    annotation projection, span-label training data): downstream
+    //    spans refer to the ORIGINAL text by character, and without the
+    //    offset table every consumer re-derives them with its own
+    //    off-by-one rules. In Spark-first terms the generator expression
+    //    (posexplode) IS the UDTF: a narrow per-doc explode plus a
+    //    doc-keyed window for the running character sum — zero
+    //    cross-document shuffle except the contract ORDER BY, so the
+    //    shape is embarrassingly parallel at any corpus size (same
+    //    class as q97's per-doc CDC window). char_start is the exact
+    //    prefix length Σ(len+1) of the space-joined tokens before it —
+    //    integer arithmetic, engine-exact.
+    QueryDef(
+      "q169_tokenize_offsets",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |x AS (SELECT doc_id, CAST(generate_subscripts(ws,1) - 1 AS INTEGER)
+        |        AS pos, unnest(ws) AS tok FROM t),
+        |o AS (SELECT doc_id, pos, tok,
+        |  CAST(coalesce(sum(len(tok) + 1) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS char_start
+        |  FROM x)
+        |SELECT doc_id, pos, tok, char_start,
+        |  CAST(char_start + len(tok) AS BIGINT) AS char_end
+        |FROM o ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("char_start",
+          coalesce(sum(length(col("tok")).cast("long") + 1L).over(w), lit(0L)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"), col("tok"),
+          col("char_start"),
+          (col("char_start") + length(col("tok"))).cast("long").as("char_end"))
+        .orderBy("doc_id", "pos")
     }
   )
 }

@@ -66,4 +66,30 @@ class TextAnalysisSpec extends SparkTestBase {
     }
     assert(got.exists(_._3 < 0), "at least one source must strictly decay")
   }
+
+  test("q169 offsets: substring round-trip, contiguous spans, full coverage") {
+    val texts = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val rows = SparkEntry.queries("q169_tokenize_offsets")(spark, sf)
+      .as[(Long, Int, String, Long, Long)].collect()
+    assert(rows.length == texts.values.map(_.split(" ", -1).length).sum)
+    // THE property the operator exists for: every (char_start, char_end)
+    // span cut from the ORIGINAL text is exactly its token
+    rows.foreach { case (id, pos, tok, cs, ce) =>
+      assert(ce - cs == tok.length, s"doc $id pos $pos span width")
+      assert(texts(id).substring(cs.toInt, ce.toInt) == tok,
+        s"doc $id pos $pos span must cut the token from the original text")
+    }
+    // spans tile the document: consecutive tokens are separated by
+    // exactly the single joining space, and the last span ends at EOT
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val s = rs.sortBy(_._2)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._5 + 1, s"doc $id gap at ${b._2}")
+        case _ => ()
+      }
+      assert(s.head._4 == 0L)
+      assert(s.last._5 == texts(id).length.toLong, s"doc $id EOT")
+    }
+  }
 }
