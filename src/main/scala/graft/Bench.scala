@@ -18,6 +18,7 @@ object Bench {
     "q116_hybrid_rrf" -> Seq("bm25"),
     "q117_lsh_recall" -> Seq("lsh-audit-sample50"),
     "q126_countmin_audit" -> Seq("cms-hashed"),
+    "q134_session_cooccurrence" -> Seq("sess-cooc"),
     "q144_lsh_recall_sampled" -> Seq("lsh-audit-sample12"),
     "q146_winnow_pairs" -> Seq("winnow-fp"),
     "q165_dsir_select" -> Seq("dsir-bg", "dsir-scored", "dsir-tgt", "unigram-tf"),

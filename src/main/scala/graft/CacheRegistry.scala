@@ -79,17 +79,26 @@ object CacheRegistry {
     * peak resident cache is the frames still ahead of their consumers,
     * not the union of everything ever built. */
   def releaseByPrefix(s: SparkSession, prefix: String): Unit = {
+    // match up to the ':' boundary (keys are "<prefix>:<qualifier>"),
+    // NOT raw startsWith: a future key extending an existing prefix
+    // ("sess-cooc-agg:…" vs "sess-cooc:…") must not be swept up by the
+    // shorter prefix's release — the derive/declare spec compares
+    // before-':' prefixes, so a raw startsWith here could release a
+    // frame the plan never scheduled without any spec failing.
+    val p = if (prefix.endsWith(":")) prefix else prefix + ":"
     val it = entries.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if ((e.getKey._1 eq s) && e.getKey._2.startsWith(prefix)) {
+      if ((e.getKey._1 eq s) && e.getKey._2.startsWith(p)) {
         safeUnpersist(s, e.getValue)
         it.remove()
       }
     }
   }
 
-  /** Unpersist and drop every entry built under `s`. */
+  /** Unpersist and drop every entry built under `s`; also drops the
+    * session's memoized table resolutions (one teardown entry point —
+    * both registries would otherwise pin the dead session). */
   def clear(s: SparkSession): Unit = {
     val it = entries.entrySet().iterator()
     while (it.hasNext) {
@@ -100,6 +109,7 @@ object CacheRegistry {
       }
     }
     hooked.remove(s)
+    Tables.invalidate(s)
   }
 
   /** Unpersist that cannot crash teardown: the ApplicationEnd listener

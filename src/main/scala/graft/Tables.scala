@@ -31,6 +31,17 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, String), DataFrame]()
 
+  /** Drop every resolved relation of `spark` — REFRESH-TABLE semantics
+    * and the teardown hook a long-lived JVM needs (each cached
+    * DataFrame pins its session, so without this a JVM hosting many
+    * short-lived sessions retains dead sessions forever).
+    * `CacheRegistry.clear(session)` calls it, so the one documented
+    * session-teardown entry point covers both registries. */
+  def invalidate(spark: SparkSession): Unit = {
+    val it = resolved.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val k = (spark, sfDir, name)
     val hit = resolved.get(k)

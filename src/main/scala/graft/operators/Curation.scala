@@ -764,11 +764,12 @@ object Curation {
       }
       val tt = tgt.agg(sum("ct").as("t"))
       val ta = bg.agg(sum("ca").as("a"))
-      // vocab size from the two cached vocab frames, NOT another full
-      // token scan: every word of the corpus is in a src0 doc or a
-      // non-src0 doc, so tgt.w UNION bg.w IS the corpus vocabulary
-      val vv = tgt.select("w").union(bg.select("w")).distinct()
-        .agg(count(lit(1)).as("vsz"))
+      // vocab size over the FULL cached tf frame, exactly as the
+      // oracle's count(DISTINCT w) over all tokens — NOT tgt ∪ bg,
+      // which would silently drop words unique to NULL-source docs
+      // (both source filters exclude NULL) and shift every smoothing
+      // term on a corpus that has them
+      val vv = tf.agg(countDistinct("w").as("vsz"))
       val sc = pool
         .join(broadcast(tgt), Seq("w"), "left")
         .join(broadcast(bg), "w")

@@ -343,14 +343,20 @@ object TimeSeriesJoins {
         |ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("t", "event_id")
       val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sess = T(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_timestamp(col("ts")).as("t"))
-        .withColumn("brk",
-          when(col("t") - lag("t", 1).over(w) > 1800, 1).otherwise(0))
-        .withColumn("sid", sum("brk").over(cum))
-        .select("user_id", "sid", "event_type")
-        .distinct()
+      // the sessionized (user, sid, type) frame feeds THREE consumers
+      // (per-type totals + both sides of the co-occurrence self-join);
+      // registry-persisted so the event-window sessionization runs once
+      // per session instead of once per reference
+      val sess = graft.CacheRegistry.cached(s, s"sess-cooc:$dir") {
+        T(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("t"))
+          .withColumn("brk",
+            when(col("t") - lag("t", 1).over(w) > 1800, 1).otherwise(0))
+          .withColumn("sid", sum("brk").over(cum))
+          .select("user_id", "sid", "event_type")
+          .distinct()
+      }
       val n = sess.groupBy("event_type").agg(count(lit(1)).as("n_sess"))
       val a = sess.select(col("user_id"), col("sid"),
         col("event_type").as("type_a"))

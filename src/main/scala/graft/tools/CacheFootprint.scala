@@ -26,17 +26,23 @@ object CacheFootprint {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var peakMem = 0L; var peakDisk = 0L; var peakAt = ""
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => println(s"[footprint] $name FAILED: $e") }
-      if (release) Bench.releaseAfter.getOrElse(name, Nil)
-        .foreach(p => CacheRegistry.releaseByPrefix(spark, p))
+    def sample(name: String): Unit = {
       val infos = spark.sparkContext.getRDDStorageInfo
       val mem = infos.map(_.memSize).sum
       val disk = infos.map(_.diskSize).sum
       if (mem + disk > peakMem + peakDisk) {
         peakMem = mem; peakDisk = disk; peakAt = name
       }
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => println(s"[footprint] $name FAILED: $e") }
+      // sample BEFORE the release: frames built and released within the
+      // same query must count toward the peak, or the with-release
+      // number silently excludes exactly the frames the plan touches
+      sample(name)
+      if (release) Bench.releaseAfter.getOrElse(name, Nil)
+        .foreach(p => CacheRegistry.releaseByPrefix(spark, p))
     }
     def mib(b: Long): String = f"${b / 1024.0 / 1024.0}%.1f MiB"
     println(s"[footprint] release=$release sf=$sfDir")

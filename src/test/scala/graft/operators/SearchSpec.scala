@@ -48,6 +48,18 @@ class SearchSpec extends SparkTestBase {
   }
 
   test("q117 recall audit: counts are consistent and recall/precision valid") {
+    // q117's recall side samples quota-50 per source; this fixture has
+    // ≤50 docs/source, so the sample IS the corpus and the audit's full
+    // semantics are pinned here (sampled truth = full truth, and every
+    // hit is a verified-true candidate: n_hit == n_true). Guard that
+    // assumption explicitly so a fixture/quota change fails loudly
+    // instead of silently weakening the identities below.
+    val maxPerSource = Tables(spark, sf, "documents")
+      .groupBy("source").count().agg(max("count")).as[Long].head()
+    assert(maxPerSource <= 50,
+      s"fixture has a source with $maxPerSource > 50 docs — the quota-50 " +
+        "sample no longer covers the corpus and this test's identities " +
+        "(recall over full truth, n_hit == n_true) stop holding")
     val (nT, nC, nH, rBp, pBp) = SparkEntry.queries("q117_lsh_recall")(spark, sf)
       .as[(Int, Int, Int, Long, Long)].head()
     assert(nH <= nT && nH <= nC, "hits bound by both sets")
