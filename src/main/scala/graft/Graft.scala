@@ -15,6 +15,7 @@ import org.apache.spark.sql.{Column, DataFrame}
   * val joined   = Graft.asofJoin(trades, quotes, "sym", "t", "qt")
   * val sample   = Graft.ppsSample(docs, "doc_id", "n_chars", 500)
   * val plan     = Graft.compactionPlan(manifest, "part", "path", "bytes", 128L << 20)
+  * val spans    = Graft.tokenizeWithOffsets(docs, "doc_id", "text")
   * val smoothed = Graft.ewmaSmooth(eventStream)                 // streaming
   * }}}
   *
@@ -126,6 +127,16 @@ object Graft {
       sizeCol: String, target: Long): DataFrame =
     operators.StorageLayout.compactionPlan(
       files, partCol, orderCol, sizeCol, target)
+
+  /** UDTF-style doc expansion: one row per (id, token) with its
+    * position and exact [char_start, char_end) character span in the
+    * original text — the span-alignment primitive for PII redaction and
+    * annotation projection. Narrow posexplode + one id-keyed window; no
+    * cross-document shuffle. Backs q169_tokenize_offsets. See
+    * [[operators.TextAnalysis.tokenizeWithOffsets]]. */
+  def tokenizeWithOffsets(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.TextAnalysis.tokenizeWithOffsets(docs, idCol, textCol)
 
   /** Codegen'd vector math over ARRAY<DOUBLE> columns: dot, norm,
     * cosine (fused native expression), LSH bucketing. See

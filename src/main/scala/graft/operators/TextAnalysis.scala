@@ -25,6 +25,28 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "in", "to")
 
+  /** UDTF-style doc expansion: one row per (`idCol`, token) with its
+    * position and exact [char_start, char_end) character span in the
+    * original `textCol` (single-space tokenization — char_start is the
+    * exact prefix length Σ(len+1) of the tokens before it). The
+    * span-alignment primitive for PII span redaction and annotation
+    * projection; backs q169_tokenize_offsets. Narrow posexplode + one
+    * id-keyed window — zero cross-document shuffle. */
+  def tokenizeWithOffsets(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("char_start",
+        coalesce(sum(length(col("tok")).cast("long") + 1L).over(w), lit(0L)))
+      .select(col(idCol), col("pos").cast("int").as("pos"), col("tok"),
+        col("char_start"),
+        (col("char_start") + length(col("tok"))).cast("long").as("char_end"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── language-ID heuristic: stopword-density vote. (The synthetic
@@ -352,17 +374,7 @@ object TextAnalysis {
         |SELECT doc_id, pos, tok, char_start,
         |  CAST(char_start + len(tok) AS BIGINT) AS char_end
         |FROM o ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      T(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .withColumn("char_start",
-          coalesce(sum(length(col("tok")).cast("long") + 1L).over(w), lit(0L)))
-        .select(col("doc_id"), col("pos").cast("int").as("pos"), col("tok"),
-          col("char_start"),
-          (col("char_start") + length(col("tok"))).cast("long").as("char_end"))
+      tokenizeWithOffsets(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id", "pos")
     }
   )

@@ -73,4 +73,13 @@ class GraftFacadeSpec extends SparkTestBase {
       .as[(Double, Double, Double)].head()
     assert(d == 25.0 && n == 5.0 && math.abs(c - 1.0) < 1e-12)
   }
+
+  test("tokenizeWithOffsets cuts every token from the original text") {
+    val docs = Seq(7L -> "ab c dd", 8L -> "x").toDF("id", "txt")
+    val out = Graft.tokenizeWithOffsets(docs, "id", "txt")
+      .as[(Long, Int, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (7L, 0, "ab", 0L, 2L), (7L, 1, "c", 3L, 4L), (7L, 2, "dd", 5L, 7L),
+      (8L, 0, "x", 0L, 1L)))
+  }
 }
