@@ -16,12 +16,13 @@ object Bench {
     * fails on any drift, so this list cannot silently rot. */
   val releaseAfter: Map[String, Seq[String]] = Map(
     "q116_hybrid_rrf" -> Seq("bm25"),
-    "q117_lsh_recall" -> Seq("lsh-audit-sample50"),
     "q126_countmin_audit" -> Seq("cms-hashed"),
+    "q130_cosine_rerank" -> Seq("tf-norm"),
     "q134_session_cooccurrence" -> Seq("sess-cooc"),
-    "q144_lsh_recall_sampled" -> Seq("lsh-audit-sample12"),
+    "q138_bigram_logprob" -> Seq("bigram-doc"),
+    "q144_lsh_recall_sampled" -> Seq("lsh-audit-sample"),
     "q146_winnow_pairs" -> Seq("winnow-fp"),
-    "q165_dsir_select" -> Seq("dsir-bg", "dsir-scored", "dsir-tgt", "unigram-tf"),
+    "q165_dsir_select" -> Seq("dsir-lm", "dsir-scored", "unigram-tf"),
     "q167_kmv_overlap" -> Seq("source-vocab"),
     "q43_simhash_pairs" -> Seq("simhash"),
     "q44_lsh_candidates" -> Seq("lsh-cand", "minhash-sig"),
@@ -32,21 +33,41 @@ object Bench {
 
   /** Derive each cache key-prefix's LAST consumer by replaying plan
     * construction of every query in Bench's sorted order with the
-    * registry's access hook armed. Plan construction is cheap (the one
-    * exception — the jaccard-pairs branch probe — runs a small stats
-    * job), so both the spec and the ReleasePlan tool can afford it;
-    * Bench itself does NOT call this (a pre-pass would move cache
-    * builds out of the timed sections and silently change the
-    * methodology BASELINE.md records). */
+    * registry's access hook armed. Plan construction launches no Spark
+    * jobs outside the five eager-by-design constructors pinned in
+    * PlanConstructionSpec (connector write, ANALYZE, the three
+    * iterative materializers): the one data-adaptive constructor — the
+    * jaccard-pairs branch probe — is pinned to its `count` branch here
+    * via [[graft.operators.TextDedup.BranchConf]], which is
+    * lifecycle-safe because both branches consume the same cached
+    * inputs (also spec-pinned). Bench itself does NOT call this
+    * (a pre-pass would move cache builds out of the timed sections and
+    * silently change the methodology BASELINE.md records).
+    *
+    * Scale-invariance assumption: the derivation replays at whatever
+    * `sfDir` the caller passes (the spec uses sf0.001) while Bench runs
+    * at sf0.1 — valid because no query's set of `cached` KEYS depends
+    * on the data (the only data-dependent plan branch is the jaccard
+    * probe, whose branches share their cache keys). A future query
+    * whose cache accesses vary with scale would break this silently;
+    * keep data-dependent branching behind key-invariant gates. */
   private[graft] def deriveReleasePlan(
       spark: SparkSession, sfDir: String): Map[String, Seq[String]] = {
     val last = scala.collection.mutable.LinkedHashMap[String, String]()
     var current = ""
-    CacheRegistry.onAccess = k => last(k.takeWhile(_ != ':')) = current
-    try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      current = name
-      fn(spark, sfDir)
-    } finally CacheRegistry.onAccess = null
+    val bc = graft.operators.TextDedup.BranchConf
+    val prevBranch = spark.conf.getOption(bc)
+    spark.conf.set(bc, "count")
+    try CacheRegistry.withAccessHook(
+      (k: String) => last(k.takeWhile(_ != ':')) = current) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        current = name
+        fn(spark, sfDir)
+      }
+    } finally prevBranch match {
+      case Some(v) => spark.conf.set(bc, v)
+      case None => spark.conf.unset(bc)
+    }
     last.toSeq.groupBy(_._2).map { case (q, kvs) =>
       q -> kvs.map(_._1).toSeq.sorted
     }

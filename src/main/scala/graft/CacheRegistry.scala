@@ -51,8 +51,25 @@ object CacheRegistry {
     * every `cached` call (hit or build) reports its key. Bench's
     * release-plan spec uses it to derive each key's true last consumer
     * from the real query definitions instead of trusting a hand-written
-    * list. */
+    * list. Process-global by construction — arm it ONLY through
+    * [[withAccessHook]], which fails fast on nesting/concurrency so two
+    * derivations (or a parallel test suite) can never silently
+    * attribute each other's accesses. */
   @volatile private[graft] var onAccess: String => Unit = null
+
+  /** Run `body` with the access hook armed, failing fast if some other
+    * derivation already holds it (the hook is process-global: silent
+    * sharing would attribute the other caller's `cached` accesses to
+    * this one's collector). Always disarms, even on throw. */
+  private[graft] def withAccessHook[T](hook: String => Unit)(body: => T): T = {
+    synchronized {
+      require(onAccess == null,
+        "CacheRegistry.onAccess is already armed: access-hook derivations " +
+          "must not nest or run concurrently")
+      onAccess = hook
+    }
+    try body finally { onAccess = null }
+  }
 
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val cb = onAccess

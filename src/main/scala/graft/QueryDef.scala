@@ -16,6 +16,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Queries without a SQL-expressible oracle (streaming, approximate
   * sketches) set `oracle = None`; the driver then records a weaker
   * rows-only check.
+  *
+  * STANDING RULE — constructors define plans, they do not execute:
+  * `fn(spark, dir)` must launch ZERO Spark jobs (no `.head()`,
+  * `.count()`, `.collect()`, eager writes). `Bench.deriveReleasePlan`,
+  * the release-plan spec, and plan audits all replay construction and
+  * rely on it being free; a constructor-time job also blurs Bench's
+  * timed/untimed boundary. Data-dependent plan choices go behind a
+  * conf gate whose branches consume identical cache keys (the
+  * jaccard-pairs probe, `TextDedup.BranchConf`, is the pattern).
+  * `PlanConstructionSpec` enforces this, with the eager-by-design
+  * exceptions (q109 connector write, q110 ANALYZE, and the three
+  * iterative materializers q89/q121/q135) pinned exactly there.
   */
 final case class QueryDef(
     name: String,

@@ -1,0 +1,120 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+/** Pins the rule QueryDef documents: query CONSTRUCTORS are plan
+  * definitions, not executions — building a plan launches no Spark
+  * jobs, so `Bench.deriveReleasePlan`, the release spec, and any plan
+  * audit can replay construction for free and Bench's timed/untimed
+  * boundary stays sharp.
+  *
+  * The declared exceptions, each eager BY DESIGN (not by accident), are
+  * pinned exactly so a new offender cannot hide behind them:
+  *  - q109_jdbc_roundtrip: the query IS the connector roundtrip — the
+  *    Derby write plus the stride-bounds row must happen before the
+  *    partitioned read-back plan exists;
+  *  - q110_column_stats: ANALYZE TABLE runs its stats scans so the
+  *    catalog read-back has something to read;
+  *  - q89_dup_clusters: connected components converges by driver-read
+  *    changed-counts — the loop runs to build the final plan;
+  *  - q121_pagerank_neardup / q135_kmeans: iterative plans that
+  *    localCheckpoint their loop-invariant structure (eager by Spark's
+  *    API) so unrolled iterations don't replay it.
+  * Table RESOLUTION (parquet footer/schema read on a table's first
+  * touch) also runs small jobs; it is the memoized metastore role, not
+  * a query cost, and the spec pre-resolves every table so those jobs
+  * never charge to a constructor.
+  *
+  * The jaccard-pairs adaptive branch probe — the one data-dependent
+  * constructor — is gated behind TextDedup.BranchConf; this spec pins
+  * both that the pinned branches construct job-free AND that the two
+  * branches consume identical cache keys, which is what makes
+  * deriveReleasePlan's branch pinning (and its sf0.001-vs-sf0.1
+  * scale-invariance assumption) sound.
+  */
+class PlanConstructionSpec extends SparkTestBase {
+
+  private val eagerByDesign = Set(
+    "q109_jdbc_roundtrip", "q110_column_stats",
+    "q89_dup_clusters", "q121_pagerank_neardup", "q135_kmeans")
+
+  private val TagProp = "graft.construct.query"
+
+  test("constructing every plan launches zero jobs outside the declared eager set") {
+    CacheRegistry.clear(spark)
+    val sc = spark.sparkContext
+    val dir = "/root/testdata/sf0.001"
+    // metastore warm-up: resolve every table first, so first-touch
+    // schema-read jobs don't charge to whichever query reads it first
+    Tables.names.foreach(Tables(spark, dir, _))
+    val jobsByQuery = new ConcurrentHashMap[String, Integer]()
+    val listener = new SparkListener {
+      // attribution via the submit-time local property, NOT a shared
+      // var read at (async) delivery time — delivery can lag a query
+      override def onJobStart(s: SparkListenerJobStart): Unit = {
+        val q = Option(s.properties.getProperty(TagProp)).getOrElse("untagged")
+        jobsByQuery.merge(q, 1, (a, b) => a + b)
+      }
+    }
+    sc.addSparkListener(listener)
+    val bc = graft.operators.TextDedup.BranchConf
+    spark.conf.set(bc, "count")
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        sc.setLocalProperty(TagProp, name)
+        fn(spark, dir)
+      }
+      sc.setLocalProperty(TagProp, null)
+      // jobs start synchronously inside the constructors; listener
+      // delivery is async — poll until the count quiesces
+      var prev = -1
+      var same = 0
+      while (same < 3) {
+        val now = jobsByQuery.values().stream().mapToInt(_.intValue).sum
+        if (now == prev) same += 1 else { same = 0; prev = now }
+        Thread.sleep(200)
+      }
+    } finally {
+      spark.conf.unset(bc)
+      sc.setLocalProperty(TagProp, null)
+      sc.removeSparkListener(listener)
+    }
+    val offenders = jobsByQuery.keySet().toArray.map(_.toString).toSet
+    assert(offenders == eagerByDesign,
+      s"constructor-time Spark jobs drifted — job-free construction is a " +
+        s"standing rule (QueryDef scaladoc): unexpected=" +
+        s"${(offenders -- eagerByDesign).toSeq.sorted.mkString(",")} " +
+        s"missing=${(eagerByDesign -- offenders).toSeq.sorted.mkString(",")}")
+    CacheRegistry.clear(spark)
+  }
+
+  test("jaccard branch gate: both branches consume identical cache keys") {
+    val bc = graft.operators.TextDedup.BranchConf
+    def keysUnder(branch: String): Set[String] = {
+      CacheRegistry.clear(spark)
+      val seen = scala.collection.mutable.LinkedHashSet[String]()
+      spark.conf.set(bc, branch)
+      try CacheRegistry.withAccessHook(
+        (k: String) => seen += k.takeWhile(_ != ':')) {
+        SparkEntry.queries("q42_jaccard_pairs")(spark, "/root/testdata/sf0.001")
+      } finally spark.conf.unset(bc)
+      seen.toSet
+    }
+    val ck = keysUnder("count")
+    val pk = keysUnder("prefix")
+    assert(ck == pk,
+      s"branch cache keys diverge (count=$ck prefix=$pk) — " +
+        "deriveReleasePlan's branch pinning would derive a wrong lifecycle")
+    CacheRegistry.clear(spark)
+  }
+
+  test("withAccessHook fails fast when already armed") {
+    CacheRegistry.withAccessHook((_: String) => ()) {
+      intercept[IllegalArgumentException] {
+        CacheRegistry.withAccessHook((_: String) => ())(())
+      }
+    }
+  }
+}
