@@ -22,8 +22,10 @@ object Bench {
     "q138_bigram_logprob" -> Seq("bigram-doc"),
     "q144_lsh_recall_sampled" -> Seq("lsh-audit-sample"),
     "q146_winnow_pairs" -> Seq("winnow-fp"),
-    "q165_dsir_select" -> Seq("dsir-lm", "dsir-scored", "unigram-tf"),
+    "q165_dsir_select" -> Seq("dsir-lm", "dsir-scored"),
     "q167_kmv_overlap" -> Seq("source-vocab"),
+    "q171_phash_pairs" -> Seq("phash"),
+    "q172_kl_drift" -> Seq("unigram-tf"),
     "q43_simhash_pairs" -> Seq("simhash"),
     "q44_lsh_candidates" -> Seq("lsh-cand", "minhash-sig"),
     "q89_dup_clusters" -> Seq("jaccard-pairs"),

@@ -815,6 +815,63 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // ── per-source quality-DRIFT timeline: q105's source-vs-corpus KL
+    //    with a time axis — the corpus split into 5 equal ingest batches
+    //    (doc_id order = arrival order; batch = doc_id·5 div N, an
+    //    integer band that needs no sort) and each (source, batch)
+    //    token distribution scored against the WHOLE corpus
+    //    distribution. This is the monitoring view a curation pipeline
+    //    schedules: a source whose KL trends up across batches is
+    //    drifting away from the corpus it was admitted into (crawl rot,
+    //    template takeover, language shift). Scale shape: rides the
+    //    shared unigram-tf cache; one (source, batch, w)-keyed shuffle
+    //    for the cell counts; the per-cell totals and the vocab-sized
+    //    global model broadcast back (open-vocab caveat as q103/q105).
+    //    Float discipline: identical association + round 4 dp, as q105.
+    QueryDef(
+      "q172_kl_drift",
+      """WITH nn AS (SELECT count(*) AS nd FROM documents),
+        |lab AS (SELECT doc_id, source,
+        |          CAST((doc_id * 5) // nd AS INTEGER) AS batch
+        |        FROM documents, nn),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM
+        |       (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |        FROM documents) GROUP BY doc_id, w),
+        |c AS (SELECT l.source, l.batch, t.w, sum(t.tf) AS c
+        |      FROM tf t JOIN lab l USING (doc_id) GROUP BY 1, 2, 3),
+        |st AS (SELECT source, batch, sum(c) AS ns FROM c GROUP BY 1, 2),
+        |gc AS (SELECT w, sum(c) AS g FROM c GROUP BY w),
+        |gt AS (SELECT sum(g) AS n FROM gc)
+        |SELECT c.source, c.batch, CAST(st.ns AS BIGINT) AS n_tokens,
+        |  round(sum((c.c * 1.0 / st.ns)
+        |    * ln((c.c * 1.0 / st.ns) / (gc.g * 1.0 / gt.n))), 4) AS kl
+        |FROM c JOIN st USING (source, batch) JOIN gc USING (w) CROSS JOIN gt
+        |GROUP BY c.source, c.batch, st.ns
+        |ORDER BY c.source, c.batch""".stripMargin) { (s, dir) =>
+      val tf = Search.unigramTf(s, dir)
+      val nn = T(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      val lab = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .crossJoin(broadcast(nn))
+        .select(col("doc_id"), col("source"),
+          floor(col("doc_id") * 5 / col("nd")).cast("int").as("batch"))
+      val c = tf.join(lab, "doc_id")
+        .groupBy("source", "batch", "w").agg(sum("tf").as("c"))
+      val st = c.groupBy("source", "batch").agg(sum("c").as("ns"))
+      val gc = c.groupBy("w").agg(sum("c").as("g"))
+      val gt = gc.agg(sum("g").as("n"))
+      val ps = col("c") * lit(1.0) / col("ns")
+      val pg = col("g") * lit(1.0) / col("n")
+      c.join(broadcast(st), Seq("source", "batch"))
+        .join(broadcast(gc), Seq("w"))
+        .crossJoin(broadcast(gt))
+        .groupBy(col("source"), col("batch"), col("ns"))
+        .agg(round(sum(ps * log(ps / pg)), 4).as("kl"))
+        .select(col("source"), col("batch"),
+          col("ns").cast("long").as("n_tokens"), col("kl"))
+        .orderBy("source", "batch")
+    },
+
     // ── training-sequence packing plan: lay the corpus tokens on one
     //    global line in doc_id order and cut it into fixed L=512-token
     //    training sequences — each doc gets its global token offset and

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.{CacheRegistry, QueryDef, Tables}
 
 /** Multimodal-column operators (SURVEY.md §2C): opaque binary payloads
   * with typed metadata, decode / feature-extract / frame-sample plumbing.
@@ -160,6 +160,104 @@ object Multimodal {
             .as("histogram"),
           col("resized_bytes"), col("resized_md5"))
         .orderBy("doc_id")
+    },
+
+    // ── perceptual-hash near-dup over the BINARY payload: the
+    //    multimodal twin of q43's simhash (global bit-sketch) and q53's
+    //    text fingerprint — the dedup modality an image/audio corpus
+    //    needs. Classic blockhash construction on the payload's byte
+    //    signal: 64 contiguous blocks, bit b = "block-b mean ≥ global
+    //    mean", compared as s_b·n ≥ total·len_b so the whole sketch is
+    //    INTEGER-exact (no float mean, no rounding divergence). The
+    //    64-bit hash is carried as eight 8-bit band values — the bands
+    //    double as the LSH bucketing for the pair join (equality on any
+    //    band, the q43/q44 shape: keyed shuffle, per-key cost C(df,2),
+    //    never all-pairs). 8×8 banding is the recall knob: near-dup
+    //    payloads here land at hamming 9–12 (too far for 4×16 bands to
+    //    catch — measured 0 recall at sf0.01), while 8-bit bands give
+    //    full recall of every hamming ≤ 12 pair at sf0.01 and a ~5%
+    //    candidate rate at sf0.1. Pairs report hamming ≤ 12 of 64.
+    //    A real image pipeline swaps the byte signal for decoded luma
+    //    (the q58 stub boundary); every plan shape here — narrow
+    //    per-doc sketch, banded candidate join, exact verify on the
+    //    carried hash — is the one it keeps. ASCII corpus ⇒ byte ops =
+    //    char ops, the same text↔payload equivalence q57/q58 pin.
+    QueryDef(
+      "q171_phash_pairs",
+      """WITH b AS (SELECT doc_id,
+        |    [ascii(substr(text, i, 1)) for i in range(1, length(text)+1)] AS bs
+        |  FROM documents WHERE length(text) >= 64),
+        |t AS (SELECT doc_id, bs, len(bs) AS n,
+        |      CAST(list_sum(bs) AS BIGINT) AS tot FROM b),
+        |blk AS (SELECT doc_id, n, tot,
+        |  [CAST(coalesce(list_sum(bs[(j*n)//64 + 1 : ((j+1)*n)//64]), 0)
+        |        AS BIGINT) for j in range(0, 64)] AS ss,
+        |  [((j+1)*n)//64 - (j*n)//64 for j in range(0, 64)] AS ls FROM t),
+        |bits AS (SELECT doc_id,
+        |  [CASE WHEN ss[j+1] * n >= tot * ls[j+1] THEN 1 ELSE 0 END
+        |   for j in range(0, 64)] AS bv FROM blk),
+        |h AS (SELECT doc_id,
+        |  [CAST(list_sum([bv[8*b+k+1] * (1 << k) for k in range(0, 8)])
+        |        AS BIGINT) for b in range(0, 8)] AS hb FROM bits)
+        |SELECT a.doc_id AS doc_i, b2.doc_id AS doc_j,
+        |  CAST(list_sum([bit_count(xor(a.hb[x+1], b2.hb[x+1]))
+        |                 for x in range(0, 8)]) AS INTEGER) AS hamming
+        |FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+        |  AND len(list_filter(range(0, 8), x -> a.hb[x+1] = b2.hb[x+1])) >= 1
+        |WHERE list_sum([bit_count(xor(a.hb[x+1], b2.hb[x+1]))
+        |                for x in range(0, 8)]) <= 12
+        |ORDER BY doc_i, doc_j""".stripMargin) { (s, dir) =>
+      val powers = array((0 until 8).map(k => lit(1L << k)): _*)
+      val n = size(col("bs"))
+      def blockSum(j: Int): Column =
+        aggregate(
+          slice(col("bs"), (n * j).divide(64).cast("int") + 1,
+            (n * (j + 1)).divide(64).cast("int")
+              - (n * j).divide(64).cast("int")),
+          lit(0L), (acc, x) => acc + x)
+      def blockLen(j: Int): Column =
+        ((n * (j + 1)).divide(64).cast("int")
+          - (n * j).divide(64).cast("int")).cast("long")
+      def bandVal(b: Int): Column =
+        aggregate(
+          zip_with(
+            slice(col("bits"), 8 * b + 1, 8), powers,
+            (bit, p) => bit * p),
+          lit(0L), (acc, x) => acc + x)
+      // narrow per-doc sketch over the payload bytes; registry-cached —
+      // the banded pair join reads it on both sides
+      val hashes = CacheRegistry.cached(s, s"phash:$dir") {
+        withPayload(s, dir)
+          .filter(length(col("payload")) >= 64)
+          // one binary→string view per row (ASCII corpus: chars ARE the
+          // bytes), then a narrow per-position map to the byte signal
+          .withColumn("ptxt", col("payload").cast("string"))
+          .select(col("doc_id"),
+            transform(sequence(lit(1), length(col("ptxt"))),
+              i => ascii(col("ptxt").substr(i, lit(1)))).as("bs"))
+          .withColumn("tot", aggregate(col("bs"), lit(0L), (a, x) => a + x))
+          .withColumn("bits", array((0 until 64).map(j =>
+            (blockSum(j) * n >= col("tot") * blockLen(j)).cast("long")): _*))
+          .select(col("doc_id") +:
+            (0 until 8).map(b => bandVal(b).as(s"h$b")): _*)
+      }
+      val hCols = (0 until 8).map(b => col(s"h$b"))
+      val bands = hashes.select(col("doc_id") +: hCols :+
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"), col(s"h$b").as("bv"))): _*)).as("bd"): _*)
+        .select(col("doc_id") +: hCols :+ col("bd.band") :+ col("bd.bv"): _*)
+      val ham = (0 until 8).map(b =>
+        bit_count(col(s"a.h$b").bitwiseXOR(col(s"b.h$b"))))
+        .reduce(_ + _)
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+          ham.cast("int").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 12)
+        .orderBy("doc_i", "doc_j")
     },
 
     // ── frame sampling: fixed 256-byte frames, per-frame digest

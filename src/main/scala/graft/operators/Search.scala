@@ -280,6 +280,113 @@ object Search {
         .orderBy("doc_i", "doc_j")
     },
 
+    // ── RAG retrieval capstone: the operators composed as ONE declared
+    //    pipeline — chunk (q96's fixed windows, C=S=64) → lexical BM25
+    //    over CHUNKS (q115's formula, chunk-level stats) → semantic
+    //    cosine over the parent doc's embedding vs query vec 0 (q46's
+    //    shape, shared vectors cache) → reciprocal-rank fusion (q116,
+    //    k=60) → top-10 chunks. Proves the pieces compose without glue:
+    //    every stage is the same plan shape its standalone query pins.
+    //    Scale: chunking is a narrow map; chunk BM25 is scan + one
+    //    broadcast stats row + top-k; the semantic side pre-limits to
+    //    its top-100 before the fusion join, so the rank windows are
+    //    R-bounded, never corpus-bounded. Float discipline: scores
+    //    rounded 4 dp before ranking with (doc, chunk) tiebreaks; rrf
+    //    rounded 6 dp; identical association both engines.
+    QueryDef(
+      "q170_rag_fuse",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, ws, len(ws) AS n,
+        |  CAST(ceil(greatest(n - 64, 0) / 64.0) AS INTEGER) AS kmax FROM t),
+        |x AS (SELECT doc_id, ws, unnest(range(0, kmax + 1)) AS k FROM p),
+        |c AS (SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+        |       ws[k*64+1 : k*64+64] AS chunk FROM x),
+        |d AS (SELECT doc_id, chunk_idx, len(chunk) AS dl,
+        |  len(list_filter(chunk, w -> w = 'hash')) AS tf1,
+        |  len(list_filter(chunk, w -> w = 'scan')) AS tf2,
+        |  len(list_filter(chunk, w -> w = 'filter')) AS tf3 FROM c),
+        |st AS (SELECT count(*) AS n, sum(dl) AS sdl,
+        |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |  sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM d),
+        |sc AS (SELECT doc_id, chunk_idx,
+        |  round(ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2
+        |          / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sdl * 1.0 / n)))
+        |      + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2
+        |          / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sdl * 1.0 / n)))
+        |      + ln((n - df3 + 0.5) / (df3 + 0.5) + 1) * tf3 * 2.2
+        |          / (tf3 + 1.2 * (0.25 + 0.75 * dl / (sdl * 1.0 / n))), 4)
+        |    AS score
+        |  FROM d, st),
+        |rb AS (SELECT doc_id, chunk_idx, lex_rank FROM (SELECT doc_id,
+        |  chunk_idx, CAST(row_number() OVER (ORDER BY score DESC, doc_id,
+        |    chunk_idx) AS INTEGER) AS lex_rank FROM sc) WHERE lex_rank <= 100),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |nn AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+        |q AS (SELECT v AS qv, nrm AS qnrm FROM nn WHERE vec_id = 0),
+        |cs AS (SELECT vec_id,
+        |  round(list_sum([nn.v[i]*q.qv[i] for i in range(1, len(nn.v)+1)])
+        |        / (nn.nrm*q.qnrm), 4) AS cos_sim
+        |  FROM nn, q WHERE vec_id <> 0),
+        |rc AS (SELECT vec_id, sem_rank FROM (SELECT vec_id,
+        |  CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER)
+        |    AS sem_rank FROM cs) WHERE sem_rank <= 100)
+        |SELECT rb.doc_id, rb.chunk_idx, lex_rank, sem_rank,
+        |  round(1.0 / (60 + lex_rank) + 1.0 / (60 + sem_rank), 6) AS rrf
+        |FROM rb JOIN rc ON rb.doc_id = rc.vec_id
+        |ORDER BY rrf DESC, doc_id, chunk_idx LIMIT 10""".stripMargin) {
+      (s, dir) =>
+      val chunks = T(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("kmax",
+          ceil(greatest(size(col("ws")) - 64, lit(0)) / 64.0).cast("int"))
+        .select(col("doc_id"),
+          col("ws"), explode(sequence(lit(0), col("kmax"))).as("k"))
+        .select(col("doc_id"), col("k").cast("int").as("chunk_idx"),
+          slice(col("ws"), col("k") * 64 + 1, lit(64)).as("chunk"))
+      val d = chunks.select(
+        col("doc_id") +: col("chunk_idx") +: size(col("chunk")).as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("chunk"), w => w === lit(t))).as(s"tf${i + 1}")
+          }: _*)
+      val stCols = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf${i + 1}") > 0, 1).otherwise(0)).as(s"df${i + 1}"))
+      val st = d.agg(stCols.head, stCols.tail: _*)
+      val ad = col("sdl") * lit(1.0) / col("n")
+      def termScore(i: Int): Column =
+        log((col("n") - col(s"df${i + 1}") + lit(0.5))
+            / (col(s"df${i + 1}") + lit(0.5)) + lit(1)) *
+          col(s"tf${i + 1}") * lit(K1 + 1) /
+          (col(s"tf${i + 1}") + lit(K1) *
+            (lit(1 - B) + lit(B) * col("dl") / ad))
+      val sc = d.crossJoin(broadcast(st))
+        .select(col("doc_id"), col("chunk_idx"),
+          round(termScore(0) + termScore(1) + termScore(2), 4).as("score"))
+      val wb = Window.orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
+      val lex = sc
+        .orderBy(col("score").desc, col("doc_id"), col("chunk_idx")).limit(100)
+        .select(col("doc_id"), col("chunk_idx"),
+          row_number().over(wb).as("lex_rank"))
+      val vs = Similarity.vectors(s, dir)
+      val q = vs.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val wc = Window.orderBy(col("cos_sim").desc, col("vec_id"))
+      val sem = vs.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosineFast(col("v"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(100)
+        .select(col("vec_id"), row_number().over(wc).as("sem_rank"))
+      lex.join(sem, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("chunk_idx"), col("lex_rank"),
+          col("sem_rank"),
+          round(lit(1.0) / (lit(60) + col("lex_rank"))
+            + lit(1.0) / (lit(60) + col("sem_rank")), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"), col("chunk_idx"))
+        .limit(10)
+    },
+
     // ── fuzzy blocked join (entity resolution): canonicalize part names
     //    to distinct entities FIRST (the dedupe-then-match discipline —
     //    matching raw rows would inflate the pair count quadratically
