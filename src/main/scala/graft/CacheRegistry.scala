@@ -23,7 +23,12 @@ import org.apache.spark.storage.StorageLevel
   *    NOT per session. A long-lived JVM hosting many short-lived
   *    sessions must call `clear(session)` when each session is done,
   *    or the registry holds strong refs to dead sessions and their
-  *    persisted frames for the application's lifetime;
+  *    persisted frames for the application's lifetime. Weak session
+  *    keys are NOT a fix and are deliberately not used: every cached
+  *    DataFrame strongly references its owning session
+  *    (`df.sparkSession`), so a WeakHashMap's values would pin its
+  *    keys and nothing would ever collect — explicit `clear` (or
+  *    context stop) IS the session lifecycle contract here;
   *  - MEMORY_AND_DISK everywhere: a corpus that outgrows executor memory
   *    spills instead of OOMing.
   */

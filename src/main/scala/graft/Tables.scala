@@ -31,6 +31,14 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, String), DataFrame]()
 
+  /** Sessions whose ApplicationEnd teardown hook is installed. Installed
+    * on a session's FIRST resolution here — not only via CacheRegistry —
+    * so a session that only ever reads tables (never `cached`) still
+    * drops its memoized relations when the context stops instead of
+    * being pinned by this map for the JVM's lifetime. */
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
   /** Drop every resolved relation of `spark` — REFRESH-TABLE semantics
     * and the teardown hook a long-lived JVM needs (each cached
     * DataFrame pins its session, so without this a JVM hosting many
@@ -40,6 +48,7 @@ object Tables {
   def invalidate(spark: SparkSession): Unit = {
     val it = resolved.keySet().iterator()
     while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+    hooked.remove(spark)
   }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
@@ -47,6 +56,13 @@ object Tables {
     val hit = resolved.get(k)
     if (hit != null) hit
     else {
+      if (hooked.add(spark))
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = invalidate(spark)
+          })
       val df = resolve(spark, sfDir, name)
       val prev = resolved.putIfAbsent(k, df)
       if (prev == null) df else prev

@@ -50,8 +50,15 @@ object Multimodal {
       resized_md5: String)
 
   private def decodeStub(docId: Long, payload: Array[Byte]): PayloadFeatures = {
-    // ??? <- real codec call (JPEG/PNG/audio frame decode) goes here; the
-    // container ships no codec libs, so derive features from raw bytes.
+    // ??? <- the real codec call that goes here:
+    // `javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))`
+    // → BufferedImage (JDK JPEG/PNG), histogram over raster luma and
+    // "resize" via getScaledInstance — or `javax.sound.sampled
+    // .AudioSystem.getAudioInputStream(...)` for audio frames. The
+    // synthetic corpus carries TEXT bytes in the payload column (no
+    // real image/audio payloads exist in the testdata), so a real
+    // decode has nothing to decode; derive the same-shaped features
+    // from the raw bytes instead, deterministically and oracled.
     // sum_bytes (not mean) keeps the output integer-exact for the oracle
     // — AVG of ints lands on round-half boundaries (oracle discipline).
     val hist = new Array[Long](16)

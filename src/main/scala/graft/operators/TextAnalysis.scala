@@ -31,7 +31,15 @@ object TextAnalysis {
     * exact prefix length Σ(len+1) of the tokens before it). The
     * span-alignment primitive for PII span redaction and annotation
     * projection; backs q169_tokenize_offsets. Narrow posexplode + one
-    * id-keyed window — zero cross-document shuffle. */
+    * id-keyed window — zero cross-document shuffle.
+    *
+    * OFFSET SEMANTICS: spans are UNICODE CODE POINT offsets (what Spark
+    * `length` and DuckDB `len`/`substr` count), NOT UTF-16 code units —
+    * on any astral character (emoji, surrogate pair) a Java
+    * `String.substring(charStart, charEnd)` drifts; reindex with
+    * `String#offsetByCodePoints` (or operate on code-point arrays)
+    * when consuming spans JVM-side. TextAnalysisSpec pins this with an
+    * astral fixture. */
   def tokenizeWithOffsets(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

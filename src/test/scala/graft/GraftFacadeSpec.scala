@@ -82,4 +82,25 @@ class GraftFacadeSpec extends SparkTestBase {
       (7L, 0, "ab", 0L, 2L), (7L, 1, "c", 3L, 4L), (7L, 2, "dd", 5L, 7L),
       (8L, 0, "x", 0L, 1L)))
   }
+
+  test("tokenizeWithOffsets spans are CODE POINT offsets, not UTF-16 units") {
+    // "𝒳" (U+1D4B3) is astral: ONE code point, TWO UTF-16 chars. The
+    // declared span semantics (scaladoc) are code points — the emoji
+    // token is 1 wide and the next token starts 2 code points in, even
+    // though String#substring would need index 3. Consumers must
+    // reindex via offsetByCodePoints; this fixture pins exactly that.
+    val astral = "𝒳"
+    val docs = Seq(9L -> s"$astral bc").toDF("id", "txt")
+    val out = Graft.tokenizeWithOffsets(docs, "id", "txt")
+      .as[(Long, Int, String, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(out == Seq(
+      (9L, 0, astral, 0L, 1L), (9L, 1, "bc", 2L, 4L)))
+    // the documented JVM-side consumption pattern round-trips
+    val text = s"$astral bc"
+    out.foreach { case (_, _, tok, cs, ce) =>
+      val a = text.offsetByCodePoints(0, cs.toInt)
+      val b = text.offsetByCodePoints(0, ce.toInt)
+      assert(text.substring(a, b) == tok)
+    }
+  }
 }
