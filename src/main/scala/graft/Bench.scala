@@ -19,7 +19,6 @@ object Bench {
     "q126_countmin_audit" -> Seq("cms-hashed"),
     "q130_cosine_rerank" -> Seq("tf-norm"),
     "q134_session_cooccurrence" -> Seq("sess-cooc"),
-    "q138_bigram_logprob" -> Seq("bigram-doc"),
     "q144_lsh_recall_sampled" -> Seq("lsh-audit-sample"),
     "q146_winnow_pairs" -> Seq("winnow-fp"),
     "q165_dsir_select" -> Seq("dsir-lm", "dsir-scored"),

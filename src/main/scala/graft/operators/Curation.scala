@@ -359,58 +359,51 @@ object Curation {
     //    q103's unigram LM (repetitive/templated docs score high,
     //    shuffled-word docs low even when their unigrams are typical).
     //    Bigrams come from zipping the token array with its own tail —
-    //    a narrow map, no positional self-join. ONE corpus scan feeds
-    //    everything: per-doc bigram counts (doc_id, w1, w2, c) are the
-    //    registry-cached base; the corpus model aggregates FROM those
-    //    counts (map-side combined), and the doc scoring re-reads the
-    //    same cached counts instead of re-deriving occurrence rows —
-    //    the mean log-likelihood is the count-weighted sum over each
-    //    doc's DISTINCT bigrams (identical association on both
-    //    engines), so the corpus is tokenized once, not three times
-    //    (the r10 verdict's q138 flattening ask; vocab size rides the
-    //    shared unigram-tf cache for the same reason). Broadcast caveat
-    //    as q103: for an open-web vocab drop the broadcast hints and
-    //    let the scoring joins shuffle.
+    //    a narrow map, no positional self-join; the count model is
+    //    map-side combined and broadcast back (vocab² possible pairs but
+    //    only observed pairs materialize — same caveat as q103: for an
+    //    open-web vocab drop the broadcast hints and let the scoring
+    //    joins shuffle). The occurrence stream is deliberately scanned
+    //    twice (model + scoring) rather than cached as per-doc bigram
+    //    counts: a (doc, w1, w2) rollup has docs×bigram-vocab groups —
+    //    4.7M at sf0.1 vs the model's 961 — and the measured round-11
+    //    attempt at "one scan" via that cache was 1.8× SLOWER than the
+    //    two pipelined narrow scans it replaced. Vocab size rides the
+    //    shared unigram-tf cache (one distinct-agg over 155k cached
+    //    rows, not a third corpus tokenization).
     QueryDef(
       "q138_bigram_logprob",
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |x AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM t
         |      WHERE len(ws) >= 2),
         |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM x),
-        |dbg AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg
-        |        GROUP BY doc_id, w1, w2),
-        |cb AS (SELECT w1, w2, sum(c) AS cb FROM dbg GROUP BY w1, w2),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
         |cw AS (SELECT w1, sum(cb) AS cw FROM cb GROUP BY w1),
         |vv AS (SELECT count(DISTINCT t2) AS vsz FROM
         |       (SELECT unnest(string_split(text,' ')) AS t2 FROM documents))
-        |SELECT doc_id, CAST(sum(c) AS INTEGER) AS n_bigrams,
-        |  round(sum(c * ln((cb + 1.0) / (cw + vsz))) / sum(c), 4)
-        |    AS avg_logprob
-        |FROM dbg JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN vv
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |  round(avg(ln((cb + 1.0) / (cw + vsz))), 4) AS avg_logprob
+        |FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN vv
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val ws = split(col("text"), " ")
-      val dbg = graft.CacheRegistry.cached(s, s"bigram-doc:$dir") {
-        T(s, dir, "documents").select(col("doc_id"), ws.as("ws"))
-          .filter(size(col("ws")) >= 2)
-          .select(col("doc_id"),
-            explode(zip_with(
-              slice(col("ws"), lit(1), size(col("ws")) - 1),
-              slice(col("ws"), lit(2), size(col("ws")) - 1),
-              (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-          .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
-      }
-      val cb = dbg.groupBy("w1", "w2").agg(sum("c").as("cb"))
+      val toks = T(s, dir, "documents").select(col("doc_id"), ws.as("ws"))
+      val bg = toks.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       val cw = cb.groupBy("w1").agg(sum("cb").as("cw"))
       val vv = Search.unigramTf(s, dir).agg(countDistinct("w").as("vsz"))
-      dbg.join(broadcast(cb), Seq("w1", "w2"))
+      bg.join(broadcast(cb), Seq("w1", "w2"))
         .join(broadcast(cw), Seq("w1"))
         .crossJoin(broadcast(vv))
         .groupBy("doc_id")
-        .agg(sum("c").cast("int").as("n_bigrams"),
-          round(sum(col("c")
-              * log((col("cb") + lit(1.0)) / (col("cw") + col("vsz"))))
-            / sum("c"), 4).as("avg_logprob"))
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+          round(avg(log((col("cb") + lit(1.0)) / (col("cw") + col("vsz")))), 4)
+            .as("avg_logprob"))
         .orderBy("doc_id")
     },
 
