@@ -25,9 +25,10 @@ object Bench {
     "q167_kmv_overlap" -> Seq("source-vocab"),
     "q171_phash_pairs" -> Seq("phash"),
     "q172_kl_drift" -> Seq("unigram-tf"),
+    "q42_jaccard_pairs" -> Seq("jaccard-pairs"),
     "q43_simhash_pairs" -> Seq("simhash"),
     "q44_lsh_candidates" -> Seq("lsh-cand", "minhash-sig"),
-    "q89_dup_clusters" -> Seq("jaccard-pairs"),
+    "q89_dup_clusters" -> Seq("dup-cc"),
     "q93_lsh_near_dup" -> Seq("vectors"),
     "q99_decontam_clean" -> Seq("shingles"),
   )

@@ -983,6 +983,142 @@ object Curation {
             col("u"))).cast("long").as("n_inter"))
         .withColumn("est_jaccard_bp", expr("n_inter * 10000 div k_used"))
         .orderBy("source_a", "source_b")
+    },
+
+    // ── cluster-representative selection: the keep/drop verdict a dedup
+    //    pipeline actually applies — per near-dup cluster (q89's
+    //    connected components over the exact-Jaccard edges, read from
+    //    the shared dup-cc cache), keep the doc with the richest
+    //    vocabulary (max distinct-word count; min doc_id tiebreak), drop
+    //    the rest; singletons keep themselves. Scale shape: the labels
+    //    frame is the ~|dup docs| map; reps come from ONE map-side-
+    //    combinable min(struct) keyed by cluster (never a per-cluster
+    //    sort), and the verdict join is keyed by cluster_id — the same
+    //    partitioning. Contrast with q89's min-id canonical: the rule
+    //    here is quality-aware, which is what you ship when near-dups
+    //    differ in truncation/boilerplate.
+    QueryDef(
+      "q173_cluster_rep",
+      TextDedup.oracleCc +
+        """,
+          |q AS (SELECT d.doc_id, coalesce(l.cl, d.doc_id) AS cluster_id,
+          |        len(list_distinct(string_split(d.text,' '))) AS nd
+          |      FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)
+          |SELECT doc_id, cluster_id,
+          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+          |    AS cluster_size,
+          |  (row_number() OVER (PARTITION BY cluster_id
+          |                      ORDER BY nd DESC, doc_id) = 1) AS keep
+          |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val labels = TextDedup.dupClusters(s, dir)
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).as("nd"))
+      val full = docs.join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"), col("nd"))
+      // keep-best IS a partial aggregate: min(struct(-nd, doc_id)) keyed
+      // on cluster — one reduce-buffer entry per cluster per partition,
+      // where a window rank would sort every member row
+      val reps = full.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"),
+          min(struct((-col("nd")).as("neg"), col("doc_id").as("d"))).as("m"))
+      full.join(reps, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("m.d")).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // ── leakage-safe dataset split: q88's deterministic md5 80/10/10
+    //    split keyed by near-dup CLUSTER id instead of doc_id, so a
+    //    cluster's members always land in the SAME split and a train doc
+    //    can never leak its near-duplicate into eval — the split rule
+    //    every dedup-aware pipeline swaps in once it has cluster labels.
+    //    Report: per (split, source) doc and cluster counts. Scale
+    //    shape: one labels join keyed by doc_id, the md5 gate is a
+    //    narrow map on the ~20-row-group aggregation's input; no new
+    //    corpus pass (text is never read).
+    QueryDef(
+      "q174_split_leakage",
+      TextDedup.oracleCc +
+        """,
+          |sp AS (SELECT d.source, coalesce(l.cl, d.doc_id) AS cluster_id,
+          |  ('0x' || substr(md5(CAST(coalesce(l.cl, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT
+          |    % 100 AS bk
+          |  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)
+          |SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+          |            ELSE 'test' END AS split,
+          |  source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val labels = TextDedup.dupClusters(s, dir)
+      T(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(col("source"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+        .withColumn("bk", HexWindowToLong.md5Bucket(col("cluster_id"), 100))
+        .withColumn("split",
+          when(col("bk") < 80, "train").when(col("bk") < 90, "val")
+            .otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .orderBy("split", "source")
+    },
+
+    // ── curation yield funnel: per-source survival counts down the
+    //    standard filter cascade — length gate (q51's 20..1000 words) →
+    //    lexical-diversity gate (q51's distinct*2 ≥ words) → exact-dedup
+    //    survivor (q40's md5 keep-first) → near-dup canonical (q89's
+    //    min-id rule) — the one-page yield report a pipeline run ends
+    //    with, telling you which stage eats which source. Scale shape:
+    //    per-doc flags are one narrow pass; the exact-dup survivor set
+    //    is the q40 map-side min aggregate joined back on the content
+    //    hash (same key, same shuffle partitioning); labels join is
+    //    doc-keyed; the report is ONE ~|sources|-row aggregation.
+    QueryDef(
+      "q175_yield_funnel",
+      TextDedup.oracleCc +
+        """,
+          |m AS (SELECT d.doc_id, d.source,
+          |  len(string_split(d.text,' ')) AS nw,
+          |  len(list_distinct(string_split(d.text,' '))) AS ndist,
+          |  md5(d.text) AS h, coalesce(l.cl, d.doc_id) AS cl
+          |  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id),
+          |k AS (SELECT h, min(doc_id) AS keep_id FROM m GROUP BY h),
+          |f AS (SELECT m.source,
+          |  (nw BETWEEN 20 AND 1000) AS s1,
+          |  (nw BETWEEN 20 AND 1000 AND ndist * 2 >= nw) AS s2,
+          |  (nw BETWEEN 20 AND 1000 AND ndist * 2 >= nw
+          |   AND m.doc_id = k.keep_id) AS s3,
+          |  (nw BETWEEN 20 AND 1000 AND ndist * 2 >= nw
+          |   AND m.doc_id = k.keep_id AND m.cl = m.doc_id) AS s4
+          |  FROM m JOIN k USING (h))
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+          |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+          |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+          |  CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_unique,
+          |  CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
+          |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val labels = TextDedup.dupClusters(s, dir)
+      val d0 = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"),
+          md5(encode(col("text"), "UTF-8")).as("h"))
+        .select(col("doc_id"), col("source"), col("h"),
+          size(col("ws")).as("nw"), size(array_distinct(col("ws"))).as("ndist"))
+      val survivors = d0.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+      val s1 = col("nw").between(20, 1000)
+      val s2 = s1 && col("ndist") * 2 >= col("nw")
+      val s3 = s2 && col("doc_id") === col("keep_id")
+      val s4 = s3 && coalesce(col("lbl"), col("doc_id")) === col("doc_id")
+      def cnt(c: Column): Column = sum(when(c, 1).otherwise(0)).cast("long")
+      d0.join(survivors, "h")
+        .join(labels, d0("doc_id") === labels("id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          cnt(s1).as("n_len_ok"), cnt(s2).as("n_quality_ok"),
+          cnt(s3).as("n_exact_unique"), cnt(s4).as("n_canonical"))
+        .orderBy("source")
     }
   )
 }

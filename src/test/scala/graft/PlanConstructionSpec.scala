@@ -17,8 +17,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   *    partitioned read-back plan exists;
   *  - q110_column_stats: ANALYZE TABLE runs its stats scans so the
   *    catalog read-back has something to read;
-  *  - q89_dup_clusters: connected components converges by driver-read
-  *    changed-counts — the loop runs to build the final plan;
+  *  - q173_cluster_rep: first consumer (in sorted order) of the shared
+  *    dup-cc cache, whose connected-components build converges by
+  *    driver-read changed-counts — the loop runs to build the final
+  *    plan (q89/q174/q175 then ride the cache job-free);
   *  - q121_pagerank_neardup / q135_kmeans: iterative plans that
   *    localCheckpoint their loop-invariant structure (eager by Spark's
   *    API) so unrolled iterations don't replay it.
@@ -38,7 +40,7 @@ class PlanConstructionSpec extends SparkTestBase {
 
   private val eagerByDesign = Set(
     "q109_jdbc_roundtrip", "q110_column_stats",
-    "q89_dup_clusters", "q121_pagerank_neardup", "q135_kmeans")
+    "q173_cluster_rep", "q121_pagerank_neardup", "q135_kmeans")
 
   private val TagProp = "graft.construct.query"
 
