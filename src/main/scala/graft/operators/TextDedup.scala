@@ -621,6 +621,61 @@ object TextDedup {
         .orderBy("doc_id")
     },
 
+    // ── contamination provenance: q92 tells you WHICH test docs leak;
+    //    this names the train doc RESPONSIBLE — per contaminated test
+    //    doc, the train doc sharing the most 3-gram shingles (min
+    //    train id tiebreak), with the shared count in basis points of
+    //    the test doc's shingles. The report an eval-hygiene triage
+    //    actually files a bug against. Shape: the postings join is
+    //    keyed by shingle like q92's, but pair-level provenance cannot
+    //    dedup the train side to a vocabulary — per-shingle cost is
+    //    df_train·df_test, so at 100 TB the q42 rare-shingle prefix
+    //    discipline applies (hot boilerplate shingles carry no
+    //    provenance signal and would be prefix-filtered out); at the
+    //    audit scales this runs at, the exact join is the right tool.
+    //    The two-level argmax is a map-side-combinable min(struct) —
+    //    per-(test,train) counts, then one buffer entry per test doc.
+    QueryDef(
+      "q176_contam_provenance",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |b AS (SELECT doc_id, s,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bk
+        |  FROM sh),
+        |tr AS (SELECT doc_id AS train_doc, unnest(s) AS tok FROM b WHERE bk < 80),
+        |te AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS tok
+        |       FROM b WHERE bk >= 90),
+        |pc AS (SELECT te.doc_id, te.n_shingles, tr.train_doc,
+        |         count(*) AS n_shared
+        |       FROM te JOIN tr USING (tok) GROUP BY 1, 2, 3),
+        |rk AS (SELECT doc_id, n_shingles, train_doc, n_shared,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY n_shared DESC, train_doc) AS rn FROM pc)
+        |SELECT doc_id, CAST(n_shingles AS INTEGER) AS n_shingles,
+        |  train_doc AS top_train_doc, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(n_shared * 10000 // n_shingles AS BIGINT) AS contamination_bp
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bucket = graft.plans.HexWindowToLong.md5Bucket(col("doc_id"), 100)
+      val withSplit = docShingles(s, dir).withColumn("bk", bucket)
+      val train = withSplit.filter(col("bk") < 80)
+        .select(col("doc_id").as("train_doc"), explode(col("sh")).as("tok"))
+      val test = withSplit.filter(col("bk") >= 90)
+        .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+          explode(col("sh")).as("tok"))
+      test.join(train, "tok")
+        .groupBy(col("doc_id"), col("n_shingles"), col("train_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .groupBy("doc_id", "n_shingles")
+        .agg(min(struct((-col("n_shared")).as("neg"),
+          col("train_doc").as("t"))).as("m"))
+        .select(col("doc_id"), col("n_shingles"),
+          col("m.t").as("top_train_doc"), (-col("m.neg")).as("n_shared"),
+          expr("(-m.neg) * 10000 div n_shingles").as("contamination_bp"))
+        .orderBy("doc_id")
+    },
+
     // ── LSH quality audit, production form: exact PRECISION over the
     //    FULL candidate set (every LSH candidate pair is verified with
     //    one bounded array_intersect — O(|candidates|), never all-pairs)

@@ -92,6 +92,39 @@ class DedupPipelineSpec extends SparkTestBase {
         "(if this ever fails the fixture got too small to demonstrate leakage)")
   }
 
+  test("q176: provenance argmax equals the brute-force per-pair overlap truth") {
+    val rows = SparkEntry.queries("q176_contam_provenance")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // brute force in Scala over the raw corpus: same split, same
+    // shingles, full pair overlap counts
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val shingled = docs.collect { case (d, t) if sh(t).nonEmpty => d -> sh(t) }
+    val bk = shingled.keys.map(d => d -> md5bucket(d.toString, 100)).toMap
+    val train = shingled.filter { case (d, _) => bk(d) < 80 }
+    val test = shingled.filter { case (d, _) => bk(d) >= 90 }
+    val expect = test.flatMap { case (td, ts) =>
+      val overlaps = train.map { case (rd, rs) => rd -> (ts & rs).size }
+        .filter(_._2 > 0)
+      if (overlaps.isEmpty) None
+      else {
+        val (rd, n) = overlaps.toSeq.map { case (r, n) => ((-n, r), (r, n)) }
+          .min._2
+        Some((td, ts.size, rd, n.toLong, n.toLong * 10000 / ts.size))
+      }
+    }.toSet
+    assert(rows.toSet == expect,
+      "q176 must equal the brute-force argmax over all train overlaps")
+    assert(rows.nonEmpty, "fixture must exercise the provenance path")
+  }
+
   test("q175: cascade is monotone per source and covers the corpus") {
     val rows = SparkEntry.queries("q175_yield_funnel")(spark, dir).collect()
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
