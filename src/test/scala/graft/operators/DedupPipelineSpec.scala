@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 
 import graft.{SparkEntry, SparkTestBase}
 
-/** Properties of the dedup-composition queries added in round 11:
-  * q173 cluster-representative selection (one quality-max keeper per
+/** Properties of the dedup/decontam-composition queries added in round
+  * 11: q173 cluster-representative selection (one quality-max keeper per
   * near-dup cluster), q174 leakage-safe split (cluster members co-travel,
   * and the report's counts reconcile against an independent Scala
   * recomputation), q175 yield funnel (monotone cascade that covers the
-  * corpus). All three ride the shared dup-cc connected-components cache;
-  * q173's agreement with q89's cluster labels is pinned explicitly. */
+  * corpus), q176 contamination provenance (argmax equals the brute-force
+  * per-pair overlap truth). q173–q175 ride the shared dup-cc connected-
+  * components cache; q173's agreement with q89's labels is pinned. */
 class DedupPipelineSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
