@@ -214,48 +214,24 @@ object Multimodal {
         |WHERE list_sum([bit_count(xor(a.hb[x+1], b2.hb[x+1]))
         |                for x in range(0, 8)]) <= 12
         |ORDER BY doc_i, doc_j""".stripMargin) { (s, dir) =>
-      // The sketch as a pipelined explode → partial-agg, not a 64-slice
-      // expression per doc: position rows feed a map-side-combined
-      // (doc, block) sum — shuffle traffic is docs×64 block rows, never
-      // bytes — then one (doc)-keyed aggregation folds the 64 bits into
-      // the 8 band values with conditional sums. Two earlier narrow-map
-      // forms measured slow at sf0.1: per-index substr(i,1) is O(n²)
-      // per doc (UTF8String recounts code points from the head — 5.9 s)
-      // and a 64×(slice+aggregate) expression tree pays seconds of
-      // codegen/eval overhead (7.4 s cold); this shape runs sub-second
-      // cold. Position p (1-based) belongs to block floor((64p-1)/n),
-      // the inverse of the oracle's boundary hi_j = ((j+1)·n) div 64.
-      val p2 = array((0 until 8).map(k => lit(1L << k)): _*)
+      // The sketch is ONE narrow codegen'd pass per row — the native
+      // plans.BlockHash64 expression computes all 64 block means and the
+      // 8 band values straight off the payload bytes, zero shuffles.
+      // Earlier forms, kept as the measurement record: per-index
+      // substr(i,1) is O(n²) per doc (UTF8String recounts code points
+      // from the head — 5.9 s at sf0.1); a 64×(slice+aggregate)
+      // expression tree pays seconds of codegen/eval overhead (7.4 s
+      // cold); the explode → (doc, block) partial-agg pipeline was
+      // correct and map-side-combined but paid two exchanges + three
+      // aggregates (~0.9 s build). The native pass is equivalence-
+      // pinned against the aggregation form in NativeExprSpec.
       val hashes = CacheRegistry.cached(s, s"phash:$dir") {
-        val base = withPayload(s, dir)
+        withPayload(s, dir)
           .filter(length(col("payload")) >= 64)
-          // one binary→string view per row (ASCII corpus: chars ARE the
-          // bytes); split("", -1) appends a trailing "" — slice drops it
-          .withColumn("ptxt", col("payload").cast("string"))
-          .select(col("doc_id"), length(col("ptxt")).as("n"),
-            posexplode(slice(split(col("ptxt"), ""), lit(1),
-              length(col("ptxt")))).as(Seq("pos", "c")))
-        val blocks = base
-          .select(col("doc_id"), col("n"),
-            floor(((col("pos") + 1) * 64 - 1) / col("n")).cast("int")
-              .as("blk"),
-            ascii(col("c")).cast("long").as("v"))
-          .groupBy("doc_id", "n", "blk")
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("len"))
-        val tots = blocks.groupBy("doc_id").agg(sum("s").as("tot"))
-        blocks.join(tots, "doc_id")
-          .select(col("doc_id"), col("blk"),
-            (col("s") * col("n") >= col("tot") * col("len"))
-              .cast("long").as("bit"))
-          .groupBy("doc_id")
-          .agg((0 until 8).map(b =>
-            sum(when(col("blk") >= 8 * b && col("blk") < 8 * (b + 1),
-              col("bit") * element_at(p2, pmod(col("blk"), lit(8)) + 1))
-              .otherwise(0L)).as(s"h$b")).head,
-            (1 until 8).map(b =>
-              sum(when(col("blk") >= 8 * b && col("blk") < 8 * (b + 1),
-                col("bit") * element_at(p2, pmod(col("blk"), lit(8)) + 1))
-                .otherwise(0L)).as(s"h$b")): _*)
+          .select(col("doc_id"),
+            graft.plans.BlockHash64.blockhash64(col("payload")).as("hb"))
+          .select(col("doc_id") +:
+            (0 until 8).map(b => element_at(col("hb"), b + 1).as(s"h$b")): _*)
       }
       val hCols = (0 until 8).map(b => col(s"h$b"))
       val bands = hashes.select(col("doc_id") +: hCols :+

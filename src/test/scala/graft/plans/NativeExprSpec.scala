@@ -114,6 +114,43 @@ class NativeExprSpec extends SparkTestBase {
     assert(diffs == 0, "native and compositional L2² disagree (not bit-equal)")
   }
 
+  test("BlockHash64 ≡ the oracle's slice-boundary formulation, byte-exact") {
+    // reference computed INDEPENDENTLY of the expression's position→block
+    // mapping: block j is the slice (j·n div 64, (j+1)·n div 64] — the
+    // oracle's hi_j boundaries — summed in plain Scala over the raw bytes
+    def reference(bytes: Array[Byte]): Seq[Long] = {
+      val n = bytes.length
+      val tot = bytes.map(b => (b & 0xFF).toLong).sum
+      val bands = new Array[Long](8)
+      (0 until 64).foreach { j =>
+        val lo = j * n / 64      // exclusive, 0-based
+        val hi = (j + 1) * n / 64 // inclusive, 0-based end
+        val len = hi - lo
+        val s = bytes.slice(lo, hi).map(b => (b & 0xFF).toLong).sum
+        if (len > 0 && s * n >= tot * len) bands(j >> 3) |= 1L << (j & 7)
+      }
+      bands.toSeq
+    }
+    val rnd = new Random(17)
+    // real corpus payloads + synthetic ones incl. bytes >127 (the
+    // expression is byte-defined, not char-defined) and boundary lengths
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .filter(length(col("payload")) >= 64)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload"))
+    val synth = Seq(64, 65, 127, 128, 1000).zipWithIndex.map { case (n, i) =>
+      (10000L + i) -> Array.fill(n)(rnd.nextInt(256).toByte)
+    }
+    val all = (corpus.toSeq ++ synth).toDF("doc_id", "payload")
+    val got = all
+      .select(col("doc_id"), BlockHash64.blockhash64(col("payload")).as("hb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    (corpus.toSeq ++ synth).foreach { case (id, bytes) =>
+      assert(got(id) == reference(bytes), s"band values diverge for doc $id")
+    }
+  }
+
   test("interpreted eval paths match literal expectations") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
