@@ -74,6 +74,17 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.StreamingOps.SessionOut] =
     streaming.StreamingOps.sessionize(events, gapMs)
 
+  /** Per-cluster keep-best verdict — the decision layer after
+    * [[connectedComponents]]: every item gets its cluster id (items
+    * absent from `labels` keep themselves as singletons), each cluster
+    * keeps exactly one member (max `qualityCol`, min `idCol` tiebreak).
+    * Returns (`idCol`, cluster_id, cluster_size, keep). The argmax is a
+    * map-side-combinable min(struct) — never a per-cluster sort. Backs
+    * q173_cluster_rep. See [[operators.TextDedup.clusterVerdict]]. */
+  def clusterVerdict(items: DataFrame, labels: DataFrame,
+      idCol: String, qualityCol: String): DataFrame =
+    operators.TextDedup.clusterVerdict(items, labels, idCol, qualityCol)
+
   /** Winnowing fingerprints (k=3, w=4 — the MOSS sketch) of a
     * (doc_id, text) frame → (doc_id, fp). Two docs sharing a token run
     * of length ≥ 6 are guaranteed to share a fingerprint; join on fp for

@@ -1010,22 +1010,13 @@ object Curation {
           |  (row_number() OVER (PARTITION BY cluster_id
           |                      ORDER BY nd DESC, doc_id) = 1) AS keep
           |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val labels = TextDedup.dupClusters(s, dir)
-      val docs = T(s, dir, "documents")
-        .select(col("doc_id"),
-          size(array_distinct(split(col("text"), " "))).as("nd"))
-      val full = docs.join(labels, docs("doc_id") === labels("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("lbl"), col("doc_id")).as("cluster_id"), col("nd"))
-      // keep-best IS a partial aggregate: min(struct(-nd, doc_id)) keyed
-      // on cluster — one reduce-buffer entry per cluster per partition,
-      // where a window rank would sort every member row
-      val reps = full.groupBy("cluster_id")
-        .agg(count(lit(1)).as("cluster_size"),
-          min(struct((-col("nd")).as("neg"), col("doc_id").as("d"))).as("m"))
-      full.join(reps, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-          (col("doc_id") === col("m.d")).as("keep"))
+      // the reusable operator (TextDedup.clusterVerdict, also on the
+      // Graft facade): keep-best IS a partial min(struct) aggregate
+      // keyed by cluster, never a per-cluster sort
+      TextDedup.clusterVerdict(
+        T(s, dir, "documents").select(col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).as("nd")),
+        TextDedup.dupClusters(s, dir), "doc_id", "nd")
         .orderBy("doc_id")
     },
 

@@ -277,6 +277,35 @@ object TextDedup {
         .select(col("doc_i").as("src"), col("doc_j").as("dst")))
     }
 
+  /** Per-cluster keep-best verdict — the decision layer a dedup pipeline
+    * applies after clustering: every item gets its cluster id (items
+    * absent from `labels` are singletons keeping themselves), each
+    * cluster keeps exactly ONE member — the max-`qualityCol` item, min
+    * `idCol` tiebreak — and drops the rest. Returns
+    * (`idCol`, cluster_id, cluster_size, keep).
+    *
+    * `items` must carry a numeric `qualityCol` (higher = better) and a
+    * LONG `idCol`; `labels` is [[connectedComponents]] output (id, lbl).
+    * Scale shape: the argmax is a map-side-combinable min(struct) keyed
+    * by cluster — one reduce-buffer entry per cluster per partition,
+    * never a per-cluster sort — and the verdict join is keyed by
+    * cluster_id, the same partitioning. Backs q173_cluster_rep (which
+    * pins it against a brute-force + q89-agreement spec). */
+  def clusterVerdict(items: DataFrame, labels: DataFrame,
+      idCol: String, qualityCol: String): DataFrame = {
+    val full = items
+      .join(labels, items(idCol) === labels("id"), "left")
+      .select(col(idCol),
+        coalesce(col("lbl"), col(idCol)).as("cluster_id"),
+        col(qualityCol).as("__q"))
+    val reps = full.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        min(struct((-col("__q")).as("neg"), col(idCol).as("d"))).as("m"))
+    full.join(reps, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (col(idCol) === col("m.d")).as("keep"))
+  }
+
   /** Shared oracle CTE prefix for every [[dupClusters]] consumer:
     * recursive transitive closure over the exact-Jaccard dup edges,
     * ending in `lbl(doc_id, cl)` — cl = min doc_id of the component

@@ -38,6 +38,21 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(lbl(7L) == 7L && lbl(8L) == 7L)
   }
 
+  test("clusterVerdict keeps the quality-max member and singletons keep themselves") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
+    val items = Seq((1L, 5), (2L, 9), (3L, 9), (7L, 1), (8L, 4), (42L, 0))
+      .toDF("doc_id", "q")
+    val v = Graft.clusterVerdict(items,
+        Graft.connectedComponents(edges), "doc_id", "q")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(v(2L) == (1L, 3L, true), "max q=9, min id 2 wins cluster 1")
+    assert(v(1L) == (1L, 3L, false) && v(3L) == (1L, 3L, false))
+    assert(v(8L) == (7L, 2L, true), "q=4 beats q=1 in cluster 7")
+    assert(v(7L) == (7L, 2L, false))
+    assert(v(42L) == (42L, 1L, true), "singleton keeps itself")
+  }
+
   test("pagerank on a symmetric pair splits rank evenly") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val r = Graft.pagerank(edges, iters = 2).as[(Long, Long, Long)]
