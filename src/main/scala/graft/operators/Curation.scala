@@ -1057,6 +1057,59 @@ object Curation {
         .orderBy("split", "source")
     },
 
+    // ── post-dedup mixture shift: dedup silently REWEIGHTS the corpus —
+    //    a source whose docs duplicate heavily loses token share when
+    //    q173's verdict drops the copies, and the mixture weights
+    //    (q104/q159) tuned on the raw corpus no longer hold. This is the
+    //    report that says by how much: per-source token mass before vs
+    //    after the keep rule, shares in integer basis points, shift =
+    //    after − before. Scale shape: the verdict join is doc-keyed, the
+    //    report is one ~|sources|-row aggregation, and the two grand
+    //    totals ride a broadcast one-row frame — no second corpus pass.
+    QueryDef(
+      "q177_dedup_mixture_shift",
+      TextDedup.oracleCc +
+        """,
+          |q AS (SELECT d.doc_id, d.source,
+          |  len(string_split(d.text,' ')) AS nw,
+          |  len(list_distinct(string_split(d.text,' '))) AS nd,
+          |  coalesce(l.cl, d.doc_id) AS cluster_id
+          |  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id),
+          |k AS (SELECT doc_id, source, nw,
+          |  (row_number() OVER (PARTITION BY cluster_id
+          |                      ORDER BY nd DESC, doc_id) = 1) AS keep
+          |  FROM q),
+          |s AS (SELECT source, sum(nw) AS tb,
+          |        sum(CASE WHEN keep THEN nw ELSE 0 END) AS ta
+          |      FROM k GROUP BY source),
+          |t AS (SELECT sum(tb) AS gb, sum(ta) AS ga FROM s)
+          |SELECT source, CAST(tb AS BIGINT) AS tok_before,
+          |  CAST(ta AS BIGINT) AS tok_after,
+          |  CAST(tb * 10000 // gb AS BIGINT) AS share_before_bp,
+          |  CAST(ta * 10000 // ga AS BIGINT) AS share_after_bp,
+          |  CAST(ta * 10000 // ga - tb * 10000 // gb AS BIGINT) AS shift_bp
+          |FROM s CROSS JOIN t ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("nw"),
+          size(array_distinct(split(col("text"), " "))).as("nd"))
+      val verdict = TextDedup.clusterVerdict(
+        docs.select("doc_id", "nd"), TextDedup.dupClusters(s, dir),
+        "doc_id", "nd")
+      val perSource = docs.join(verdict.select("doc_id", "keep"), "doc_id")
+        .groupBy("source")
+        .agg(sum("nw").as("tb"),
+          sum(when(col("keep"), col("nw")).otherwise(0L)).as("ta"))
+      val totals = perSource.agg(sum("tb").as("gb"), sum("ta").as("ga"))
+      perSource.crossJoin(broadcast(totals))
+        .select(col("source"), col("tb").as("tok_before"),
+          col("ta").as("tok_after"),
+          expr("tb * 10000 div gb").as("share_before_bp"),
+          expr("ta * 10000 div ga").as("share_after_bp"),
+          expr("ta * 10000 div ga - tb * 10000 div gb").as("shift_bp"))
+        .orderBy("source")
+    },
+
     // ── curation yield funnel: per-source survival counts down the
     //    standard filter cascade — length gate (q51's 20..1000 words) →
     //    lexical-diversity gate (q51's distinct*2 ≥ words) → exact-dedup

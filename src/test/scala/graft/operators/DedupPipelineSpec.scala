@@ -93,6 +93,33 @@ class DedupPipelineSpec extends SparkTestBase {
         "(if this ever fails the fixture got too small to demonstrate leakage)")
   }
 
+  test("q177: shares are a bp-partition of the token mass and reconcile with q173's keeps") {
+    val rows = SparkEntry.queries("q177_dedup_mixture_shift")(spark, dir)
+      .collect()
+    val nSources = rows.length
+    def sums(c: String) = rows.map(_.getAs[Long](c)).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tok_after") <= r.getAs[Long]("tok_before"),
+        s"dedup cannot add tokens (${r.getString(0)})")
+      assert(r.getAs[Long]("shift_bp") ==
+        r.getAs[Long]("share_after_bp") - r.getAs[Long]("share_before_bp"))
+    }
+    // integer div floors per source: each share column sums to 10000
+    // minus at most one bp per source; shifts cancel within the same band
+    assert(sums("share_before_bp") > 10000L - nSources
+      && sums("share_before_bp") <= 10000L)
+    assert(sums("share_after_bp") > 10000L - nSources
+      && sums("share_after_bp") <= 10000L)
+    assert(math.abs(sums("shift_bp")) < nSources.toLong)
+    // tok_after reconciles with the q173 verdict exactly
+    val keeps = repRows().filter(_._4).map(_._1).toSet
+    val keptTokens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"))
+      .collect().filter(r => keeps(r.getLong(0))).map(_.getLong(1)).sum
+    assert(sums("tok_after") == keptTokens,
+      "q177's kept token mass must equal the q173 keep set's")
+  }
+
   test("q176: provenance argmax equals the brute-force per-pair overlap truth") {
     val rows = SparkEntry.queries("q176_contam_provenance")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
