@@ -65,6 +65,17 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.StreamingOps.SmoothOut] =
     streaming.StreamingOps.ewmaSmooth(events)
 
+  /** Streaming ingest dedup — the stateful twin of batch
+    * q156_incremental_dedup: MinHash-signs each arriving doc and emits a
+    * BandCollision per LSH band match against residents from STRICTLY
+    * EARLIER micro-batches (admit/reject = any collision, q156's rule).
+    * State is keyed by band bucket — the batch band join's partitioning.
+    * Replay-proven equal to q156 in StreamingOpsSpec. See
+    * [[streaming.StreamingOps.ingestDedup]]. */
+  def ingestDedup(docs: org.apache.spark.sql.Dataset[streaming.StreamingOps.Doc])
+      : org.apache.spark.sql.Dataset[streaming.StreamingOps.BandCollision] =
+    streaming.StreamingOps.ingestDedup(docs)
+
   /** Gap-based streaming sessionizer with explicit state and event-time
     * timeout — the stateful twin of batch q122_sessionize_gap,
     * session-for-session equal on in-order replays (StreamingOpsSpec).

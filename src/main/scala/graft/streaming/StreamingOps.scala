@@ -156,6 +156,58 @@ object StreamingOps {
       }
   }
 
+  final case class Doc(doc_id: Long, text: String)
+
+  final case class BandCollision(doc_id: Long, resident_id: Long)
+
+  /** Streaming ingest dedup — the stateful twin of batch
+    * q156_incremental_dedup: every arriving doc is MinHash-signed (the
+    * same native WordShingles → MinHashSig pass as the batch operator,
+    * docs under 3 words pass through unsigned exactly as they are
+    * absent from the batch signature store) and checked against the
+    * resident corpus one LSH band bucket at a time. Emits one
+    * [[BandCollision]] per (new doc, resident doc) band collision; the
+    * consumer's admit/reject verdict is
+    * `countDistinct(resident_id) > 0` per doc — q156's rule.
+    *
+    * Semantics: a doc matches residents from STRICTLY EARLIER
+    * micro-batches only — docs of the same batch never match each
+    * other, mirroring q156's static new-vs-resident split (batch 1 =
+    * the resident corpus, batch 2 = the ingest). Emission order within
+    * a batch is undefined; the collision SET is deterministic.
+    *
+    * Scale notes: state is keyed by (band, band-value) — the same
+    * partitioning as the batch band join, horizontally scalable — and
+    * holds only doc ids (the 9-column signature store stays in the
+    * batch layer; a bucket's id list is the band-collision df, which
+    * LSH keeps small by construction). A production deployment adds a
+    * state TTL (GroupStateTimeout) to age out residents past the dedup
+    * horizon; the replay-equivalence spec runs without one. */
+  def ingestDedup(docs: Dataset[Doc]): Dataset[BandCollision] = {
+    import docs.sparkSession.implicits._
+    val sig = graft.plans.MinHashSig.minhashSig(
+      graft.plans.WordShingles.wordShingles(col("text"), 3))
+    val bands = docs.toDF()
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), sig.as("ms"))
+      .select(col("doc_id"), explode(array((0 until 4).map(b =>
+        concat_ws(":", lit(b), col("ms").getItem(2 * b),
+          col("ms").getItem(2 * b + 1))): _*)).as("bucket"))
+      .select(col("bucket"), col("doc_id")).as[(String, Long)]
+    bands
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], BandCollision](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[(String, Long)],
+            state: GroupState[List[Long]]) =>
+          val resident = state.getOption.getOrElse(Nil)
+          val arrived = it.map(_._2).toList.distinct
+          state.update(resident ++ arrived.filterNot(resident.contains))
+          (for { d <- arrived; r <- resident }
+            yield BandCollision(d, r)).iterator
+      }
+  }
+
   final case class EwmaState(recent: List[Double])
 
   final case class SmoothOut(user_id: Long, event_id: Long, ewma8: Double)

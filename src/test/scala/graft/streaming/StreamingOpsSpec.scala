@@ -214,6 +214,47 @@ class StreamingOpsSpec extends SparkTestBase {
       s"stream sessions ${gotMapped.take(5)}... != batch ${want.take(5)}...")
   }
 
+  test("streaming ingest dedup equals batch q156 on a resident-then-ingest replay") {
+    val sf = "/root/testdata/sf0.001"
+    def bk(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 100
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[Doc].collect()
+    val (ingest, resident) = docs.partition(d => bk(d.doc_id) >= 95)
+    assert(ingest.nonEmpty && resident.nonEmpty)
+
+    val in = MemoryStream[Doc]
+    val q = ingestDedup(in.toDS()).writeStream.format("memory")
+      .queryName("ingest156").outputMode("update").start()
+    val collisions = withQuery(q) {
+      in.addData(resident.toSeq)   // batch 1: the resident corpus
+      q.processAllAvailable()
+      assert(spark.table("ingest156").count() == 0,
+        "first batch has no earlier residents to collide with")
+      in.addData(ingest.toSeq)     // batch 2: the ingest
+      q.processAllAvailable()
+      spark.table("ingest156").as[BandCollision].collect()
+    }
+    // verdict per q156's rule; batch-2 docs never match each other, so
+    // every collision must point at a resident
+    assert(collisions.forall(c => bk(c.resident_id) < 95))
+    val nDups = collisions.groupBy(_.doc_id)
+      .map { case (d, cs) => d -> cs.map(_.resident_id).distinct.size }
+    val want = graft.SparkEntry.queries("q156_incremental_dedup")(spark, sf)
+      .select("doc_id", "n_dups").as[(Long, Int)].collect().toMap
+    assert(want.nonEmpty)
+    want.foreach { case (d, n) =>
+      assert(nDups.getOrElse(d, 0) == n,
+        s"doc $d: stream says ${nDups.getOrElse(d, 0)} dups, batch says $n")
+    }
+    // no collision for a doc the batch op does not know (sub-3-word docs
+    // are unsigned on both sides)
+    assert(nDups.keySet.subsetOf(want.keySet))
+  }
+
   test("streaming EWMA equals batch q140 on an in-order two-batch replay") {
     val sf = "/root/testdata/sf0.001"
     val uids = Seq(0L, 1L, 2L)
