@@ -293,6 +293,14 @@ object TextDedup {
     * pins it against a brute-force + q89-agreement spec). */
   def clusterVerdict(items: DataFrame, labels: DataFrame,
       idCol: String, qualityCol: String): DataFrame = {
+    val reserved =
+      Seq("id", "lbl", "cluster_id", "cluster_size", "keep", "__q", "m")
+        .filterNot(c => c == idCol || c == qualityCol)
+    val clash = items.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"clusterVerdict: input must not carry working column(s) " +
+        s"${clash.mkString(", ")} — rename before calling " +
+        "(same discipline as Curation.prefixReserved)")
     val full = items
       .join(labels, items(idCol) === labels("id"), "left")
       .select(col(idCol),

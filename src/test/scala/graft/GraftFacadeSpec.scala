@@ -51,6 +51,10 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(v(8L) == (7L, 2L, true), "q=4 beats q=1 in cluster 7")
     assert(v(7L) == (7L, 2L, false))
     assert(v(42L) == (42L, 1L, true), "singleton keeps itself")
+    intercept[IllegalArgumentException] {
+      Graft.clusterVerdict(items.withColumn("cluster_id", lit(1)),
+        Graft.connectedComponents(edges), "doc_id", "q")
+    }
   }
 
   test("pagerank on a symmetric pair splits rank evenly") {
