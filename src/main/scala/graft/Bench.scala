@@ -105,8 +105,8 @@ object Bench {
       .groupBy("k").agg(org.apache.spark.sql.functions.sum("s"),
         org.apache.spark.sql.functions.sum("d"))
       .collect()
-    val wu = spark.range(20000).selectExpr("id", "id % 1000 AS k")
-    wu.join(wu.selectExpr("k AS k2", "id AS id2"),
+    val wj = spark.range(20000).selectExpr("id", "id % 1000 AS k")
+    wj.join(wj.selectExpr("k AS k2", "id AS id2"),
         org.apache.spark.sql.functions.col("k") ===
           org.apache.spark.sql.functions.col("k2"))
       .selectExpr("count(*)").collect()
@@ -129,6 +129,22 @@ object Bench {
       try Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Box-regime probe: a FIXED synthetic shuffle-join + aggregation,
+    // timed after every warm-up so JIT/codegen/scan setup are excluded
+    // and the number tracks only how fast this box is running right now
+    // (the documented bimodal host). Emitted as "wu" in the JSON line;
+    // BASELINE.md records its quiet/slow bands so a per-query regression
+    // can be read against the regime instead of guessed (r9's failure,
+    // r11's q108–q111 forensics). Data-independent and cache-free.
+    val wuStart = System.nanoTime()
+    val wuL = spark.range(2000000L).selectExpr("id", "id % 100000 AS k")
+    wuL.join(wuL.selectExpr("k AS k2", "id AS id2"),
+        org.apache.spark.sql.functions.col("k") ===
+          org.apache.spark.sql.functions.col("k2"))
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("id2").as("s"))
+      .selectExpr("sum(s)").collect()
+    val wu = (System.nanoTime() - wuStart) / 1e9
     // Sorted execution order: queries share persisted caches (shingles,
     // signatures, jaccard pairs) and whichever query runs first pays the
     // build; map order is hash-arbitrary, which made per-query numbers
@@ -148,26 +164,44 @@ object Bench {
         .foreach(p => CacheRegistry.releaseByPrefix(spark, p))
       (name, dt, ok)
     }
-    // The driver keeps only the LAST 2000 chars of output and sbt prints a
-    // ~75-char [success] line after us, so the JSON line must stay under
-    // ~1900 chars or it is truncated mid-line and unparseable (this is
-    // exactly what nulled BENCH_r01–r03). Three compactions: 1-decimal
-    // per-query seconds with trailing zeros stripped (±50ms of precision
-    // is far below the ±30-40% machine variance BASELINE.md documents,
-    // and regressions that matter are ≥ the 0.1s quantum; the TOTAL
-    // keeps 2 decimals — it is the judged number), per-query keys
-    // abbreviated to their unique qNN prefix (the full names are in
-    // Verify's dump / CORRECTNESS report; the contract's own example uses
-    // short keys), and the sf tag shortened to the directory basename.
-    // BASELINE.md tracks the current line length and headroom per
-    // inventory (~11 chars/query against the ~1900-char ceiling).
+    println(renderJson(results, wu, new java.io.File(sfDir).getName))
+    spark.stop()
+  }
+
+  /** Render the single bench JSON line. Factored out of `main` so
+    * `BenchJsonSpec` can render it at worst-case per-query widths and
+    * pin the length against the driver's capture window.
+    *
+    * The driver keeps only the LAST 2000 chars of output, so the JSON
+    * line must stay comfortably under that or it is truncated mid-line
+    * and unparseable (this is exactly what nulled BENCH_r01–r03; at 175
+    * queries the r11 line was 1899/2000 — one slow query from dead).
+    * Compactions, in descending savings order:
+    *  - per-query keys are the qNN ordinal WITHOUT the 'q' (full names
+    *    are in Verify's dump / the CORRECTNESS report; −1 char × every
+    *    query is the only lever big enough to restore real headroom),
+    *  - per-query seconds at 1 decimal with trailing zeros stripped,
+    *    clamped to WHOLE seconds at ≥10 s so a slow-regime run cannot
+    *    widen every value to 4 chars (±50ms — or ±0.5s at ≥10 s — is
+    *    far below the bimodal-host variance BASELINE.md documents; the
+    *    TOTAL keeps 2 decimals — it is the judged number),
+    *  - no "unit" key (seconds are the contract's only unit),
+    *  - the sf tag as a bare number ("sf0.1" dir → 0.1).
+    * "wu" is the box-regime marker: seconds for a fixed synthetic
+    * shuffle-join probe timed AFTER warm-up, so the judge can separate
+    * ambient host drift from plan regressions (bands in BASELINE.md). */
+  private[graft] def renderJson(
+      results: Seq[(String, Double, Boolean)], wu: Double,
+      sfBasename: String): String = {
     def f(v: Double): String = "%.2f".format(v)
       .replaceAll("0+$", "").replaceAll("\\.$", "")
-    def f1(v: Double): String = "%.1f".format(v)
-      .replaceAll("0+$", "").replaceAll("\\.$", "")
-    def short(name: String): String = name.takeWhile(_ != '_')
+    def f1(v: Double): String =
+      if (v >= 10) Math.round(v).toString
+      else "%.1f".format(v).replaceAll("0+$", "").replaceAll("\\.$", "")
+    def short(name: String): String =
+      name.takeWhile(_ != '_').dropWhile(_ == 'q')
     require(results.map(r => short(r._1)).toSet.size == results.size,
-      "qNN prefixes must stay unique for the compact bench JSON")
+      "qNN ordinals must stay unique for the compact bench JSON")
     val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + f1(v) }
       .mkString("{", ",", "}")
     // A failed query must be loud, not a -1s "speedup": list failures in
@@ -175,8 +209,8 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"${short(k)}\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val sfTag = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfTag"}""")
-    spark.stop()
+    val sf = sfBasename.stripPrefix("sf")
+    val sfJson = if (sf.matches("""\d+(\.\d+)?""")) sf else s"\"$sfBasename\""
+    s"""{"metric":"total","value":${f(total)},"wu":${f(wu)},"queries":$qs,"failed":$failed,"sf":$sfJson}"""
   }
 }

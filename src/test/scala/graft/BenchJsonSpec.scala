@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench JSON line's width against the driver's capture
+  * window. The driver keeps only the LAST 2000 chars of Bench's
+  * output; a line that outgrows that is truncated mid-JSON and the
+  * whole round's bench signal is nulled (BENCH_r01–r03). This spec
+  * renders the line over the REAL query inventory at worst-case
+  * per-value widths, so inventory growth or a formatting change that
+  * would cross the ceiling fails the build instead of the round. */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private val names = SparkEntry.queries.keys.toSeq.sorted
+
+  /** Render with every query at `sec` seconds and `nFailed` failures. */
+  private def render(sec: Double, nFailed: Int, wu: Double): String = {
+    val results = names.zipWithIndex.map { case (n, i) =>
+      (n, sec, i >= names.size - nFailed)
+    }.map { case (n, s, failTail) => (n, s, !failTail) }
+    Bench.renderJson(results, wu, "sf0.1")
+  }
+
+  test("worst-case line width stays under the driver's 2000-char tail") {
+    // 9.9 s is the widest sub-10 rendering (3 chars); ≥10 s values are
+    // clamped to whole seconds, so 999 s is the widest plausible slow
+    // rendering (3 chars; a 1000 s query has failed the 2x gate long
+    // before width matters). Five failures cover a partial-outage run
+    // (an all-failed run is dead regardless of line width). wu wide too.
+    val worst = Seq(render(9.9, 5, 99.99), render(999.4, 5, 99.99))
+      .map(_.length).max
+    assert(worst < 1950,
+      s"bench JSON worst-case width $worst is inside the truncation " +
+        "danger zone — shrink the format before growing the inventory")
+  }
+
+  test("typical line parses as JSON with the contract keys") {
+    val line = render(0.3, 0, 1.23)
+    assert(line.startsWith("{\"metric\":\"total\",\"value\":"))
+    assert(line.contains("\"wu\":1.23"))
+    assert(line.contains("\"queries\":{"))
+    assert(line.contains("\"failed\":[]"))
+    assert(line.endsWith("\"sf\":0.1}"))
+    // keys are the bare ordinals and stay unique
+    assert(line.contains("\"01\":0.3"))
+    assert(!line.contains("\"q01\""))
+  }
+
+  test("value clamping: 1 decimal under 10 s, whole seconds above") {
+    val r = Seq(("q01_a", 0.25, true), ("q02_b", 12.6, true),
+      ("q03_c", 3.0, true))
+    val line = Bench.renderJson(r, 0.5, "sf0.01")
+    assert(line.contains("\"01\":0.3") || line.contains("\"01\":0.2"))
+    assert(line.contains("\"02\":13"))
+    assert(line.contains("\"03\":3"))
+    assert(line.endsWith("\"sf\":0.01}"))
+  }
+
+  test("failed queries are listed by ordinal") {
+    val r = Seq(("q01_a", 0.2, true), ("q07_bad", 0.1, false))
+    val line = Bench.renderJson(r, 0.5, "custom-dir")
+    assert(line.contains("\"failed\":[\"07\"]"))
+    // non-numeric sf dir falls back to a quoted string
+    assert(line.endsWith("\"sf\":\"custom-dir\"}"))
+  }
+}
