@@ -284,8 +284,11 @@ object TextDedup {
     * `idCol` tiebreak — and drops the rest. Returns
     * (`idCol`, cluster_id, cluster_size, keep).
     *
-    * `items` must carry a numeric `qualityCol` (higher = better) and a
-    * LONG `idCol`; `labels` is [[connectedComponents]] output (id, lbl).
+    * `items` must carry a numeric `qualityCol` (higher = better; NULL
+    * sorts LAST — a null-quality member never beats a scored one, and
+    * an all-null cluster falls back to the min-`idCol` tiebreak,
+    * matching SQL's ORDER BY quality DESC NULLS LAST) and a LONG
+    * `idCol`; `labels` is [[connectedComponents]] output (id, lbl).
     * Scale shape: the argmax is a map-side-combinable min(struct) keyed
     * by cluster — one reduce-buffer entry per cluster per partition,
     * never a per-cluster sort — and the verdict join is keyed by
@@ -295,8 +298,20 @@ object TextDedup {
       idCol: String, qualityCol: String): DataFrame = {
     val reserved =
       Seq("id", "lbl", "cluster_id", "cluster_size", "keep", "__q", "m")
-        .filterNot(c => c == idCol || c == qualityCol)
-    val clash = items.columns.filter(reserved.contains)
+    // idCol/qualityCol may NOT take a reserved name either: the caller
+    // can always rename, and a reserved-named input would collide with
+    // the labels frame / working columns downstream, failing with an
+    // ambiguous-reference AnalysisException instead of this message.
+    val badParam =
+      Seq("idCol" -> idCol, "qualityCol" -> qualityCol)
+        .filter { case (_, c) => reserved.contains(c) }
+    require(badParam.isEmpty,
+      s"clusterVerdict: ${badParam.map { case (p, c) => s"$p '$c'" }
+        .mkString(", ")} collides with a reserved working column " +
+        s"(${reserved.mkString(", ")}) — rename before calling")
+    val clash = items.columns
+      .filter(c => c != idCol && c != qualityCol)
+      .filter(reserved.contains)
     require(clash.isEmpty,
       s"clusterVerdict: input must not carry working column(s) " +
         s"${clash.mkString(", ")} — rename before calling " +
@@ -306,9 +321,19 @@ object TextDedup {
       .select(col(idCol),
         coalesce(col("lbl"), col(idCol)).as("cluster_id"),
         col(qualityCol).as("__q"))
+    // NULL-quality guard: a bare min(struct(-__q, id)) would let a NULL
+    // quality WIN the keep (null struct fields sort first in Spark's
+    // min) — the opposite of the oracle's ORDER BY quality DESC NULLS
+    // LAST. A leading is-null flag (false < true) makes every non-null
+    // row beat every null row, keeps the original numeric type's exact
+    // ordering for the non-null case (no lossy double cast), and stays
+    // a declarative map-side-combinable aggregate — no construction-time
+    // job (PlanConstructionSpec pins q173 as job-free). All-null
+    // clusters degrade to the min-id tiebreak, same as the oracle.
     val reps = full.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"),
-        min(struct((-col("__q")).as("neg"), col(idCol).as("d"))).as("m"))
+        min(struct(col("__q").isNull.as("nq"), (-col("__q")).as("neg"),
+          col(idCol).as("d"))).as("m"))
     full.join(reps, "cluster_id")
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         (col(idCol) === col("m.d")).as("keep"))
@@ -318,7 +343,8 @@ object TextDedup {
     * recursive transitive closure over the exact-Jaccard dup edges,
     * ending in `lbl(doc_id, cl)` — cl = min doc_id of the component
     * (docs without a dup partner are absent; consumers coalesce to
-    * doc_id). Must stay semantically identical to q89's inline CTE. */
+    * doc_id). q89 itself is built from this constant too, so there is
+    * exactly ONE definition of the clustering oracle to drift. */
   private[operators] val oracleCc: String =
     """WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
       |sh AS (SELECT doc_id,
@@ -596,22 +622,13 @@ object TextDedup {
     //    closure (fine at oracle scale, engine-independent).
     QueryDef(
       "q89_dup_clusters",
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id,
-        |  list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
-        |  FROM w WHERE len(ws) >= 3),
-        |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
-        |  len(list_intersect(a.s, b.s)) AS c, len(a.s) AS na, len(b.s) AS nb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-        |dup AS (SELECT doc_i, doc_j FROM p WHERE 3*c >= na + nb),
-        |e AS (SELECT doc_i AS a, doc_j AS b FROM dup
-        |      UNION SELECT doc_j, doc_i FROM dup),
-        |reach AS (SELECT a, b FROM e
-        |          UNION
-        |          SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
-        |SELECT a AS doc_id, min(b) AS cluster_id,
-        |  (min(b) = a) AS is_canonical
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // built from the ONE shared CC oracle (oracleCc) like the other
+      // four dupClusters consumers — a single definition to drift, not
+      // an inline twin pinned only empirically (r11 ADVICE).
+      oracleCc +
+        """
+          |SELECT doc_id, cl AS cluster_id, (cl = doc_id) AS is_canonical
+          |FROM lbl ORDER BY doc_id""".stripMargin) { (s, dir) =>
       dupClusters(s, dir)
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
           (col("lbl") === col("id")).as("is_canonical"))

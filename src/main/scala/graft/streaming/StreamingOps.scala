@@ -176,14 +176,31 @@ object StreamingOps {
     * the resident corpus, batch 2 = the ingest). Emission order within
     * a batch is undefined; the collision SET is deterministic.
     *
-    * Scale notes: state is keyed by (band, band-value) — the same
-    * partitioning as the batch band join, horizontally scalable — and
-    * holds only doc ids (the 9-column signature store stays in the
-    * batch layer; a bucket's id list is the band-collision df, which
-    * LSH keeps small by construction). A production deployment adds a
-    * state TTL (GroupStateTimeout) to age out residents past the dedup
-    * horizon; the replay-equivalence spec runs without one. */
-  def ingestDedup(docs: Dataset[Doc]): Dataset[BandCollision] = {
+    * At-least-once sources can re-deliver a doc_id in a LATER batch (a
+    * case the batch q156 disjoint new/resident split can never
+    * produce); a redelivered doc is already resident in its own
+    * buckets, so self-collisions are filtered — a doc never rejects
+    * against itself, only against OTHER residents.
+    *
+    * State-growth contract: state is keyed by (band, band-value) — the
+    * same partitioning as the batch band join, horizontally scalable —
+    * and each bucket holds a SET of doc ids (hash lookups, no O(n)
+    * membership scan; the 9-column signature store stays in the batch
+    * layer). Without a TTL, state grows with the distinct bucket count
+    * of the resident corpus — the deliberate default, because q156's
+    * semantics dedup against ALL history and the replay-equivalence
+    * spec needs exactly that. Deployments with a bounded dedup horizon
+    * pass `ttl` (processing-time): a bucket untouched for `ttl` is
+    * dropped whole, i.e. residents age out once nothing hashes near
+    * them for the horizon — after which a re-ingest of an old doc
+    * admits (the standard horizon-dedup tradeoff, stated rather than
+    * hidden). Caveat: an armed ProcessingTimeTimeout makes the engine
+    * schedule micro-batches continuously to re-check deadlines, so
+    * `processAllAvailable()` never reaches its no-more-work state and
+    * blocks — pace TTL'd deployments with a real trigger interval and
+    * test them by polling the sink (see StreamingOpsSpec). */
+  def ingestDedup(docs: Dataset[Doc],
+      ttl: Option[java.time.Duration] = None): Dataset[BandCollision] = {
     import docs.sparkSession.implicits._
     val sig = graft.plans.MinHashSig.minhashSig(
       graft.plans.WordShingles.wordShingles(col("text"), 3))
@@ -194,17 +211,26 @@ object StreamingOps {
         concat_ws(":", lit(b), col("ms").getItem(2 * b),
           col("ms").getItem(2 * b + 1))): _*)).as("bucket"))
       .select(col("bucket"), col("doc_id")).as[(String, Long)]
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     bands
       .groupByKey(_._1)
-      .flatMapGroupsWithState[List[Long], BandCollision](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Set[Long], BandCollision](
+        OutputMode.Update, timeoutConf) {
         (_: String, it: Iterator[(String, Long)],
-            state: GroupState[List[Long]]) =>
-          val resident = state.getOption.getOrElse(Nil)
-          val arrived = it.map(_._2).toList.distinct
-          state.update(resident ++ arrived.filterNot(resident.contains))
-          (for { d <- arrived; r <- resident }
-            yield BandCollision(d, r)).iterator
+            state: GroupState[Set[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val resident = state.getOption.getOrElse(Set.empty[Long])
+            val arrived = it.map(_._2).toList.distinct
+            state.update(resident ++ arrived)
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            (for { d <- arrived; r <- resident; if r != d }
+              yield BandCollision(d, r)).iterator
+          }
       }
   }
 

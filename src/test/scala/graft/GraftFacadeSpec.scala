@@ -57,6 +57,34 @@ class GraftFacadeSpec extends SparkTestBase {
     }
   }
 
+  test("clusterVerdict: NULL quality sorts last, never wins the keep") {
+    val edges = Seq((1L, 2L), (7L, 8L)).toDF("src", "dst")
+    // cluster 1: id 1 has NULL quality, id 2 has q=0 -> 2 must win even
+    // against the worst real score (SQL NULLS LAST, not null-wins-min);
+    // cluster 7: BOTH null -> min-id tiebreak keeps 7.
+    val items = Seq((1L, None), (2L, Some(0)), (7L, None), (8L, None: Option[Int]))
+      .toDF("doc_id", "q")
+    val v = Graft.clusterVerdict(items,
+        Graft.connectedComponents(edges), "doc_id", "q")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(!v(1L) && v(2L), "q=0 beats NULL quality")
+    assert(v(7L) && !v(8L), "all-null cluster falls back to min id")
+  }
+
+  test("clusterVerdict rejects reserved idCol/qualityCol names up front") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val labels = Graft.connectedComponents(edges)
+    val ex = intercept[IllegalArgumentException] {
+      Graft.clusterVerdict(Seq((1L, 2)).toDF("id", "q"), labels, "id", "q")
+    }
+    assert(ex.getMessage.contains("idCol 'id'"),
+      "clear require message, not a downstream ambiguous-reference error")
+    intercept[IllegalArgumentException] {
+      Graft.clusterVerdict(Seq((1L, 2)).toDF("d", "lbl"), labels, "d", "lbl")
+    }
+  }
+
   test("pagerank on a symmetric pair splits rank evenly") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val r = Graft.pagerank(edges, iters = 2).as[(Long, Long, Long)]

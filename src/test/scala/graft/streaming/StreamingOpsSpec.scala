@@ -255,6 +255,76 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(nDups.keySet.subsetOf(want.keySet))
   }
 
+  test("ingest dedup: at-least-once redelivery two batches late never self-rejects") {
+    // Three micro-batches; doc A is redelivered in batch 3 (the
+    // at-least-once replay case the batch q156 split cannot produce).
+    // A's redelivery collides with OTHER residents that share a bucket
+    // (its verbatim twin B) but NEVER with itself — a self-collision
+    // would flip A's verdict to reject against its own earlier arrival.
+    val a = Doc(1L, "the quick brown fox jumps over the lazy dog")
+    val b = Doc(2L, "the quick brown fox jumps over the lazy dog") // A's twin
+    val c = Doc(3L, "completely unrelated text about spark executors")
+    val in = MemoryStream[Doc]
+    val q = ingestDedup(in.toDS()).writeStream.format("memory")
+      .queryName("ingest_redeliver").outputMode("update").start()
+    val (after2, after3) = withQuery(q) {
+      in.addData(a, c)          // batch 1: A and C become resident
+      q.processAllAvailable()
+      in.addData(b)             // batch 2: B collides with resident A
+      q.processAllAvailable()
+      val snap2 = spark.table("ingest_redeliver").as[BandCollision].collect()
+      in.addData(a)             // batch 3: A redelivered two batches late
+      q.processAllAvailable()
+      (snap2, spark.table("ingest_redeliver").as[BandCollision].collect())
+    }
+    assert(after2.map(c0 => (c0.doc_id, c0.resident_id)).distinct.toSet ==
+      Set((2L, 1L)), "B rejects against resident A only")
+    val batch3 = after3.diff(after2)
+    assert(batch3.nonEmpty && batch3.forall(_.doc_id == 1L))
+    assert(batch3.forall(_.resident_id != 1L),
+      s"redelivered A must not collide with itself: ${batch3.toSeq}")
+    assert(batch3.map(_.resident_id).toSet == Set(2L),
+      "redelivered A still collides with its genuine twin B")
+  }
+
+  test("ingest dedup with a TTL keeps q156 semantics inside the horizon") {
+    // TTL arms ProcessingTimeTimeout; inside the horizon behavior is
+    // identical to the unbounded form (the timeout path only drops
+    // buckets after `ttl` of silence — not reachable in-test without
+    // wall-clock games, so this pins the armed-but-unexpired path).
+    // NOTE: with ProcessingTimeTimeout armed the engine keeps
+    // scheduling micro-batches to re-check timeouts, so
+    // processAllAvailable never observes the "no more work" state and
+    // HANGS (documented on ingestDedup); the test polls the sink with a
+    // deadline instead — the same pattern a production smoke-check uses.
+    val a = Doc(1L, "alpha beta gamma delta epsilon zeta")
+    val b = Doc(2L, "alpha beta gamma delta epsilon zeta")
+    val in = MemoryStream[Doc]
+    val q = ingestDedup(in.toDS(), ttl = Some(java.time.Duration.ofDays(1)))
+      .writeStream.format("memory")
+      .queryName("ingest_ttl").outputMode("update").start()
+    def awaitUntil(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+        Thread.sleep(50)
+      }
+    }
+    val got = withQuery(q) {
+      in.addData(a)
+      awaitUntil("batch 1 consumed") {
+        q.recentProgress.map(_.numInputRows).sum >= 1
+      }
+      in.addData(b)
+      awaitUntil("the A~B collision") {
+        spark.table("ingest_ttl").count() >= 1
+      }
+      spark.table("ingest_ttl").as[BandCollision].collect()
+    }
+    assert(got.map(c0 => (c0.doc_id, c0.resident_id)).distinct.toSet ==
+      Set((2L, 1L)))
+  }
+
   test("streaming EWMA equals batch q140 on an in-order two-batch replay") {
     val sf = "/root/testdata/sf0.001"
     val uids = Seq(0L, 1L, 2L)
