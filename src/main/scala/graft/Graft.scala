@@ -160,6 +160,38 @@ object Graft {
       docs: DataFrame, idCol: String, textCol: String): DataFrame =
     operators.TextAnalysis.tokenizeWithOffsets(docs, idCol, textCol)
 
+  /** Deterministic per-stratum quota sample: within every `stratumCol`
+    * value, rank rows by (md5(`idCol`), `idCol`) and keep rank ≤
+    * `quota` (returned as `qs_rank`). Reruns and appends never swap
+    * picks, and a smaller quota is exactly the rank-prefix of a larger
+    * one — the stratified audit-sampling primitive behind the shared
+    * LSH audit sample (q117/q144, q95's machinery). One stratum-keyed
+    * window shuffle. See [[operators.Curation.quotaSample]]. */
+  def quotaSample(df: DataFrame, idCol: String, stratumCol: String,
+      quota: Int): DataFrame =
+    operators.Curation.quotaSample(df, idCol, stratumCol, quota)
+
+  /** Okapi BM25 scoring of a whitespace-tokenized `textCol` against a
+    * fixed bag of query terms: returns (`idCol`, dl, tf1..tfN, score)
+    * with the score rounded to 4 dp. Narrow feature map + one
+    * broadcast global-stats row — scan-shaped at any corpus size.
+    * Backs q115_bm25_topk / q116_hybrid_rrf.
+    * See [[operators.Search.bm25Score]]. */
+  def bm25Score(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    operators.Search.bm25Score(docs, idCol, textCol, queryTerms, k1, b)
+
+  /** Reciprocal-rank fusion of any number of (`idCol`, `scoreCol`)
+    * rankings, each cut to its top-`topR` first: returns (`idCol`,
+    * n_lists, rrf) with rrf = Σ 1/(k+rank) over the lists that
+    * retrieved the id, rounded to 6 dp. The limits run as parallel
+    * heap-k, so no window ever sees more than topR rows. q116 is the
+    * two-retriever inner-join specialization.
+    * See [[operators.Search.rrfFuse]]. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+      k: Int = 60, topR: Int = 100): DataFrame =
+    operators.Search.rrfFuse(rankings, idCol, scoreCol, k, topR)
+
   /** Codegen'd vector math over ARRAY<DOUBLE> columns: dot, norm,
     * cosine (fused native expression), LSH bucketing. See
     * [[functions.VectorFunctions]]. */

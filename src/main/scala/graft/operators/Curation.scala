@@ -161,6 +161,34 @@ object Curation {
       .drop("__w", "__score", "__bucket", "cum0", "__budget")
   }
 
+  /** Deterministic per-stratum quota sample: within every `stratumCol`
+    * value, rank rows by (md5(`idCol`), `idCol`) and keep rank ≤
+    * `quota`, returning the input plus the rank as `qs_rank`. The md5
+    * order is a fixed pseudo-random shuffle, so reruns and corpus
+    * appends never SWAP picks — a doc already sampled stays sampled
+    * unless new rows hash ahead of it — and a smaller quota is exactly
+    * the rank-prefix of a larger one (the property the shared audit
+    * sample cache in TextDedup is built on; this is its table-agnostic
+    * form, q95's machinery). NULL ids are excluded up front (no
+    * deterministic position without a key).
+    *
+    * Scale shape: ONE stratum-keyed window shuffle; each executor sorts
+    * only its strata. With few very hot strata at 100 TB, swap the
+    * window for a per-stratum top-K aggregate (plans.TopKAggregate) —
+    * heap-k per partition instead of a full per-stratum sort. */
+  private[graft] def quotaSample(df: DataFrame, idCol: String,
+      stratumCol: String, quota: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quota > 0, "quota must be positive")
+    require(!df.columns.contains("qs_rank"),
+      "input must not carry the working column qs_rank — rename first")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(encode(col(idCol).cast("string"), "UTF-8")), col(idCol))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("qs_rank", row_number().over(w))
+      .filter(col("qs_rank") <= quota)
+  }
+
   /** Distinct (source, tok) 3-gram shingle vocabulary of the corpus,
     * derived from the shared shingle cache and registry-persisted once
     * per (session, sf-dir): q145's exact overlap matrix references it

@@ -74,44 +74,99 @@ object Search {
       tf.join(n2, "doc_id")
     }
 
-  /** Per-doc BM25 features: dl + tf per query term — one narrow map. */
-  private def docFeatures(s: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    T(s, dir, "documents").select(
-      col("doc_id") +: size(ws).as("dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(ws, w => w === lit(t))).as(s"tf${i + 1}")
-        }: _*)
-  }
-
   /** BM25-scored docs: doc_id, dl, tf1..tf3, score (rounded 4 dp).
     *
     * Registry-cached: q115 (top-k) and q116 (hybrid RRF) both consume
     * this exact frame, and before round 9 each rebuilt it — re-running
-    * the 3-term docFeatures scan twice made them the #2/#3 slowest bench
+    * the 3-term feature scan twice made them the #2/#3 slowest bench
     * queries. One persisted copy per (session, sf-dir), same lifecycle
-    * as the shared unigram-tf frame below. */
+    * as the shared unigram-tf frame below. The scoring itself is the
+    * table-agnostic [[bm25Score]] (also on the Graft facade) bound to
+    * the documents table — one definition of the formula. */
   private def bm25(s: SparkSession, dir: String): DataFrame =
-    CacheRegistry.cached(s, s"bm25:$dir") { bm25Build(s, dir) }
+    CacheRegistry.cached(s, s"bm25:$dir") {
+      bm25Score(T(s, dir, "documents"), "doc_id", "text", terms, K1, B)
+    }
 
-  private def bm25Build(s: SparkSession, dir: String): DataFrame = {
-    val d = docFeatures(s, dir)
+  /** Table-agnostic Okapi BM25 over a whitespace-tokenized text column
+    * for a fixed bag of `queryTerms`: returns (`idCol`, dl,
+    * tf1..tfN, score) with score = Σᵢ idfᵢ·tfᵢ·(k1+1) /
+    * (tfᵢ + k1·(1−b+b·dl/avgdl)), idf = ln((N−df+0.5)/(df+0.5)+1),
+    * rounded to 4 dp (order by the rounded score with an id tiebreak so
+    * a final-ulp difference can never reorder a top-k).
+    *
+    * Scale shape: per-doc features are ONE narrow map over the text
+    * column (the query terms are known, so there is no tokenize
+    * shuffle at all); the corpus stats (N, Σdl, df per term) are one
+    * global aggregate broadcast back as a single row. Scan + broadcast
+    * — the same plan at any corpus size; the consumer adds its own
+    * top-k (TakeOrderedAndProject). Backs q115_bm25_topk /
+    * q116_hybrid_rrf via the cached documents binding above. */
+  private[graft] def bm25Score(docs: DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Score needs at least one query term")
+    require(queryTerms.distinct.size == queryTerms.size,
+      "duplicate query terms — dedup the bag first")
+    val working = "dl" +: "score" +: "n" +: "sdl" +:
+      (queryTerms.indices.flatMap(i => Seq(s"tf${i + 1}", s"df${i + 1}")))
+    require(!working.contains(idCol),
+      s"idCol '$idCol' collides with a BM25 working column — rename first")
+    val ws = split(col(textCol), " ")
+    val feats = docs.select(
+      col(idCol) +: size(ws).as("dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(ws, w => w === lit(t))).as(s"tf${i + 1}")
+        }: _*)
     val stCols = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
-      terms.indices.map(i =>
+      queryTerms.indices.map(i =>
         sum(when(col(s"tf${i + 1}") > 0, 1).otherwise(0)).as(s"df${i + 1}"))
-    val st = d.agg(stCols.head, stCols.tail: _*)
+    val st = feats.agg(stCols.head, stCols.tail: _*)
     val ad = col("sdl") * lit(1.0) / col("n")
     def idf(i: Int): Column =
       log((col("n") - col(s"df${i + 1}") + lit(0.5))
         / (col(s"df${i + 1}") + lit(0.5)) + lit(1))
     def termScore(i: Int): Column =
-      idf(i) * col(s"tf${i + 1}") * lit(K1 + 1) /
-        (col(s"tf${i + 1}") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / ad))
-    d.crossJoin(broadcast(st))
-      .select(col("doc_id"), col("dl").cast("int").as("dl"),
-        col("tf1").cast("int").as("tf1"), col("tf2").cast("int").as("tf2"),
-        col("tf3").cast("int").as("tf3"),
-        round(termScore(0) + termScore(1) + termScore(2), 4).as("score"))
+      idf(i) * col(s"tf${i + 1}") * lit(k1 + 1) /
+        (col(s"tf${i + 1}") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / ad))
+    feats.crossJoin(broadcast(st))
+      .select(col(idCol) +: col("dl").cast("int").as("dl") +:
+        queryTerms.indices.map(i =>
+          col(s"tf${i + 1}").cast("int").as(s"tf${i + 1}")) :+
+        round(queryTerms.indices.map(termScore).reduce(_ + _), 4)
+          .as("score"): _*)
+  }
+
+  /** Reciprocal-rank fusion over ANY number of (`idCol`, `scoreCol`)
+    * rankings: each list is cut to its top-`topR` by (score desc, id),
+    * ranked 1..topR, and an id's fused score is Σ 1/(k+rankᵢ) over the
+    * lists that retrieved it (absent lists contribute nothing — the
+    * standard RRF-over-top-R semantics; ids outside every top-R drop
+    * out). Returns (`idCol`, n_lists, rrf) with rrf rounded to 6 dp;
+    * order by (rrf desc, id) for the fused top-k. q116 is the
+    * two-retriever inner-join specialization (it keeps only ids present
+    * in BOTH lists and exposes the per-list ranks).
+    *
+    * Scale shape: each limit runs FIRST as a fully parallel
+    * per-partition heap-k (TakeOrderedAndProject), so the
+    * single-partition rank window only ever sees topR rows — bounded by
+    * R, never by the corpus; the fusion is a union + groupBy over
+    * ≤ lists·topR rows. */
+  private[graft] def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+      scoreCol: String, k: Int = 60, topR: Int = 100): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 0, "rank offset k must be non-negative")
+    require(topR > 0, "topR must be positive")
+    rankings.map { r =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+      r.select(col(idCol), col(scoreCol))
+        .orderBy(col(scoreCol).desc, col(idCol)).limit(topR)
+        .select(col(idCol), row_number().over(w).as("__rank"))
+        .select(col(idCol), (lit(1.0) / (lit(k) + col("__rank"))).as("__c"))
+    }.reduce(_.union(_))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_lists"),
+        round(sum(col("__c")), 6).as("rrf"))
   }
 
   /** Oracle twin of [[bm25]] — identical expression association. */

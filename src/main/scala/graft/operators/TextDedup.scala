@@ -111,7 +111,7 @@ object TextDedup {
         concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bv"))): _*
     )).as("bd")).select(col("doc_id"), col("bd.band"), col("bd.bv"))
 
-  private[operators] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cached(s, s"lsh-cand:$dir") {
       val bands = bandsOf(signatures(s, dir))
       bands.as("a")
@@ -380,14 +380,13 @@ object TextDedup {
     require(quota <= AuditSampleMax,
       s"audit quota $quota exceeds the shared sample budget $AuditSampleMax")
     CacheRegistry.cached(s, s"lsh-audit-sample:$dir") {
-      val w = Window.partitionBy("source")
-        .orderBy(md5(encode(col("doc_id").cast("string"), "UTF-8")),
-          col("doc_id"))
-      T(s, dir, "documents")
-        .select(col("doc_id"), col("source"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= AuditSampleMax)
-        .select("doc_id", "rn")
+      // the table-agnostic sampler (Curation.quotaSample, also on the
+      // Graft facade) IS the definition — this wrapper only binds the
+      // documents table and the shared cache/quota-budget lifecycle
+      Curation.quotaSample(
+          T(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", AuditSampleMax)
+        .select(col("doc_id"), col("qs_rank").as("rn"))
     }.filter(col("rn") <= quota).select("doc_id")
   }
 

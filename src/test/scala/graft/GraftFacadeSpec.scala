@@ -85,6 +85,60 @@ class GraftFacadeSpec extends SparkTestBase {
     }
   }
 
+  test("quotaSample: per-stratum quota, deterministic, prefix property") {
+    val df = (1L to 5L).map(i => (i, "a")).toDF("id", "src")
+      .union(Seq(6L -> "b", 7L -> "b").toDF("id", "src"))
+    val s3 = Graft.quotaSample(df, "id", "src", 3)
+      .as[(Long, String, Int)].collect()
+    assert(s3.count(_._2 == "a") == 3, "stratum a cut to the quota")
+    assert(s3.count(_._2 == "b") == 2, "small stratum kept whole")
+    assert(s3.forall(_._3 >= 1) && s3.filter(_._2 == "a").map(_._3).sorted
+      .toSeq == Seq(1, 2, 3))
+    // rerun identical; quota 1 is the rank-1 prefix of quota 3
+    val again = Graft.quotaSample(df, "id", "src", 3)
+      .as[(Long, String, Int)].collect()
+    assert(s3.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val s1 = Graft.quotaSample(df, "id", "src", 1)
+      .as[(Long, String, Int)].collect()
+    assert(s1.map(r => (r._1, r._2)).toSet ==
+      s3.filter(_._3 == 1).map(r => (r._1, r._2)).toSet)
+    intercept[IllegalArgumentException] {
+      Graft.quotaSample(df.withColumn("qs_rank", lit(1)), "id", "src", 1)
+    }
+  }
+
+  test("bm25Score matches a scalar recomputation of the Okapi formula") {
+    val docs = Seq(1L -> "x x y", 2L -> "y z", 3L -> "x y")
+      .toDF("doc_id", "text")
+    val got = Graft.bm25Score(docs, "doc_id", "text", Seq("x"))
+      .as[(Long, Int, Int, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // independent driver-side recompute: N=3, df=2, sdl=7
+    def score(dl: Int, tf: Int): Double = {
+      val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+      val raw = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (7.0 / 3)))
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(1L) == ((3, 2, score(3, 2))))
+    assert(got(3L) == ((2, 1, score(2, 1))))
+    assert(got(2L) == ((2, 0, 0.0)), "no query term -> score 0")
+    intercept[IllegalArgumentException] {
+      Graft.bm25Score(docs, "doc_id", "text", Seq("x", "x"))
+    }
+  }
+
+  test("rrfFuse sums 1/(k+rank) over the lists that retrieved the id") {
+    val l1 = Seq(1L -> 10.0, 2L -> 5.0, 3L -> 1.0).toDF("id", "s")
+    val l2 = Seq(2L -> 9.0, 4L -> 8.0).toDF("id", "s")
+    val got = Graft.rrfFuse(Seq(l1, l2), "id", "s", k = 60, topR = 2)
+      .as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!got.contains(3L), "outside every top-R drops out")
+    assert(got(1L) == ((1, 0.016393)), "1/61 in one list")
+    assert(got(4L) == ((1, 0.016129)), "1/62 in one list")
+    assert(got(2L) == ((2, 0.032522)), "1/62 + 1/61 across both lists")
+  }
+
   test("pagerank on a symmetric pair splits rank evenly") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val r = Graft.pagerank(edges, iters = 2).as[(Long, Long, Long)]
