@@ -192,6 +192,58 @@ object Graft {
       k: Int = 60, topR: Int = 100): DataFrame =
     operators.Search.rrfFuse(rankings, idCol, scoreCol, k, topR)
 
+  /** Banded-MinHash near-dup CANDIDATE pairs over any (`idCol`,
+    * `textCol`) frame: word-3-gram shingles → 8-hash MinHash → 4×2
+    * banding → distinct (doc_i, doc_j), doc_i < doc_j, ids sharing ≥1
+    * band. Candidates are density-bound, never all-pairs (measured
+    * ~linear in tools.ScaleProbe); verify survivors with an exact
+    * measure after. Docs with <3 words are dropped. Same definitions
+    * as the q41/q44/q117 pipeline.
+    * See [[operators.TextDedup.minhashCandidatePairs]]. */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    operators.TextDedup.minhashCandidatePairs(docs, idCol, textCol)
+
+  /** Hyperplane-LSH near-dup pairs over any (`idCol` integral,
+    * `vecCol` numeric-array) frame: bucket by `planes` deterministic
+    * hyperplanes, compare within buckets only, keep cosine ≥
+    * `threshold`. Returns (vec_i, vec_j, bucket, cos_sim 4 dp).
+    * `planes` holds MEAN bucket occupancy flat as the corpus grows
+    * (+1 per doubling); `salt` splits a hot bucket's pair space into
+    * salt×salt tiles — pure physical parallelism, the returned pair
+    * set is salt-invariant (spec-pinned). q93 is this at planes=4.
+    * See [[operators.Similarity.lshNearDupPairs]]. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, threshold: Double, salt: Int = 1): DataFrame =
+    operators.Similarity.lshNearDupPairs(
+      operators.Similarity.asVectors(df, idCol, vecCol), planes, threshold,
+      salt)
+
+  /** SemDeDup (Abbas et al. 2023) over any (`idCol` integral, `vecCol`
+    * numeric-array) frame: one broadcast argmin round assigns each
+    * vector to its nearest of `k` seed centroids (seeds = rows with
+    * id < k — renumber ids to choose seeds), then a vector is dropped
+    * when its cosine to ANY earlier (lower id) vector of the same
+    * cluster reaches `threshold`. Returns (vec_id, cluster,
+    * max_prior_sim, keep). `k` grows with the corpus to hold |cluster|
+    * flat (measured in tools.ScaleProbe); the pair join's shuffle key
+    * is the cluster id. q161 is this at k=8.
+    * See [[operators.Similarity.semDedup]]. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      threshold: Double): DataFrame =
+    operators.Similarity.semDedup(
+      operators.Similarity.asVectors(df, idCol, vecCol), k, threshold)
+
+  /** Conf key gating the adaptive exact-Jaccard pair strategy behind
+    * q42/q89 ("count" | "prefix" | "auto"). CONTRACT: `auto` (the
+    * default) is construction-EAGER — it runs a one-row shingle-df
+    * stats job at PLAN-CONSTRUCTION time to pick the branch, the only
+    * constructor-time Spark job in the library (deliberate: the choice
+    * is data-dependent by design). Pin "count" or "prefix" before
+    * building plans in contexts that must stay job-free until the
+    * first action (release planning, plan audits, dry runs). */
+  val jaccardBranchConf: String = operators.TextDedup.BranchConf
+
   /** Codegen'd vector math over ARRAY<DOUBLE> columns: dot, norm,
     * cosine (fused native expression), LSH bucketing. See
     * [[functions.VectorFunctions]]. */

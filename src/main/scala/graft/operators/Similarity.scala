@@ -43,7 +43,7 @@ object Similarity {
     * dominant cost of the cheap ANN queries. The code rule is the ONE
     * shared [[graft.functions.VectorFunctions.int8Code]] definition
     * (bit-identical to q106's report and the DuckDB oracles). */
-  private[operators] def vectors(s: SparkSession, dir: String): DataFrame =
+  private[graft] def vectors(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cached(s, s"vectors:$dir") {
       T(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
@@ -54,6 +54,115 @@ object Similarity {
           when(col("absmax") > 0, int8Code(col("v"), col("absmax"))))
         .drop("absmax")
     }
+
+  /** Adapter for the table-agnostic facade entries: rename and
+    * double-cast an arbitrary (`idCol`, `vecCol`) frame into the
+    * (vec_id, v, nrm) shape the vector operators consume. Ids must be
+    * integral — [[semDedup]]'s seed rule (vec_id < k) and every pair
+    * operator's (i < j) canonicalization ORDER by them. */
+  private[graft] def asVectors(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(idCol).dataType)
+    }, s"idCol '$idCol' must be an integral type — ids order the seed " +
+      "rule and pair canonicalization")
+    df.select(col(idCol).cast("long").as("vec_id"),
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+  }
+
+  /** Hyperplane-LSH near-dup pair search over a [[vectors]]-shaped
+    * frame (vec_id, v, nrm): bucket by `planes` deterministic random
+    * hyperplanes (2^planes buckets), compare only within a bucket, keep
+    * pairs with cosine ≥ `threshold`. Returns (vec_i, vec_j, bucket,
+    * cos_sim rounded 4 dp), vec_i < vec_j, unordered.
+    *
+    * TWO scale knobs, for two different enemies:
+    *  - `planes` vs corpus SIZE: per-bucket cost is Σ|bucket|², so grow
+    *    the plane count with the corpus (≈ +1 plane per doubling) to
+    *    hold MEAN occupancy flat (recall is the documented tradeoff).
+    *  - `salt` vs bucket SKEW: similar vectors co-bucket BY DESIGN, so
+    *    a dense cluster defeats the occupancy math no matter how many
+    *    planes (measured in tools.ScaleProbe at 30×: max bucket 17% of
+    *    the corpus, and 16× more buckets only halved Σ|bucket|²) — and
+    *    one hot bucket serializes its whole |b|² pair space on one
+    *    task. Salting splits each bucket's pair space into salt×salt
+    *    tiles — (a-replica, b-hash) becomes part of the shuffle key —
+    *    restoring parallelism at the cost of replicating the left side
+    *    `salt`×. A PURE PHYSICAL rewrite: the returned pair set is
+    *    identical for every salt (spec-pinned in SimilaritySpec).
+    *
+    * q93 is this at planes=4, salt=1 (fixture-scaled; its oracle
+    * reproduces the bucketing exactly; salt=1 keeps the metered plan
+    * byte-identical to the declared one). */
+  private[graft] def lshNearDupPairs(vs: DataFrame, planes: Int,
+      threshold: Double, salt: Int = 1): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val b = vs.withColumn("bucket", lshBucket(col("v"), planes))
+    val pairs =
+      if (salt == 1)
+        b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket")
+            && col("a.vec_id") < col("b.vec_id"))
+      else {
+        val probe = b.withColumn("__h", pmod(xxhash64(col("vec_id")),
+          lit(salt)))
+        val build = b.withColumn("__h",
+          explode(array((0 until salt).map(lit(_)): _*)))
+        build.as("a").join(probe.as("b"),
+          col("a.bucket") === col("b.bucket")
+            && col("a.__h") === col("b.__h")
+            && col("a.vec_id") < col("b.vec_id"))
+      }
+    pairs
+      .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
+        col("a.bucket").as("bucket"),
+        cosineFast(col("a.v"), col("b.v")).as("raw"))
+      .filter(col("raw") >= threshold)
+      .select(col("vec_i"), col("vec_j"), col("bucket"),
+        round(col("raw"), 4).as("cos_sim"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023) over a [[vectors]]-shaped frame:
+    * assign every vector to its nearest of `k` seed centroids (seeds =
+    * vec_id < k, one broadcast argmin round), then mark a vector a
+    * duplicate when its cosine to ANY earlier (lower vec_id) vector of
+    * the SAME cluster reaches `threshold` — the paper's one-sweep
+    * keep-first rule. Returns (vec_id, cluster, max_prior_sim, keep),
+    * unordered.
+    *
+    * `k` is THE scale knob: the pair join costs Σ|C|², so K grows with
+    * the corpus to hold |C| fixed (the growth law tools.ScaleProbe
+    * measures); the join's shuffle key IS the cluster id. q161 is this
+    * at k=8 with its DuckDB oracle. */
+  private[graft] def semDedup(vs: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    val cents = vs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cl"), col("v").as("c"))
+    // one broadcast argmin round — kmeans' assignment dataflow: only
+    // n pre-reduced rows shuffle, never the n×K expansion
+    val assigned = vs.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(graft.plans.L2DistanceSq.l2DistSq(col("v"), col("c"))
+          .as("dist"), col("cl")).as("dc"))
+      .groupBy("vec_id").agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("m.cl").as("cl"))
+    val x = vs.select(col("vec_id"), col("v"), col("nrm"))
+      .join(assigned, "vec_id")
+    val prior = x.as("a")
+      .join(x.as("b"),
+        col("a.cl") === col("b.cl") && col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("j"),
+        round(cosineFast(col("a.v"), col("b.v")), 4).as("cs"))
+      .groupBy("j").agg(max(col("cs")).as("max_prior_sim"))
+    x.join(prior, col("vec_id") === col("j"), "left")
+      .select(col("vec_id"), col("cl").as("cluster"),
+        col("max_prior_sim"),
+        (col("max_prior_sim").isNull || col("max_prior_sim") < threshold)
+          .as("keep"))
+  }
 
   /** The quantized slice of [[vectors]]: rows with defined int8 codes
     * (zero vectors excluded). Not a second cache — a filter over the
@@ -355,17 +464,7 @@ object Similarity {
           |  round(cos_sim, 4) AS cos_sim
           |FROM p WHERE cos_sim >= 0.45 ORDER BY vec_i, vec_j""".stripMargin) {
       (s, dir) =>
-        val b = vectors(s, dir)
-          .withColumn("bucket", lshBucket(col("v"), 4))
-        b.as("a").join(b.as("b"),
-            col("a.bucket") === col("b.bucket")
-              && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
-            col("a.bucket").as("bucket"),
-            cosineFast(col("a.v"), col("b.v")).as("raw"))
-          .filter(col("raw") >= 0.45)
-          .select(col("vec_i"), col("vec_j"), col("bucket"),
-            round(col("raw"), 4).as("cos_sim"))
+        lshNearDupPairs(vectors(s, dir), planes = 4, threshold = 0.45)
           .orderBy("vec_i", "vec_j")
     },
 
@@ -635,31 +734,7 @@ object Similarity {
         |  (p.mx IS NULL OR p.mx < 0.45) AS keep
         |FROM x LEFT JOIN p ON x.vec_id = p.j
         |ORDER BY x.vec_id""".stripMargin) { (s, dir) =>
-      val vs = vectors(s, dir)
-      val cents = vs.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cl"), col("v").as("c"))
-      // one broadcast argmin round — kmeans' assignment dataflow: only
-      // n pre-reduced rows shuffle, never the n×K expansion
-      val assigned = vs.crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          struct(graft.plans.L2DistanceSq.l2DistSq(col("v"), col("c"))
-            .as("dist"), col("cl")).as("dc"))
-        .groupBy("vec_id").agg(min(col("dc")).as("m"))
-        .select(col("vec_id"), col("m.cl").as("cl"))
-      val x = vs.select(col("vec_id"), col("v"), col("nrm"))
-        .join(assigned, "vec_id")
-      val prior = x.as("a")
-        .join(x.as("b"),
-          col("a.cl") === col("b.cl") && col("b.vec_id") < col("a.vec_id"))
-        .select(col("a.vec_id").as("j"),
-          round(cosineFast(col("a.v"), col("b.v")), 4).as("cs"))
-        .groupBy("j").agg(max(col("cs")).as("max_prior_sim"))
-      x.join(prior, col("vec_id") === col("j"), "left")
-        .select(col("vec_id"), col("cl").as("cluster"),
-          col("max_prior_sim"),
-          (col("max_prior_sim").isNull || col("max_prior_sim") < 0.45)
-            .as("keep"))
-        .orderBy("vec_id")
+      semDedup(vectors(s, dir), k = 8, threshold = 0.45).orderBy("vec_id")
     }
   )
 }

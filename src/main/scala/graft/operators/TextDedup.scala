@@ -113,14 +113,45 @@ object TextDedup {
 
   private[graft] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cached(s, s"lsh-cand:$dir") {
-      val bands = bandsOf(signatures(s, dir))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-        .distinct()
+      bandedPairsOf(bandsOf(signatures(s, dir)))
     }
+
+  /** Distinct (doc_i < doc_j) pairs sharing ≥1 band — the ONE banded
+    * equality join every MinHash consumer (dir-bound cache above,
+    * table-agnostic form below) runs. */
+  private def bandedPairsOf(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+
+  /** Table-agnostic banded-MinHash near-dup CANDIDATE generator over
+    * any (`idCol`, `textCol`) frame: word-3-gram shingles → 8-hash
+    * MinHash signature (plans.MinHashSig, one digest per shingle) →
+    * 4 bands × 2 rows → distinct (doc_i, doc_j) id pairs sharing at
+    * least one band, doc_i < doc_j. Docs with <3 words have no 3-gram
+    * shingle and are dropped (q41/q44's rule). Shingling, banding, and
+    * the pair join are the SAME private definitions the dir-bound
+    * q41/q44/q117/q121/q156 pipeline uses — one place to drift.
+    *
+    * Scale shape: signature is one narrow map (shingle arrays never
+    * leave their partition); candidates come from an equality join on
+    * (band, band-value) — the partition key at cluster scale, never
+    * all-pairs. Candidate count is near-dup-density-bound, not
+    * corpus-bound (growth measured ~linear in tools.ScaleProbe).
+    * Verify survivors with an exact measure (q42's Jaccard) after. */
+  private[graft] def minhashCandidatePairs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sig = docs
+      .filter(size(split(col(textCol), " ")) >= 3)
+      .select(col(idCol).as("doc_id"),
+        graft.plans.MinHashSig.minhashSig(shingles(col(textCol))).as("ms"))
+      .select(col("doc_id") +:
+        (0 until 8).map(k => col("ms").getItem(k).as(s"mh$k")): _*)
+    bandedPairsOf(bandsOf(sig))
+  }
 
   /** Shared oracle CTE prefix: shingles + 8 md5 minhashes per doc
     * (also the prefix of GraphOps' q121 oracle). */

@@ -1,0 +1,229 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{CacheRegistry, SparkEntry, Tables}
+import graft.operators.{Similarity, TextDedup}
+import graft.functions.VectorFunctions.cosineFast
+
+/** Measures the GROWTH LAW of the flagship sub-quadratic paths instead
+  * of narrating it (r11 VERDICT ask #3): synthesizes 1×/3×/10×/30× the
+  * sf0.1 documents and embeddings tables with a generator that keeps
+  * the data distribution but decorrelates replicas (so dup density
+  * stays constant — a 10× corpus of NEW data, not 10 copies of the
+  * same near-dup set), then times each path at every multiplier and
+  * prints per-step growth exponents α = ln(t₂/t₁)/ln(n₂/n₁). Brute
+  * twins run where affordable as the quadratic reference.
+  *
+  * Paths and their scale knob (the 100 TB discipline each scaladoc
+  * states — the probe applies it, because THAT is the configuration
+  * whose growth law the scale claims are about):
+  *  - minhash_banded  — q41/q44's banded MinHash candidate generator,
+  *    end-to-end from the text scan (shingles + signatures + band
+  *    join). Band structure is density-, not size-bound: no knob.
+  *  - hyperplane_lsh  — q93's bucketed embedding near-dup;
+  *    knob: planes = 4 + ⌈log₂ m⌉ holds bucket occupancy flat.
+  *  - semdedup        — q161's cluster-bounded dedup;
+  *    knob: K = 8·m holds |cluster| flat.
+  *  - budget_select   — q157 verbatim (band-ladder selection, no knob).
+  *  - phash_pairs     — q171 verbatim: deliberately WITHOUT its knob
+  *    (band width), to measure where the fixed 256-value bands start
+  *    to creep quadratic — capped at 10× for that reason.
+  *
+  * Replica decorrelation: embeddings get a per-replica deterministic
+  * ±1 sign pattern (an isometry — intra-replica cosines are preserved
+  * EXACTLY, cross-replica cosines are sign-scrambled to ~0); document
+  * replicas suffix every token with the replica tag (token/shingle
+  * distribution shape preserved, zero cross-replica shingle overlap).
+  * Everything is deterministic — no RNG, reruns reproduce.
+  *
+  * Methodology: one discarded 1× warm-up round absorbs JVM/codegen
+  * first-use cost (Bench's methodology); per round the registry is
+  * cleared and the base scans pre-warmed, so a timing covers the
+  * operator INCLUDING its own derived intermediates (signatures,
+  * buckets) but not parquet cold I/O. Results are recorded in
+  * BASELINE.md ("Measured growth laws").
+  *
+  *   sbt "runMain graft.tools.ScaleProbe"            # 1,3,10,30
+  *   sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 1,3,10"
+  */
+object ScaleProbe {
+  /** Replica id offset: keeps ids unique across replicas and keeps
+    * replica 0 the holder of the smallest ids (semDedup seeds). */
+  private val IdStride = 1000000000L
+
+  /** phash runs WITHOUT its scale knob — bound the quadratic creep. */
+  private val PhashMaxM = 10
+  private val EmbBruteMaxM = 10
+  private val PhashBruteMaxM = 10
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Deterministic ±1 pattern for replica k (k=0 → identity): a fixed
+    * SplitMix/LCG walk — no Math.random, reruns identical. */
+  private def signFlips(k: Int, d: Int): Seq[Float] =
+    if (k == 0) Seq.fill(d)(1f)
+    else {
+      var x = 0x9E3779B97F4A7C15L * (k + 1)
+      Seq.fill(d) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        if (((x >>> 40) & 1L) == 0L) 1f else -1f
+      }
+    }
+
+  private def scaledEmbeddings(
+      s: SparkSession, baseDir: String, m: Int): DataFrame = {
+    val base = Tables(s, baseDir, "embeddings")
+    val d = base.select(size(col("embedding"))).head().getInt(0)
+    (0 until m).map { k =>
+      base.select(
+        (col("vec_id") + lit(k * IdStride)).as("vec_id"),
+        zip_with(col("embedding"), typedLit(signFlips(k, d)),
+          (x, sg) => x * sg).as("embedding"),
+        col("label"))
+    }.reduce(_.union(_))
+  }
+
+  private def scaledDocuments(
+      s: SparkSession, baseDir: String, m: Int): DataFrame = {
+    val base = Tables(s, baseDir, "documents")
+    (0 until m).map { k =>
+      if (k == 0) base
+      else {
+        val t = array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"~$k"))),
+          " ")
+        base.select((col("doc_id") + lit(k * IdStride)).as("doc_id"),
+          t.as("text"), col("lang"), col("source"),
+          length(t).cast("long").as("n_chars"))
+      }
+    }.reduce(_.union(_))
+  }
+
+  /** q171's sketch recomputed inline for the brute twin (3 lines off
+    * the canonical plans.BlockHash64; the banded side runs the real
+    * q171) — all-pairs hamming ≤ 12, the quadratic reference. */
+  private def phashBruteCount(s: SparkSession, dir: String): Long = {
+    val h = Tables(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .filter(length(col("payload")) >= 64)
+      .select(col("doc_id"),
+        graft.plans.BlockHash64.blockhash64(col("payload")).as("hb"))
+    val ham = (0 until 8).map(b =>
+      bit_count(element_at(col("a.hb"), b + 1)
+        .bitwiseXOR(element_at(col("b.hb"), b + 1)))).reduce(_ + _)
+    h.as("a").join(h.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(ham <= 12).count()
+  }
+
+  private def embBruteCount(vs: DataFrame): Long =
+    vs.as("a").join(vs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(cosineFast(col("a.v"), col("b.v")) >= 0.45).count()
+
+  final private case class Point(
+      path: String, m: Int, inRows: Long, outRows: Long, secs: Double)
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = args.lift(1).getOrElse("1,3,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    val scratch = args.lift(2).getOrElse("target/scaleprobe")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val points = scala.collection.mutable.ArrayBuffer.empty[Point]
+    // discarded 1× round absorbs JVM/codegen warm-up
+    for (((m, idx)) <- (1 +: mults).zipWithIndex) {
+      val warm = idx == 0
+      val dir = s"$scratch/m$m"
+      val docs = scaledDocuments(spark, baseDir, m)
+      val embs = scaledEmbeddings(spark, baseDir, m)
+      docs.repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      embs.repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // the overwrite replaced the files a memoized scan may reference
+      Tables.invalidate(spark)
+      CacheRegistry.clear(spark)
+      val nDocs = Tables(spark, dir, "documents").count()
+      val nVecs = Tables(spark, dir, "embeddings").count()
+      def rec(path: String, inRows: Long)(body: => Long): Unit = {
+        val (rows, secs) = time(body)
+        if (!warm) {
+          points += Point(path, m, inRows, rows, secs)
+          println(f"[scaleprobe] path=$path m=$m in=$inRows out=$rows " +
+            f"secs=$secs%.2f")
+        }
+      }
+
+      rec("minhash_banded", nDocs) {
+        TextDedup.lshCandidatePairs(spark, dir).count()
+      }
+      val planes = 4 + math.ceil(math.log(m) / math.log(2)).toInt
+      // skew discipline: similar vectors co-bucket by design, so planes
+      // alone cannot flatten a hot cluster's bucket — salt the pair
+      // join's tiles with the corpus (result-identical, spec-pinned)
+      // (cap 16: the tile count is task-parallelism, not asymptotics —
+      // past the core count, more salt only buys build-side replication)
+      val salt = math.min(16, math.max(1, 2 * m))
+      if (!warm) println(
+        s"[scaleprobe] knobs m=$m planes=$planes salt=$salt K=${8 * m}")
+      val vs = Similarity.vectors(spark, dir)
+      vs.count() // pre-warm the shared base frame outside the timings
+      rec("hyperplane_lsh", nVecs) {
+        Similarity.lshNearDupPairs(vs, planes, 0.45, salt).count()
+      }
+      rec("semdedup", nVecs) {
+        // count(keep) forces the verdict column so column pruning can
+        // never drop the cosine evaluation out of the measurement
+        Similarity.semDedup(vs, 8 * m, 0.45)
+          .agg(count(when(col("keep"), 1))).head().getLong(0)
+      }
+      rec("budget_select", nDocs) {
+        SparkEntry.queries("q157_budget_select")(spark, dir).count()
+      }
+      if (m <= PhashMaxM)
+        rec("phash_pairs", nDocs) {
+          SparkEntry.queries("q171_phash_pairs")(spark, dir).count()
+        }
+      else println(s"[scaleprobe] DROPPED phash_pairs m=$m (fixed-band " +
+        s"config is measured only to ${PhashMaxM}×; band width is its knob)")
+      if (m <= EmbBruteMaxM)
+        rec("BRUTE_emb_allpairs", nVecs) { embBruteCount(vs) }
+      if (m <= PhashBruteMaxM)
+        rec("BRUTE_phash_allpairs", nDocs) { phashBruteCount(spark, dir) }
+      if (!warm && m == mults.max)
+        println("[scaleprobe] DROPPED text-jaccard brute twin at every m: " +
+          "cartesian shingle-intersect is ~12.5M array ops already at 1x; " +
+          "q42's exact count-join is the verified exact reference instead")
+    }
+    CacheRegistry.clear(spark)
+
+    println("[scaleprobe] --- growth exponents a = ln(t2/t1)/ln(n2/n1) ---")
+    points.groupBy(_.path).toSeq.sortBy(_._1).foreach { case (p, ps0) =>
+      val ps = ps0.sortBy(_.m)
+      val steps = ps.zip(ps.drop(1)).map { case (a, b) =>
+        val alpha = math.log(b.secs / a.secs) / math.log(
+          b.inRows.toDouble / a.inRows)
+        f"${a.m}->${b.m}:$alpha%.2f"
+      }
+      val overall =
+        if (ps.size < 2) "n/a"
+        else f"${math.log(ps.last.secs / ps.head.secs) /
+          math.log(ps.last.inRows.toDouble / ps.head.inRows)}%.2f"
+      println(s"[scaleprobe] $p steps=[${steps.mkString(" ")}] " +
+        s"overall=$overall")
+    }
+    spark.stop()
+  }
+}

@@ -139,6 +139,62 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(got(2L) == ((2, 0.032522)), "1/62 + 1/61 across both lists")
   }
 
+  test("minhashCandidatePairs surfaces duplicates, drops short/disjoint") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different words about catalyst tungsten plans here"
+    val docs = Seq(1L -> t1, 2L -> t1, 3L -> t2, 4L -> "too short")
+      .toDF("id", "text")
+    val got = Graft.minhashCandidatePairs(docs, "id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)),
+      "identical texts collide in every band; disjoint/short docs never")
+  }
+
+  test("lshNearDupPairs facade: near-parallel pair found, salt-invariant") {
+    val e = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.01)),
+      (3L, Seq(-1.0, 0.02))).toDF("id", "emb")
+    def run(salt: Int): Seq[(Long, Long, Long, Double)] =
+      Graft.lshNearDupPairs(e, "id", "emb", planes = 1, threshold = 0.9,
+        salt = salt).as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val base = run(1)
+    assert(base.map(r => (r._1, r._2)) == Seq((1L, 2L)),
+      "only the near-parallel pair passes the cosine gate")
+    assert(base.head._4 > 0.99)
+    assert(run(3) == base, "salting is physical-only")
+    intercept[IllegalArgumentException] {
+      Graft.lshNearDupPairs(e.withColumn("id", col("id").cast("string")),
+        "id", "emb", planes = 1, threshold = 0.9)
+    }
+  }
+
+  test("semDedup facade: later near-dup of a seed is dropped") {
+    val e = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 0.001))).toDF("id", "emb")
+    val got = Graft.semDedup(e, "id", "emb", k = 2, threshold = 0.9)
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3.isDefined, r._4))).toMap
+    assert(got(0L) == ((0L, false, true)), "seed 0 has no prior — kept")
+    assert(got(1L) == ((1L, false, true)), "seed 1 has no prior — kept")
+    assert(got(2L)._1 == 0L && got(2L)._2 && !got(2L)._3,
+      "near-dup of vector 0 lands in its cluster and is dropped")
+  }
+
+  test("jaccardBranchConf is the documented construction-eager gate") {
+    // the facade constant IS the operator's conf key (one definition),
+    // and pinning it suppresses the auto probe's constructor-time job —
+    // the deeper job-free property is pinned in PlanConstructionSpec
+    assert(Graft.jaccardBranchConf == "spark.graft.jaccard.branch")
+    spark.conf.set(Graft.jaccardBranchConf, "count")
+    try {
+      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+        .length
+      SparkEntry.queries("q42_jaccard_pairs")(spark, "/root/testdata/sf0.001")
+      val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+        .length
+      assert(after == before, "pinned branch must construct without jobs")
+    } finally spark.conf.unset(Graft.jaccardBranchConf)
+  }
+
   test("pagerank on a symmetric pair splits rank evenly") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val r = Graft.pagerank(edges, iters = 2).as[(Long, Long, Long)]

@@ -25,6 +25,20 @@ class ModelPrepSpec extends SparkTestBase {
     }
   }
 
+  test("lshNearDupPairs: salting is physical-only — same pairs at any salt") {
+    val vs = Similarity.vectors(spark, sf)
+    def run(planes: Int, salt: Int): Seq[(Long, Long, Long, Double)] =
+      Similarity.lshNearDupPairs(vs, planes, 0.3, salt)
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val base = run(2, 1)
+    assert(base.nonEmpty, "fixture must produce pairs for the pin to bite")
+    assert(run(2, 3) == base, "salt=3 must return the identical pair set")
+    assert(run(2, 7) == base, "salt=7 must return the identical pair set")
+    intercept[IllegalArgumentException] {
+      Similarity.lshNearDupPairs(vs, 2, 0.3, salt = 0)
+    }
+  }
+
   test("kmeans operator: hand-computed two-cluster fixed point") {
     val pts: Seq[(Long, Seq[Double])] = Seq(
       0L -> Seq(0.0, 0.0), 1L -> Seq(10.0, 10.0), 2L -> Seq(0.0, 1.0),
