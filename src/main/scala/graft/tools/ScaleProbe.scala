@@ -66,7 +66,7 @@ object ScaleProbe {
 
   /** Deterministic ±1 pattern for replica k (k=0 → identity): a fixed
     * SplitMix/LCG walk — no Math.random, reruns identical. */
-  private def signFlips(k: Int, d: Int): Seq[Float] =
+  private[graft] def signFlips(k: Int, d: Int): Seq[Float] =
     if (k == 0) Seq.fill(d)(1f)
     else {
       var x = 0x9E3779B97F4A7C15L * (k + 1)
@@ -76,7 +76,7 @@ object ScaleProbe {
       }
     }
 
-  private def scaledEmbeddings(
+  private[graft] def scaledEmbeddings(
       s: SparkSession, baseDir: String, m: Int): DataFrame = {
     val base = Tables(s, baseDir, "embeddings")
     val d = base.select(size(col("embedding"))).head().getInt(0)
@@ -89,7 +89,7 @@ object ScaleProbe {
     }.reduce(_.union(_))
   }
 
-  private def scaledDocuments(
+  private[graft] def scaledDocuments(
       s: SparkSession, baseDir: String, m: Int): DataFrame = {
     val base = Tables(s, baseDir, "documents")
     (0 until m).map { k =>

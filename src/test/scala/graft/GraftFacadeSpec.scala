@@ -179,6 +179,34 @@ class GraftFacadeSpec extends SparkTestBase {
       "near-dup of vector 0 lands in its cluster and is dropped")
   }
 
+  test("facade pipeline: candidates → components → verdict → sample") {
+    // the dedup decision layer composed ONLY from facade members — no
+    // query glue, no dir-bound caches: candidate pairs over raw text,
+    // transitive clustering, keep-best verdict, stratified audit sample
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, dup, "web"), (2L, dup, "web"), (4L, dup, "books"),
+      (3L, "one two three four five six", "web"))
+      .toDF("doc_id", "text", "source")
+    val cand = Graft.minhashCandidatePairs(docs, "doc_id", "text")
+    val labels = Graft.connectedComponents(
+      cand.select(col("doc_i").as("src"), col("doc_j").as("dst")))
+    val scored = docs.selectExpr("doc_id",
+      "size(array_distinct(split(text, ' '))) AS nd")
+    val verdict = Graft.clusterVerdict(scored, labels, "doc_id", "nd")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(verdict(1L) == ((1L, 3L, true)),
+      "equal quality ties break to the lowest id across sources")
+    assert(verdict(2L) == ((1L, 3L, false)))
+    assert(verdict(4L) == ((1L, 3L, false)))
+    assert(verdict(3L) == ((3L, 1L, true)), "singleton keeps itself")
+    val kept = docs.join(
+      Seq(1L, 3L).toDF("doc_id"), "doc_id")
+    val audit = Graft.quotaSample(kept, "doc_id", "source", 1)
+    assert(audit.count() == 1, "both survivors share one stratum")
+  }
+
   test("jaccardBranchConf is the documented construction-eager gate") {
     // the facade constant IS the operator's conf key (one definition),
     // and pinning it suppresses the auto probe's constructor-time job —
