@@ -76,6 +76,21 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.StreamingOps.BandCollision] =
     streaming.StreamingOps.ingestDedup(docs)
 
+  /** Streaming per-(source, tumbling window) KL drift monitor — the
+    * stateful twin of batch q172's drift timeline, scored against a
+    * FIXED reference unigram model (the corpus the source was admitted
+    * into). Emits one final DriftCell per (source, window) when the
+    * watermark passes the window end; state per live key is bounded by
+    * |reference| + one OOV counter, independent of stream length.
+    * Replay-proven equal to the batch computation in StreamingOpsSpec.
+    * See [[streaming.StreamingOps.driftMonitor]]. */
+  def driftMonitor(
+      docs: org.apache.spark.sql.Dataset[streaming.StreamingOps.TimedDoc],
+      reference: Map[String, Long], windowMs: Long = 3600000L,
+      lateness: String = "30 minutes")
+      : org.apache.spark.sql.Dataset[streaming.StreamingOps.DriftCell] =
+    streaming.StreamingOps.driftMonitor(docs, reference, windowMs, lateness)
+
   /** Gap-based streaming sessionizer with explicit state and event-time
     * timeout — the stateful twin of batch q122_sessionize_gap,
     * session-for-session equal on in-order replays (StreamingOpsSpec).

@@ -302,7 +302,7 @@ object TextDedup {
     * iterative build (driver-read changed-counts, eager by design) must
     * run once, not per consumer. The frame is the ~|dup docs| label map
     * — vocab-sized, the cheap thing to keep hot. */
-  private[operators] def dupClusters(s: SparkSession, dir: String): DataFrame =
+  private[graft] def dupClusters(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cached(s, s"dup-cc:$dir") {
       connectedComponents(jaccardPairs(s, dir)
         .select(col("doc_i").as("src"), col("doc_j").as("dst")))

@@ -234,6 +234,88 @@ object StreamingOps {
       }
   }
 
+  final case class TimedDoc(
+      doc_id: Long, ts: Timestamp, source: String, text: String)
+
+  final case class DriftCell(source: String, window_start: Timestamp,
+      n_matched: Long, n_oov: Long, kl: Double)
+
+  /** Streaming per-(source, window) KL drift monitor — the stateful twin
+    * of batch q172's drift timeline, recast for a stream: q172 scores
+    * each (source, ingest-batch) token distribution against the WHOLE
+    * corpus model (computable only in batch); the streaming form scores
+    * each (source, tumbling event-time window) against a FIXED
+    * `reference` unigram model — the corpus the source was admitted
+    * into, which is exactly what a production drift alarm compares
+    * against. kl = Σ over matched tokens (c/ns)·ln((c/ns)/(g/N)),
+    * folded in ASCENDING token order (deterministic float association —
+    * the replay spec recomputes the identical fold); tokens outside the
+    * reference vocab are counted as `n_oov`, not scored (open-vocab
+    * caveat as q103/q105; a rising OOV count is itself the strongest
+    * drift signal).
+    *
+    * Emission: APPEND mode, one FINAL [[DriftCell]] per (source,
+    * window), emitted when the event-time watermark passes the window
+    * end — so a replayed stream produces exactly the batch computation
+    * over the same rows (spec-proven). Windows tumble on `windowMs`
+    * epoch-aligned boundaries.
+    *
+    * State-growth contract: state per live (source, window) key is the
+    * matched-token count map — bounded by |reference| (a curated vocab,
+    * e.g. top-100k tokens, NOT the stream's open vocabulary) — plus one
+    * OOV counter; the watermark closes windows, so live keys are
+    * bounded by sources × (lateness/windowMs + 1). Both bounds are
+    * independent of stream length — the property that lets this run
+    * forever. Keyed by (source, window): the same partitioning a batch
+    * (source, batch) cell agg shuffles on, horizontally scalable. */
+  def driftMonitor(docs: Dataset[TimedDoc], reference: Map[String, Long],
+      windowMs: Long = 3600000L,
+      lateness: String = "30 minutes"): Dataset[DriftCell] = {
+    import docs.sparkSession.implicits._
+    require(reference.nonEmpty, "driftMonitor needs a reference model")
+    require(windowMs > 0, "windowMs must be positive")
+    val refTotal = reference.values.map(_.toDouble).sum
+    docs
+      .withWatermark("ts", lateness)
+      .groupByKey(d =>
+        (d.source, Math.floorDiv(d.ts.getTime, windowMs) * windowMs))
+      .flatMapGroupsWithState[DriftState, DriftCell](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), it: Iterator[TimedDoc],
+            state: GroupState[DriftState]) =>
+          val (source, wStart) = key
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val ns = s.counts.values.sum.toDouble
+            val kl = s.counts.toSeq.sortBy(_._1).foldLeft(0.0) {
+              case (acc, (w, c)) =>
+                val p = c / ns
+                acc + p * math.log(p / (reference(w) / refTotal))
+            }
+            Iterator(DriftCell(source, new Timestamp(wStart),
+              s.counts.values.sum, s.oov, kl))
+          } else {
+            val s0 = state.getOption.getOrElse(DriftState(Map.empty, 0L))
+            var counts = s0.counts
+            var oov = s0.oov
+            it.foreach(_.text.split(" ").foreach { w =>
+              if (reference.contains(w))
+                counts = counts.updated(w, counts.getOrElse(w, 0L) + 1L)
+              else oov += 1L
+            })
+            state.update(DriftState(counts, oov))
+            // fire once the watermark passes the window end (never in
+            // the past: Spark rejects a timeout at/under the watermark)
+            state.setTimeoutTimestamp(math.max(wStart + windowMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  final case class DriftState(counts: Map[String, Long], oov: Long)
+
   final case class EwmaState(recent: List[Double])
 
   final case class SmoothOut(user_id: Long, event_id: Long, ewma8: Double)

@@ -169,6 +169,18 @@ object ScaleProbe {
       rec("minhash_banded", nDocs) {
         TextDedup.lshCandidatePairs(spark, dir).count()
       }
+      // the one ITERATIVE operator, on its production input: exact
+      // Jaccard verify over the candidates (q42's count-join) feeding
+      // min-label propagation (q89's dupClusters chain end-to-end).
+      // Verified dup clusters have ~constant diameter at any corpus
+      // size, so rounds stay flat and per-round work is edge-linear.
+      // (Feeding CC the UNVERIFIED candidate graph instead was measured
+      // at 38-60 s FLAT at every m — band-value transitivity chains
+      // drive it to the 25-round cap; per-round fixed cost, not data,
+      // dominates. Verify-then-cluster is the discipline, not a nicety.)
+      rec("dup_clusters", nDocs) {
+        TextDedup.dupClusters(spark, dir).count()
+      }
       val planes = 4 + math.ceil(math.log(m) / math.log(2)).toInt
       // skew discipline: similar vectors co-bucket by design, so planes
       // alone cannot flatten a hot cluster's bucket — salt the pair

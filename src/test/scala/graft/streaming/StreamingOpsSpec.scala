@@ -355,4 +355,51 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(got.sortBy(r => (r._1, r._2)).toSeq ==
       want.sortBy(r => (r._1, r._2)).toSeq)
   }
+
+  test("driftMonitor: final per-window KL equals a driver recompute") {
+    val ref = Map("a" -> 4L, "b" -> 2L, "c" -> 2L) // N = 8
+    // the exact fold the operator documents: matched tokens in
+    // ASCENDING order, p·ln(p/q) against the fixed reference
+    def kl(counts: Map[String, Long]): Double = {
+      val ns = counts.values.sum.toDouble
+      counts.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (w, c)) =>
+        val p = c / ns
+        acc + p * math.log(p / (ref(w) / 8.0))
+      }
+    }
+    val in = MemoryStream[TimedDoc]
+    val q = driftMonitor(in.toDS(), ref, windowMs = 60000L).writeStream
+      .format("memory").queryName("drift").outputMode("append").start()
+    withQuery(q) {
+      in.addData(TimedDoc(1, ts(0), "s1", "a a b"),
+        TimedDoc(2, ts(0), "s2", "b b c"))
+      q.processAllAvailable()
+      // second batch: a LATE row refines s1's first window (inside the
+      // 30 min lateness), a new window opens, an all-OOV source arrives
+      in.addData(TimedDoc(3, ts(0), "s1", "a c x"),
+        TimedDoc(4, ts(1), "s1", "c c c a"),
+        TimedDoc(5, ts(0), "s3", "zz yy"))
+      q.processAllAvailable()
+      assert(spark.table("drift").count() == 0,
+        "append mode: nothing emits before the watermark closes a window")
+      // advance the watermark far past every window end, then one more
+      // batch so the event-time timeouts fire
+      in.addData(TimedDoc(6, ts(200), "s9", "qq"))
+      q.processAllAvailable()
+      in.addData(TimedDoc(7, ts(201), "s9", "qq"))
+      q.processAllAvailable()
+      val got = spark.table("drift")
+        .as[(String, Timestamp, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      assert(got.keySet == Set("s1" -> ts(0), "s1" -> ts(1), "s2" -> ts(0),
+        "s3" -> ts(0)), "every closed window emits exactly once; s9 open")
+      assert(got("s1" -> ts(0)) ==
+        ((5L, 1L, kl(Map("a" -> 3L, "b" -> 1L, "c" -> 1L)))),
+        "late row folded in; x counted as OOV")
+      assert(got("s2" -> ts(0)) == ((3L, 0L, kl(Map("b" -> 2L, "c" -> 1L)))))
+      assert(got("s1" -> ts(1)) == ((4L, 0L, kl(Map("a" -> 1L, "c" -> 3L)))))
+      assert(got("s3" -> ts(0)) == ((0L, 2L, 0.0)),
+        "all-OOV window scores zero KL with the OOV count as the signal")
+    }
+  }
 }
