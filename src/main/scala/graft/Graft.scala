@@ -175,6 +175,26 @@ object Graft {
       docs: DataFrame, idCol: String, textCol: String): DataFrame =
     operators.TextAnalysis.tokenizeWithOffsets(docs, idCol, textCol)
 
+  /** Stopword-density language vote over any (`idCol`, `textCol`)
+    * frame → (`idCol`, stop_ratio 4 dp, predicted "en"/"other"). One
+    * narrow map, no shuffle; swap `stops` per language and argmax for
+    * a real multi-language classifier with the same plan shape. Backs
+    * q50_langid. See [[operators.TextAnalysis.langId]]. */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+      stops: Seq[String] = operators.TextAnalysis.stopwords,
+      threshold: Double = 0.08): DataFrame =
+    operators.TextAnalysis.langId(docs, idCol, textCol, Nil, stops,
+      threshold)
+
+  /** Heuristic quality scorecard over any (`idCol`, `textCol`) frame:
+    * char/word/distinct counts, type-token ratio, stopword ratio,
+    * average word length, and the q51 keep/drop verdict (20–1000 words
+    * AND ≥50% distinct). One narrow map — scan-shaped at any corpus
+    * size. See [[operators.TextAnalysis.qualityScore]]. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      stops: Seq[String] = operators.TextAnalysis.stopwords): DataFrame =
+    operators.TextAnalysis.qualityScore(docs, idCol, textCol, stops)
+
   /** Deterministic per-stratum quota sample: within every `stratumCol`
     * value, rank rows by (md5(`idCol`), `idCol`) and keep rank ≤
     * `quota` (returned as `qs_rank`). Reruns and appends never swap

@@ -23,7 +23,7 @@ object TextAnalysis {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "in", "to")
 
   /** UDTF-style doc expansion: one row per (`idCol`, token) with its
     * position and exact [char_start, char_end) character span in the
@@ -55,6 +55,61 @@ object TextAnalysis {
         (col("char_start") + length(col("tok"))).cast("long").as("char_end"))
   }
 
+  /** Table-agnostic stopword-density language vote over any (`idCol`,
+    * `textCol`) frame: returns (`idCol`, carry…, stop_ratio 4 dp,
+    * predicted) with predicted = "en" when the whitespace-token
+    * stopword ratio reaches `threshold`, else "other". `carry` columns
+    * pass through untouched (q50 carries the labeled `lang`). A real
+    * multi-language classifier swaps `stops`+label per language and
+    * takes the argmax — the plan shape (ONE narrow map, no shuffle, no
+    * tokenize explosion) is the one it keeps at any corpus size.
+    * Backs q50_langid. */
+  private[graft] def langId(docs: DataFrame, idCol: String,
+      textCol: String, carry: Seq[String] = Nil,
+      stops: Seq[String] = stopwords, threshold: Double = 0.08): DataFrame = {
+    val stopArr = array(stops.map(lit): _*)
+    docs
+      .select(col(idCol) +: carry.map(col) :+
+        split(col(textCol), " ").as("__ws"): _*)
+      .withColumn("stop_ratio",
+        size(filter(col("__ws"), w => array_contains(stopArr, w)))
+          * lit(1.0) / size(col("__ws")))
+      .select(col(idCol) +: carry.map(col) :+
+        round(col("stop_ratio"), 4).as("stop_ratio") :+
+        when(col("stop_ratio") >= threshold, "en").otherwise("other")
+          .as("predicted"): _*)
+  }
+
+  /** Table-agnostic heuristic quality scorecard over any (`idCol`,
+    * `textCol`) frame: char/word/distinct-word counts, type-token
+    * ratio, stopword ratio, average word length (assumes single-space
+    * separation: chars = Σ len + n_words − 1), and the q51 keep/drop
+    * verdict (20–1000 words AND ≥50% distinct). ONE narrow map over the
+    * text column — scan-shaped at any corpus size. Backs
+    * q51_quality_score. */
+  private[graft] def qualityScore(docs: DataFrame, idCol: String,
+      textCol: String, stops: Seq[String] = stopwords): DataFrame = {
+    val stopArr = array(stops.map(lit): _*)
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__ws"),
+        length(col(textCol)).as("n_chars"))
+      .select(col(idCol), col("n_chars"),
+        size(col("__ws")).as("n_words"),
+        size(array_distinct(col("__ws"))).as("n_distinct"),
+        size(filter(col("__ws"), w => array_contains(stopArr, w)))
+          .as("n_stop"))
+      .select(col(idCol), col("n_chars"), col("n_words"), col("n_distinct"),
+        round(col("n_distinct") * lit(1.0) / col("n_words"), 4)
+          .as("type_token_ratio"),
+        round(col("n_stop") * lit(1.0) / col("n_words"), 4).as("stop_ratio"),
+        // words are single-space separated: chars = Σlen + (n_words-1)
+        round((col("n_chars") - col("n_words") + 1) * lit(1.0)
+          / col("n_words"), 4).as("avg_word_len"),
+        when(col("n_words").between(20, 1000)
+          && col("n_distinct") * 2 >= col("n_words"), "keep")
+          .otherwise("drop").as("verdict"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── language-ID heuristic: stopword-density vote. (The synthetic
@@ -70,17 +125,7 @@ object TextAnalysis {
         |  round(stop_ratio, 4) AS stop_ratio,
         |  CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS predicted
         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val ws = split(col("text"), " ")
-      val stopArr = array(stopwords.map(lit): _*)
-      T(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), ws.as("ws"))
-        .withColumn("stop_ratio",
-          size(filter(col("ws"), w => array_contains(stopArr, w)))
-            * lit(1.0) / size(col("ws")))
-        .select(col("doc_id"), col("lang"),
-          round(col("stop_ratio"), 4).as("stop_ratio"),
-          when(col("stop_ratio") >= 0.08, "en").otherwise("other")
-            .as("predicted"))
+      langId(T(s, dir, "documents"), "doc_id", "text", carry = Seq("lang"))
         .orderBy("doc_id")
     },
 
@@ -102,24 +147,7 @@ object TextAnalysis {
         |  CASE WHEN n_words BETWEEN 20 AND 1000
         |        AND n_distinct * 2 >= n_words THEN 'keep' ELSE 'drop' END AS verdict
         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val stopArr = array(stopwords.map(lit): _*)
-      T(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"),
-          length(col("text")).as("n_chars"))
-        .select(col("doc_id"), col("n_chars"),
-          size(col("ws")).as("n_words"),
-          size(array_distinct(col("ws"))).as("n_distinct"),
-          size(filter(col("ws"), w => array_contains(stopArr, w))).as("n_stop"))
-        .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct"),
-          round(col("n_distinct") * lit(1.0) / col("n_words"), 4)
-            .as("type_token_ratio"),
-          round(col("n_stop") * lit(1.0) / col("n_words"), 4).as("stop_ratio"),
-          // words are single-space separated: chars = Σlen + (n_words-1)
-          round((col("n_chars") - col("n_words") + 1) * lit(1.0) / col("n_words"), 4)
-            .as("avg_word_len"),
-          when(col("n_words").between(20, 1000)
-            && col("n_distinct") * 2 >= col("n_words"), "keep")
-            .otherwise("drop").as("verdict"))
+      qualityScore(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
 

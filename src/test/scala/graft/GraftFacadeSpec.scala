@@ -139,6 +139,25 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(got(2L) == ((2, 0.032522)), "1/62 + 1/61 across both lists")
   }
 
+  test("langId and qualityScore match driver-side recomputes") {
+    // doc 1: 2 of 8 tokens are stopwords (ratio 0.25 ≥ 0.08 → en);
+    // doc 2: zero stopwords → other
+    val d1 = "the cat of house big small red blue"
+    val d2 = "uno dos tres quatro"
+    val docs = Seq(1L -> d1, 2L -> d2).toDF("id", "text")
+    val lid = Graft.langId(docs, "id", "text")
+      .as[(Long, Double, String)].collect().map(r => r._1 -> r).toMap
+    assert(lid(1L) == ((1L, 0.25, "en")))
+    assert(lid(2L) == ((2L, 0.0, "other")))
+    val qs = Graft.qualityScore(docs, "id", "text")
+      .as[(Long, Int, Int, Int, Double, Double, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // d1: 35 chars, 8 words, 8 distinct, 2 stop → ttr 1.0, swr 0.25,
+    // awl (35-8+1)/8 = 3.5; <20 words → drop
+    assert(qs(1L) == ((1L, 35, 8, 8, 1.0, 0.25, 3.5, "drop")))
+    assert(qs(2L)._8 == "drop")
+  }
+
   test("minhashCandidatePairs surfaces duplicates, drops short/disjoint") {
     val t1 = "the quick brown fox jumps over the lazy dog again and again"
     val t2 = "completely different words about catalyst tungsten plans here"
@@ -210,17 +229,37 @@ class GraftFacadeSpec extends SparkTestBase {
   test("jaccardBranchConf is the documented construction-eager gate") {
     // the facade constant IS the operator's conf key (one definition),
     // and pinning it suppresses the auto probe's constructor-time job —
-    // the deeper job-free property is pinned in PlanConstructionSpec
+    // the deeper job-free property is pinned in PlanConstructionSpec.
+    // Jobs are attributed via a submit-time local property (the
+    // PlanConstructionSpec pattern): a raw before/after job-count diff
+    // is flaky — stray ASYNC broadcast jobs from earlier tests can land
+    // between the two reads.
     assert(Graft.jaccardBranchConf == "spark.graft.jaccard.branch")
+    val sc = spark.sparkContext
+    val key = "graft.facade.branchtest"
+    val tagged = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (s.properties.getProperty(key) == "1") tagged.incrementAndGet()
+    }
+    // metastore warm-up first (the PlanConstructionSpec discipline):
+    // the FIRST touch of a parquet table runs a schema-read job that
+    // must not charge to the plan construction under test
+    graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     spark.conf.set(Graft.jaccardBranchConf, "count")
+    sc.addSparkListener(listener)
     try {
-      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
-        .length
+      sc.setLocalProperty(key, "1")
       SparkEntry.queries("q42_jaccard_pairs")(spark, "/root/testdata/sf0.001")
-      val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
-        .length
-      assert(after == before, "pinned branch must construct without jobs")
-    } finally spark.conf.unset(Graft.jaccardBranchConf)
+      sc.setLocalProperty(key, null)
+      Thread.sleep(800) // listener delivery is async
+      assert(tagged.get == 0, "pinned branch must construct without jobs")
+    } finally {
+      sc.setLocalProperty(key, null)
+      sc.removeSparkListener(listener)
+      spark.conf.unset(Graft.jaccardBranchConf)
+    }
   }
 
   test("pagerank on a symmetric pair splits rank evenly") {
