@@ -47,6 +47,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("facade near-dup members keep keyed joins at every knob setting") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 30L)
+      .map(i => (i, s"alpha beta gamma w$i x${i % 3} y${i % 5} z"))
+      .toDF("id", "text")
+    val pc = Graft.minhashCandidatePairs(docs, "id", "text")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!pc.contains("CartesianProduct"),
+      "banded candidate join must stay an equality join")
+    val emb = (1L to 20L).map(i =>
+      (i, Seq.tabulate(8)(j => ((i * 7 + j) % 5 - 2).toDouble))).toDF("id", "emb")
+    // the salt rewrite must keep the pair join keyed — salt tiles ride
+    // the shuffle key, they must never degrade the join to a cartesian
+    Seq(1, 4).foreach { salt =>
+      val p = Graft.lshNearDupPairs(emb, "id", "emb", planes = 3,
+          threshold = 0.5, salt = salt)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct"), s"salt=$salt:\n${p.take(600)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"salt=$salt must join on (bucket, tile) equality keys")
+    }
+  }
+
   test("no query degenerates into CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
