@@ -193,11 +193,15 @@ object Bench {
   private[graft] def renderJson(
       results: Seq[(String, Double, Boolean)], wu: Double,
       sfBasename: String): String = {
-    def f(v: Double): String = "%.2f".format(v)
+    // Locale.ROOT: a default locale with decimal COMMAS would render
+    // {"value":12,34,...} — invalid JSON, the r01–r03 dead-bench mode
+    def fmt(p: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, p, Double.box(v))
+    def f(v: Double): String = fmt("%.2f", v)
       .replaceAll("0+$", "").replaceAll("\\.$", "")
     def f1(v: Double): String =
       if (v >= 10) Math.round(v).toString
-      else "%.1f".format(v).replaceAll("0+$", "").replaceAll("\\.$", "")
+      else fmt("%.1f", v).replaceAll("0+$", "").replaceAll("\\.$", "")
     def short(name: String): String =
       name.takeWhile(_ != '_').dropWhile(_ == 'q')
     require(results.map(r => short(r._1)).toSet.size == results.size,

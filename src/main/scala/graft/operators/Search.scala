@@ -142,7 +142,8 @@ object Search {
     * ranked 1..topR, and an id's fused score is Σ 1/(k+rankᵢ) over the
     * lists that retrieved it (absent lists contribute nothing — the
     * standard RRF-over-top-R semantics; ids outside every top-R drop
-    * out). Returns (`idCol`, n_lists, rrf) with rrf rounded to 6 dp;
+    * out; an id duplicated WITHIN one ranking contributes its best rank
+    * exactly once). Returns (`idCol`, n_lists, rrf) rounded to 6 dp;
     * order by (rrf desc, id) for the fused top-k. q116 is the
     * two-retriever inner-join specialization (it keeps only ids present
     * in BOTH lists and exposes the per-list ranks).
@@ -162,6 +163,11 @@ object Search {
       r.select(col(idCol), col(scoreCol))
         .orderBy(col(scoreCol).desc, col(idCol)).limit(topR)
         .select(col(idCol), row_number().over(w).as("__rank"))
+        // an id appearing more than once in ONE ranking contributes its
+        // BEST rank exactly once — without this, a duplicated id would
+        // inflate n_lists and double-dip the fused score. Post-limit, so
+        // the dedup groupBy is topR-bounded, never corpus-bounded.
+        .groupBy(idCol).agg(min(col("__rank")).as("__rank"))
         .select(col(idCol), (lit(1.0) / (lit(k) + col("__rank"))).as("__c"))
     }.reduce(_.union(_))
       .groupBy(idCol)

@@ -127,11 +127,14 @@ object Similarity {
 
   /** SemDeDup (Abbas et al. 2023) over a [[vectors]]-shaped frame:
     * assign every vector to its nearest of `k` seed centroids (seeds =
-    * vec_id < k, one broadcast argmin round), then mark a vector a
-    * duplicate when its cosine to ANY earlier (lower vec_id) vector of
-    * the SAME cluster reaches `threshold` — the paper's one-sweep
-    * keep-first rule. Returns (vec_id, cluster, max_prior_sim, keep),
-    * unordered.
+    * the k SMALLEST ids present — kmeans' seed rule, so a sparse or
+    * offset id space can never silently produce an empty seed set and
+    * drop every row through the assignment join; on dense 0-based ids
+    * this is exactly `vec_id < k`, which q161's oracle pins), then mark
+    * a vector a duplicate when its cosine to ANY earlier (lower vec_id)
+    * vector of the SAME cluster reaches `threshold` — the paper's
+    * one-sweep keep-first rule. Returns (vec_id, cluster,
+    * max_prior_sim, keep), unordered.
     *
     * `k` is THE scale knob: the pair join costs Σ|C|², so K grows with
     * the corpus to hold |C| fixed (the growth law tools.ScaleProbe
@@ -139,7 +142,7 @@ object Similarity {
     * at k=8 with its DuckDB oracle. */
   private[graft] def semDedup(vs: DataFrame, k: Int,
       threshold: Double): DataFrame = {
-    val cents = vs.filter(col("vec_id") < k)
+    val cents = vs.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cl"), col("v").as("c"))
     // one broadcast argmin round — kmeans' assignment dataflow: only
     // n pre-reduced rows shuffle, never the n×K expansion

@@ -361,9 +361,21 @@ object TextDedup {
     // a declarative map-side-combinable aggregate — no construction-time
     // job (PlanConstructionSpec pins q173 as job-free). All-null
     // clusters degrade to the min-id tiebreak, same as the oracle.
+    // Descending key: for INTEGRAL quality use bitwise NOT, not
+    // negation — ~x reverses two's-complement order EXACTLY for every
+    // value, while -x overflows on MinValue (ANSI mode throws; non-ANSI
+    // would wrap and crown the WORST row). Fractional/decimal types
+    // negate safely (IEEE/decimal ranges are symmetric).
+    val qDesc = items.schema(qualityCol).dataType match {
+      case org.apache.spark.sql.types.ByteType
+           | org.apache.spark.sql.types.ShortType
+           | org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.LongType => bitwise_not(col("__q"))
+      case _ => -col("__q")
+    }
     val reps = full.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"),
-        min(struct(col("__q").isNull.as("nq"), (-col("__q")).as("neg"),
+        min(struct(col("__q").isNull.as("nq"), qDesc.as("neg"),
           col(idCol).as("d"))).as("m"))
     full.join(reps, "cluster_id")
       .select(col(idCol), col("cluster_id"), col("cluster_size"),

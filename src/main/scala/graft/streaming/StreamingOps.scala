@@ -199,8 +199,17 @@ object StreamingOps {
     * `processAllAvailable()` never reaches its no-more-work state and
     * blocks — pace TTL'd deployments with a real trigger interval and
     * test them by polling the sink (see StreamingOpsSpec). */
+  /** `intraBatch = true` additionally emits collisions between two docs
+    * of the SAME micro-batch (as (lower_id → doc, higher → resident),
+    * so the keep-lowest verdict rule is unchanged). The default is
+    * false — the strictly-earlier semantics above, which the q156
+    * replay-equivalence spec pins — but a production ingest whose
+    * micro-batches hold thousands of docs wants true: with exactly-once
+    * delivery, two duplicates landing in one batch would otherwise BOTH
+    * be admitted and never re-compared. */
   def ingestDedup(docs: Dataset[Doc],
-      ttl: Option[java.time.Duration] = None): Dataset[BandCollision] = {
+      ttl: Option[java.time.Duration] = None,
+      intraBatch: Boolean = false): Dataset[BandCollision] = {
     import docs.sparkSession.implicits._
     val sig = graft.plans.MinHashSig.minhashSig(
       graft.plans.WordShingles.wordShingles(col("text"), 3))
@@ -228,8 +237,15 @@ object StreamingOps {
             val arrived = it.map(_._2).toList.distinct
             state.update(resident ++ arrived)
             ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
-            (for { d <- arrived; r <- resident; if r != d }
-              yield BandCollision(d, r)).iterator
+            val vsResident = for { d <- arrived; r <- resident; if r != d }
+              yield BandCollision(d, r)
+            val within =
+              if (!intraBatch) Nil
+              else for {
+                d <- arrived; r <- arrived
+                if d > r && !resident.contains(d) && !resident.contains(r)
+              } yield BandCollision(d, r)
+            (vsResident ++ within).iterator
           }
       }
   }
@@ -274,6 +290,11 @@ object StreamingOps {
     import docs.sparkSession.implicits._
     require(reference.nonEmpty, "driftMonitor needs a reference model")
     require(windowMs > 0, "windowMs must be positive")
+    // broadcast, don't closure-capture: the reference is a real vocab
+    // (the scaladoc's top-100k example is multi-MB) and the state
+    // function ships with EVERY stateful task of EVERY micro-batch for
+    // the stream's lifetime — a broadcast deserializes once per executor
+    val refBc = docs.sparkSession.sparkContext.broadcast(reference)
     val refTotal = reference.values.map(_.toDouble).sum
     docs
       .withWatermark("ts", lateness)
@@ -284,6 +305,7 @@ object StreamingOps {
         (key: (String, Long), it: Iterator[TimedDoc],
             state: GroupState[DriftState]) =>
           val (source, wStart) = key
+          val ref = refBc.value
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
@@ -291,7 +313,7 @@ object StreamingOps {
             val kl = s.counts.toSeq.sortBy(_._1).foldLeft(0.0) {
               case (acc, (w, c)) =>
                 val p = c / ns
-                acc + p * math.log(p / (reference(w) / refTotal))
+                acc + p * math.log(p / (ref(w) / refTotal))
             }
             Iterator(DriftCell(source, new Timestamp(wStart),
               s.counts.values.sum, s.oov, kl))
@@ -300,7 +322,7 @@ object StreamingOps {
             var counts = s0.counts
             var oov = s0.oov
             it.foreach(_.text.split(" ").foreach { w =>
-              if (reference.contains(w))
+              if (ref.contains(w))
                 counts = counts.updated(w, counts.getOrElse(w, 0L) + 1L)
               else oov += 1L
             })

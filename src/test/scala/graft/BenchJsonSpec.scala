@@ -56,6 +56,16 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.endsWith("\"sf\":0.01}"))
   }
 
+  test("rendering is locale-independent (decimal POINT under any default)") {
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.GERMANY) // decimal comma
+    try {
+      val line = Bench.renderJson(Seq(("q01_a", 12.34, true)), 1.23, "sf0.1")
+      assert(line.contains("\"value\":12.34") && line.contains("\"wu\":1.23"),
+        s"locale leaked into number formatting: $line")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("failed queries are listed by ordinal") {
     val r = Seq(("q01_a", 0.2, true), ("q07_bad", 0.1, false))
     val line = Bench.renderJson(r, 0.5, "custom-dir")

@@ -137,6 +137,36 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(got(1L) == ((1, 0.016393)), "1/61 in one list")
     assert(got(4L) == ((1, 0.016129)), "1/62 in one list")
     assert(got(2L) == ((2, 0.032522)), "1/62 + 1/61 across both lists")
+    // an id duplicated WITHIN one ranking contributes its best rank ONCE
+    val dup = Seq(1L -> 10.0, 1L -> 9.0, 2L -> 8.0).toDF("id", "s")
+    val g2 = Graft.rrfFuse(Seq(dup), "id", "s", k = 60, topR = 3)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(g2(1L) == ((1, 0.016393)),
+      "duplicate id must not inflate n_lists or double-dip the score")
+    assert(g2(2L) == ((1, 0.015873)), "1/63: later ids keep their slot rank")
+  }
+
+  test("clusterVerdict quality argmax survives MinValue quality (no negate)") {
+    // -Long.MinValue overflows: ANSI would throw, non-ANSI would crown
+    // the WORST row; the bitwise-NOT descending key does neither
+    val items = Seq((1L, Long.MinValue), (2L, -5L), (3L, Long.MaxValue))
+      .toDF("doc_id", "q")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "lbl")
+    val got = Graft.clusterVerdict(items, labels, "doc_id", "q")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true),
+      "MaxValue quality wins; MinValue must neither throw nor win")
+  }
+
+  test("semDedup facade: offset id space still seeds (k smallest ids)") {
+    val e = Seq((100L, Seq(1.0, 0.0)), (101L, Seq(0.0, 1.0)),
+      (102L, Seq(1.0, 0.001))).toDF("id", "emb")
+    val got = Graft.semDedup(e, "id", "emb", k = 2, threshold = 0.9)
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+    assert(got.length == 3, "no row may be dropped by an empty seed join")
+    assert(got.count(!_._4) == 1 && !got.find(_._1 == 102L).get._4,
+      "the near-dup of the first seed is the one dropped")
   }
 
   test("langId and qualityScore match driver-side recomputes") {

@@ -287,6 +287,35 @@ class StreamingOpsSpec extends SparkTestBase {
       "redelivered A still collides with its genuine twin B")
   }
 
+  test("ingest dedup intraBatch surfaces same-batch twins once, low id first") {
+    // default semantics: two dups landing in ONE batch are both admitted
+    // (strictly-earlier rule, q156 replay parity); intraBatch = true is
+    // the production switch that surfaces them — as (higher → lower), so
+    // the keep-lowest verdict rule is unchanged — without double-counting
+    // pairs already covered by the arrived×resident product.
+    val a = Doc(1L, "the quick brown fox jumps over the lazy dog")
+    val b = Doc(2L, "the quick brown fox jumps over the lazy dog")
+    val c = Doc(3L, "totally different words in this one here now")
+    val in = MemoryStream[Doc]
+    val q = ingestDedup(in.toDS(), intraBatch = true).writeStream
+      .format("memory").queryName("ingest_intra").outputMode("update").start()
+    val (batch1, all) = withQuery(q) {
+      in.addData(a, b, c)          // twins A and B in the SAME batch
+      q.processAllAvailable()
+      val first = spark.table("ingest_intra").as[BandCollision].collect()
+      in.addData(Doc(4L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      (first, spark.table("ingest_intra").as[BandCollision].collect())
+    }
+    assert(batch1.map(x => (x.doc_id, x.resident_id)).distinct.toSet ==
+      Set((2L, 1L)), "same-batch twins collide exactly once, higher→lower")
+    // batch 2: the new twin rejects against BOTH residents, and the
+    // batch-1 intra pair is not re-emitted as a resident collision
+    val batch2 = all.diff(batch1)
+    assert(batch2.map(x => (x.doc_id, x.resident_id)).distinct.toSet ==
+      Set((4L, 1L), (4L, 2L)))
+  }
+
   test("ingest dedup with a TTL keeps q156 semantics inside the horizon") {
     // TTL arms ProcessingTimeTimeout; inside the horizon behavior is
     // identical to the unbounded form (the timeout path only drops
