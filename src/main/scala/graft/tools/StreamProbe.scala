@@ -1,0 +1,118 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Doc, TimedDoc}
+
+/** Measures the STREAMING operators' throughput law the way ScaleProbe
+  * measures the batch paths: the claim behind `ingestDedup` and
+  * `driftMonitor` is that per-doc cost is independent of how much
+  * history the stream has absorbed (state is keyed by band bucket /
+  * (source, window), never scanned linearly), so docs/sec should hold
+  * FLAT as the fed corpus grows. This tool feeds 1×/3×/10× the sf0.1
+  * documents (ScaleProbe's replica-decorrelated generator) through a
+  * MemoryStream in fixed 1000-doc micro-batches and reports docs/sec
+  * per multiplier plus the per-batch time of the FIRST vs LAST batch —
+  * a rising last/first ratio is the superlinear-state smell the r11
+  * verdict flagged (and the Set-backed state fixed).
+  *
+  *   sbt "runMain graft.tools.StreamProbe"           # 1,3,10
+  *
+  * Results recorded in BASELINE.md ("Measured growth laws"). Uses
+  * MemoryStream (a developer API) deliberately: it removes source I/O
+  * from the measurement, so the number is the operator's own cost. */
+object StreamProbe {
+  private val BatchSize = 1000
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = args.lift(1).getOrElse("1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    for (m <- mults) {
+      // replica-decorrelated corpus (ScaleProbe's generator), collected
+      // once: MemoryStream feeding isolates the operator from source I/O
+      val docs = ScaleProbe.scaledDocuments(spark, baseDir, m)
+        .select(col("doc_id"), col("text"))
+        .as[Doc].collect()
+
+      // ── ingestDedup: dedup every batch against ALL earlier history ──
+      val in = MemoryStream[Doc]
+      val q = StreamingOps.ingestDedup(in.toDS()).writeStream
+        .format("memory").queryName(s"sp_ingest_$m")
+        .outputMode("update").start()
+      val batches = docs.grouped(BatchSize).toSeq
+      var first = 0.0
+      var last = 0.0
+      val t0 = System.nanoTime()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val bt0 = System.nanoTime()
+        in.addData(b.toSeq)
+        q.processAllAvailable()
+        val bt = (System.nanoTime() - bt0) / 1e9
+        if (i == 0) first = bt
+        if (i == batches.size - 1) last = bt
+      }
+      val total = (System.nanoTime() - t0) / 1e9
+      val collisions = spark.table(s"sp_ingest_$m").count()
+      q.stop()
+      println(f"[streamprobe] op=ingestDedup m=$m docs=${docs.length} " +
+        f"batches=${batches.size} secs=$total%.1f " +
+        f"docs_per_sec=${docs.length / total}%.0f " +
+        f"first_batch=$first%.2f last_batch=$last%.2f " +
+        f"collisions=$collisions")
+
+      // ── driftMonitor: per-(source, window) KL vs a fixed reference ──
+      // reference = the base corpus' 1000 hottest tokens (driver-side
+      // model, as a production drift alarm would load it)
+      val ref = graft.Tables(spark, baseDir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").count().orderBy(col("count").desc, col("w"))
+        .limit(1000).as[(String, Long)].collect().toMap
+      val din = MemoryStream[TimedDoc]
+      val dq = StreamingOps.driftMonitor(din.toDS(), ref,
+          windowMs = 3600000L).writeStream
+        .format("memory").queryName(s"sp_drift_$m")
+        .outputMode("append").start()
+      // spread docs over one window per 10k docs; sources from doc_id
+      val timed = docs.zipWithIndex.map { case (d, i) =>
+        TimedDoc(d.doc_id,
+          new java.sql.Timestamp(1700000000000L + (i / 10000) * 3600000L
+            + (i % 10000) * 300L),
+          s"s${d.doc_id % 5}", d.text)
+      }
+      val dt0 = System.nanoTime()
+      timed.grouped(BatchSize).foreach { b =>
+        din.addData(b.toSeq)
+        dq.processAllAvailable()
+      }
+      // close every window: one far-future doc, then one more batch so
+      // the event-time timeouts fire
+      din.addData(TimedDoc(-1L,
+        new java.sql.Timestamp(1700000000000L + 1000L * 3600000L), "s9", "x"))
+      dq.processAllAvailable()
+      din.addData(TimedDoc(-2L,
+        new java.sql.Timestamp(1700000000000L + 1001L * 3600000L), "s9", "x"))
+      dq.processAllAvailable()
+      val dTotal = (System.nanoTime() - dt0) / 1e9
+      val cells = spark.table(s"sp_drift_$m").count()
+      dq.stop()
+      println(f"[streamprobe] op=driftMonitor m=$m docs=${timed.length} " +
+        f"secs=$dTotal%.1f docs_per_sec=${timed.length / dTotal}%.0f " +
+        f"cells=$cells")
+    }
+    spark.stop()
+  }
+}
