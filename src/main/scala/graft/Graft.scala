@@ -245,11 +245,16 @@ object Graft {
     * `threshold`. Returns (vec_i, vec_j, bucket, cos_sim 4 dp).
     * `planes` holds MEAN bucket occupancy flat as the corpus grows
     * (+1 per doubling); `salt` splits a hot bucket's pair space into
-    * salt×salt tiles — pure physical parallelism, the returned pair
-    * set is salt-invariant (spec-pinned). q93 is this at planes=4.
-    * See [[operators.Similarity.lshNearDupPairs]]. */
+    * shuffle-key tiles — pure physical parallelism, the returned pair
+    * set is salt-invariant (spec-pinned). The default (AutoSalt) sizes
+    * the salt PER BUCKET from an in-plan occupancy histogram, so a
+    * caller needs no skew knowledge: hot buckets tile down to
+    * task-sized chunks, cold buckets pay zero replication. Pass an
+    * explicit salt ≥ 1 only to pin the physical plan. q93 is this at
+    * planes=4. See [[operators.Similarity.lshNearDupPairs]]. */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      planes: Int, threshold: Double, salt: Int = 1): DataFrame =
+      planes: Int, threshold: Double,
+      salt: Int = operators.Similarity.AutoSalt): DataFrame =
     operators.Similarity.lshNearDupPairs(
       operators.Similarity.asVectors(df, idCol, vecCol), planes, threshold,
       salt)

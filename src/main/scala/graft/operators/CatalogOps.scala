@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions._
 
@@ -23,11 +23,13 @@ import graft.sources.JdbcConnector
   *    verify the statistics machinery end-to-end (distinctCount is HLL-
   *    approximate in Spark, so it stays out of the hash-compared set);
   *  - q111: MERGE-style upsert semantics as a copy-on-write plan —
-  *    deletes anti-joined out, updates replaced, inserts unioned — the
-  *    exact rewrite every pre-ACID lake (and Delta/Iceberg underneath)
+  *    deletes dropped, updates replaced, inserts emitted — the exact
+  *    rewrite every pre-ACID lake (and Delta/Iceberg underneath)
   *    executes; the change set derives deterministically from the same
-  *    md5 gate as q87/q88 so both engines agree bit-for-bit. The
-  *    write-path (partition-overwrite COW to parquet and re-read) is
+  *    md5 gate as q87/q88 so both engines agree bit-for-bit, which
+  *    lets the whole merge collapse to ONE scan of the target
+  *    (explode of 0–2 output rows per input row). The write-path
+  *    (partition-overwrite COW to parquet and re-read) is
   *    spec-verified in CatalogOpsSpec.
   *
   * Scale notes (100 TB posture): the JDBC path is dimension-sized by
@@ -110,8 +112,17 @@ object CatalogOps {
 
     // ── MERGE upsert semantics (copy-on-write rewrite): 5% of orders
     //    deleted, 10% repriced (+10.0 — exact in IEEE on both engines),
-    //    5% re-inserted under shifted keys with status 'N'. target
-    //    ANTI-JOIN touched-keys ∪ updates ∪ inserts = the COW plan.
+    //    5% re-inserted under shifted keys with status 'N'. The oracle
+    //    spells the textbook COW plan (keep ∪ upd ∪ ins); the Spark
+    //    side exploits that the change set derives from the SAME bk
+    //    gate, so "target anti-join touched-keys" is just bk >= 15 and
+    //    the whole merge is ONE scan of orders emitting 0–2 rows per
+    //    input row via explode(array_compact(...)) — no join, no
+    //    re-scan per branch (the r12 shape re-scanned orders five
+    //    times; PlanAuditSpec now pins the single scan). A real MERGE
+    //    whose change set arrives as a separate frame keeps the
+    //    anti-join — but then the change frame, not the target, is the
+    //    thing scanned twice, and the target still scans once.
     QueryDef(
       "q111_merge_upsert",
       """WITH g AS (SELECT *,
@@ -127,21 +138,27 @@ object CatalogOps {
         |UNION ALL SELECT * FROM upd
         |UNION ALL SELECT * FROM ins
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      val base = T(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .withColumn("bk", keyGate)
-      val deletes = base.filter(col("bk") < 5)           // drop outright
-      val updates = base.filter(col("bk") >= 5 && col("bk") < 15)
-        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
-      val inserts = base.filter(col("bk") >= 95)
-        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-          lit("N").as("o_orderstatus"), col("o_totalprice"))
-      val touched = deletes.select("o_orderkey")
-        .union(updates.select("o_orderkey"))
-      base.join(touched, Seq("o_orderkey"), "left_anti")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .union(updates.select("o_orderkey", "o_orderstatus", "o_totalprice"))
-        .union(inserts)
+      def row(k: Column, st: Column, p: Column): Column =
+        struct(k.as("o_orderkey"), st.as("o_orderstatus"),
+          p.as("o_totalprice"))
+      // per input row: bk<5 → nothing (deleted); 5–14 → repriced;
+      // ≥15 → kept as-is; ≥95 ALSO emits the shifted insert
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), keyGate.as("bk"))
+        .select(explode(array_compact(array(
+          when(col("bk") >= 15,
+            row(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice")))
+            .when(col("bk") >= 5,
+              row(col("o_orderkey"), col("o_orderstatus"),
+                col("o_totalprice") + 10.0)),
+          when(col("bk") >= 95,
+            row(col("o_orderkey") + 10000000L, lit("N"),
+              col("o_totalprice")))))).as("r"))
+        .select(col("r.o_orderkey").as("o_orderkey"),
+          col("r.o_orderstatus").as("o_orderstatus"),
+          col("r.o_totalprice").as("o_totalprice"))
         .orderBy("o_orderkey")
     },
 

@@ -158,6 +158,12 @@ object Search {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     require(k >= 0, "rank offset k must be non-negative")
     require(topR > 0, "topR must be positive")
+    // same reserved-name discipline as bm25Score: a colliding idCol
+    // would fail downstream with an ambiguous-reference error
+    val reserved = Seq("__rank", "__c", "n_lists", "rrf")
+    require(!reserved.contains(idCol),
+      s"rrfFuse: idCol '$idCol' collides with a working/output column " +
+        s"(${reserved.mkString(", ")}) — rename first")
     rankings.map { r =>
       val w = Window.orderBy(col(scoreCol).desc, col(idCol))
       r.select(col(idCol), col(scoreCol))

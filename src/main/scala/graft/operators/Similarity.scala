@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,6 +31,21 @@ import graft.functions.VectorFunctions._
 object Similarity {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
+
+  /** Sentinel salt value: size the LSH salt per bucket from the data
+    * (see [[lshNearDupPairs]]). */
+  private[graft] val AutoSalt = 0
+
+  /** Auto-salt target: pair comparisons per tile — roughly one
+    * task-second of cosine work; a bucket whose |b|² pair space exceeds
+    * this splits into ceil(|b|²/target) shuffle-key tiles. */
+  private[graft] val AutoSaltTilePairs = 4000000L
+
+  /** Auto-salt clamp: tiles are task-parallelism, not asymptotics —
+    * past a few× the core count more salt only buys build-side
+    * replication (the same reasoning as ScaleProbe's manual cap 16,
+    * with headroom for bigger executor fleets). */
+  private[graft] val AutoSaltMax = 64
 
   /** embeddings with double-cast vector, norm, label, and int8 absmax
     * codes (`codes` is NULL for a zero vector — no direction to
@@ -94,23 +109,60 @@ object Similarity {
     *    `salt`×. A PURE PHYSICAL rewrite: the returned pair set is
     *    identical for every salt (spec-pinned in SimilaritySpec).
     *
+    * `salt = AutoSalt` (0, the default) sizes the salt PER BUCKET from
+    * the data, inside the plan: a tiny occupancy histogram (≤ 2^planes
+    * rows, map-side combined) broadcasts back onto the bucketed frame
+    * and each bucket gets salt ceil(|b|²/[[AutoSaltTilePairs]]) clamped
+    * to [1, [[AutoSaltMax]]] — so a hot bucket's |b|² pair space tiles
+    * down to ~task-sized chunks while cold buckets pay ZERO build-side
+    * replication (a global salt taxes every bucket for one bucket's
+    * skew). The decision happens at EXECUTION time from the real
+    * occupancy — no constructor-time probe job (the q42 lesson), no
+    * caller-supplied skew knowledge — and the returned pair set is
+    * identical to every manual salt (spec-pinned in GraftFacadeSpec;
+    * `tilePairs` overrides the per-tile target so a spec can force
+    * multi-tile buckets on a small fixture).
+    *
     * q93 is this at planes=4, salt=1 (fixture-scaled; its oracle
     * reproduces the bucketing exactly; salt=1 keeps the metered plan
     * byte-identical to the declared one). */
   private[graft] def lshNearDupPairs(vs: DataFrame, planes: Int,
-      threshold: Double, salt: Int = 1): DataFrame = {
-    require(salt >= 1, "salt must be >= 1")
+      threshold: Double, salt: Int = AutoSalt,
+      tilePairs: Long = AutoSaltTilePairs): DataFrame = {
+    require(salt >= 0, "salt must be >= 1, or AutoSalt (0) for " +
+      "data-adaptive per-bucket sizing")
+    require(tilePairs >= 1, "tilePairs must be >= 1")
     val b = vs.withColumn("bucket", lshBucket(col("v"), planes))
     val pairs =
       if (salt == 1)
         b.as("a").join(b.as("b"),
           col("a.bucket") === col("b.bucket")
             && col("a.vec_id") < col("b.vec_id"))
-      else {
+      else if (salt > 1) {
         val probe = b.withColumn("__h", pmod(xxhash64(col("vec_id")),
           lit(salt)))
         val build = b.withColumn("__h",
           explode(array((0 until salt).map(lit(_)): _*)))
+        build.as("a").join(probe.as("b"),
+          col("a.bucket") === col("b.bucket")
+            && col("a.__h") === col("b.__h")
+            && col("a.vec_id") < col("b.vec_id"))
+      } else {
+        // AutoSalt: per-bucket tiling sized by the bucket's own pair
+        // space. |b|² in double cannot overflow (|b| ≤ ~9e15 before
+        // the square leaves the exact-long range that matters here —
+        // the clamp to AutoSaltMax fires long before precision does).
+        val hist = b.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("__n"))
+          .select(col("bucket"),
+            least(greatest(ceil(col("__n") * col("__n")
+              / lit(tilePairs.toDouble)), lit(1L)),
+              lit(AutoSaltMax.toLong)).cast("int").as("__s"))
+        val bs = b.join(broadcast(hist), "bucket")
+        val probe = bs.withColumn("__h",
+          pmod(xxhash64(col("vec_id")), col("__s")))
+        val build = bs.withColumn("__h",
+          explode(sequence(lit(0), col("__s") - 1)))
         build.as("a").join(probe.as("b"),
           col("a.bucket") === col("b.bucket")
             && col("a.__h") === col("b.__h")
@@ -244,6 +296,62 @@ object Similarity {
       it += 1
     }
     assign(cents)
+  }
+
+  /** Product-quantization ANN over an int8-coded [[vectors]]-shaped
+    * frame (vec_id, v, nrm, codes): split each `m`·`subDim`-long code
+    * array into `m` subvectors, build a deterministic seed codebook per
+    * subspace (the subvectors of the `k` lowest vec_ids), encode every
+    * vector as `m` codebook ids (argmin integer L2, ties to the lowest
+    * id), then answer query `queryId` by the standard asymmetric
+    * distance: a K×M integer lookup table of query-to-codebook subspace
+    * distances, summed over each vector's ids — the corpus-wide pass
+    * touches ONLY the m-id encodings. Top-`coarseK` by ADC (ascending,
+    * vec_id tiebreak), exact-cosine rerank, top-`topK`. Returns
+    * (vec_id, adc, cos_sim 4 dp).
+    *
+    * `codes` arrays must be exactly m·subDim long (the int8Codes frame
+    * at 64 dims with m=4, subDim=16). Integer end-to-end until the
+    * rerank, so a SQL oracle reproduces every stage bit-for-bit.
+    * Backs q178_pq_ann; exactness on a seeds-only corpus is pinned in
+    * OperatorSpec. */
+  private[graft] def pqAnn(codes: DataFrame, queryId: Long, m: Int,
+      subDim: Int, k: Int, coarseK: Int, topK: Int): DataFrame = {
+    require(m >= 1 && subDim >= 1 && k >= 1 && coarseK >= 1 && topK >= 1,
+      "pqAnn: m, subDim, k, coarseK, topK must all be >= 1")
+    val dist2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _)
+    val sub = codes.select(col("vec_id"),
+        explode(array((0 until m).map(lit(_)): _*)).as("s"), col("codes"))
+      .select(col("vec_id"), col("s"),
+        slice(col("codes"), col("s") * subDim + 1, lit(subDim)).as("sc"))
+    val cb = sub.filter(col("vec_id") < k)
+      .select(col("s").as("cs"), col("vec_id").as("cb_id"),
+        col("sc").as("cbv"))
+    // encode: one broadcast join + map-side-combinable argmin — the
+    // kmeans assign dataflow; only n·m pre-reduced rows shuffle
+    val enc = sub.join(broadcast(cb), col("s") === col("cs"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(dist2(col("sc"), col("cbv")).as("d"),
+        col("cb_id").as("cb"))).as("m0"))
+      .select(col("vec_id"), col("s"), col("m0.cb").as("code"))
+    val q = sub.filter(col("vec_id") === queryId)
+      .select(col("s").as("qs_s"), col("sc").as("qs"))
+    val lut = cb.join(broadcast(q), col("cs") === col("qs_s"))
+      .select(col("cs"), col("cb_id"), dist2(col("qs"), col("cbv")).as("qd"))
+    val adc = enc.filter(col("vec_id") =!= queryId)
+      .join(broadcast(lut),
+        col("s") === col("cs") && col("code") === col("cb_id"))
+      .groupBy("vec_id").agg(sum(col("qd")).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id")).limit(coarseK)
+    val qv = codes.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    adc.join(codes.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("adc"),
+        round(cosineFast(col("v"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(topK)
   }
 
   /** Oracle CTE: embeddings as double arrays + norms. */
@@ -467,7 +575,11 @@ object Similarity {
           |  round(cos_sim, 4) AS cos_sim
           |FROM p WHERE cos_sim >= 0.45 ORDER BY vec_i, vec_j""".stripMargin) {
       (s, dir) =>
-        lshNearDupPairs(vectors(s, dir), planes = 4, threshold = 0.45)
+        // salt pinned to 1: keeps the metered plan byte-identical to
+        // the declared one (the sf0.1 corpus has no hot cluster; the
+        // facade default is AutoSalt for callers who can't know that)
+        lshNearDupPairs(vectors(s, dir), planes = 4, threshold = 0.45,
+            salt = 1)
           .orderBy("vec_i", "vec_j")
     },
 
@@ -614,6 +726,64 @@ object Similarity {
           round(cosineFast(col("v"), col("qv")), 4).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
+    },
+
+    // ── product-quantization ANN (Jégou et al. 2011), the missing end
+    //    of the quantized-retrieval ladder (absmax int8 → PQ): the
+    //    64-dim int8 code space splits into M=4 16-dim subvectors; each
+    //    subspace gets a deterministic K=8 seed codebook (the
+    //    subvectors of the 8 lowest vec_ids — integer-valued by
+    //    construction, so every engine reproduces the codebooks
+    //    bit-for-bit); every vector is ENCODED as 4 small codebook ids
+    //    (argmin integer L2, ties to the lowest id — 64 int8 codes
+    //    compress to 4 nibbles); the query builds a K×M lookup table of
+    //    integer subspace distances and the corpus-wide pass scans ONLY
+    //    the 4-id encodings, summing LUT entries (asymmetric distance).
+    //    Top-50 by ADC, exact-cosine rerank, top-10 — q142's two-stage
+    //    discipline with a 16× smaller corpus footprint than even int8.
+    //    At 100 TB: codebooks+LUT broadcast (K×M rows); encoding is one
+    //    broadcast-join argmin (map-side-combinable min(struct), the
+    //    kmeans assign shape); the ADC scan reads M ids per vector;
+    //    rerank cost is O(50) regardless of corpus size. All integer
+    //    until the rerank — no float drift in the recall stage.
+    QueryDef(
+      "q178_pq_ann",
+      oracleVec +
+        """,
+          |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))
+          |        AS absmax FROM e),
+          |c AS (SELECT vec_id,
+          |  list_transform(v, x -> CAST(floor(x * 127 / absmax + 0.5) AS BIGINT))
+          |    AS codes FROM a WHERE absmax > 0),
+          |sub AS (SELECT vec_id, s,
+          |  [c.codes[s*16+i] for i in range(1, 17)] AS sc
+          |  FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+          |cb AS (SELECT s, vec_id AS cb_id, sc AS cbv FROM sub
+          |       WHERE vec_id < 8),
+          |enc AS (SELECT vec_id, s, cb_id AS code FROM (
+          |  SELECT sub.vec_id, sub.s, cb.cb_id,
+          |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+          |      ORDER BY list_sum([(sub.sc[i]-cb.cbv[i])*(sub.sc[i]-cb.cbv[i])
+          |                         for i in range(1, 17)]), cb.cb_id) AS rn
+          |  FROM sub JOIN cb USING (s)) WHERE rn = 1),
+          |q AS (SELECT s, sc AS qs FROM sub WHERE vec_id = 0),
+          |lut AS (SELECT cb.s, cb.cb_id,
+          |  CAST(list_sum([(q.qs[i]-cb.cbv[i])*(q.qs[i]-cb.cbv[i])
+          |                 for i in range(1, 17)]) AS BIGINT) AS qd
+          |  FROM cb JOIN q USING (s)),
+          |adc AS (SELECT enc.vec_id, CAST(sum(lut.qd) AS BIGINT) AS adc
+          |  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.cb_id
+          |  WHERE enc.vec_id <> 0 GROUP BY enc.vec_id
+          |  ORDER BY adc ASC, enc.vec_id LIMIT 50),
+          |qn AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0)
+          |SELECT adc.vec_id, adc.adc,
+          |  round(list_sum([n.v[i]*qn.qv[i] for i in range(1, len(n.v)+1)])
+          |        / (n.nrm*qn.qnrm), 4) AS cos_sim
+          |FROM adc JOIN n USING (vec_id), qn
+          |ORDER BY cos_sim DESC, adc.vec_id LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        pqAnn(int8Codes(s, dir), queryId = 0L, m = 4, subDim = 16,
+          k = 8, coarseK = 50, topK = 10)
     },
 
     // ── per-label centroids: the aggregate-of-vectors building block

@@ -67,6 +67,14 @@ object TextAnalysis {
   private[graft] def langId(docs: DataFrame, idCol: String,
       textCol: String, carry: Seq[String] = Nil,
       stops: Seq[String] = stopwords, threshold: Double = 0.08): DataFrame = {
+    // same reserved-name discipline as bm25Score/clusterVerdict: a
+    // colliding idCol/carry would silently shadow or duplicate the
+    // working/output columns instead of failing with a clear message
+    val reserved = Seq("__ws", "stop_ratio", "predicted")
+    val bad = ((idCol +: carry)).filter(reserved.contains)
+    require(bad.isEmpty,
+      s"langId: column(s) ${bad.mkString(", ")} collide with a working/" +
+        s"output column (${reserved.mkString(", ")}) — rename first")
     val stopArr = array(stops.map(lit): _*)
     docs
       .select(col(idCol) +: carry.map(col) :+
@@ -89,6 +97,11 @@ object TextAnalysis {
     * q51_quality_score. */
   private[graft] def qualityScore(docs: DataFrame, idCol: String,
       textCol: String, stops: Seq[String] = stopwords): DataFrame = {
+    val reserved = Seq("__ws", "n_chars", "n_words", "n_distinct",
+      "n_stop", "type_token_ratio", "stop_ratio", "avg_word_len", "verdict")
+    require(!reserved.contains(idCol),
+      s"qualityScore: idCol '$idCol' collides with a working/output " +
+        s"column (${reserved.mkString(", ")}) — rename first")
     val stopArr = array(stops.map(lit): _*)
     docs
       .select(col(idCol), split(col(textCol), " ").as("__ws"),

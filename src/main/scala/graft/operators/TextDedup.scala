@@ -316,9 +316,11 @@ object TextDedup {
     * (`idCol`, cluster_id, cluster_size, keep).
     *
     * `items` must carry a numeric `qualityCol` (higher = better; NULL
-    * sorts LAST — a null-quality member never beats a scored one, and
-    * an all-null cluster falls back to the min-`idCol` tiebreak,
-    * matching SQL's ORDER BY quality DESC NULLS LAST) and a LONG
+    * — and, for float/double, NaN — sorts LAST: an unscored or
+    * failed-scorer member never beats a scored one, and an all-unscored
+    * cluster falls back to the min-`idCol` tiebreak. NULL matches SQL's
+    * ORDER BY quality DESC NULLS LAST; NaN-as-worst is a documented
+    * divergence from SQL's NaN-sorts-greatest) and a LONG
     * `idCol`; `labels` is [[connectedComponents]] output (id, lbl).
     * Scale shape: the argmax is a map-side-combinable min(struct) keyed
     * by cluster — one reduce-buffer entry per cluster per partition,
@@ -355,12 +357,18 @@ object TextDedup {
     // NULL-quality guard: a bare min(struct(-__q, id)) would let a NULL
     // quality WIN the keep (null struct fields sort first in Spark's
     // min) — the opposite of the oracle's ORDER BY quality DESC NULLS
-    // LAST. A leading is-null flag (false < true) makes every non-null
-    // row beat every null row, keeps the original numeric type's exact
-    // ordering for the non-null case (no lossy double cast), and stays
-    // a declarative map-side-combinable aggregate — no construction-time
-    // job (PlanConstructionSpec pins q173 as job-free). All-null
-    // clusters degrade to the min-id tiebreak, same as the oracle.
+    // LAST. A leading is-worst flag (false < true) makes every scored
+    // row beat every unscored row, keeps the original numeric type's
+    // exact ordering for the scored case (no lossy double cast), and
+    // stays a declarative map-side-combinable aggregate — no
+    // construction-time job (PlanConstructionSpec pins q173 as
+    // job-free). All-unscored clusters degrade to the min-id tiebreak,
+    // same as the oracle. NaN quality is EXPLICITLY grouped with NULL
+    // as worst: a NaN score is a failed scorer, not a best document —
+    // a deliberate, documented divergence from raw `ORDER BY q DESC`
+    // (where SQL engines sort NaN greatest and would crown it). Without
+    // this flag the negated NaN would silently sort last anyway; the
+    // flag makes the behavior explicit and ordering-direction-proof.
     // Descending key: for INTEGRAL quality use bitwise NOT, not
     // negation — ~x reverses two's-complement order EXACTLY for every
     // value, while -x overflows on MinValue (ANSI mode throws; non-ANSI
@@ -373,9 +381,15 @@ object TextDedup {
            | org.apache.spark.sql.types.LongType => bitwise_not(col("__q"))
       case _ => -col("__q")
     }
+    val qWorst = items.schema(qualityCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType
+           | org.apache.spark.sql.types.FloatType =>
+        col("__q").isNull || isnan(col("__q"))
+      case _ => col("__q").isNull
+    }
     val reps = full.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"),
-        min(struct(col("__q").isNull.as("nq"), qDesc.as("neg"),
+        min(struct(qWorst.as("nq"), qDesc.as("neg"),
           col(idCol).as("d"))).as("m"))
     full.join(reps, "cluster_id")
       .select(col(idCol), col("cluster_id"), col("cluster_size"),

@@ -198,10 +198,20 @@ object StreamingOps {
     * schedule micro-batches continuously to re-check deadlines, so
     * `processAllAvailable()` never reaches its no-more-work state and
     * blocks — pace TTL'd deployments with a real trigger interval and
-    * test them by polling the sink (see StreamingOpsSpec). */
-  /** `intraBatch = true` additionally emits collisions between two docs
-    * of the SAME micro-batch (as (lower_id → doc, higher → resident),
-    * so the keep-lowest verdict rule is unchanged). The default is
+    * test them by polling the sink (see StreamingOpsSpec).
+    *
+    * Recovery contract: run with a `checkpointLocation` and a kill/
+    * restart resumes from the last committed batch with the resident
+    * state, source offsets, and watermark restored — post-restart docs
+    * still collide with pre-kill residents and committed collisions are
+    * not re-emitted (exactly-once with an idempotent/transactional
+    * sink; the final uncommitted batch may replay). Proven against a
+    * real checkpoint dir in StreamingRecoverySpec.
+    *
+    * `intraBatch = true` additionally emits collisions between two docs
+    * of the SAME micro-batch (as doc_id = the HIGHER id, resident_id =
+    * the lower — the earlier-by-id doc plays resident, so the
+    * keep-lowest verdict rule is unchanged). The default is
     * false — the strictly-earlier semantics above, which the q156
     * replay-equivalence spec pins — but a production ingest whose
     * micro-batches hold thousands of docs wants true: with exactly-once
@@ -283,12 +293,24 @@ object StreamingOps {
     * bounded by sources × (lateness/windowMs + 1). Both bounds are
     * independent of stream length — the property that lets this run
     * forever. Keyed by (source, window): the same partitioning a batch
-    * (source, batch) cell agg shuffles on, horizontally scalable. */
+    * (source, batch) cell agg shuffles on, horizontally scalable.
+    *
+    * Recovery contract: with a `checkpointLocation`, a kill mid-window
+    * restores the half-filled count map, watermark, and offsets on
+    * restart — the window's single final [[DriftCell]] folds counts
+    * from both sides of the kill and emits exactly once (proven in
+    * StreamingRecoverySpec). */
   def driftMonitor(docs: Dataset[TimedDoc], reference: Map[String, Long],
       windowMs: Long = 3600000L,
       lateness: String = "30 minutes"): Dataset[DriftCell] = {
     import docs.sparkSession.implicits._
     require(reference.nonEmpty, "driftMonitor needs a reference model")
+    // strictly positive: a 0-count entry (easy to produce from an outer
+    // join building the vocab) would yield p*ln(p/0) = Infinity in the
+    // emitted KL — fail loudly at construction, not silently per window
+    require(reference.values.forall(_ > 0),
+      "driftMonitor reference counts must all be > 0 — a zero-count " +
+        "token makes the KL term infinite; drop or floor such entries")
     require(windowMs > 0, "windowMs must be positive")
     // broadcast, don't closure-capture: the reference is a real vocab
     // (the scaladoc's top-100k example is multi-MB) and the state

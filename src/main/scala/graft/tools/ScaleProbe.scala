@@ -183,23 +183,33 @@ object ScaleProbe {
       }
       val planes = 4 + math.ceil(math.log(m) / math.log(2)).toInt
       // skew discipline: similar vectors co-bucket by design, so planes
-      // alone cannot flatten a hot cluster's bucket — salt the pair
-      // join's tiles with the corpus (result-identical, spec-pinned)
-      // (cap 16: the tile count is task-parallelism, not asymptotics —
-      // past the core count, more salt only buys build-side replication)
-      val salt = math.min(16, math.max(1, 2 * m))
+      // alone cannot flatten a hot cluster's bucket — the pair join
+      // tiles each bucket's pair space by a salt (result-identical,
+      // spec-pinned). Since r13 the salt is AUTO-SIZED per bucket from
+      // an in-plan occupancy histogram (r12 ran a manual global
+      // min(16, 2m)); the probe runs the default so the measurement
+      // proves a caller with NO skew knowledge survives the hot-cluster
+      // scenario — the r12 manual-salt numbers are the comparison bands
+      // in BASELINE.md.
       if (!warm) println(
-        s"[scaleprobe] knobs m=$m planes=$planes salt=$salt K=${8 * m}")
+        s"[scaleprobe] knobs m=$m planes=$planes salt=auto K=${8 * m}")
       val vs = Similarity.vectors(spark, dir)
       vs.count() // pre-warm the shared base frame outside the timings
       rec("hyperplane_lsh", nVecs) {
-        Similarity.lshNearDupPairs(vs, planes, 0.45, salt).count()
+        Similarity.lshNearDupPairs(vs, planes, 0.45,
+          Similarity.AutoSalt).count()
       }
       rec("semdedup", nVecs) {
         // count(keep) forces the verdict column so column pruning can
         // never drop the cosine evaluation out of the measurement
         Similarity.semDedup(vs, 8 * m, 0.45)
           .agg(count(when(col("keep"), 1))).head().getLong(0)
+      }
+      // PQ ANN is scan-shaped by design (codebooks/LUT broadcast, the
+      // corpus pass reads m ids per vector); the probe records that the
+      // measured growth actually IS ~linear
+      rec("pq_ann", nVecs) {
+        graft.SparkEntry.queries("q178_pq_ann")(spark, dir).count()
       }
       rec("budget_select", nDocs) {
         SparkEntry.queries("q157_budget_select")(spark, dir).count()

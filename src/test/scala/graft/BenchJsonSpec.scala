@@ -14,11 +14,12 @@ class BenchJsonSpec extends AnyFunSuite {
   private val names = SparkEntry.queries.keys.toSeq.sorted
 
   /** Render with every query at `sec` seconds and `nFailed` failures. */
-  private def render(sec: Double, nFailed: Int, wu: Double): String = {
+  private def render(sec: Double, nFailed: Int, wu: Double,
+      wio: Double): String = {
     val results = names.zipWithIndex.map { case (n, i) =>
       (n, sec, i >= names.size - nFailed)
     }.map { case (n, s, failTail) => (n, s, !failTail) }
-    Bench.renderJson(results, wu, "sf0.1")
+    Bench.renderJson(results, wu, wio, "sf0.1")
   }
 
   test("worst-case line width stays under the driver's 2000-char tail") {
@@ -27,7 +28,8 @@ class BenchJsonSpec extends AnyFunSuite {
     // rendering (3 chars; a 1000 s query has failed the 2x gate long
     // before width matters). Five failures cover a partial-outage run
     // (an all-failed run is dead regardless of line width). wu wide too.
-    val worst = Seq(render(9.9, 5, 99.99), render(999.4, 5, 99.99))
+    val worst = Seq(render(9.9, 5, 99.99, 99.99),
+      render(999.4, 5, 99.99, 99.99))
       .map(_.length).max
     assert(worst < 1950,
       s"bench JSON worst-case width $worst is inside the truncation " +
@@ -35,9 +37,10 @@ class BenchJsonSpec extends AnyFunSuite {
   }
 
   test("typical line parses as JSON with the contract keys") {
-    val line = render(0.3, 0, 1.23)
+    val line = render(0.3, 0, 1.23, 2.34)
     assert(line.startsWith("{\"metric\":\"total\",\"value\":"))
     assert(line.contains("\"wu\":1.23"))
+    assert(line.contains("\"wio\":2.34"))
     assert(line.contains("\"queries\":{"))
     assert(line.contains("\"failed\":[]"))
     assert(line.endsWith("\"sf\":0.1}"))
@@ -49,7 +52,7 @@ class BenchJsonSpec extends AnyFunSuite {
   test("value clamping: 1 decimal under 10 s, whole seconds above") {
     val r = Seq(("q01_a", 0.25, true), ("q02_b", 12.6, true),
       ("q03_c", 3.0, true))
-    val line = Bench.renderJson(r, 0.5, "sf0.01")
+    val line = Bench.renderJson(r, 0.5, 0.5, "sf0.01")
     assert(line.contains("\"01\":0.3") || line.contains("\"01\":0.2"))
     assert(line.contains("\"02\":13"))
     assert(line.contains("\"03\":3"))
@@ -60,7 +63,8 @@ class BenchJsonSpec extends AnyFunSuite {
     val prev = java.util.Locale.getDefault
     java.util.Locale.setDefault(java.util.Locale.GERMANY) // decimal comma
     try {
-      val line = Bench.renderJson(Seq(("q01_a", 12.34, true)), 1.23, "sf0.1")
+      val line = Bench.renderJson(Seq(("q01_a", 12.34, true)), 1.23,
+        4.56, "sf0.1")
       assert(line.contains("\"value\":12.34") && line.contains("\"wu\":1.23"),
         s"locale leaked into number formatting: $line")
     } finally java.util.Locale.setDefault(prev)
@@ -68,7 +72,7 @@ class BenchJsonSpec extends AnyFunSuite {
 
   test("failed queries are listed by ordinal") {
     val r = Seq(("q01_a", 0.2, true), ("q07_bad", 0.1, false))
-    val line = Bench.renderJson(r, 0.5, "custom-dir")
+    val line = Bench.renderJson(r, 0.5, 0.5, "custom-dir")
     assert(line.contains("\"failed\":[\"07\"]"))
     // non-numeric sf dir falls back to a quoted string
     assert(line.endsWith("\"sf\":\"custom-dir\"}"))

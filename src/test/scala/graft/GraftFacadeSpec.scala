@@ -210,6 +210,19 @@ class GraftFacadeSpec extends SparkTestBase {
       "only the near-parallel pair passes the cosine gate")
     assert(base.head._4 > 0.99)
     assert(run(3) == base, "salting is physical-only")
+    assert(run(graft.operators.Similarity.AutoSalt) == base,
+      "per-bucket auto salt (the default) is physical-only too")
+    // force REAL multi-tile buckets on the tiny fixture (tilePairs=2 →
+    // any bucket with ≥2 rows tiles): the auto path's per-bucket salt
+    // arithmetic, replication, and hash-tile join must still return the
+    // exact same pair set
+    val forced = graft.operators.Similarity.lshNearDupPairs(
+        graft.operators.Similarity.asVectors(e, "id", "emb"),
+        planes = 1, threshold = 0.9,
+        salt = graft.operators.Similarity.AutoSalt, tilePairs = 2L)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(forced == base, "auto salt with forced multi-tile buckets " +
+      "must stay result-identical")
     intercept[IllegalArgumentException] {
       Graft.lshNearDupPairs(e.withColumn("id", col("id").cast("string")),
         "id", "emb", planes = 1, threshold = 0.9)

@@ -60,8 +60,11 @@ class PlanAuditSpec extends SparkTestBase {
     val emb = (1L to 20L).map(i =>
       (i, Seq.tabulate(8)(j => ((i * 7 + j) % 5 - 2).toDouble))).toDF("id", "emb")
     // the salt rewrite must keep the pair join keyed — salt tiles ride
-    // the shuffle key, they must never degrade the join to a cartesian
-    Seq(1, 4).foreach { salt =>
+    // the shuffle key, they must never degrade the join to a cartesian.
+    // 0 = AutoSalt: the per-bucket histogram variant, whose occupancy
+    // frame may legitimately broadcast-HASH-join back onto the bucketed
+    // frame, but the PAIR join must stay keyed like the manual salts
+    Seq(0, 1, 4).foreach { salt =>
       val p = Graft.lshNearDupPairs(emb, "id", "emb", planes = 3,
           threshold = 0.5, salt = salt)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
@@ -279,11 +282,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q111: COW merge anti-joins the touched keys via broadcast") {
-    val p = plan("q111_merge_upsert")
-    assert(p.contains("BroadcastHashJoin"),
-      s"touched-key set must broadcast into the anti join:\n$p")
-    assert(!p.contains("SortMergeJoin"), p)
+  test("q111: COW merge is ONE scan of orders — no join, no re-scan") {
+    // the change set derives from the bk gate, so the textbook
+    // keep ∪ upd ∪ ins plan collapses to one scan emitting 0–2 rows
+    // per input row; the r12 shape re-scanned orders five times and was
+    // the most driver-amplified entry two rounds running
+    val t = tree("q111_merge_upsert")
+    assert("Scan parquet".r.findAllIn(t).size == 1,
+      s"the whole merge must read orders exactly once:\n$t")
+    assert(!t.contains("Join"), s"no join — the gate IS the change set:\n$t")
+    assert(t.contains("Generate"), s"explode emits the 0–2 output rows:\n$t")
   }
 
   test("q115: BM25 stats row broadcasts; top-k avoids a global sort") {

@@ -34,8 +34,16 @@ class ModelPrepSpec extends SparkTestBase {
     assert(base.nonEmpty, "fixture must produce pairs for the pin to bite")
     assert(run(2, 3) == base, "salt=3 must return the identical pair set")
     assert(run(2, 7) == base, "salt=7 must return the identical pair set")
+    assert(run(2, Similarity.AutoSalt) == base,
+      "auto per-bucket salt must return the identical pair set")
+    // forced multi-tile auto on REAL data: tilePairs=1000 makes every
+    // sf0.001 bucket tile (|b|² > 1000 for any bucket with ≥ 32 rows)
+    assert(Similarity.lshNearDupPairs(vs, 2, 0.3,
+        salt = Similarity.AutoSalt, tilePairs = 1000L)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq == base,
+      "auto salt with forced tiling must return the identical pair set")
     intercept[IllegalArgumentException] {
-      Similarity.lshNearDupPairs(vs, 2, 0.3, salt = 0)
+      Similarity.lshNearDupPairs(vs, 2, 0.3, salt = -1)
     }
   }
 

@@ -176,4 +176,73 @@ class OperatorSpec extends SparkTestBase {
       .select($"grp", $"k".cast("int").as("k"), $"n")
     assert(melted.collect().toSet == long.collect().toSet)
   }
+
+  private def codesDf(rows: Seq[(Long, Seq[Long])]) =
+    rows.toDF("vec_id", "codes")
+      .withColumn("v", transform(col("codes"), _.cast("double")))
+      .withColumn("nrm", norm(col("v")))
+
+  test("pqAnn: seeds-only corpus makes ADC the exact integer code L2") {
+    // m=2 subspaces of 3 dims; every vector is a codebook seed (k=n),
+    // so each subvector encodes to ITSELF at distance 0 and the
+    // asymmetric distance degenerates to the exact integer L2 between
+    // the query's and the vector's codes — the strongest exactness pin
+    // a lossy quantizer admits
+    val rows = Seq(
+      (0L, Seq(1L, 2L, 3L, 4L, 5L, 6L)),
+      (1L, Seq(1L, 2L, 3L, 4L, 5L, 7L)),
+      (2L, Seq(9L, 0L, 1L, 2L, 3L, 4L)),
+      (3L, Seq(-3L, 5L, 2L, 8L, 0L, 1L)),
+      (4L, Seq(2L, 2L, 2L, 2L, 2L, 2L)),
+      (5L, Seq(7L, 7L, 0L, 0L, 1L, 1L)))
+    val got = Similarity.pqAnn(codesDf(rows), queryId = 0L, m = 2,
+        subDim = 3, k = 6, coarseK = 10, topK = 10)
+      .select("vec_id", "adc").as[(Long, Long)].collect().toMap
+    val qc = rows.head._2
+    rows.tail.foreach { case (id, cs) =>
+      val l2 = cs.zip(qc).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(got(id) == l2, s"vec $id: adc ${got(id)} != exact L2 $l2")
+    }
+  }
+
+  test("pqAnn ≡ a driver-side replay of the full PQ definition") {
+    // k < n, every stage lossy: a Scala replay of the SAME definition
+    // (seed codebooks, argmin encode with lowest-id ties, LUT-summed
+    // asymmetric distance, coarse cut, exact-cosine rerank) must
+    // reproduce the operator's output row-for-row — encoding, ADC
+    // values, tie-breaks, and rounding included
+    val (m, subDim, k, coarseK, topK) = (2, 4, 3, 10, 5)
+    val rows = (0 until 40).map { i =>
+      (i.toLong,
+        Seq.tabulate(m * subDim)(j => ((i * 37 + j * 11) % 17 - 8).toLong))
+    }
+    val got = Similarity.pqAnn(codesDf(rows), queryId = 0L, m = m,
+        subDim = subDim, k = k, coarseK = coarseK, topK = topK)
+      .as[(Long, Long, Double)].collect().toSeq
+
+    def sub(cs: Seq[Long], s: Int) = cs.slice(s * subDim, (s + 1) * subDim)
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qcs = rows.head._2
+    val lut = Array.tabulate(m, k)((s, c) => d2(sub(qcs, s),
+      sub(rows(c)._2, s)))
+    val enc = rows.map { case (id, cs) =>
+      id -> (0 until m).map(s =>
+        (0 until k).minBy(c => (d2(sub(cs, s), sub(rows(c)._2, s)), c)))
+    }.toMap
+    val adc = rows.tail.map { case (id, _) =>
+      id -> (0 until m).map(s => lut(s)(enc(id)(s))).sum
+    }
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+      val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+      val raw = dot(ad, bd) / (math.sqrt(dot(ad, ad)) * math.sqrt(dot(bd, bd)))
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = adc.sortBy { case (id, d) => (d, id) }.take(coarseK)
+      .map { case (id, d) => (id, d, cos(rows(id.toInt)._2, qcs)) }
+      .sortBy { case (id, _, c) => (-c, id) }.take(topK)
+    assert(got == want, s"got $got\nwant $want")
+  }
 }
