@@ -274,6 +274,32 @@ object Graft {
     operators.Similarity.semDedup(
       operators.Similarity.asVectors(df, idCol, vecCol), k, threshold)
 
+  /** Product-quantization ANN (Jégou et al. 2011) over any (`idCol`
+    * integral, `vecCol` numeric-array) frame: vectors are int8
+    * absmax-quantized (the q106/q142 code rule; zero vectors have no
+    * direction and are excluded), the code space splits into `m`
+    * subvectors of `subDim` dims (m·subDim MUST equal the vector
+    * length), each subspace gets a deterministic seed codebook (the
+    * subvectors of the `k` lowest ids), and query `queryId` is answered
+    * by LUT-summed asymmetric distance over each vector's m codebook
+    * ids — the corpus-wide pass reads m small ids per vector, nothing
+    * else. Top-`coarseK` by ADC, exact-cosine rerank, top-`topK`;
+    * returns (vec_id, adc, cos_sim). Integer end-to-end until the
+    * rerank — deterministic on any engine. q178 is this at
+    * m=4/subDim=16/k=8. See [[operators.Similarity.pqAnn]]. */
+  def pqAnn(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      m: Int, subDim: Int, k: Int = 8, coarseK: Int = 50,
+      topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    val vs = operators.Similarity.asVectors(df, idCol, vecCol)
+      .withColumn("absmax", absMax(col("v")))
+      .filter(col("absmax") > 0)
+      .withColumn("codes", int8Code(col("v"), col("absmax")))
+      .drop("absmax")
+    operators.Similarity.pqAnn(vs, queryId, m, subDim, k, coarseK, topK)
+  }
+
   /** Conf key gating the adaptive exact-Jaccard pair strategy behind
     * q42/q89 ("count" | "prefix" | "auto"). CONTRACT: `auto` (the
     * default) is construction-EAGER — it runs a one-row shingle-df

@@ -229,6 +229,27 @@ class GraftFacadeSpec extends SparkTestBase {
     }
   }
 
+  test("pqAnn facade: a scaled twin of the query ranks first at cos 1.0") {
+    // absmax int8 codes are scale-INVARIANT, so vec 5 (= 2× the query
+    // vector) gets identical codes, a minimal asymmetric distance, and
+    // an exact rerank cosine of 1.0 — it must come back first
+    val rows = Seq(
+      (0L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      (1L, Seq(8.0, -1.0, 2.0, 0.0, 3.0, -2.0, 1.0, 4.0)),
+      (2L, Seq(-5.0, 5.0, -5.0, 5.0, -5.0, 5.0, -5.0, 5.0)),
+      (3L, Seq(0.5, 0.5, 4.0, -3.0, 2.0, 2.0, -1.0, 0.0)),
+      (4L, Seq(3.0, 1.0, -2.0, 6.0, 0.0, -4.0, 2.0, 2.0)),
+      (5L, Seq(2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0)))
+    val got = Graft.pqAnn(rows.toDF("id", "emb"), "id", "emb",
+        queryId = 0L, m = 2, subDim = 4, k = 3, coarseK = 5, topK = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 5, "all five non-query vectors pass coarseK=5")
+    assert(got.head._1 == 5L && got.head._3 == 1.0,
+      s"the scaled twin must rerank first at cosine 1.0: ${got.toSeq}")
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq,
+      "rerank output is cosine-descending")
+  }
+
   test("semDedup facade: later near-dup of a seed is dropped") {
     val e = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
       (2L, Seq(1.0, 0.001))).toDF("id", "emb")
