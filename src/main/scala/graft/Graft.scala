@@ -249,9 +249,12 @@ object Graft {
     * set is salt-invariant (spec-pinned). The default (AutoSalt) sizes
     * the salt PER BUCKET from an in-plan occupancy histogram, so a
     * caller needs no skew knowledge: hot buckets tile down to
-    * task-sized chunks, cold buckets pay zero replication. Pass an
-    * explicit salt ≥ 1 only to pin the physical plan. q93 is this at
-    * planes=4. See [[operators.Similarity.lshNearDupPairs]]. */
+    * task-sized chunks, cold buckets pay zero replication. Cost note:
+    * auto reads the input THREE times (histogram + both join sides) vs
+    * two at an explicit salt — persist `df` first if it is an
+    * expensive un-persisted pipeline. Pass an explicit salt ≥ 1 only
+    * to pin the physical plan. q93 is this at planes=4.
+    * See [[operators.Similarity.lshNearDupPairs]]. */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       planes: Int, threshold: Double,
       salt: Int = operators.Similarity.AutoSalt): DataFrame =
@@ -285,8 +288,13 @@ object Graft {
     * ids — the corpus-wide pass reads m small ids per vector, nothing
     * else. Top-`coarseK` by ADC, exact-cosine rerank, top-`topK`;
     * returns (vec_id, adc, cos_sim). Integer end-to-end until the
-    * rerank — deterministic on any engine. q178 is this at
-    * m=4/subDim=16/k=8. See [[operators.Similarity.pqAnn]]. */
+    * rerank — deterministic on any engine. The vector length must
+    * equal m·subDim (enforced in-plan); a `queryId` that is absent —
+    * or whose vector is all zeros and therefore unquantizable —
+    * returns an EMPTY result, so validate the query id upstream if
+    * "no such query" must be distinguishable from "no neighbors".
+    * q178 is this at m=4/subDim=16/k=8.
+    * See [[operators.Similarity.pqAnn]]. */
   def pqAnn(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
       m: Int, subDim: Int, k: Int = 8, coarseK: Int = 50,
       topK: Int = 10): DataFrame = {

@@ -152,10 +152,13 @@ object Similarity {
         // space. |b|² in double cannot overflow (|b| ≤ ~9e15 before
         // the square leaves the exact-long range that matters here —
         // the clamp to AutoSaltMax fires long before precision does).
+        // square in DOUBLE: long×long overflows past |b| ≈ 3.04e9
+        // (ANSI mode throws; non-ANSI wraps negative and the clamp
+        // would hand the hottest possible bucket salt 1)
         val hist = b.groupBy(col("bucket"))
           .agg(count(lit(1)).as("__n"))
           .select(col("bucket"),
-            least(greatest(ceil(col("__n") * col("__n")
+            least(greatest(ceil(col("__n").cast("double") * col("__n")
               / lit(tilePairs.toDouble)), lit(1L)),
               lit(AutoSaltMax.toLong)).cast("int").as("__s"))
         val bs = b.join(broadcast(hist), "bucket")
@@ -301,8 +304,11 @@ object Similarity {
   /** Product-quantization ANN over an int8-coded [[vectors]]-shaped
     * frame (vec_id, v, nrm, codes): split each `m`·`subDim`-long code
     * array into `m` subvectors, build a deterministic seed codebook per
-    * subspace (the subvectors of the `k` lowest vec_ids), encode every
-    * vector as `m` codebook ids (argmin integer L2, ties to the lowest
+    * subspace (the subvectors of the `k` SMALLEST ids present — the
+    * semDedup/kmeans seed rule, so offset or sparse id spaces can never
+    * silently produce an empty codebook; on dense 0-based ids this is
+    * exactly vec_id < k), encode every vector as `m` codebook ids
+    * (argmin integer L2, ties to the lowest
     * id), then answer query `queryId` by the standard asymmetric
     * distance: a K×M integer lookup table of query-to-codebook subspace
     * distances, summed over each vector's ids — the corpus-wide pass
@@ -311,10 +317,15 @@ object Similarity {
     * (vec_id, adc, cos_sim 4 dp).
     *
     * `codes` arrays must be exactly m·subDim long (the int8Codes frame
-    * at 64 dims with m=4, subDim=16). Integer end-to-end until the
-    * rerank, so a SQL oracle reproduces every stage bit-for-bit.
-    * Backs q178_pq_ann; exactness on a seeds-only corpus is pinned in
-    * OperatorSpec. */
+    * at 64 dims with m=4, subDim=16) — ENFORCED in-plan via an
+    * assert_true riding the slice, so a mismatch fails the job instead
+    * of silently ranking on truncated subvectors. A `queryId` absent
+    * from the frame returns an EMPTY result (the LUT join has nothing
+    * to probe with) — callers distinguishing "no neighbors" from "no
+    * such query" should validate the id upstream. Integer end-to-end
+    * until the rerank, so a SQL oracle reproduces every stage
+    * bit-for-bit. Backs q178_pq_ann; exactness on a seeds-only corpus
+    * is pinned in OperatorSpec. */
   private[graft] def pqAnn(codes: DataFrame, queryId: Long, m: Int,
       subDim: Int, k: Int, coarseK: Int, topK: Int): DataFrame = {
     require(m >= 1 && subDim >= 1 && k >= 1 && coarseK >= 1 && topK >= 1,
@@ -322,13 +333,26 @@ object Similarity {
     val dist2 = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), _ + _)
+    // the m·subDim contract is a MUST, not a comment: a mismatched
+    // split would silently compare empty/truncated subvectors and
+    // return plausible-looking wrong neighbors. assert_true rides the
+    // slice expression so column pruning can never drop the check.
+    def subSlice(s0: Column): Column =
+      when(assert_true(size(col("codes")) === m * subDim,
+        lit(s"pqAnn: codes length must be m*subDim = ${m * subDim}"))
+        .isNull,
+        slice(col("codes"), s0 * subDim + 1, lit(subDim)))
     val sub = codes.select(col("vec_id"),
         explode(array((0 until m).map(lit(_)): _*)).as("s"), col("codes"))
-      .select(col("vec_id"), col("s"),
-        slice(col("codes"), col("s") * subDim + 1, lit(subDim)).as("sc"))
-    val cb = sub.filter(col("vec_id") < k)
-      .select(col("s").as("cs"), col("vec_id").as("cb_id"),
-        col("sc").as("cbv"))
+      .select(col("vec_id"), col("s"), subSlice(col("s")).as("sc"))
+    // seeds = the k SMALLEST ids PRESENT (same rule as semDedup/kmeans
+    // — a filter on vec_id < k would silently return an empty codebook
+    // on offset or sparse id spaces); on dense 0-based ids this is
+    // exactly vec_id < k, which q178's oracle pins
+    val cb = codes.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cb_id"),
+        explode(array((0 until m).map(lit(_)): _*)).as("cs"), col("codes"))
+      .select(col("cs"), col("cb_id"), subSlice(col("cs")).as("cbv"))
     // encode: one broadcast join + map-side-combinable argmin — the
     // kmeans assign dataflow; only n·m pre-reduced rows shuffle
     val enc = sub.join(broadcast(cb), col("s") === col("cs"))

@@ -387,9 +387,16 @@ object TextDedup {
         col("__q").isNull || isnan(col("__q"))
       case _ => col("__q").isNull
     }
+    // NORMALIZE the sort key of every worst-flagged row to NULL: in a
+    // cluster mixing NULL and NaN quality, a raw -NaN in `neg` would
+    // lose to the NULL row's null field (nulls sort first in struct
+    // min) and steal the keep from the lower id — the documented
+    // all-unscored fallback is the min-idCol tiebreak, so all worst
+    // rows must compare equal on `neg` and fall through to `d`.
+    val qDescN = when(qWorst, lit(null)).otherwise(qDesc)
     val reps = full.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"),
-        min(struct(qWorst.as("nq"), qDesc.as("neg"),
+        min(struct(qWorst.as("nq"), qDescN.as("neg"),
           col(idCol).as("d"))).as("m"))
     full.join(reps, "cluster_id")
       .select(col(idCol), col("cluster_id"), col("cluster_size"),

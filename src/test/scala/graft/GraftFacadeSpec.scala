@@ -72,6 +72,26 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(v(7L) && !v(8L), "all-null cluster falls back to min id")
   }
 
+  test("clusterVerdict: NaN quality groups with NULL; mixed cluster " +
+      "falls to min id") {
+    val edges = Seq((1L, 2L), (5L, 6L), (7L, 8L)).toDF("src", "dst")
+    // cluster 1: NaN vs a real (even negative) score — the score wins;
+    // cluster 5: NaN vs NULL — BOTH are worst, so the min-id fallback
+    // keeps 5 (a raw -NaN sort key would let the NULL row steal it);
+    // cluster 7: NaN vs NaN — min-id fallback.
+    val items = Seq((1L, Some(Double.NaN)), (2L, Some(-9.5)),
+      (5L, Some(Double.NaN)), (6L, None),
+      (7L, Some(Double.NaN)), (8L, Some(Double.NaN)))
+      .toDF("doc_id", "q")
+    val v = Graft.clusterVerdict(items,
+        Graft.connectedComponents(edges), "doc_id", "q")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(!v(1L) && v(2L), "q=-9.5 beats NaN quality")
+    assert(v(5L) && !v(6L), "NaN-and-NULL cluster falls back to min id")
+    assert(v(7L) && !v(8L), "all-NaN cluster falls back to min id")
+  }
+
   test("clusterVerdict rejects reserved idCol/qualityCol names up front") {
     val edges = Seq((1L, 2L)).toDF("src", "dst")
     val labels = Graft.connectedComponents(edges)

@@ -205,6 +205,45 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("pqAnn: offset id spaces seed from the k smallest ids PRESENT") {
+    // same fixture as the seeds-only test with every id shifted +1000:
+    // a vec_id < k seed filter would return an empty codebook and a
+    // silent empty result (the semDedup r12 bug class); the k-smallest
+    // rule must reproduce the unshifted ADC values exactly
+    val rows = Seq(
+      (0L, Seq(1L, 2L, 3L, 4L, 5L, 6L)),
+      (1L, Seq(1L, 2L, 3L, 4L, 5L, 7L)),
+      (2L, Seq(9L, 0L, 1L, 2L, 3L, 4L)),
+      (3L, Seq(-3L, 5L, 2L, 8L, 0L, 1L)),
+      (4L, Seq(2L, 2L, 2L, 2L, 2L, 2L)),
+      (5L, Seq(7L, 7L, 0L, 0L, 1L, 1L)))
+    val shifted = rows.map { case (id, cs) => (id + 1000L, cs) }
+    val got = Similarity.pqAnn(codesDf(shifted), queryId = 1000L, m = 2,
+        subDim = 3, k = 6, coarseK = 10, topK = 10)
+      .select("vec_id", "adc").as[(Long, Long)].collect().toMap
+    val want = Similarity.pqAnn(codesDf(rows), queryId = 0L, m = 2,
+        subDim = 3, k = 6, coarseK = 10, topK = 10)
+      .select("vec_id", "adc").as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty, "offset ids must not empty the codebook")
+    assert(got == want.map { case (id, d) => (id + 1000L, d) },
+      "seeding is id-RANK-based, so a pure id shift changes nothing")
+  }
+
+  test("pqAnn: a codes/m·subDim length mismatch fails the job loudly") {
+    val rows = Seq((0L, Seq(1L, 2L, 3L, 4L)), (1L, Seq(4L, 3L, 2L, 1L)))
+    val ex = intercept[Exception] {
+      // vectors are 4 long but m*subDim = 6 — must raise, never rank
+      // on truncated/empty subvectors
+      Similarity.pqAnn(codesDf(rows), queryId = 0L, m = 2, subDim = 3,
+        k = 2, coarseK = 5, topK = 5).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => t.getMessage != null
+      && t.getMessage.contains("codes length must be m*subDim")),
+      s"expected the in-plan length assertion, got: $ex")
+  }
+
   test("pqAnn ≡ a driver-side replay of the full PQ definition") {
     // k < n, every stage lossy: a Scala replay of the SAME definition
     // (seed codebooks, argmin encode with lowest-id ties, LUT-summed
