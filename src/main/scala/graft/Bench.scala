@@ -136,15 +136,18 @@ object Bench {
     // BASELINE.md records its quiet/slow bands so a per-query regression
     // can be read against the regime instead of guessed (r9's failure,
     // r11's q108–q111 forensics). Data-independent and cache-free.
-    val wuStart = System.nanoTime()
-    val wuL = spark.range(2000000L).selectExpr("id", "id % 100000 AS k")
-    wuL.join(wuL.selectExpr("k AS k2", "id AS id2"),
-        org.apache.spark.sql.functions.col("k") ===
-          org.apache.spark.sql.functions.col("k2"))
-      .groupBy("k")
-      .agg(org.apache.spark.sql.functions.sum("id2").as("s"))
-      .selectExpr("sum(s)").collect()
-    val wu = (System.nanoTime() - wuStart) / 1e9
+    def wuProbe(): Double = {
+      val t0 = System.nanoTime()
+      val wuL = spark.range(2000000L).selectExpr("id", "id % 100000 AS k")
+      wuL.join(wuL.selectExpr("k AS k2", "id AS id2"),
+          org.apache.spark.sql.functions.col("k") ===
+            org.apache.spark.sql.functions.col("k2"))
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("id2").as("s"))
+        .selectExpr("sum(s)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val wu = wuProbe()
     // Box-regime probe, I/O + scheduling leg ("wio"): wu times a
     // CPU-bound shuffle join, which the r12 driver run proved BLIND to
     // I/O and stage-scheduling amplification — wu read quiet-fast
@@ -158,25 +161,28 @@ object Bench {
     // Together (wu, wio) let the judge attribute a slow driver total to
     // (CPU regime, I/O-or-scheduling regime) without per-query
     // forensics; quiet bands for both live in BASELINE.md.
-    val wioStart = System.nanoTime()
-    val wioDir = java.nio.file.Files.createTempDirectory("graft-wio")
-    try {
-      val p = wioDir.resolve("probe.parquet").toString
-      spark.range(500000L)
-        .selectExpr("id", "CAST(id % 997 AS STRING) AS s", "id * 1.5 AS d")
-        .write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
-        .selectExpr("sum(id)", "count(distinct s)", "sum(d)").collect()
-      var i = 0
-      while (i < 40) {
-        spark.range(1000).selectExpr("sum(id)").collect(); i += 1
+    def wioProbe(): Double = {
+      val t0 = System.nanoTime()
+      val wioDir = java.nio.file.Files.createTempDirectory("graft-wio")
+      try {
+        val p = wioDir.resolve("probe.parquet").toString
+        spark.range(500000L)
+          .selectExpr("id", "CAST(id % 997 AS STRING) AS s", "id * 1.5 AS d")
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+          .selectExpr("sum(id)", "count(distinct s)", "sum(d)").collect()
+        var i = 0
+        while (i < 40) {
+          spark.range(1000).selectExpr("sum(id)").collect(); i += 1
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(wioDir).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
       }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(wioDir).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      (System.nanoTime() - t0) / 1e9
     }
-    val wio = (System.nanoTime() - wioStart) / 1e9
+    val wio = wioProbe()
     // Sorted execution order: queries share persisted caches (shingles,
     // signatures, jaccard pairs) and whichever query runs first pays the
     // build; map order is hash-arbitrary, which made per-query numbers
@@ -196,7 +202,15 @@ object Bench {
         .foreach(p => CacheRegistry.releaseByPrefix(spark, p))
       (name, dt, ok)
     }
-    println(renderJson(results, wu, wio, new java.io.File(sfDir).getName))
+    // POST-run marker twins: both pre-run probes are snapshots, and a
+    // 90 s run leaves room for ambient drift the pre-run numbers can't
+    // see (measured in r13: a wio-5.8 start with a 93 s slow total —
+    // the drift happened mid-run). (wu2−wu, wio2−wio) bound what moved
+    // DURING the run; neither probe touches any query's timed section.
+    val wu2 = wuProbe()
+    val wio2 = wioProbe()
+    println(renderJson(results, wu, wio, wu2, wio2,
+      new java.io.File(sfDir).getName))
     spark.stop()
   }
 
@@ -224,10 +238,12 @@ object Bench {
     * write/read + sequential-job-chain probe ("wio"), both timed AFTER
     * warm-up, so the judge can separate ambient host drift — on either
     * the CPU or the I/O/scheduling axis — from plan regressions
-    * (quiet bands for both in BASELINE.md). */
+    * (quiet bands for both in BASELINE.md). "wu2"/"wio2" re-run the
+    * same probes AFTER the query loop: the deltas bound mid-run drift,
+    * the one thing a pre-run snapshot cannot see. */
   private[graft] def renderJson(
       results: Seq[(String, Double, Boolean)], wu: Double, wio: Double,
-      sfBasename: String): String = {
+      wu2: Double, wio2: Double, sfBasename: String): String = {
     // Locale.ROOT: a default locale with decimal COMMAS would render
     // {"value":12,34,...} — invalid JSON, the r01–r03 dead-bench mode
     def fmt(p: String, v: Double): String =
@@ -250,6 +266,6 @@ object Bench {
     val total = results.map(_._2).sum
     val sf = sfBasename.stripPrefix("sf")
     val sfJson = if (sf.matches("""\d+(\.\d+)?""")) sf else s"\"$sfBasename\""
-    s"""{"metric":"total","value":${f(total)},"wu":${f(wu)},"wio":${f(wio)},"queries":$qs,"failed":$failed,"sf":$sfJson}"""
+    s"""{"metric":"total","value":${f(total)},"wu":${f(wu)},"wio":${f(wio)},"wu2":${f(wu2)},"wio2":${f(wio2)},"queries":$qs,"failed":$failed,"sf":$sfJson}"""
   }
 }

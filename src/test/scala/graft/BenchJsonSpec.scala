@@ -19,7 +19,7 @@ class BenchJsonSpec extends AnyFunSuite {
     val results = names.zipWithIndex.map { case (n, i) =>
       (n, sec, i >= names.size - nFailed)
     }.map { case (n, s, failTail) => (n, s, !failTail) }
-    Bench.renderJson(results, wu, wio, "sf0.1")
+    Bench.renderJson(results, wu, wio, wu, wio, "sf0.1")
   }
 
   test("worst-case line width stays under the driver's 2000-char tail") {
@@ -41,6 +41,7 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.startsWith("{\"metric\":\"total\",\"value\":"))
     assert(line.contains("\"wu\":1.23"))
     assert(line.contains("\"wio\":2.34"))
+    assert(line.contains("\"wu2\":1.23") && line.contains("\"wio2\":2.34"))
     assert(line.contains("\"queries\":{"))
     assert(line.contains("\"failed\":[]"))
     assert(line.endsWith("\"sf\":0.1}"))
@@ -52,7 +53,7 @@ class BenchJsonSpec extends AnyFunSuite {
   test("value clamping: 1 decimal under 10 s, whole seconds above") {
     val r = Seq(("q01_a", 0.25, true), ("q02_b", 12.6, true),
       ("q03_c", 3.0, true))
-    val line = Bench.renderJson(r, 0.5, 0.5, "sf0.01")
+    val line = Bench.renderJson(r, 0.5, 0.5, 0.5, 0.5, "sf0.01")
     assert(line.contains("\"01\":0.3") || line.contains("\"01\":0.2"))
     assert(line.contains("\"02\":13"))
     assert(line.contains("\"03\":3"))
@@ -64,7 +65,7 @@ class BenchJsonSpec extends AnyFunSuite {
     java.util.Locale.setDefault(java.util.Locale.GERMANY) // decimal comma
     try {
       val line = Bench.renderJson(Seq(("q01_a", 12.34, true)), 1.23,
-        4.56, "sf0.1")
+        4.56, 1.23, 4.56, "sf0.1")
       assert(line.contains("\"value\":12.34") && line.contains("\"wu\":1.23"),
         s"locale leaked into number formatting: $line")
     } finally java.util.Locale.setDefault(prev)
@@ -72,7 +73,7 @@ class BenchJsonSpec extends AnyFunSuite {
 
   test("failed queries are listed by ordinal") {
     val r = Seq(("q01_a", 0.2, true), ("q07_bad", 0.1, false))
-    val line = Bench.renderJson(r, 0.5, 0.5, "custom-dir")
+    val line = Bench.renderJson(r, 0.5, 0.5, 0.5, 0.5, "custom-dir")
     assert(line.contains("\"failed\":[\"07\"]"))
     // non-numeric sf dir falls back to a quoted string
     assert(line.endsWith("\"sf\":\"custom-dir\"}"))
