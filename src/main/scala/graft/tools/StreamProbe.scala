@@ -112,6 +112,38 @@ object StreamProbe {
       println(f"[streamprobe] op=driftMonitor m=$m docs=${timed.length} " +
         f"secs=$dTotal%.1f docs_per_sec=${timed.length / dTotal}%.0f " +
         f"cells=$cells")
+
+      // ── ingestDedup RECOVERY latency vs absorbed state: build the
+      // full m× resident state under a real checkpoint, KILL the query,
+      // restart from the checkpoint and time restart→first-commit of
+      // one more batch. The claim under test: recovery cost is the
+      // state-store reload (per-partition, O(state) I/O) + one batch —
+      // it must grow at most linearly in the absorbed corpus, never
+      // explode, or the operator cannot be operated at scale (a 100 TB
+      // deployment restarts executors weekly as a matter of course).
+      // foreachBatch (count-forced) is the sink: the memory sink
+      // refuses checkpoint recovery (StreamingRecoverySpec).
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"sp_rec_$m").resolve("ckpt").toString
+      val rin = MemoryStream[Doc]
+      def rstart() = StreamingOps.ingestDedup(rin.toDS()).writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[StreamingOps.BandCollision],
+              _: Long) => ds.count(); ()
+        }
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      val rq = rstart()
+      batches.foreach(b => rin.addData(b.toSeq))
+      rq.processAllAvailable()
+      rq.stop() // the kill, with the full corpus resident in state
+      val rt0 = System.nanoTime()
+      val rq2 = rstart()
+      rin.addData(batches.head.toSeq) // one post-restart batch
+      rq2.processAllAvailable()
+      val recovery = (System.nanoTime() - rt0) / 1e9
+      rq2.stop()
+      println(f"[streamprobe] op=ingestRecovery m=$m " +
+        f"state_docs=${docs.length} restart_to_commit=$recovery%.2f")
     }
     spark.stop()
   }
