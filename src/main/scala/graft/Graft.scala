@@ -233,8 +233,11 @@ object Graft {
     * band. Candidates are density-bound, never all-pairs (measured
     * ~linear in tools.ScaleProbe); verify survivors with an exact
     * measure after. Docs with <3 words are dropped. Same definitions
-    * as the q41/q44/q117 pipeline.
-    * See [[operators.TextDedup.minhashCandidatePairs]]. */
+    * as the q41/q44/q117 pipeline — plus per-bucket pair-space tiling
+    * by default (a mass-duplicated boilerplate doc would otherwise
+    * serialize its band bucket's |b|² pairs on one task; the tile
+    * count rides a window over the join key, result-identical,
+    * spec-pinned). See [[operators.TextDedup.minhashCandidatePairs]]. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     operators.TextDedup.minhashCandidatePairs(docs, idCol, textCol)

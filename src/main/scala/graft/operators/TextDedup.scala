@@ -127,6 +127,50 @@ object TextDedup {
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
       .distinct()
 
+  /** [[bandedPairsOf]] with PER-BUCKET pair-space tiling — the same
+    * hot-bucket defense `Similarity.lshNearDupPairs` grew in r12/r13,
+    * adapted to MinHash's corpus-SIZED bucket space: a boilerplate doc
+    * duplicated 100k× puts all its (band, bv) twins in one bucket, and
+    * the plain self-join serializes that bucket's whole |b|² pair
+    * space on one task (the defect class AQE's byte-based skew split
+    * cannot see). Here the bucket count is ~4n, so the occupancy can't
+    * broadcast like hyperplane-LSH's 2^planes histogram — instead the
+    * count rides a WINDOW over (band, bv), the exact key the join
+    * shuffles on anyway, and each bucket gets
+    * salt = ceil(|b|²/tilePairs) clamped to
+    * [[graft.operators.Similarity.AutoSaltMax]]: build side replicated
+    * salt×, probe side hashed to a tile, (band, bv, tile) the join
+    * key. Result-identical to the untiled join for any tilePairs
+    * (spec-pinned, forced multi-tile included) — pure physical
+    * parallelism, cold buckets pay zero replication. Costs one extra
+    * window shuffle of the bands frame; the dir-bound metered pipeline
+    * keeps the plain join (its corpus is measured skew-free), the
+    * facade path defaults to tiled because boilerplate skew is the
+    * RULE in open web corpora. */
+  private[operators] def bandedPairsTiled(
+      bands: DataFrame, tilePairs: Long): DataFrame = {
+    require(tilePairs >= 1, "tilePairs must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")
+    val withS = bands
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s",
+        least(greatest(ceil(col("__n").cast("double") * col("__n")
+          / lit(tilePairs.toDouble)), lit(1L)),
+          lit(Similarity.AutoSaltMax.toLong)).cast("int"))
+      .drop("__n")
+    val probe = withS.withColumn("__h",
+      pmod(xxhash64(col("doc_id")), col("__s")))
+    val build = withS.withColumn("__h",
+      explode(sequence(lit(0), col("__s") - 1)))
+    build.as("a")
+      .join(probe.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.__h") === col("b.__h")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+  }
+
   /** Table-agnostic banded-MinHash near-dup CANDIDATE generator over
     * any (`idCol`, `textCol`) frame: word-3-gram shingles → 8-hash
     * MinHash signature (plans.MinHashSig, one digest per shingle) →
@@ -139,18 +183,25 @@ object TextDedup {
     * Scale shape: signature is one narrow map (shingle arrays never
     * leave their partition); candidates come from an equality join on
     * (band, band-value) — the partition key at cluster scale, never
-    * all-pairs. Candidate count is near-dup-density-bound, not
-    * corpus-bound (growth measured ~linear in tools.ScaleProbe).
+    * all-pairs — TILED per bucket by default (see [[bandedPairsTiled]]:
+    * a mass-duplicated boilerplate doc would otherwise serialize its
+    * bucket's whole pair space on one task; `tilePairs` is the per-tile
+    * pair budget, result-identical at any value — pass Long.MaxValue
+    * to pin the untiled physical plan). Candidate count is
+    * near-dup-density-bound, not corpus-bound (growth measured ~linear
+    * in tools.ScaleProbe).
     * Verify survivors with an exact measure (q42's Jaccard) after. */
   private[graft] def minhashCandidatePairs(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      tilePairs: Long = Similarity.AutoSaltTilePairs): DataFrame = {
     val sig = docs
       .filter(size(split(col(textCol), " ")) >= 3)
       .select(col(idCol).as("doc_id"),
         graft.plans.MinHashSig.minhashSig(shingles(col(textCol))).as("ms"))
       .select(col("doc_id") +:
         (0 until 8).map(k => col("ms").getItem(k).as(s"mh$k")): _*)
-    bandedPairsOf(bandsOf(sig))
+    if (tilePairs == Long.MaxValue) bandedPairsOf(bandsOf(sig))
+    else bandedPairsTiled(bandsOf(sig), tilePairs)
   }
 
   /** Shared oracle CTE prefix: shingles + 8 md5 minhashes per doc

@@ -219,6 +219,30 @@ class GraftFacadeSpec extends SparkTestBase {
       "identical texts collide in every band; disjoint/short docs never")
   }
 
+  test("minhashCandidatePairs: bucket tiling is physical-only, even on " +
+      "a mass-dup bucket") {
+    // 30 verbatim copies of one text = one scorching (band, bv) bucket
+    // in every band — the boilerplate-skew scenario the tiling exists
+    // for; tilePairs=10 forces hard multi-tiling, Long.MaxValue pins
+    // the untiled plan. All three must return the identical pair set.
+    val docs = ((1L to 30L).map(i =>
+      (i, "alpha beta gamma delta epsilon")) :+
+      (100L, "totally different text here entirely") :+
+      (101L, "totally different text here entirely")).toDF("id", "text")
+    val untiled = graft.operators.TextDedup
+      .minhashCandidatePairs(docs, "id", "text", tilePairs = Long.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(untiled.size == 30 * 29 / 2 + 1,
+      "every copy-pair plus the one distinct-text twin pair")
+    val tiled = graft.operators.TextDedup
+      .minhashCandidatePairs(docs, "id", "text", tilePairs = 10L)
+      .as[(Long, Long)].collect().toSet
+    assert(tiled == untiled, "forced tiling must not change the pair set")
+    assert(Graft.minhashCandidatePairs(docs, "id", "text")
+      .as[(Long, Long)].collect().toSet == untiled,
+      "the facade default (auto tiling) matches too")
+  }
+
   test("lshNearDupPairs facade: near-parallel pair found, salt-invariant") {
     val e = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.01)),
       (3L, Seq(-1.0, 0.02))).toDF("id", "emb")

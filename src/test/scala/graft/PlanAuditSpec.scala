@@ -294,6 +294,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(t.contains("Generate"), s"explode emits the 0–2 output rows:\n$t")
   }
 
+  test("q178: PQ stages all broadcast; coarse cut is a heap-k, no sort-merge") {
+    val p = plan("q178_pq_ann")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook/LUT/query frames must broadcast into every join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in PQ justifies a shuffle join — corpus never co-shuffles:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the ADC top-coarseK must be a per-partition heap-k, not a global sort:\n$p")
+  }
+
   test("q115: BM25 stats row broadcasts; top-k avoids a global sort") {
     val p = plan("q115_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"),
