@@ -142,11 +142,26 @@ object TextDedup {
     * salt×, probe side hashed to a tile, (band, bv, tile) the join
     * key. Result-identical to the untiled join for any tilePairs
     * (spec-pinned, forced multi-tile included) — pure physical
-    * parallelism, cold buckets pay zero replication. Costs one extra
+    * parallelism, cold buckets pay zero replication.
+    *
+    * MEASURED tradeoff (tools.SkewProbe, 60k docs + a 10k-copy
+    * boilerplate bucket, quiet round): tiled 23 s vs untiled-SMJ 72 s
+    * (the non-broadcastable regime — the tiling's 3–5× win) vs
+    * untiled-BROADCAST 5 s (at broadcastable scale, BHJ parallelism
+    * follows the probe's input partitioning and the hot bucket spreads
+    * for free). Hence the join is merge-HINTED — broadcasting the
+    * salt-replicated build was measured strictly worse than either
+    * (every task rebuilds a hash map over every replica) — and the
+    * probe side repartitions by the full tile key with an EXPLICIT
+    * partition count (a bare repartition is advisory and AQE's
+    * byte-based coalescing merges byte-light tiles straight back onto
+    * one task — the same AQE blindness r12 recorded). Costs one extra
     * window shuffle of the bands frame; the dir-bound metered pipeline
     * keeps the plain join (its corpus is measured skew-free), the
     * facade path defaults to tiled because boilerplate skew is the
-    * RULE in open web corpora. */
+    * RULE in open web corpora and a facade caller's corpus is assumed
+    * bigger than a broadcast; pass tilePairs = Long.MaxValue to pin
+    * the untiled broadcast-friendly plan at small scale. */
   private[operators] def bandedPairsTiled(
       bands: DataFrame, tilePairs: Long): DataFrame = {
     require(tilePairs >= 1, "tilePairs must be >= 1")
@@ -158,11 +173,38 @@ object TextDedup {
           / lit(tilePairs.toDouble)), lit(1L)),
           lit(Similarity.AutoSaltMax.toLong)).cast("int"))
       .drop("__n")
+    // Repartition the probe by the FULL tile key: the occupancy window
+    // leaves the probe clustered by (band, bv) — its exchange key — and
+    // if the optimizer then broadcasts the build side, the join runs on
+    // that inherited clustering and the hot bucket's probe rows all sit
+    // on ONE task (measured: 7.6× SLOWER than untiled at a 10k-copy
+    // bucket — the tiling defeated by its own window). Spreading by
+    // (band, bv, __h) splits the hot bucket across its tiles in BOTH
+    // join regimes, and a shuffle join reuses this exchange outright
+    // (it needs exactly this clustering), so the extra pass costs
+    // nothing at the scale the tiling exists for.
+    // EXPLICIT partition count: a bare repartition(cols) is advisory —
+    // AQE rebalances it by BYTES, and a hot band bucket is only a few
+    // MB however many pair-comparisons it hides (the r12 finding), so
+    // AQE merges the tiles straight back onto one task. A
+    // user-specified count is exempt from AQE coalescing, and a
+    // shuffle join co-partitions its other side to match, which keeps
+    // the build side's exchange uncoalesced too.
+    val shufflePartitions = bands.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val probe = withS.withColumn("__h",
-      pmod(xxhash64(col("doc_id")), col("__s")))
+        pmod(xxhash64(col("doc_id")), col("__s")))
+      .repartition(shufflePartitions, col("band"), col("bv"), col("__h"))
     val build = withS.withColumn("__h",
       explode(sequence(lit(0), col("__s") - 1)))
-    build.as("a")
+    // merge hint: the tiled join must NEVER broadcast — broadcasting
+    // the salt-replicated build side re-serializes the work (every
+    // task rebuilds a hash map over every replica; measured 107 s vs
+    // the hinted 22 s on the 10k-copy fixture). At the scale the
+    // tiling exists for the band frame can't broadcast anyway, so the
+    // hint only pins the small-corpus plan into the regime the
+    // operator is shaped for.
+    build.as("a").hint("merge")
       .join(probe.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.__h") === col("b.__h")
