@@ -47,6 +47,22 @@ object Similarity {
     * with headroom for bigger executor fleets). */
   private[graft] val AutoSaltMax = 64
 
+  /** Shared physical discipline of every SALTED pair join (here and
+    * TextDedup.bandedPairsTiled), written after tools.SkewProbe
+    * measured both failure modes on the minhash twin: (a) the probe
+    * side repartitions by the full tile key with an EXPLICIT count —
+    * a bare repartition is advisory, and AQE's byte-based coalescing
+    * merges byte-LIGHT tiles straight back onto one task (a 10k-row
+    * bucket of 8-dim vectors is ~1 MB yet hides 50M cosines); (b) the
+    * join is merge-hinted by the caller — broadcasting a
+    * salt-replicated build side makes every task rebuild a hash map
+    * over every replica (measured strictly worse than either regime).
+    * salt == 1 paths keep their pristine broadcast-eligible plan. */
+  private def saltedProbeSide(probe: DataFrame): DataFrame =
+    probe.repartition(
+      probe.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col("bucket"), col("__h"))
+
   /** embeddings with double-cast vector, norm, label, and int8 absmax
     * codes (`codes` is NULL for a zero vector — no direction to
     * quantize). ONE persisted frame per (session, dir):
@@ -139,11 +155,11 @@ object Similarity {
           col("a.bucket") === col("b.bucket")
             && col("a.vec_id") < col("b.vec_id"))
       else if (salt > 1) {
-        val probe = b.withColumn("__h", pmod(xxhash64(col("vec_id")),
-          lit(salt)))
+        val probe = saltedProbeSide(
+          b.withColumn("__h", pmod(xxhash64(col("vec_id")), lit(salt))))
         val build = b.withColumn("__h",
           explode(array((0 until salt).map(lit(_)): _*)))
-        build.as("a").join(probe.as("b"),
+        build.as("a").hint("merge").join(probe.as("b"),
           col("a.bucket") === col("b.bucket")
             && col("a.__h") === col("b.__h")
             && col("a.vec_id") < col("b.vec_id"))
@@ -162,11 +178,11 @@ object Similarity {
               / lit(tilePairs.toDouble)), lit(1L)),
               lit(AutoSaltMax.toLong)).cast("int").as("__s"))
         val bs = b.join(broadcast(hist), "bucket")
-        val probe = bs.withColumn("__h",
-          pmod(xxhash64(col("vec_id")), col("__s")))
+        val probe = saltedProbeSide(bs.withColumn("__h",
+          pmod(xxhash64(col("vec_id")), col("__s"))))
         val build = bs.withColumn("__h",
           explode(sequence(lit(0), col("__s") - 1)))
-        build.as("a").join(probe.as("b"),
+        build.as("a").hint("merge").join(probe.as("b"),
           col("a.bucket") === col("b.bucket")
             && col("a.__h") === col("b.__h")
             && col("a.vec_id") < col("b.vec_id"))
