@@ -80,7 +80,7 @@ class OperatorSpec extends SparkTestBase {
     val top2 = nums.withColumn("rn", row_number().over(w))
       .filter($"rn" <= 2)
     assert(top2.count() == 14)
-    assert(top2.groupBy($"grp").count().select(max($"count")).as[Long].head == 2)
+    assert(top2.groupBy($"grp").count().select(max($"count")).as[Long].head() == 2)
   }
 
   test("min(struct) argmin ≡ window rank-1 on a tie-heavy random frame") {

@@ -45,7 +45,7 @@ class CsvCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT A, B FROM table1 WHERE B >= 5")
       .collect().map(_.toSeq.toList).toList == List(List(4L, 5L), List(7L, 8L)))
     // aggregate
-    assert(spark.sql("SELECT MAX(C) FROM table1").head.getLong(0) == 9L)
+    assert(spark.sql("SELECT MAX(C) FROM table1").head().getLong(0) == 9L)
     // equi-join on the shared column, reference style
     assert(spark.sql(
       """SELECT table1.A, table2.D FROM table1, table2
