@@ -237,10 +237,17 @@ object Graft {
     * by default (a mass-duplicated boilerplate doc would otherwise
     * serialize its band bucket's |b|² pairs on one task; the tile
     * count rides a window over the join key, result-identical,
-    * spec-pinned). See [[operators.TextDedup.minhashCandidatePairs]]. */
+    * spec-pinned). `tilePairs` is the per-tile pair budget; pass
+    * Long.MaxValue at broadcastable (small-corpus) scale to pin the
+    * untiled broadcast-friendly plan — measured fastest there, while
+    * the tiled default is the only variant that does not serialize at
+    * the scale past broadcasting (tools.SkewProbe numbers in
+    * BASELINE.md). See [[operators.TextDedup.minhashCandidatePairs]]. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    operators.TextDedup.minhashCandidatePairs(docs, idCol, textCol)
+      textCol: String,
+      tilePairs: Long = operators.Similarity.AutoSaltTilePairs): DataFrame =
+    operators.TextDedup.minhashCandidatePairs(docs, idCol, textCol,
+      tilePairs)
 
   /** Hyperplane-LSH near-dup pairs over any (`idCol` integral,
     * `vecCol` numeric-array) frame: bucket by `planes` deterministic

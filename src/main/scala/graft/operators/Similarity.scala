@@ -47,21 +47,33 @@ object Similarity {
     * with headroom for bigger executor fleets). */
   private[graft] val AutoSaltMax = 64
 
-  /** Shared physical discipline of every SALTED pair join (here and
-    * TextDedup.bandedPairsTiled), written after tools.SkewProbe
-    * measured both failure modes on the minhash twin: (a) the probe
-    * side repartitions by the full tile key with an EXPLICIT count —
-    * a bare repartition is advisory, and AQE's byte-based coalescing
-    * merges byte-LIGHT tiles straight back onto one task (a 10k-row
-    * bucket of 8-dim vectors is ~1 MB yet hides 50M cosines); (b) the
-    * join is merge-hinted by the caller — broadcasting a
-    * salt-replicated build side makes every task rebuild a hash map
-    * over every replica (measured strictly worse than either regime).
-    * salt == 1 paths keep their pristine broadcast-eligible plan. */
-  private def saltedProbeSide(probe: DataFrame): DataFrame =
+  /** Shared physical discipline of every SALTED pair join — the ONE
+    * definition both `lshNearDupPairs` (bucket, __h) and
+    * `TextDedup.bandedPairsTiled` (band, bv, __h) call, written after
+    * tools.SkewProbe measured both failure modes on the minhash twin:
+    * (a) the probe side repartitions by the full tile key with an
+    * EXPLICIT count — a bare repartition is advisory, and AQE's
+    * byte-based coalescing merges byte-LIGHT tiles straight back onto
+    * one task (a 10k-row bucket of 8-dim vectors is ~1 MB yet hides
+    * 50M cosines); (b) the join is merge-hinted by the caller —
+    * broadcasting a salt-replicated build side makes every task
+    * rebuild a hash map over every replica (measured strictly worse
+    * than either regime). salt == 1 / tilePairs == Long.MaxValue paths
+    * keep their pristine broadcast-eligible plan. */
+  private[operators] def saltedProbeSide(
+      probe: DataFrame, tileKey: Seq[String]): DataFrame =
     probe.repartition(
       probe.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-      col("bucket"), col("__h"))
+      tileKey.map(col): _*)
+
+  /** The ONE per-bucket salt-sizing rule (`ceil(|b|²/tilePairs)`
+    * clamped to [1, [[AutoSaltMax]]], |b|² squared in DOUBLE — the
+    * long square overflows past |b| ≈ 3.04e9): shared by the
+    * hyperplane auto-salt histogram and the minhash occupancy window
+    * so the two sites cannot drift. `n` is the bucket's row count. */
+  private[operators] def tileSalt(n: Column, tilePairs: Long): Column =
+    least(greatest(ceil(n.cast("double") * n / lit(tilePairs.toDouble)),
+      lit(1L)), lit(AutoSaltMax.toLong)).cast("int")
 
   /** embeddings with double-cast vector, norm, label, and int8 absmax
     * codes (`codes` is NULL for a zero vector — no direction to
@@ -156,7 +168,8 @@ object Similarity {
             && col("a.vec_id") < col("b.vec_id"))
       else if (salt > 1) {
         val probe = saltedProbeSide(
-          b.withColumn("__h", pmod(xxhash64(col("vec_id")), lit(salt))))
+          b.withColumn("__h", pmod(xxhash64(col("vec_id")), lit(salt))),
+          Seq("bucket", "__h"))
         val build = b.withColumn("__h",
           explode(array((0 until salt).map(lit(_)): _*)))
         build.as("a").hint("merge").join(probe.as("b"),
@@ -168,18 +181,12 @@ object Similarity {
         // space. |b|² in double cannot overflow (|b| ≤ ~9e15 before
         // the square leaves the exact-long range that matters here —
         // the clamp to AutoSaltMax fires long before precision does).
-        // square in DOUBLE: long×long overflows past |b| ≈ 3.04e9
-        // (ANSI mode throws; non-ANSI wraps negative and the clamp
-        // would hand the hottest possible bucket salt 1)
         val hist = b.groupBy(col("bucket"))
           .agg(count(lit(1)).as("__n"))
-          .select(col("bucket"),
-            least(greatest(ceil(col("__n").cast("double") * col("__n")
-              / lit(tilePairs.toDouble)), lit(1L)),
-              lit(AutoSaltMax.toLong)).cast("int").as("__s"))
+          .select(col("bucket"), tileSalt(col("__n"), tilePairs).as("__s"))
         val bs = b.join(broadcast(hist), "bucket")
         val probe = saltedProbeSide(bs.withColumn("__h",
-          pmod(xxhash64(col("vec_id")), col("__s"))))
+          pmod(xxhash64(col("vec_id")), col("__s"))), Seq("bucket", "__h"))
         val build = bs.withColumn("__h",
           explode(sequence(lit(0), col("__s") - 1)))
         build.as("a").hint("merge").join(probe.as("b"),

@@ -168,42 +168,20 @@ object TextDedup {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")
     val withS = bands
       .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__s",
-        least(greatest(ceil(col("__n").cast("double") * col("__n")
-          / lit(tilePairs.toDouble)), lit(1L)),
-          lit(Similarity.AutoSaltMax.toLong)).cast("int"))
+      .withColumn("__s", Similarity.tileSalt(col("__n"), tilePairs))
       .drop("__n")
-    // Repartition the probe by the FULL tile key: the occupancy window
-    // leaves the probe clustered by (band, bv) — its exchange key — and
-    // if the optimizer then broadcasts the build side, the join runs on
-    // that inherited clustering and the hot bucket's probe rows all sit
-    // on ONE task (measured: 7.6× SLOWER than untiled at a 10k-copy
-    // bucket — the tiling defeated by its own window). Spreading by
-    // (band, bv, __h) splits the hot bucket across its tiles in BOTH
-    // join regimes, and a shuffle join reuses this exchange outright
-    // (it needs exactly this clustering), so the extra pass costs
-    // nothing at the scale the tiling exists for.
-    // EXPLICIT partition count: a bare repartition(cols) is advisory —
-    // AQE rebalances it by BYTES, and a hot band bucket is only a few
-    // MB however many pair-comparisons it hides (the r12 finding), so
-    // AQE merges the tiles straight back onto one task. A
-    // user-specified count is exempt from AQE coalescing, and a
-    // shuffle join co-partitions its other side to match, which keeps
-    // the build side's exchange uncoalesced too.
-    val shufflePartitions = bands.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val probe = withS.withColumn("__h",
-        pmod(xxhash64(col("doc_id")), col("__s")))
-      .repartition(shufflePartitions, col("band"), col("bv"), col("__h"))
+    // Probe spread + merge hint are Similarity.saltedProbeSide's
+    // documented shared discipline. Specific to THIS site: the
+    // occupancy WINDOW leaves the probe clustered by (band, bv) — its
+    // exchange key — so without the spread, a broadcast build would run
+    // the join on that inherited clustering and the hot bucket's probe
+    // rows all sit on ONE task (measured: 7.6× SLOWER than untiled at
+    // a 10k-copy bucket — the tiling defeated by its own window).
+    val probe = Similarity.saltedProbeSide(
+      withS.withColumn("__h", pmod(xxhash64(col("doc_id")), col("__s"))),
+      Seq("band", "bv", "__h"))
     val build = withS.withColumn("__h",
       explode(sequence(lit(0), col("__s") - 1)))
-    // merge hint: the tiled join must NEVER broadcast — broadcasting
-    // the salt-replicated build side re-serializes the work (every
-    // task rebuilds a hash map over every replica; measured 107 s vs
-    // the hinted 22 s on the 10k-copy fixture). At the scale the
-    // tiling exists for the band frame can't broadcast anyway, so the
-    // hint only pins the small-corpus plan into the regime the
-    // operator is shaped for.
     build.as("a").hint("merge")
       .join(probe.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")

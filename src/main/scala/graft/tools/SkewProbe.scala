@@ -63,6 +63,7 @@ object SkewProbe {
     // full-GC train under the 50M-row distinct; measured ~5× across
     // six probe sessions, whichever variant ran first) and the box is
     // ambiently bursty, so compare within the later round.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
     val counts = (1 to 2).flatMap { round =>
       Seq(
         time(s"tiled_r$round") {
@@ -72,13 +73,19 @@ object SkewProbe {
           TextDedup.minhashCandidatePairs(docs, "doc_id", "text",
             tilePairs = Long.MaxValue).count()
         }, {
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-          val n = time(s"untiled_shuffle_r$round") {
+          // restore the SESSION'S prior threshold, not a hardcoded
+          // default — a caller-tuned threshold would otherwise make
+          // round 2's "broadcast" variants silently run a different
+          // physical regime under the same label
+          val prior = spark.conf.getOption(thresholdKey)
+          spark.conf.set(thresholdKey, "-1")
+          try time(s"untiled_shuffle_r$round") {
             TextDedup.minhashCandidatePairs(docs, "doc_id", "text",
               tilePairs = Long.MaxValue).count()
+          } finally prior match {
+            case Some(v) => spark.conf.set(thresholdKey, v)
+            case None => spark.conf.unset(thresholdKey)
           }
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-          n
         })
     }
     require(counts.distinct.size == 1, "tiling must be result-identical")

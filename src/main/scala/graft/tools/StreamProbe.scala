@@ -123,27 +123,36 @@ object StreamProbe {
       // deployment restarts executors weekly as a matter of course).
       // foreachBatch (count-forced) is the sink: the memory sink
       // refuses checkpoint recovery (StreamingRecoverySpec).
-      val ckpt = java.nio.file.Files
-        .createTempDirectory(s"sp_rec_$m").resolve("ckpt").toString
-      val rin = MemoryStream[Doc]
-      def rstart() = StreamingOps.ingestDedup(rin.toDS()).writeStream
-        .foreachBatch {
-          (ds: org.apache.spark.sql.Dataset[StreamingOps.BandCollision],
-              _: Long) => ds.count(); ()
-        }
-        .outputMode("update").option("checkpointLocation", ckpt).start()
-      val rq = rstart()
-      batches.foreach(b => rin.addData(b.toSeq))
-      rq.processAllAvailable()
-      rq.stop() // the kill, with the full corpus resident in state
-      val rt0 = System.nanoTime()
-      val rq2 = rstart()
-      rin.addData(batches.head.toSeq) // one post-restart batch
-      rq2.processAllAvailable()
-      val recovery = (System.nanoTime() - rt0) / 1e9
-      rq2.stop()
-      println(f"[streamprobe] op=ingestRecovery m=$m " +
-        f"state_docs=${docs.length} restart_to_commit=$recovery%.2f")
+      val ckptRoot = java.nio.file.Files.createTempDirectory(s"sp_rec_$m")
+      try {
+        val ckpt = ckptRoot.resolve("ckpt").toString
+        val rin = MemoryStream[Doc]
+        def rstart() = StreamingOps.ingestDedup(rin.toDS()).writeStream
+          .foreachBatch {
+            (ds: org.apache.spark.sql.Dataset[StreamingOps.BandCollision],
+                _: Long) => ds.count(); ()
+          }
+          .outputMode("update").option("checkpointLocation", ckpt).start()
+        val rq = rstart()
+        batches.foreach(b => rin.addData(b.toSeq))
+        rq.processAllAvailable()
+        rq.stop() // the kill, with the full corpus resident in state
+        val rt0 = System.nanoTime()
+        val rq2 = rstart()
+        rin.addData(batches.head.toSeq) // one post-restart batch
+        rq2.processAllAvailable()
+        val recovery = (System.nanoTime() - rt0) / 1e9
+        rq2.stop()
+        println(f"[streamprobe] op=ingestRecovery m=$m " +
+          f"state_docs=${docs.length} restart_to_commit=$recovery%.2f")
+      } finally {
+        // state-store snapshots grow with m — don't leave them in /tmp
+        // on the shared box whose I/O regime the bench tries to keep
+        // quiet (Bench's wioProbe has the same walk-and-delete)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckptRoot).iterator().asScala.toSeq
+          .reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
     }
     spark.stop()
   }
