@@ -350,6 +350,19 @@ object Similarity {
     * bit-for-bit. Backs q178_pq_ann; exactness on a seeds-only corpus
     * is pinned in OperatorSpec. */
   private[graft] def pqAnn(codes: DataFrame, queryId: Long, m: Int,
+      subDim: Int, k: Int, coarseK: Int, topK: Int): DataFrame =
+    pqAnnSearch(codes, None, queryId, m, subDim, k, coarseK, topK)
+
+  /** [[pqAnn]] with an optional IVF-style search restriction:
+    * `restrict` is a (vec_id, cell) frame naming the encodings the ADC
+    * pass may scan (the vectors of the query's probed coarse cells);
+    * `cell` is carried into the output — (vec_id, cell, adc, cos_sim).
+    * Codebooks, encodings, and the LUT still derive from the FULL
+    * `codes` corpus (training is global — restricting it would make
+    * the code space query-dependent). With `restrict = None` this IS
+    * pqAnn, plan-identically. Backs q179_ivfpq_ann. */
+  private[graft] def pqAnnSearch(codes: DataFrame,
+      restrict: Option[DataFrame], queryId: Long, m: Int,
       subDim: Int, k: Int, coarseK: Int, topK: Int): DataFrame = {
     require(m >= 1 && subDim >= 1 && k >= 1 && coarseK >= 1 && topK >= 1,
       "pqAnn: m, subDim, k, coarseK, topK must all be >= 1")
@@ -378,11 +391,15 @@ object Similarity {
       .select(col("cs"), col("cb_id"), subSlice(col("cs")).as("cbv"))
     // encode: one broadcast join + map-side-combinable argmin — the
     // kmeans assign dataflow; only n·m pre-reduced rows shuffle
-    val enc = sub.join(broadcast(cb), col("s") === col("cs"))
+    val encAll = sub.join(broadcast(cb), col("s") === col("cs"))
       .groupBy("vec_id", "s")
       .agg(min(struct(dist2(col("sc"), col("cbv")).as("d"),
         col("cb_id").as("cb"))).as("m0"))
       .select(col("vec_id"), col("s"), col("m0.cb").as("code"))
+    // the restriction joins keyed on vec_id — at scale the assignment
+    // frame is the IVF index, co-partitionable with the encodings
+    val enc = restrict.fold(encAll)(r => encAll.join(r, "vec_id"))
+    val carry = if (restrict.isDefined) Seq("cell") else Nil
     val q = sub.filter(col("vec_id") === queryId)
       .select(col("s").as("qs_s"), col("sc").as("qs"))
     val lut = cb.join(broadcast(q), col("cs") === col("qs_s"))
@@ -390,14 +407,16 @@ object Similarity {
     val adc = enc.filter(col("vec_id") =!= queryId)
       .join(broadcast(lut),
         col("s") === col("cs") && col("code") === col("cb_id"))
-      .groupBy("vec_id").agg(sum(col("qd")).as("adc"))
+      .groupBy(("vec_id" +: carry).map(col): _*)
+      .agg(sum(col("qd")).as("adc"))
       .orderBy(col("adc").asc, col("vec_id")).limit(coarseK)
     val qv = codes.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("nrm").as("qnrm"))
     adc.join(codes.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
       .crossJoin(broadcast(qv))
-      .select(col("vec_id"), col("adc"),
-        round(cosineFast(col("v"), col("qv")), 4).as("cos_sim"))
+      .select((col("vec_id") +: carry.map(col)) ++
+        Seq(col("adc"),
+          round(cosineFast(col("v"), col("qv")), 4).as("cos_sim")): _*)
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(topK)
   }
 
@@ -831,6 +850,94 @@ object Similarity {
       (s, dir) =>
         pqAnn(int8Codes(s, dir), queryId = 0L, m = 4, subDim = 16,
           k = 8, coarseK = 50, topK = 10)
+    },
+
+    // ── IVF-PQ (the Faiss IVF-PQ layout, q73 × q178): a coarse
+    //    quantizer of 4 deterministic seed cells partitions the
+    //    corpus; the query probes its nprobe=2 NEAREST cells and the
+    //    PQ asymmetric-distance scan touches ONLY those cells'
+    //    encodings (at 100 TB: cell is the partition key, so the scan
+    //    prunes to nprobe/K of the corpus BEFORE reading even the
+    //    4-id codes — the two-level pruning every production ANN
+    //    serves from); exact-cosine rerank of the ADC top-20. PQ
+    //    codebooks stay GLOBAL (restricting training to probed cells
+    //    would make the code space query-dependent). Recall vs q46's
+    //    exact scan is the documented tradeoff of both levels.
+    QueryDef(
+      "q179_ivfpq_ann",
+      oracleVec +
+        """,
+          |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))
+          |        AS absmax FROM e),
+          |c AS (SELECT vec_id,
+          |  list_transform(v, x -> CAST(floor(x * 127 / absmax + 0.5) AS BIGINT))
+          |    AS codes FROM a WHERE absmax > 0),
+          |cc AS (SELECT n.vec_id AS cl, n.v AS cv FROM n JOIN c USING (vec_id)
+          |       WHERE n.vec_id < 4),
+          |asgn AS (SELECT vec_id, cl AS cell FROM (
+          |  SELECT n.vec_id, cc.cl,
+          |    row_number() OVER (PARTITION BY n.vec_id
+          |      ORDER BY list_sum([(n.v[i]-cc.cv[i])*(n.v[i]-cc.cv[i])
+          |                         for i in range(1, len(n.v)+1)]), cc.cl)
+          |      AS rn
+          |  FROM n JOIN c USING (vec_id) CROSS JOIN cc) WHERE rn = 1),
+          |qn AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+          |probed AS (SELECT cl FROM (
+          |  SELECT cc.cl,
+          |    list_sum([(cc.cv[i]-qn.qv[i])*(cc.cv[i]-qn.qv[i])
+          |              for i in range(1, len(cc.cv)+1)]) AS d
+          |  FROM cc, qn) ORDER BY d, cl LIMIT 2),
+          |sub AS (SELECT vec_id, s,
+          |  [c.codes[s*16+i] for i in range(1, 17)] AS sc
+          |  FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+          |cb AS (SELECT s, vec_id AS cb_id, sc AS cbv FROM sub
+          |       WHERE vec_id < 8),
+          |enc AS (SELECT vec_id, s, cb_id AS code FROM (
+          |  SELECT sub.vec_id, sub.s, cb.cb_id,
+          |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+          |      ORDER BY list_sum([(sub.sc[i]-cb.cbv[i])*(sub.sc[i]-cb.cbv[i])
+          |                         for i in range(1, 17)]), cb.cb_id) AS rn
+          |  FROM sub JOIN cb USING (s)) WHERE rn = 1),
+          |q AS (SELECT s, sc AS qs FROM sub WHERE vec_id = 0),
+          |lut AS (SELECT cb.s, cb.cb_id,
+          |  CAST(list_sum([(q.qs[i]-cb.cbv[i])*(q.qs[i]-cb.cbv[i])
+          |                 for i in range(1, 17)]) AS BIGINT) AS qd
+          |  FROM cb JOIN q USING (s)),
+          |adc AS (SELECT enc.vec_id, asgn.cell,
+          |  CAST(sum(lut.qd) AS BIGINT) AS adc
+          |  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.cb_id
+          |  JOIN asgn ON enc.vec_id = asgn.vec_id
+          |  WHERE enc.vec_id <> 0 AND asgn.cell IN (SELECT cl FROM probed)
+          |  GROUP BY enc.vec_id, asgn.cell
+          |  ORDER BY adc ASC, enc.vec_id LIMIT 20)
+          |SELECT adc.vec_id, CAST(adc.cell AS BIGINT) AS cell, adc.adc,
+          |  round(list_sum([n.v[i]*qn.qv[i] for i in range(1, len(n.v)+1)])
+          |        / (n.nrm*qn.qnrm), 4) AS cos_sim
+          |FROM adc JOIN n USING (vec_id), qn
+          |ORDER BY cos_sim DESC, adc.vec_id LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val codes = int8Codes(s, dir)
+        val cents = codes.orderBy("vec_id").limit(4)
+          .select(col("vec_id").as("cl"), col("v").as("c"))
+        // cell assignment: the kmeans/semDedup broadcast-argmin shape
+        val assigned = codes.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            struct(graft.plans.L2DistanceSq.l2DistSq(col("v"), col("c"))
+              .as("dist"), col("cl")).as("dc"))
+          .groupBy("vec_id").agg(min(col("dc")).as("m0"))
+          .select(col("vec_id"), col("m0.cl").as("cell"))
+        val qv = codes.filter(col("vec_id") === 0)
+          .select(col("v").as("qv0"))
+        val probed = cents.crossJoin(broadcast(qv))
+          .select(col("cl"),
+            graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv0")).as("d"))
+          .orderBy(col("d").asc, col("cl")).limit(2)
+          .select(col("cl").as("pcell"))
+        val restrict = assigned
+          .join(broadcast(probed), col("cell") === col("pcell"))
+          .select(col("vec_id"), col("cell"))
+        pqAnnSearch(codes, Some(restrict), queryId = 0L, m = 4,
+          subDim = 16, k = 8, coarseK = 20, topK = 10)
     },
 
     // ── per-label centroids: the aggregate-of-vectors building block

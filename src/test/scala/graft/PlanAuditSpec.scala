@@ -304,6 +304,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"the ADC top-coarseK must be a per-partition heap-k, not a global sort:\n$p")
   }
 
+  test("q179: IVF-PQ coarse stages broadcast; cuts stay heap-k") {
+    // centroids, probed cells, LUT, and the query frame are all tiny
+    // and must broadcast; the only shuffle-eligible join is the
+    // encoding ⋈ assignment restriction, keyed on vec_id (SMJ is fine
+    // there — corpus-sized both sides); both cuts are heap-k
+    val p = plan("q179_ivfpq_ann")
+    assert(p.contains("BroadcastHashJoin"),
+      s"coarse model frames must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ADC top-20 and rerank top-10 must be heap-k, not global sorts:\n$p")
+  }
+
   test("q115: BM25 stats row broadcasts; top-k avoids a global sort") {
     val p = plan("q115_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"),

@@ -244,6 +244,34 @@ class OperatorSpec extends SparkTestBase {
       s"expected the in-plan length assertion, got: $ex")
   }
 
+  test("pqAnnSearch: the IVF restriction selects cells without " +
+      "changing ADC values") {
+    val rows = Seq(
+      (0L, Seq(1L, 2L, 3L, 4L, 5L, 6L)),
+      (1L, Seq(1L, 2L, 3L, 4L, 5L, 7L)),
+      (2L, Seq(9L, 0L, 1L, 2L, 3L, 4L)),
+      (3L, Seq(-3L, 5L, 2L, 8L, 0L, 1L)),
+      (4L, Seq(2L, 2L, 2L, 2L, 2L, 2L)),
+      (5L, Seq(7L, 7L, 0L, 0L, 1L, 1L)))
+    val df = codesDf(rows)
+    val all = Similarity.pqAnn(df, queryId = 0L, m = 2, subDim = 3,
+        k = 6, coarseK = 10, topK = 10)
+      .select("vec_id", "adc").as[(Long, Long)].collect().toMap
+    // restrict the search to three vectors across two "cells": only
+    // they may return, each tagged with its cell, and every surviving
+    // ADC must equal the unrestricted run's value (codebooks/LUT are
+    // global — the restriction prunes the scan, never the code space)
+    val restrict = Seq((1L, 7L), (3L, 7L), (5L, 9L)).toDF("vec_id", "cell")
+    val got = Similarity.pqAnnSearch(df, Some(restrict), queryId = 0L,
+        m = 2, subDim = 3, k = 6, coarseK = 10, topK = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet == Set(1L, 3L, 5L))
+    got.foreach { case (id, cell, adc, _) =>
+      assert(adc == all(id), s"vec $id: restriction changed its ADC")
+      assert(cell == (if (id == 5L) 9L else 7L), s"vec $id cell")
+    }
+  }
+
   test("pqAnn ≡ a driver-side replay of the full PQ definition") {
     // k < n, every stage lossy: a Scala replay of the SAME definition
     // (seed codebooks, argmin encode with lowest-id ties, LUT-summed
