@@ -307,15 +307,39 @@ object Graft {
     * See [[operators.Similarity.pqAnn]]. */
   def pqAnn(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
       m: Int, subDim: Int, k: Int = 8, coarseK: Int = 50,
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10): DataFrame =
+    operators.Similarity.pqAnn(int8CodedVectors(df, idCol, vecCol),
+      queryId, m, subDim, k, coarseK, topK)
+
+  /** IVF-PQ over any (`idCol` integral, `vecCol` numeric-array) frame
+    * — [[pqAnn]] behind a coarse quantizer: `kIvf` deterministic seed
+    * cells partition the corpus, the query probes its `nprobe` nearest
+    * cells, and the PQ asymmetric-distance scan touches ONLY those
+    * cells' m-id encodings (two-level pruning — at cluster scale the
+    * cell is the partition key, so nprobe/kIvf of the corpus is read
+    * at all). Returns (vec_id, cell, adc, cos_sim); recall vs an exact
+    * scan is the documented tradeoff of both levels. q179 is this at
+    * kIvf=4/nprobe=2/m=4/subDim=16.
+    * See [[operators.Similarity.ivfPqAnn]]. */
+  def ivfPqAnn(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, kIvf: Int, nprobe: Int, m: Int, subDim: Int,
+      k: Int = 8, coarseK: Int = 50, topK: Int = 10): DataFrame =
+    operators.Similarity.ivfPqAnn(int8CodedVectors(df, idCol, vecCol),
+      queryId, kIvf, nprobe, m, subDim, k, coarseK, topK)
+
+  /** Shared facade prep for the quantized ANN members: rename/cast to
+    * the (vec_id, v, nrm) shape, then attach the int8 absmax codes
+    * (the q106/q142 code rule; zero vectors have no direction and are
+    * excluded). */
+  private def int8CodedVectors(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions._
-    val vs = operators.Similarity.asVectors(df, idCol, vecCol)
+    operators.Similarity.asVectors(df, idCol, vecCol)
       .withColumn("absmax", absMax(col("v")))
       .filter(col("absmax") > 0)
       .withColumn("codes", int8Code(col("v"), col("absmax")))
       .drop("absmax")
-    operators.Similarity.pqAnn(vs, queryId, m, subDim, k, coarseK, topK)
   }
 
   /** Conf key gating the adaptive exact-Jaccard pair strategy behind

@@ -356,7 +356,10 @@ object Similarity {
   /** [[pqAnn]] with an optional IVF-style search restriction:
     * `restrict` is a (vec_id, cell) frame naming the encodings the ADC
     * pass may scan (the vectors of the query's probed coarse cells);
-    * `cell` is carried into the output — (vec_id, cell, adc, cos_sim).
+    * vec_id must be UNIQUE in it — a duplicated id would double-count
+    * that vector's ADC terms (every caller derives it from a per-id
+    * argmin, which guarantees uniqueness); `cell` is carried into the
+    * output — (vec_id, cell, adc, cos_sim).
     * Codebooks, encodings, and the LUT still derive from the FULL
     * `codes` corpus (training is global — restricting it would make
     * the code space query-dependent). With `restrict = None` this IS
@@ -418,6 +421,47 @@ object Similarity {
         Seq(col("adc"),
           round(cosineFast(col("v"), col("qv")), 4).as("cos_sim")): _*)
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(topK)
+  }
+
+  /** IVF-PQ (q73 × q178 — the Faiss layout) over an int8-coded
+    * [[vectors]]-shaped frame: `kIvf` deterministic seed cells (the
+    * kIvf smallest ids present, their FLOAT vectors as centroids)
+    * partition the corpus via a broadcast-argmin assignment; query
+    * `queryId` probes its `nprobe` nearest cells (L2, ties to the
+    * lowest cell id) and the PQ asymmetric-distance scan runs ONLY
+    * over those cells' encodings — two-level pruning (cell partition
+    * prune, then m-id codes) before the exact-cosine rerank of the ADC
+    * top-`coarseK`. Returns (vec_id, cell, adc, cos_sim). Recall vs an
+    * exact scan is the documented tradeoff of both levels; codebooks
+    * stay global. At 100 TB the cell is the partition key, so the scan
+    * prunes to nprobe/kIvf of the corpus before reading anything.
+    * Backs q179_ivfpq_ann. */
+  private[graft] def ivfPqAnn(codes: DataFrame, queryId: Long, kIvf: Int,
+      nprobe: Int, m: Int, subDim: Int, k: Int, coarseK: Int,
+      topK: Int): DataFrame = {
+    require(kIvf >= 1 && nprobe >= 1 && nprobe <= kIvf,
+      "ivfPqAnn: need 1 <= nprobe <= kIvf")
+    val cents = codes.orderBy("vec_id").limit(kIvf)
+      .select(col("vec_id").as("cl"), col("v").as("c"))
+    // cell assignment: the kmeans/semDedup broadcast-argmin shape
+    val assigned = codes.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(graft.plans.L2DistanceSq.l2DistSq(col("v"), col("c"))
+          .as("dist"), col("cl")).as("dc"))
+      .groupBy("vec_id").agg(min(col("dc")).as("m0"))
+      .select(col("vec_id"), col("m0.cl").as("cell"))
+    val qv = codes.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv0"))
+    val probed = cents.crossJoin(broadcast(qv))
+      .select(col("cl"),
+        graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv0")).as("d"))
+      .orderBy(col("d").asc, col("cl")).limit(nprobe)
+      .select(col("cl").as("pcell"))
+    val restrict = assigned
+      .join(broadcast(probed), col("cell") === col("pcell"))
+      .select(col("vec_id"), col("cell"))
+    pqAnnSearch(codes, Some(restrict), queryId, m, subDim, k, coarseK,
+      topK)
   }
 
   /** Oracle CTE: embeddings as double arrays + norms. */
@@ -916,28 +960,8 @@ object Similarity {
           |FROM adc JOIN n USING (vec_id), qn
           |ORDER BY cos_sim DESC, adc.vec_id LIMIT 10""".stripMargin) {
       (s, dir) =>
-        val codes = int8Codes(s, dir)
-        val cents = codes.orderBy("vec_id").limit(4)
-          .select(col("vec_id").as("cl"), col("v").as("c"))
-        // cell assignment: the kmeans/semDedup broadcast-argmin shape
-        val assigned = codes.crossJoin(broadcast(cents))
-          .select(col("vec_id"),
-            struct(graft.plans.L2DistanceSq.l2DistSq(col("v"), col("c"))
-              .as("dist"), col("cl")).as("dc"))
-          .groupBy("vec_id").agg(min(col("dc")).as("m0"))
-          .select(col("vec_id"), col("m0.cl").as("cell"))
-        val qv = codes.filter(col("vec_id") === 0)
-          .select(col("v").as("qv0"))
-        val probed = cents.crossJoin(broadcast(qv))
-          .select(col("cl"),
-            graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv0")).as("d"))
-          .orderBy(col("d").asc, col("cl")).limit(2)
-          .select(col("cl").as("pcell"))
-        val restrict = assigned
-          .join(broadcast(probed), col("cell") === col("pcell"))
-          .select(col("vec_id"), col("cell"))
-        pqAnnSearch(codes, Some(restrict), queryId = 0L, m = 4,
-          subDim = 16, k = 8, coarseK = 20, topK = 10)
+        ivfPqAnn(int8Codes(s, dir), queryId = 0L, kIvf = 4, nprobe = 2,
+          m = 4, subDim = 16, k = 8, coarseK = 20, topK = 10)
     },
 
     // ── per-label centroids: the aggregate-of-vectors building block

@@ -294,6 +294,34 @@ class GraftFacadeSpec extends SparkTestBase {
       "rerank output is cosine-descending")
   }
 
+  test("ivfPqAnn facade: nprobe=1 prunes to the query's cell, twin kept") {
+    // vec 5 = 2× the query: identical codes AND the same coarse cell
+    // (assignment is on the float vectors; colinear → same argmin), so
+    // even probing ONE cell must keep it at cosine 1.0; the result set
+    // must be a subset of the unrestricted pqAnn ids
+    val rows = Seq(
+      (0L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      (1L, Seq(8.0, -1.0, 2.0, 0.0, 3.0, -2.0, 1.0, 4.0)),
+      (2L, Seq(-5.0, 5.0, -5.0, 5.0, -5.0, 5.0, -5.0, 5.0)),
+      (3L, Seq(0.5, 0.5, 4.0, -3.0, 2.0, 2.0, -1.0, 0.0)),
+      (4L, Seq(3.0, 1.0, -2.0, 6.0, 0.0, -4.0, 2.0, 2.0)),
+      (5L, Seq(2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0)))
+    val df = rows.toDF("id", "emb")
+    val got = Graft.ivfPqAnn(df, "id", "emb", queryId = 0L, kIvf = 3,
+        nprobe = 1, m = 2, subDim = 4, k = 3, coarseK = 5, topK = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty && got.head._1 == 5L && got.head._4 == 1.0,
+      s"the colinear twin shares the query's cell and reranks first: " +
+        s"${got.toSeq}")
+    assert(got.map(_._2).distinct.length == 1,
+      "nprobe=1: every result comes from the single probed cell")
+    val unrestricted = Graft.pqAnn(df, "id", "emb", queryId = 0L,
+        m = 2, subDim = 4, k = 3, coarseK = 5, topK = 5)
+      .as[(Long, Long, Double)].collect().map(_._1).toSet
+    assert(got.map(_._1).toSet.subsetOf(unrestricted),
+      "cell pruning only ever removes candidates")
+  }
+
   test("semDedup facade: later near-dup of a seed is dropped") {
     val e = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
       (2L, Seq(1.0, 0.001))).toDF("id", "emb")
