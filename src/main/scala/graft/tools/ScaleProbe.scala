@@ -211,6 +211,12 @@ object ScaleProbe {
       rec("pq_ann", nVecs) {
         graft.SparkEntry.queries("q178_pq_ann")(spark, dir).count()
       }
+      // IVF-PQ adds the coarse assignment (one broadcast-argmin pass)
+      // and then scans only the probed cells' encodings — its curve
+      // should sit at-or-below pq_ann's despite the extra stage
+      rec("ivfpq_ann", nVecs) {
+        graft.SparkEntry.queries("q179_ivfpq_ann")(spark, dir).count()
+      }
       rec("budget_select", nDocs) {
         SparkEntry.queries("q157_budget_select")(spark, dir).count()
       }
