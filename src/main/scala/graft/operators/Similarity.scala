@@ -415,7 +415,11 @@ object Similarity {
       .orderBy(col("adc").asc, col("vec_id")).limit(coarseK)
     val qv = codes.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("nrm").as("qnrm"))
-    adc.join(codes.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+    // the rerank probe list is ≤ coarseK rows BY CONSTRUCTION —
+    // broadcast it explicitly instead of leaving a static shuffle
+    // join for AQE to convert at runtime
+    broadcast(adc)
+      .join(codes.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
       .crossJoin(broadcast(qv))
       .select((col("vec_id") +: carry.map(col)) ++
         Seq(col("adc"),

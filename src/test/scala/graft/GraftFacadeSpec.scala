@@ -315,11 +315,17 @@ class GraftFacadeSpec extends SparkTestBase {
         s"${got.toSeq}")
     assert(got.map(_._2).distinct.length == 1,
       "nprobe=1: every result comes from the single probed cell")
+    // NOTE this subset check is FIXTURE-scoped, not an ivfPqAnn
+    // contract: the ADC top-coarseK cut runs AFTER the cell
+    // restriction, so in general pruning competitors can admit ids
+    // the unrestricted cut rejected. It holds here only because
+    // coarseK (5) covers every candidate, making both cuts no-ops —
+    // which is exactly what lets the comparison isolate the pruning.
     val unrestricted = Graft.pqAnn(df, "id", "emb", queryId = 0L,
         m = 2, subDim = 4, k = 3, coarseK = 5, topK = 5)
       .as[(Long, Long, Double)].collect().map(_._1).toSet
     assert(got.map(_._1).toSet.subsetOf(unrestricted),
-      "cell pruning only ever removes candidates")
+      "with coarseK covering all candidates, pruning only removes ids")
   }
 
   test("semDedup facade: later near-dup of a seed is dropped") {

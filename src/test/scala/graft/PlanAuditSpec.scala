@@ -306,14 +306,19 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("q179: IVF-PQ coarse stages broadcast; cuts stay heap-k") {
     // centroids, probed cells, LUT, and the query frame are all tiny
-    // and must broadcast; the only shuffle-eligible join is the
-    // encoding ⋈ assignment restriction, keyed on vec_id (SMJ is fine
-    // there — corpus-sized both sides); both cuts are heap-k
-    val p = plan("q179_ivfpq_ann")
-    assert(p.contains("BroadcastHashJoin"),
-      s"coarse model frames must broadcast:\n$p")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"ADC top-20 and rerank top-10 must be heap-k, not global sorts:\n$p")
+    // and must broadcast; the ONLY join allowed to shuffle is the
+    // encoding ⋈ assignment restriction, keyed on vec_id (corpus-sized
+    // both sides) — pin the COUNT, not mere presence, so any other
+    // join regressing to a shuffle fails here, not in the bench round
+    // count on the TREE section only — the formatted detail section
+    // repeats every node name, so counting the full text doubles it
+    val t = tree("q179_ivfpq_ann")
+    assert(t.contains("BroadcastHashJoin"),
+      s"coarse model frames must broadcast:\n$t")
+    assert("SortMergeJoin".r.findAllIn(t).size <= 1,
+      s"at most ONE shuffle join (the vec_id restriction):\n$t")
+    assert(t.contains("TakeOrderedAndProject"),
+      s"ADC top-20 and rerank top-10 must be heap-k, not global sorts:\n$t")
   }
 
   test("q115: BM25 stats row broadcasts; top-k avoids a global sort") {
