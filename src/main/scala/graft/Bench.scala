@@ -25,6 +25,7 @@ object Bench {
     "q167_kmv_overlap" -> Seq("source-vocab"),
     "q171_phash_pairs" -> Seq("phash"),
     "q172_kl_drift" -> Seq("unigram-tf"),
+    "q181_ann_recall" -> Seq("ivf-cell", "pq-enc"),
     "q42_jaccard_pairs" -> Seq("jaccard-pairs"),
     "q43_simhash_pairs" -> Seq("simhash"),
     "q44_lsh_candidates" -> Seq("lsh-cand", "minhash-sig"),
@@ -73,6 +74,43 @@ object Bench {
     last.toSeq.groupBy(_._2).map { case (q, kvs) =>
       q -> kvs.map(_._1).toSeq.sorted
     }
+  }
+
+  /** Derive each cache key-prefix's FIRST consumer in Bench's sorted
+    * run order — the query whose timed section normally ABSORBS the
+    * cache build (the registry builds on first access; sorted order
+    * makes that query deterministic round to round). Same replay
+    * machinery and scale-invariance assumption as
+    * [[deriveReleasePlan]]. One honest caveat the r13 verdict forced:
+    * this records first access during PLAN CONSTRUCTION; a query whose
+    * action materializes only part of the persisted frame (e.g. a
+    * plan whose limit stops after one cache partition) can defer the
+    * rest of the build cost to the NEXT consumer — so the quiet
+    * per-query medians BASELINE.md records alongside this table are
+    * the runtime confirmation, and the two together let a per-query
+    * driver delta be classified as (cache attribution | wio tide |
+    * real regression) from the repo alone. */
+  private[graft] def deriveFirstConsumers(
+      spark: SparkSession, sfDir: String): Map[String, String] = {
+    val first = scala.collection.mutable.LinkedHashMap[String, String]()
+    var current = ""
+    val bc = graft.operators.TextDedup.BranchConf
+    val prevBranch = spark.conf.getOption(bc)
+    spark.conf.set(bc, "count")
+    try CacheRegistry.withAccessHook(
+      (k: String) => {
+        val p = k.takeWhile(_ != ':')
+        if (!first.contains(p)) first(p) = current
+      }) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        current = name
+        fn(spark, sfDir)
+      }
+    } finally prevBranch match {
+      case Some(v) => spark.conf.set(bc, v)
+      case None => spark.conf.unset(bc)
+    }
+    first.toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -210,7 +248,8 @@ object Bench {
     val wu2 = wuProbe()
     val wio2 = wioProbe()
     println(renderJson(results, wu, wio, wu2, wio2,
-      new java.io.File(sfDir).getName))
+      new java.io.File(sfDir).getName,
+      compact = sys.env.get("SPARK_GRAFT_BENCH_COMPACT").contains("1")))
     spark.stop()
   }
 
@@ -240,10 +279,26 @@ object Bench {
     * the CPU or the I/O/scheduling axis — from plan regressions
     * (quiet bands for both in BASELINE.md). "wu2"/"wio2" re-run the
     * same probes AFTER the query loop: the deltas bound mid-run drift,
-    * the one thing a pre-run snapshot cannot see. */
+    * the one thing a pre-run snapshot cannot see.
+    *
+    * `compact` is the STANDING CONTINGENCY for the next inventory
+    * growth (the line measures ~1790/1950 at 181 queries — the r13
+    * ceiling warning): per-query values become integer DECIseconds
+    * under a `"u":"ds"` unit marker — the SAME ±0.05 s information as
+    * today's 1-decimal seconds (today's format IS deciseconds with a
+    * decimal point), ~300 chars narrower because ~150 sub-second
+    * values shrink from 3 chars ("0.3") to 1 ("3") — and the
+    * `"failed":[]` key is dropped when EMPTY (absent ⇒ pass; a
+    * non-empty list still always renders — failures stay loud). The
+    * judged TOTAL and the four markers keep 2-decimal seconds
+    * unchanged. Gated OFF (env SPARK_GRAFT_BENCH_COMPACT=1 turns it
+    * on); BenchJsonSpec pins the compact worst-case width and
+    * round-trips both formats, so flipping the flag is a decision,
+    * not an emergency. */
   private[graft] def renderJson(
       results: Seq[(String, Double, Boolean)], wu: Double, wio: Double,
-      wu2: Double, wio2: Double, sfBasename: String): String = {
+      wu2: Double, wio2: Double, sfBasename: String,
+      compact: Boolean = false): String = {
     // Locale.ROOT: a default locale with decimal COMMAS would render
     // {"value":12,34,...} — invalid JSON, the r01–r03 dead-bench mode
     def fmt(p: String, v: Double): String =
@@ -257,15 +312,22 @@ object Bench {
       name.takeWhile(_ != '_').dropWhile(_ == 'q')
     require(results.map(r => short(r._1)).toSet.size == results.size,
       "qNN ordinals must stay unique for the compact bench JSON")
-    val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + f1(v) }
+    val qVal: Double => String =
+      if (compact) v => Math.round(v * 10).toString else f1
+    val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + qVal(v) }
       .mkString("{", ",", "}")
     // A failed query must be loud, not a -1s "speedup": list failures in
-    // their own key (the driver sees them; an empty list is the pass state).
-    val failed = results.collect { case (k, _, false) => s"\"${short(k)}\"" }
-      .mkString("[", ",", "]")
+    // their own key (the driver sees them; an empty list is the pass state
+    // — which compact mode encodes as ABSENCE; a non-empty list always
+    // renders in either mode).
+    val failedList = results.collect { case (k, _, false) => s"\"${short(k)}\"" }
+    val failed =
+      if (compact && failedList.isEmpty) ""
+      else s""","failed":${failedList.mkString("[", ",", "]")}"""
+    val unit = if (compact) ""","u":"ds"""" else ""
     val total = results.map(_._2).sum
     val sf = sfBasename.stripPrefix("sf")
     val sfJson = if (sf.matches("""\d+(\.\d+)?""")) sf else s"\"$sfBasename\""
-    s"""{"metric":"total","value":${f(total)},"wu":${f(wu)},"wio":${f(wio)},"wu2":${f(wu2)},"wio2":${f(wio2)},"queries":$qs,"failed":$failed,"sf":$sfJson}"""
+    s"""{"metric":"total","value":${f(total)},"wu":${f(wu)},"wio":${f(wio)},"wu2":${f(wu2)},"wio2":${f(wio2)}$unit,"queries":$qs$failed,"sf":$sfJson}"""
   }
 }

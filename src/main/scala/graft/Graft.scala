@@ -304,12 +304,33 @@ object Graft {
     * returns an EMPTY result, so validate the query id upstream if
     * "no such query" must be distinguishable from "no neighbors".
     * q178 is this at m=4/subDim=16/k=8.
+    *
+    * `codebooks` opts into TRAINED codebooks from
+    * [[trainPqCodebooks]] (Lloyd per subspace, integer-rounded means)
+    * instead of the seed default — pass the SAME frame to every search
+    * over a corpus so the code space stays fixed while queries vary.
     * See [[operators.Similarity.pqAnn]]. */
   def pqAnn(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
       m: Int, subDim: Int, k: Int = 8, coarseK: Int = 50,
-      topK: Int = 10): DataFrame =
+      topK: Int = 10, codebooks: Option[DataFrame] = None): DataFrame =
     operators.Similarity.pqAnn(int8CodedVectors(df, idCol, vecCol),
-      queryId, m, subDim, k, coarseK, topK)
+      queryId, m, subDim, k, coarseK, topK, codebooks = codebooks)
+
+  /** Train PQ codebooks for [[pqAnn]]'s `codebooks` option: Lloyd's
+    * k-means per subspace over the int8 subvectors, `iters` rounds,
+    * every re-estimated centroid the per-dim mean ROUNDED to the
+    * nearest integer — codebooks stay integer, so the ADC stage stays
+    * deterministic on any engine. Seeds (and the returned cluster ids)
+    * are the `k` lowest ids' subvectors, so `iters = 0` is disallowed
+    * rather than silently aliasing the seed default. EAGER (one small
+    * Spark job per round — the kmeans/PageRank materializer
+    * discipline): train once per corpus, reuse across queries.
+    * Returns (cs, cb_id, cbv). See
+    * [[operators.Similarity.pqTrainCodebooks]]. */
+  def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, k: Int = 8, iters: Int = 3): DataFrame =
+    operators.Similarity.pqTrainCodebooks(
+      int8CodedVectors(df, idCol, vecCol), m, subDim, k, iters)
 
   /** IVF-PQ over any (`idCol` integral, `vecCol` numeric-array) frame
     * — [[pqAnn]] behind a coarse quantizer: `kIvf` deterministic seed
@@ -326,6 +347,25 @@ object Graft {
       k: Int = 8, coarseK: Int = 50, topK: Int = 10): DataFrame =
     operators.Similarity.ivfPqAnn(int8CodedVectors(df, idCol, vecCol),
       queryId, kIvf, nprobe, m, subDim, k, coarseK, topK)
+
+  /** Batch IVF-PQ — the serving shape: every quantizable id below
+    * `qMax` queries the corpus (ids ≥ `qMax`) through ONE pass over
+    * the PQ encodings and cell assignment (built here inline; inside
+    * the engine's own inventory they are registry-cached so a session
+    * builds them once). Per query: probe `nprobe` cells, ADC
+    * top-`coarseK`, exact rerank, top-`topK`. Returns (q_id, vec_id,
+    * cell, adc, cos_sim, rn) ordered by (q_id, rn). q180 is this at
+    * qMax=5/kIvf=4/nprobe=2. See
+    * [[operators.Similarity.ivfPqAnnBatch]]. */
+  def ivfPqAnnBatch(df: DataFrame, idCol: String, vecCol: String,
+      qMax: Long, kIvf: Int, nprobe: Int, m: Int, subDim: Int,
+      k: Int = 8, coarseK: Int = 50, topK: Int = 10): DataFrame = {
+    val codes = int8CodedVectors(df, idCol, vecCol)
+    operators.Similarity.ivfPqAnnBatch(codes,
+      operators.Similarity.pqEncode(codes, m, subDim, k),
+      operators.Similarity.ivfAssign(codes, kIvf),
+      qMax, kIvf, nprobe, m, subDim, k, coarseK, topK)
+  }
 
   /** Shared facade prep for the quantized ANN members: rename/cast to
     * the (vec_id, v, nrm) shape, then attach the int8 absmax codes

@@ -158,12 +158,17 @@ object Search {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     require(k >= 0, "rank offset k must be non-negative")
     require(topR > 0, "topR must be positive")
-    // same reserved-name discipline as bm25Score: a colliding idCol
-    // would fail downstream with an ambiguous-reference error
+    // same reserved-name discipline as bm25Score: a colliding idCol OR
+    // scoreCol would fail downstream with an ambiguous-reference error
+    // (scoreCol = "rrf" survives the select but breaks the fused-score
+    // aggregation exactly like a colliding idCol — both inputs are
+    // caller-named, so both get the guard, mirroring langId's
+    // idCol+carry check)
     val reserved = Seq("__rank", "__c", "n_lists", "rrf")
-    require(!reserved.contains(idCol),
-      s"rrfFuse: idCol '$idCol' collides with a working/output column " +
-        s"(${reserved.mkString(", ")}) — rename first")
+    for ((role, c) <- Seq("idCol" -> idCol, "scoreCol" -> scoreCol))
+      require(!reserved.contains(c),
+        s"rrfFuse: $role '$c' collides with a working/output column " +
+          s"(${reserved.mkString(", ")}) — rename first")
     rankings.map { r =>
       val w = Window.orderBy(col(scoreCol).desc, col(idCol))
       r.select(col(idCol), col(scoreCol))

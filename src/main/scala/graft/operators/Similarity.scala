@@ -324,20 +324,77 @@ object Similarity {
     assign(cents)
   }
 
+  /** The (vec_id, s, sc) subvector split every PQ stage consumes: each
+    * `m`·`subDim`-long code array explodes into `m` `subDim`-long
+    * integer subvectors. The m·subDim contract is a MUST, not a
+    * comment: a mismatched split would silently compare
+    * empty/truncated subvectors and return plausible-looking wrong
+    * neighbors — assert_true rides the slice expression so column
+    * pruning can never drop the check. */
+  private def pqSubSlice(m: Int, subDim: Int)(s0: Column): Column =
+    when(assert_true(size(col("codes")) === m * subDim,
+      lit(s"pqAnn: codes length must be m*subDim = ${m * subDim}"))
+      .isNull,
+      slice(col("codes"), s0 * subDim + 1, lit(subDim)))
+
+  private[graft] def pqSubvectors(codes: DataFrame, m: Int,
+      subDim: Int): DataFrame =
+    codes.select(col("vec_id"),
+        explode(array((0 until m).map(lit(_)): _*)).as("s"), col("codes"))
+      .select(col("vec_id"), col("s"),
+        pqSubSlice(m, subDim)(col("s")).as("sc"))
+
+  /** Integer squared-L2 between two equal-length integer arrays — the
+    * ONE distance every PQ stage (codebook argmin, LUT, training) uses,
+    * so the stages cannot drift numerically. */
+  private def pqDist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Deterministic seed codebooks (cs, cb_id, cbv): the subvectors of
+    * the `k` SMALLEST ids present — the semDedup/kmeans seed rule, so
+    * offset or sparse id spaces can never silently produce an empty
+    * codebook; on dense 0-based ids this is exactly vec_id < k, which
+    * q178's oracle pins. [[pqTrainCodebooks]] is the opt-in trained
+    * alternative behind the same (cs, cb_id, cbv) shape. */
+  private[graft] def pqSeedCodebooks(codes: DataFrame, m: Int,
+      subDim: Int, k: Int): DataFrame =
+    codes.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cb_id"),
+        explode(array((0 until m).map(lit(_)): _*)).as("cs"), col("codes"))
+      .select(col("cs"), col("cb_id"),
+        pqSubSlice(m, subDim)(col("cs")).as("cbv"))
+
+  /** Encode every vector as `m` codebook ids (argmin integer L2, ties
+    * to the lowest id): one broadcast join + map-side-combinable
+    * argmin — the kmeans assign dataflow; only n·m pre-reduced rows
+    * shuffle. Returns (vec_id, s, code). At scale this frame IS the PQ
+    * index: build it once ([[pqEncodings]] registry-caches it per
+    * (session, dir)) and every query's ADC pass scans the 4-id
+    * encodings instead of re-deriving them from the corpus. */
+  private[graft] def pqEncode(codes: DataFrame, m: Int, subDim: Int,
+      k: Int, codebooks: Option[DataFrame] = None): DataFrame = {
+    val sub = pqSubvectors(codes, m, subDim)
+    val cb = codebooks.getOrElse(pqSeedCodebooks(codes, m, subDim, k))
+    sub.join(broadcast(cb), col("s") === col("cs"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(pqDist2(col("sc"), col("cbv")).as("d"),
+        col("cb_id").as("cb"))).as("m0"))
+      .select(col("vec_id"), col("s"), col("m0.cb").as("code"))
+  }
+
   /** Product-quantization ANN over an int8-coded [[vectors]]-shaped
     * frame (vec_id, v, nrm, codes): split each `m`·`subDim`-long code
     * array into `m` subvectors, build a deterministic seed codebook per
-    * subspace (the subvectors of the `k` SMALLEST ids present — the
-    * semDedup/kmeans seed rule, so offset or sparse id spaces can never
-    * silently produce an empty codebook; on dense 0-based ids this is
-    * exactly vec_id < k), encode every vector as `m` codebook ids
-    * (argmin integer L2, ties to the lowest
-    * id), then answer query `queryId` by the standard asymmetric
-    * distance: a K×M integer lookup table of query-to-codebook subspace
-    * distances, summed over each vector's ids — the corpus-wide pass
-    * touches ONLY the m-id encodings. Top-`coarseK` by ADC (ascending,
-    * vec_id tiebreak), exact-cosine rerank, top-`topK`. Returns
-    * (vec_id, adc, cos_sim 4 dp).
+    * subspace ([[pqSeedCodebooks]]; `codebooks` opts into
+    * [[pqTrainCodebooks]]' trained ones), encode every vector as `m`
+    * codebook ids (argmin integer L2, ties to the lowest id — or read
+    * the precomputed [[pqEncodings]] index via `enc`), then answer
+    * query `queryId` by the standard asymmetric distance: a K×M
+    * integer lookup table of query-to-codebook subspace distances,
+    * summed over each vector's ids — the corpus-wide pass touches ONLY
+    * the m-id encodings. Top-`coarseK` by ADC (ascending, vec_id
+    * tiebreak), exact-cosine rerank, top-`topK`. Returns (vec_id, adc,
+    * cos_sim 4 dp).
     *
     * `codes` arrays must be exactly m·subDim long (the int8Codes frame
     * at 64 dims with m=4, subDim=16) — ENFORCED in-plan via an
@@ -350,8 +407,11 @@ object Similarity {
     * bit-for-bit. Backs q178_pq_ann; exactness on a seeds-only corpus
     * is pinned in OperatorSpec. */
   private[graft] def pqAnn(codes: DataFrame, queryId: Long, m: Int,
-      subDim: Int, k: Int, coarseK: Int, topK: Int): DataFrame =
-    pqAnnSearch(codes, None, queryId, m, subDim, k, coarseK, topK)
+      subDim: Int, k: Int, coarseK: Int, topK: Int,
+      enc: Option[DataFrame] = None,
+      codebooks: Option[DataFrame] = None): DataFrame =
+    pqAnnSearch(codes, None, queryId, m, subDim, k, coarseK, topK, enc,
+      codebooks)
 
   /** [[pqAnn]] with an optional IVF-style search restriction:
     * `restrict` is a (vec_id, cell) frame naming the encodings the ADC
@@ -363,42 +423,27 @@ object Similarity {
     * Codebooks, encodings, and the LUT still derive from the FULL
     * `codes` corpus (training is global — restricting it would make
     * the code space query-dependent). With `restrict = None` this IS
-    * pqAnn, plan-identically. Backs q179_ivfpq_ann. */
+    * pqAnn, plan-identically.
+    *
+    * `encIdx` serves the search from a PRECOMPUTED (vec_id, s, code)
+    * index ([[pqEncodings]] — values must match what [[pqEncode]]
+    * would derive from `codes` with the same (m, subDim, k,
+    * `codebooks`); the registry cache guarantees that by construction)
+    * instead of re-encoding the corpus per query — the amortization a
+    * served index needs: per query only the LUT (K×M rows), the probe
+    * list, and the ADC scan over the m-id encodings remain. Backs
+    * q179_ivfpq_ann. */
   private[graft] def pqAnnSearch(codes: DataFrame,
       restrict: Option[DataFrame], queryId: Long, m: Int,
-      subDim: Int, k: Int, coarseK: Int, topK: Int): DataFrame = {
+      subDim: Int, k: Int, coarseK: Int, topK: Int,
+      encIdx: Option[DataFrame] = None,
+      codebooks: Option[DataFrame] = None): DataFrame = {
     require(m >= 1 && subDim >= 1 && k >= 1 && coarseK >= 1 && topK >= 1,
       "pqAnn: m, subDim, k, coarseK, topK must all be >= 1")
-    val dist2 = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), _ + _)
-    // the m·subDim contract is a MUST, not a comment: a mismatched
-    // split would silently compare empty/truncated subvectors and
-    // return plausible-looking wrong neighbors. assert_true rides the
-    // slice expression so column pruning can never drop the check.
-    def subSlice(s0: Column): Column =
-      when(assert_true(size(col("codes")) === m * subDim,
-        lit(s"pqAnn: codes length must be m*subDim = ${m * subDim}"))
-        .isNull,
-        slice(col("codes"), s0 * subDim + 1, lit(subDim)))
-    val sub = codes.select(col("vec_id"),
-        explode(array((0 until m).map(lit(_)): _*)).as("s"), col("codes"))
-      .select(col("vec_id"), col("s"), subSlice(col("s")).as("sc"))
-    // seeds = the k SMALLEST ids PRESENT (same rule as semDedup/kmeans
-    // — a filter on vec_id < k would silently return an empty codebook
-    // on offset or sparse id spaces); on dense 0-based ids this is
-    // exactly vec_id < k, which q178's oracle pins
-    val cb = codes.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cb_id"),
-        explode(array((0 until m).map(lit(_)): _*)).as("cs"), col("codes"))
-      .select(col("cs"), col("cb_id"), subSlice(col("cs")).as("cbv"))
-    // encode: one broadcast join + map-side-combinable argmin — the
-    // kmeans assign dataflow; only n·m pre-reduced rows shuffle
-    val encAll = sub.join(broadcast(cb), col("s") === col("cs"))
-      .groupBy("vec_id", "s")
-      .agg(min(struct(dist2(col("sc"), col("cbv")).as("d"),
-        col("cb_id").as("cb"))).as("m0"))
-      .select(col("vec_id"), col("s"), col("m0.cb").as("code"))
+    val dist2 = pqDist2 _
+    val sub = pqSubvectors(codes, m, subDim)
+    val cb = codebooks.getOrElse(pqSeedCodebooks(codes, m, subDim, k))
+    val encAll = encIdx.getOrElse(pqEncode(codes, m, subDim, k, codebooks))
     // the restriction joins keyed on vec_id — at scale the assignment
     // frame is the IVF index, co-partitionable with the encodings
     val enc = restrict.fold(encAll)(r => encAll.join(r, "vec_id"))
@@ -442,21 +487,14 @@ object Similarity {
     * Backs q179_ivfpq_ann. */
   private[graft] def ivfPqAnn(codes: DataFrame, queryId: Long, kIvf: Int,
       nprobe: Int, m: Int, subDim: Int, k: Int, coarseK: Int,
-      topK: Int): DataFrame = {
+      topK: Int, encIdx: Option[DataFrame] = None,
+      cellIdx: Option[DataFrame] = None): DataFrame = {
     require(kIvf >= 1 && nprobe >= 1 && nprobe <= kIvf,
       "ivfPqAnn: need 1 <= nprobe <= kIvf")
-    val cents = codes.orderBy("vec_id").limit(kIvf)
-      .select(col("vec_id").as("cl"), col("v").as("c"))
-    // cell assignment: the kmeans/semDedup broadcast-argmin shape
-    val assigned = codes.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        struct(graft.plans.L2DistanceSq.l2DistSq(col("v"), col("c"))
-          .as("dist"), col("cl")).as("dc"))
-      .groupBy("vec_id").agg(min(col("dc")).as("m0"))
-      .select(col("vec_id"), col("m0.cl").as("cell"))
+    val assigned = cellIdx.getOrElse(ivfAssign(codes, kIvf))
     val qv = codes.filter(col("vec_id") === queryId)
       .select(col("v").as("qv0"))
-    val probed = cents.crossJoin(broadcast(qv))
+    val probed = ivfCentroids(codes, kIvf).crossJoin(broadcast(qv))
       .select(col("cl"),
         graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv0")).as("d"))
       .orderBy(col("d").asc, col("cl")).limit(nprobe)
@@ -465,7 +503,168 @@ object Similarity {
       .join(broadcast(probed), col("cell") === col("pcell"))
       .select(col("vec_id"), col("cell"))
     pqAnnSearch(codes, Some(restrict), queryId, m, subDim, k, coarseK,
-      topK)
+      topK, encIdx)
+  }
+
+  /** The `kIvf` deterministic IVF coarse centroids (cl, c): the kIvf
+    * smallest ids present, their FLOAT vectors — the same seed rule as
+    * the PQ codebooks, one level up. */
+  private def ivfCentroids(codes: DataFrame, kIvf: Int): DataFrame =
+    codes.orderBy("vec_id").limit(kIvf)
+      .select(col("vec_id").as("cl"), col("v").as("c"))
+
+  /** IVF cell assignment (vec_id, cell): every vector's nearest coarse
+    * centroid — the kmeans/semDedup broadcast-argmin shape (only n
+    * pre-reduced rows shuffle). At scale this frame is the OTHER half
+    * of the serving index ([[ivfCells]] registry-caches it): cell is
+    * the partition key, so a query's ADC scan physically reads
+    * nprobe/kIvf of the corpus. */
+  private[graft] def ivfAssign(codes: DataFrame, kIvf: Int): DataFrame =
+    codes.crossJoin(broadcast(ivfCentroids(codes, kIvf)))
+      .select(col("vec_id"),
+        struct(graft.plans.L2DistanceSq.l2DistSq(col("v"), col("c"))
+          .as("dist"), col("cl")).as("dc"))
+      .groupBy("vec_id").agg(min(col("dc")).as("m0"))
+      .select(col("vec_id"), col("m0.cl").as("cell"))
+
+  /** The materialized PQ index for the bench inventory's standard
+    * configuration (m=4, subDim=16, k=8 over [[int8Codes]]): ONE
+    * persisted (vec_id, s, code) frame per (session, dir), shared by
+    * q178/q179/q180/q181 — the r13 design gap closed: a served ANN
+    * query reads the precomputed encodings instead of re-encoding the
+    * corpus (encode cost is paid once per corpus, not once per query).
+    * 3 small integers per row × m rows per vector — at 100 TB this is
+    * the index you'd persist as a cell-partitioned table. */
+  private[graft] def pqEncodings(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.cached(s, s"pq-enc:$dir") {
+      pqEncode(int8Codes(s, dir), m = 4, subDim = 16, k = 8)
+    }
+
+  /** The materialized IVF cell assignment for the standard kIvf=4
+    * configuration over [[int8Codes]]: ONE persisted (vec_id, cell)
+    * frame per (session, dir), shared by q179/q180/q181. */
+  private[graft] def ivfCells(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.cached(s, s"ivf-cell:$dir") {
+      ivfAssign(int8Codes(s, dir), kIvf = 4)
+    }
+
+  /** Batch IVF-PQ: a SET of query vectors (the quantizable ids <
+    * `qMax`) against the corpus (ids >= `qMax`) through the SAME
+    * materialized index single-query [[ivfPqAnn]] serves from — the
+    * amortization demonstrated, not implied: the per-corpus work
+    * (`enc` = [[pqEncodings]], `cells` = [[ivfCells]]) is read, not
+    * rebuilt, and the whole batch rides ONE pass over the encodings
+    * (the per-query fan-out — probed-cell list and K×M LUTs — lives on
+    * broadcast frames, never re-scans the index). Per query: probe the
+    * `nprobe` nearest of `kIvf` cells (L2, ties to the lowest cell),
+    * ADC-rank that slice of the encodings, window top-`coarseK`,
+    * exact-cosine rerank, top-`topK`. Returns (q_id, vec_id, cell,
+    * adc, cos_sim, rn) ordered by (q_id, rn). Backs q180_ivfpq_batch.
+    * At 100 TB this is the serving shape: cell-partitioned encodings
+    * scanned once per BATCH, never once per query. */
+  private[graft] def ivfPqAnnBatch(codes: DataFrame, enc: DataFrame,
+      cells: DataFrame, qMax: Long, kIvf: Int, nprobe: Int, m: Int,
+      subDim: Int, k: Int, coarseK: Int, topK: Int): DataFrame = {
+    require(kIvf >= 1 && nprobe >= 1 && nprobe <= kIvf,
+      "ivfPqAnnBatch: need 1 <= nprobe <= kIvf")
+    require(qMax >= 1 && coarseK >= 1 && topK >= 1,
+      "ivfPqAnnBatch: qMax, coarseK, topK must all be >= 1")
+    val cents = ivfCentroids(codes, kIvf)
+    val qs = codes.filter(col("vec_id") < qMax)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    // per-query probed cells: bottom-nprobe by (L2, cl); the window
+    // sees |batch|×kIvf rows — batch-bounded, never corpus-bounded
+    val wProbe = Window.partitionBy("q_id").orderBy(col("d").asc, col("cl"))
+    val probed = qs.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cl"),
+        graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv")).as("d"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("q_id").as("pq"), col("cl").as("pcell"))
+    // per-query LUTs: K×M integer rows per query
+    val qsub = pqSubvectors(codes.filter(col("vec_id") < qMax), m, subDim)
+      .select(col("vec_id").as("q_id"), col("s").as("qs_s"),
+        col("sc").as("qs"))
+    val lut = pqSeedCodebooks(codes, m, subDim, k)
+      .join(broadcast(qsub), col("cs") === col("qs_s"))
+      .select(col("q_id"), col("cs"), col("cb_id"),
+        pqDist2(col("qs"), col("cbv")).as("qd"))
+    val adcg = enc.filter(col("vec_id") >= qMax)
+      .join(cells, "vec_id")
+      .join(broadcast(probed), col("cell") === col("pcell"))
+      .join(broadcast(lut),
+        col("pq") === col("q_id") && col("s") === col("cs")
+          && col("code") === col("cb_id"))
+      .groupBy("q_id", "vec_id", "cell")
+      .agg(sum(col("qd")).as("adc"))
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(col("adc").asc, col("vec_id"))
+    val coarse = adcg.withColumn("crn", row_number().over(wAdc))
+      .filter(col("crn") <= coarseK).drop("crn")
+    // rerank probe list ≤ |batch|·coarseK rows by construction —
+    // broadcast explicitly, same discipline as pqAnnSearch
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    broadcast(coarse)
+      .join(codes.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(qs), "q_id")
+      .select(col("q_id"), col("vec_id"), col("cell"), col("adc"),
+        round(cosineFast(col("v"), col("qv")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col("vec_id"), col("cell"), col("adc"),
+        col("cos_sim"), col("rn").cast("int").as("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Trained PQ codebooks — the opt-in alternative to
+    * [[pqSeedCodebooks]] behind the same (cs, cb_id, cbv) shape:
+    * Lloyd's k-means per subspace over the integer subvectors, each
+    * re-estimated centroid the per-dim mean ROUNDED to the nearest
+    * integer (floor(mean + 0.5)) — codebooks stay INTEGER, so the ADC
+    * pipeline stays integer end-to-end and engine-portable (the q135
+    * kmeans rounding discipline, tightened from 6 dp to whole codes).
+    * Seeds are the seed codebooks; cluster ids keep the seed ids; a
+    * cluster that loses every member keeps its previous centroid.
+    * Each round localCheckpoints the k·m-row model (the kmeans/
+    * PageRank lineage discipline), so this is an EAGER constructor
+    * like every iterative materializer: train once, pass the result to
+    * [[pqAnn]]/[[pqAnnSearch]]/[[pqEncode]] via their `codebooks`
+    * parameter. The metered q178/q179 keep the oracle-pinned seed
+    * default; OperatorSpec measures the ADC-quality gain training
+    * buys on a corpus whose seeds are deliberately degenerate. */
+  private[graft] def pqTrainCodebooks(codes: DataFrame, m: Int,
+      subDim: Int, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "pqTrainCodebooks: iters must be >= 1")
+    val sub = pqSubvectors(codes, m, subDim)
+    var cb = pqSeedCodebooks(codes, m, subDim, k).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      // assignment: the pqEncode argmin against the current model
+      val assigned = sub.join(broadcast(cb), col("s") === col("cs"))
+        .groupBy("vec_id", "s")
+        .agg(min(struct(pqDist2(col("sc"), col("cbv")).as("d"),
+          col("cb_id").as("cb"))).as("m0"))
+        .select(col("vec_id"), col("s"), col("m0.cb").as("cb_id"))
+      // re-estimation: per-dim rounded integer mean, k×m×subDim reduce
+      // state regardless of corpus size (the q86/q135 keyed-agg shape)
+      val re = sub.join(assigned, Seq("vec_id", "s"))
+        .select(col("s"), col("cb_id"),
+          posexplode(col("sc")).as(Seq("i", "x")))
+        .groupBy("s", "cb_id", "i")
+        .agg(floor(avg("x") + 0.5).cast("long").as("cx"))
+        .groupBy("s", "cb_id")
+        .agg(transform(
+          sort_array(collect_list(struct(col("i"), col("cx")))),
+          e => e.getField("cx")).as("cbv"))
+        .select(col("s").as("cs"), col("cb_id"), col("cbv"))
+      cb = re.unionByName(
+          cb.join(re.select("cs", "cb_id"), Seq("cs", "cb_id"), "left_anti"))
+        .localCheckpoint()
+      it += 1
+    }
+    cb
   }
 
   /** Oracle CTE: embeddings as double arrays + norms. */
@@ -860,6 +1059,12 @@ object Similarity {
     //    kmeans assign shape); the ADC scan reads M ids per vector;
     //    rerank cost is O(50) regardless of corpus size. All integer
     //    until the rerank — no float drift in the recall stage.
+    //    FIXTURE ASSUMPTION (pinned in ModelPrepSpec): this oracle (and
+    //    q179's) seeds codebooks/centroids with `WHERE vec_id < k` while
+    //    the operator uses the k-smallest-QUANTIZABLE-ids rule — the two
+    //    agree only while ids 0..7 all exist with absmax > 0 in the sf
+    //    fixtures (same dense-id assumption as the semDedup/kmeans
+    //    oracles).
     QueryDef(
       "q178_pq_ann",
       oracleVec +
@@ -896,8 +1101,12 @@ object Similarity {
           |FROM adc JOIN n USING (vec_id), qn
           |ORDER BY cos_sim DESC, adc.vec_id LIMIT 10""".stripMargin) {
       (s, dir) =>
+        // served from the materialized index: the ADC pass scans the
+        // registry-cached encodings (built once per session+dir, shared
+        // with q179/q180/q181) — result-identical to inline encoding,
+        // which is what the oracle replays
         pqAnn(int8Codes(s, dir), queryId = 0L, m = 4, subDim = 16,
-          k = 8, coarseK = 50, topK = 10)
+          k = 8, coarseK = 50, topK = 10, enc = Some(pqEncodings(s, dir)))
     },
 
     // ── IVF-PQ (the Faiss IVF-PQ layout, q73 × q178): a coarse
@@ -964,8 +1173,199 @@ object Similarity {
           |FROM adc JOIN n USING (vec_id), qn
           |ORDER BY cos_sim DESC, adc.vec_id LIMIT 10""".stripMargin) {
       (s, dir) =>
+        // both halves of the serving index read from the registry:
+        // encodings (pq-enc) and the cell assignment (ivf-cell)
         ivfPqAnn(int8Codes(s, dir), queryId = 0L, kIvf = 4, nprobe = 2,
-          m = 4, subDim = 16, k = 8, coarseK = 20, topK = 10)
+          m = 4, subDim = 16, k = 8, coarseK = 20, topK = 10,
+          encIdx = Some(pqEncodings(s, dir)),
+          cellIdx = Some(ivfCells(s, dir)))
+    },
+
+    // ── batch ANN through the materialized IVF-PQ index (q90 × q179):
+    //    the amortization q179's scaladoc promises, demonstrated — a
+    //    SET of query vectors (quantizable ids < 5) rides ONE pass over
+    //    the registry-cached encodings and cell assignment; the
+    //    per-query fan-out (probed cells, K×M LUTs) is all broadcast.
+    //    Per query: probe nprobe=2 of 4 cells, ADC top-20, exact
+    //    rerank, top-3. At 100 TB: the index is built once and
+    //    cell-partitioned; a query batch costs one pruned index scan,
+    //    never a corpus re-encode per query.
+    QueryDef(
+      "q180_ivfpq_batch",
+      oracleVec +
+        """,
+          |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))
+          |        AS absmax FROM e),
+          |c AS (SELECT vec_id,
+          |  list_transform(v, x -> CAST(floor(x * 127 / absmax + 0.5) AS BIGINT))
+          |    AS codes FROM a WHERE absmax > 0),
+          |cc AS (SELECT n.vec_id AS cl, n.v AS cv FROM n JOIN c USING (vec_id)
+          |       WHERE n.vec_id < 4),
+          |asgn AS (SELECT vec_id, cl AS cell FROM (
+          |  SELECT n.vec_id, cc.cl,
+          |    row_number() OVER (PARTITION BY n.vec_id
+          |      ORDER BY list_sum([(n.v[i]-cc.cv[i])*(n.v[i]-cc.cv[i])
+          |                         for i in range(1, len(n.v)+1)]), cc.cl)
+          |      AS rn
+          |  FROM n JOIN c USING (vec_id) CROSS JOIN cc) WHERE rn = 1),
+          |qs AS (SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qnrm
+          |       FROM n JOIN c USING (vec_id) WHERE n.vec_id < 5),
+          |probed AS (SELECT q_id, cl AS pcell FROM (
+          |  SELECT qs.q_id, cc.cl,
+          |    row_number() OVER (PARTITION BY qs.q_id
+          |      ORDER BY list_sum([(cc.cv[i]-qs.qv[i])*(cc.cv[i]-qs.qv[i])
+          |                         for i in range(1, len(cc.cv)+1)]), cc.cl)
+          |      AS prn
+          |  FROM qs CROSS JOIN cc) WHERE prn <= 2),
+          |sub AS (SELECT vec_id, s,
+          |  [c.codes[s*16+i] for i in range(1, 17)] AS sc
+          |  FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+          |cb AS (SELECT s, vec_id AS cb_id, sc AS cbv FROM sub
+          |       WHERE vec_id < 8),
+          |enc AS (SELECT vec_id, s, cb_id AS code FROM (
+          |  SELECT sub.vec_id, sub.s, cb.cb_id,
+          |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+          |      ORDER BY list_sum([(sub.sc[i]-cb.cbv[i])*(sub.sc[i]-cb.cbv[i])
+          |                         for i in range(1, 17)]), cb.cb_id) AS rn
+          |  FROM sub JOIN cb USING (s)) WHERE rn = 1),
+          |qsub AS (SELECT vec_id AS q_id, s, sc AS qsc FROM sub
+          |        WHERE vec_id < 5),
+          |lut AS (SELECT qsub.q_id, cb.s, cb.cb_id,
+          |  CAST(list_sum([(qsub.qsc[i]-cb.cbv[i])*(qsub.qsc[i]-cb.cbv[i])
+          |                 for i in range(1, 17)]) AS BIGINT) AS qd
+          |  FROM cb JOIN qsub USING (s)),
+          |adcg AS (SELECT l.q_id, enc.vec_id, asgn.cell,
+          |  CAST(sum(l.qd) AS BIGINT) AS adc
+          |  FROM enc JOIN asgn ON enc.vec_id = asgn.vec_id
+          |  JOIN probed p ON asgn.cell = p.pcell
+          |  JOIN lut l ON l.q_id = p.q_id AND enc.s = l.s
+          |    AND enc.code = l.cb_id
+          |  WHERE enc.vec_id >= 5 GROUP BY l.q_id, enc.vec_id, asgn.cell),
+          |coarse AS (SELECT q_id, vec_id, cell, adc FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id
+          |    ORDER BY adc, vec_id) AS crn FROM adcg) WHERE crn <= 20),
+          |r AS (SELECT co.q_id, co.vec_id, co.cell, co.adc,
+          |  round(list_sum([n.v[i]*qs.qv[i] for i in range(1, len(n.v)+1)])
+          |        / (n.nrm*qs.qnrm), 4) AS cos_sim
+          |  FROM coarse co JOIN n ON co.vec_id = n.vec_id
+          |  JOIN qs ON co.q_id = qs.q_id)
+          |SELECT q_id, vec_id, CAST(cell AS BIGINT) AS cell, adc, cos_sim,
+          |  CAST(rn AS INTEGER) AS rn FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id
+          |    ORDER BY cos_sim DESC, vec_id) AS rn FROM r)
+          |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      ivfPqAnnBatch(int8Codes(s, dir), pqEncodings(s, dir),
+        ivfCells(s, dir), qMax = 5L, kIvf = 4, nprobe = 2, m = 4,
+        subDim = 16, k = 8, coarseK = 20, topK = 3)
+    },
+
+    // ── ANN recall audit (the q117/q144 discipline applied to the
+    //    quantized ladder): recall@10 of the PQ (q178) and IVF-PQ
+    //    (q179) searches against q46's exact top-10, as integer basis
+    //    points — production approximations carry their own measured
+    //    audit, so "how much recall does 16× compression cost" is a
+    //    query result, not a narrative claim. Both sides are fully
+    //    deterministic, so the oracle replays every stage. Rides the
+    //    shared vectors + pq-enc + ivf-cell caches (the audit costs
+    //    three pruned re-rankings, not three corpus re-encodes).
+    QueryDef(
+      "q181_ann_recall",
+      oracleVec +
+        """,
+          |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))
+          |        AS absmax FROM e),
+          |c AS (SELECT vec_id,
+          |  list_transform(v, x -> CAST(floor(x * 127 / absmax + 0.5) AS BIGINT))
+          |    AS codes FROM a WHERE absmax > 0),
+          |qn AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+          |ex10 AS (SELECT vec_id FROM (
+          |  SELECT n.vec_id,
+          |    round(list_sum([n.v[i]*qn.qv[i] for i in range(1, len(n.v)+1)])
+          |          / (n.nrm*qn.qnrm), 4) AS cos_sim
+          |  FROM n, qn WHERE vec_id <> 0
+          |  ORDER BY cos_sim DESC, vec_id LIMIT 10) tx),
+          |sub AS (SELECT vec_id, s,
+          |  [c.codes[s*16+i] for i in range(1, 17)] AS sc
+          |  FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+          |cb AS (SELECT s, vec_id AS cb_id, sc AS cbv FROM sub
+          |       WHERE vec_id < 8),
+          |enc AS (SELECT vec_id, s, cb_id AS code FROM (
+          |  SELECT sub.vec_id, sub.s, cb.cb_id,
+          |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+          |      ORDER BY list_sum([(sub.sc[i]-cb.cbv[i])*(sub.sc[i]-cb.cbv[i])
+          |                         for i in range(1, 17)]), cb.cb_id) AS rn
+          |  FROM sub JOIN cb USING (s)) WHERE rn = 1),
+          |q AS (SELECT s, sc AS qsc FROM sub WHERE vec_id = 0),
+          |lut AS (SELECT cb.s, cb.cb_id,
+          |  CAST(list_sum([(q.qsc[i]-cb.cbv[i])*(q.qsc[i]-cb.cbv[i])
+          |                 for i in range(1, 17)]) AS BIGINT) AS qd
+          |  FROM cb JOIN q USING (s)),
+          |adc50 AS (SELECT enc.vec_id, CAST(sum(lut.qd) AS BIGINT) AS adc
+          |  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.cb_id
+          |  WHERE enc.vec_id <> 0 GROUP BY enc.vec_id
+          |  ORDER BY adc ASC, enc.vec_id LIMIT 50),
+          |pq10 AS (SELECT vec_id FROM (
+          |  SELECT adc50.vec_id,
+          |    round(list_sum([n.v[i]*qn.qv[i] for i in range(1, len(n.v)+1)])
+          |          / (n.nrm*qn.qnrm), 4) AS cos_sim
+          |  FROM adc50 JOIN n USING (vec_id), qn
+          |  ORDER BY cos_sim DESC, vec_id LIMIT 10) tp),
+          |cc AS (SELECT n.vec_id AS cl, n.v AS cv FROM n JOIN c USING (vec_id)
+          |       WHERE n.vec_id < 4),
+          |asgn AS (SELECT vec_id, cl AS cell FROM (
+          |  SELECT n.vec_id, cc.cl,
+          |    row_number() OVER (PARTITION BY n.vec_id
+          |      ORDER BY list_sum([(n.v[i]-cc.cv[i])*(n.v[i]-cc.cv[i])
+          |                         for i in range(1, len(n.v)+1)]), cc.cl)
+          |      AS rn
+          |  FROM n JOIN c USING (vec_id) CROSS JOIN cc) WHERE rn = 1),
+          |probed AS (SELECT cl FROM (
+          |  SELECT cc.cl,
+          |    list_sum([(cc.cv[i]-qn.qv[i])*(cc.cv[i]-qn.qv[i])
+          |              for i in range(1, len(cc.cv)+1)]) AS d
+          |  FROM cc, qn) td ORDER BY d, cl LIMIT 2),
+          |adc20 AS (SELECT enc.vec_id, CAST(sum(lut.qd) AS BIGINT) AS adc
+          |  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.cb_id
+          |  JOIN asgn ON enc.vec_id = asgn.vec_id
+          |  WHERE enc.vec_id <> 0 AND asgn.cell IN (SELECT cl FROM probed)
+          |  GROUP BY enc.vec_id ORDER BY adc ASC, enc.vec_id LIMIT 20),
+          |ivf10 AS (SELECT vec_id FROM (
+          |  SELECT adc20.vec_id,
+          |    round(list_sum([n.v[i]*qn.qv[i] for i in range(1, len(n.v)+1)])
+          |          / (n.nrm*qn.qnrm), 4) AS cos_sim
+          |  FROM adc20 JOIN n USING (vec_id), qn
+          |  ORDER BY cos_sim DESC, vec_id LIMIT 10) ti)
+          |SELECT method, hits, recall_bp FROM (
+          |  SELECT 'pq' AS method, CAST(count(*) AS INTEGER) AS hits,
+          |    CAST(count(*) * 1000 AS INTEGER) AS recall_bp
+          |  FROM pq10 JOIN ex10 USING (vec_id)
+          |  UNION ALL
+          |  SELECT 'ivfpq' AS method, CAST(count(*) AS INTEGER) AS hits,
+          |    CAST(count(*) * 1000 AS INTEGER) AS recall_bp
+          |  FROM ivf10 JOIN ex10 USING (vec_id)) tu
+          |ORDER BY method""".stripMargin) { (s, dir) =>
+      val codes = int8Codes(s, dir)
+      val encIdx = Some(pqEncodings(s, dir))
+      val vs = vectors(s, dir)
+      val q = vs.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val exact = vs.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosineFast(col("v"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+        .select("vec_id")
+      // recall@10 = |approx ∩ exact| / 10, as integer basis points
+      def recallOf(approx: DataFrame, method: String): DataFrame =
+        approx.select("vec_id").join(broadcast(exact), "vec_id")
+          .agg(count(lit(1)).cast("int").as("hits"))
+          .select(lit(method).as("method"), col("hits"),
+            (col("hits") * 1000).as("recall_bp"))
+      recallOf(pqAnn(codes, 0L, 4, 16, 8, 50, 10, enc = encIdx), "pq")
+        .unionByName(recallOf(
+          ivfPqAnn(codes, 0L, 4, 2, 4, 16, 8, 20, 10,
+            encIdx = encIdx, cellIdx = Some(ivfCells(s, dir))), "ivfpq"))
+        .orderBy("method")
     },
 
     // ── per-label centroids: the aggregate-of-vectors building block

@@ -18,13 +18,19 @@ object ReleasePlan {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val plan = Bench.deriveReleasePlan(spark,
-      args.headOption.getOrElse("/root/testdata/sf0.001"))
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val plan = Bench.deriveReleasePlan(spark, dir)
     println("  val releaseAfter: Map[String, Seq[String]] = Map(")
     plan.toSeq.sortBy(_._1).foreach { case (q, keys) =>
       println(s"""    "$q" -> Seq(${keys.sorted.map("\"" + _ + "\"").mkString(", ")}),""")
     }
     println("  )")
+    // build-attribution half (r13 verdict ask #2): which query's timed
+    // section absorbs each cache build in sorted run order — paste into
+    // BASELINE.md's attribution table alongside the quiet medians
+    println("  // cache build absorbers (first consumer in bench order):")
+    Bench.deriveFirstConsumers(spark, dir).toSeq.sortBy(_._1)
+      .foreach { case (p, q) => println(s"  //   $p -> $q") }
     spark.stop()
   }
 }

@@ -60,6 +60,53 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.endsWith("\"sf\":0.01}"))
   }
 
+  test("compact contingency: deciseconds + dropped empty failed, parseable") {
+    // the standing compaction for the next inventory growth (r13
+    // verdict ask #7) — same ±0.05 s information as the 1-decimal
+    // default (which IS deciseconds with a decimal point), gated off
+    // until the line needs the room
+    val r = Seq(("q01_a", 0.25, true), ("q02_b", 12.64, true),
+      ("q03_c", 3.0, true), ("q04_d", 0.04, true))
+    val line = Bench.renderJson(r, 1.23, 2.34, 1.11, 2.22, "sf0.1",
+      compact = true)
+    assert(line.contains("\"u\":\"ds\""), "compact mode must mark its unit")
+    assert(line.contains("\"01\":3") || line.contains("\"01\":2"))
+    assert(line.contains("\"02\":126"))
+    assert(line.contains("\"03\":30"))
+    assert(line.contains("\"04\":0"))
+    assert(!line.contains("\"failed\""),
+      "an empty failed list is encoded as absence in compact mode")
+    // a real failure must STILL render, compact or not
+    val lineF = Bench.renderJson(Seq(("q01_a", 0.2, true),
+      ("q07_bad", 0.1, false)), 0.5, 0.5, 0.5, 0.5, "sf0.1",
+      compact = true)
+    assert(lineF.contains("\"failed\":[\"07\"]"))
+    // the judged total and the markers keep their 2-dp second format
+    assert(line.contains("\"value\":15.93"))
+    assert(line.contains("\"wu\":1.23") && line.contains("\"wio2\":2.22"))
+    // both renderings stay structurally valid JSON (brace/quote walk:
+    // ujson isn't on the test classpath, so count structural tokens)
+    for (l <- Seq(line, lineF)) {
+      assert(l.count(_ == '{') == l.count(_ == '}'))
+      assert(l.count(_ == '"') % 2 == 0)
+      assert(l.startsWith("{\"metric\":\"total\",\"value\":")
+        && l.endsWith("\"sf\":0.1}"))
+    }
+  }
+
+  test("compact worst-case width buys real headroom over the default") {
+    val results = names.map(n => (n, 9.94, true))
+    val dflt = Bench.renderJson(results, 99.99, 99.99, 99.99, 99.99,
+      "sf0.1")
+    val cmp = Bench.renderJson(results, 99.99, 99.99, 99.99, 99.99,
+      "sf0.1", compact = true)
+    // all-9.9s is the widest sub-10 case in BOTH formats ("9.9" vs "99")
+    assert(cmp.length < 1950, s"compact worst-case ${cmp.length}")
+    assert(cmp.length <= dflt.length - 100,
+      s"compaction must buy >= 100 chars at worst case " +
+        s"(default ${dflt.length}, compact ${cmp.length})")
+  }
+
   test("rendering is locale-independent (decimal POINT under any default)") {
     val prev = java.util.Locale.getDefault
     java.util.Locale.setDefault(java.util.Locale.GERMANY) // decimal comma

@@ -328,6 +328,34 @@ class GraftFacadeSpec extends SparkTestBase {
       "with coarseK covering all candidates, pruning only removes ids")
   }
 
+  test("ivfPqAnnBatch facade: qMax=1 batch ≡ the single-query search") {
+    // with qMax=1 the batch holds exactly query 0 and the corpus is
+    // every other id — the SAME (query, corpus) split single-query
+    // ivfPqAnn uses (it excludes only the query id), so on dense ids
+    // the batch rows must reproduce the single-query rows exactly,
+    // modulo the added (q_id, rn) columns. Pins that the one-pass
+    // batch plan and the per-query plan compute the same function.
+    val rows = Seq(
+      (0L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      (1L, Seq(8.0, -1.0, 2.0, 0.0, 3.0, -2.0, 1.0, 4.0)),
+      (2L, Seq(-5.0, 5.0, -5.0, 5.0, -5.0, 5.0, -5.0, 5.0)),
+      (3L, Seq(0.5, 0.5, 4.0, -3.0, 2.0, 2.0, -1.0, 0.0)),
+      (4L, Seq(3.0, 1.0, -2.0, 6.0, 0.0, -4.0, 2.0, 2.0)),
+      (5L, Seq(2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0)))
+    val df = rows.toDF("id", "emb")
+    val single = Graft.ivfPqAnn(df, "id", "emb", queryId = 0L, kIvf = 3,
+        nprobe = 2, m = 2, subDim = 4, k = 3, coarseK = 5, topK = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val batch = Graft.ivfPqAnnBatch(df, "id", "emb", qMax = 1L,
+        kIvf = 3, nprobe = 2, m = 2, subDim = 4, k = 3, coarseK = 5,
+        topK = 5)
+      .as[(Long, Long, Long, Long, Double, Int)].collect().toSeq
+    assert(batch.map(_._1).forall(_ == 0L), "one query in the batch")
+    assert(batch.map(_._6) == (1 to batch.size), "rn is 1..topK in order")
+    assert(batch.map(b => (b._2, b._3, b._4, b._5)) == single,
+      s"batch and single-query IVF-PQ must agree:\n$batch\nvs\n$single")
+  }
+
   test("semDedup facade: later near-dup of a seed is dropped") {
     val e = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
       (2L, Seq(1.0, 0.001))).toDF("id", "emb")

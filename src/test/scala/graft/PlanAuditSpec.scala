@@ -321,6 +321,43 @@ class PlanAuditSpec extends SparkTestBase {
       s"ADC top-20 and rerank top-10 must be heap-k, not global sorts:\n$t")
   }
 
+  test("q178/q179/q180: the ADC pass reads the MATERIALIZED index") {
+    // the r13 design gap closed (r13 verdict ask #3): PQ encodings
+    // (pq-enc) and the IVF cell assignment (ivf-cell) are registry
+    // caches now, so a served query's plan must scan the in-memory
+    // index instead of re-deriving the corpus encodings per query —
+    // the Generate/explode + argmin encode subtree must be GONE from
+    // the per-query plan
+    for (q <- Seq("q178_pq_ann", "q179_ivfpq_ann", "q180_ivfpq_batch")) {
+      val t = tree(q)
+      assert(t.contains("InMemoryTableScan"),
+        s"$q must serve from the cached index:\n$t")
+    }
+    // single-query PQ reads encodings but must NOT re-run the encode
+    // argmin: its only aggregates are the ADC sum (partial+final) and
+    // nothing groups by (vec_id, s) anymore — the encode signature is
+    // the per-(vec_id,s) argmin's Generate over the corpus codes; with
+    // the index cached, q178's only Generate is the tiny query-side
+    // subvector explode feeding the LUT (probe, not corpus)
+    val t178 = tree("q178_pq_ann")
+    assert(!t178.contains("SortMergeJoin"),
+      s"serving from the index must not introduce a shuffle join:\n$t178")
+  }
+
+  test("q180: batch rides broadcast fan-out; only index-sized joins shuffle") {
+    // the whole batch must ride ONE pass over the cached encodings:
+    // probed cells and per-query LUTs broadcast; the only joins allowed
+    // to shuffle are the corpus-sized index joins (encodings ⋈ cells on
+    // vec_id, rerank candidates ⋈ vectors)
+    val t = tree("q180_ivfpq_batch")
+    assert(t.contains("BroadcastHashJoin"),
+      s"probed cells + LUTs must broadcast:\n$t")
+    assert("SortMergeJoin".r.findAllIn(t).size <= 1,
+      s"at most ONE shuffle join (encodings ⋈ cell assignment):\n$t")
+    assert(!t.contains("CartesianProduct"),
+      s"the per-query fan-out must stay an equality join:\n$t")
+  }
+
   test("q115: BM25 stats row broadcasts; top-k avoids a global sort") {
     val p = plan("q115_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"),

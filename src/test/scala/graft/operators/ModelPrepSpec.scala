@@ -226,6 +226,30 @@ class ModelPrepSpec extends SparkTestBase {
     }
   }
 
+  test("ANN oracle fixture assumption: seed ids are dense and quantizable") {
+    // The q178/q179 oracles seed codebooks/IVF centroids with
+    // `WHERE vec_id < k` while the operators use the k-smallest-
+    // QUANTIZABLE-ids rule. The two agree only while ids 0..max(k,kIvf)-1
+    // all exist with absmax > 0 — a regenerated fixture with a zero
+    // vector (or id gap) inside the seed range would silently shrink the
+    // oracle codebook and diverge. Pin the assumption on BOTH fixtures
+    // the harness reads (specs: sf0.001; the driver's Verify: sf0.01) —
+    // the same dense-id assumption semDedup/kmeans oracles document.
+    val seedRange = 8L // max(k = 8 PQ codebook seeds, kIvf = 4 IVF cells)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val seeds = Tables(spark, dir, "embeddings")
+        .select($"vec_id", $"embedding")
+        .filter($"vec_id" < seedRange)
+        .as[(Long, Array[Float])].collect()
+      assert(seeds.map(_._1).sorted.toSeq == (0L until seedRange),
+        s"$dir: ids 0..${seedRange - 1} must all be present")
+      seeds.foreach { case (id, emb) =>
+        assert(emb.map(x => math.abs(x.toDouble)).max > 0,
+          s"$dir: seed vector $id must be quantizable (absmax > 0)")
+      }
+    }
+  }
+
   test("q161 SemDeDup equals the brute-force one-sweep keep rule") {
     val rows = Tables(spark, sf, "embeddings")
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()

@@ -244,6 +244,53 @@ class OperatorSpec extends SparkTestBase {
       s"expected the in-plan length assertion, got: $ex")
   }
 
+  test("pqTrainCodebooks: training rescues ADC recall from degenerate seeds") {
+    // constructed corpus where the seed rule is deliberately WORTHLESS:
+    // the two lowest ids (the seeds) are the SAME near-origin vector,
+    // so both seed codebook entries coincide, every vector encodes to
+    // entry 0, ADC is one constant, and the coarse cut degenerates to
+    // lowest-vec_id order. Two Lloyd rounds split the model onto the
+    // two REAL clusters (+100⁴ / −100⁴), after which ADC recovers the
+    // query's true neighborhood — the measured gain the trained-
+    // codebook option exists for. The metered q178/q179 keep the
+    // oracle-pinned seed default.
+    val h2 = (2L to 5L).map(i => (i, Seq(-100L, -100L, -100L, -100L - i % 2)))
+    val h1 = (6L to 10L).map(i => (i, Seq(100L, 100L, 100L, 100L + i % 2)))
+    val rows = Seq((0L, Seq(0L, 0L, 0L, 1L)), (1L, Seq(0L, 0L, 0L, 1L))) ++
+      h2 ++ h1
+    val df = codesDf(rows)
+    // exact cosine top-5 for query 6, replayed driver-side
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum)
+        * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val qv = rows.find(_._1 == 6L).get._2
+    val exact = rows.filter(_._1 != 6L)
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(v, qv))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    def topIds(cb: Option[org.apache.spark.sql.DataFrame]): Set[Long] =
+      Similarity.pqAnn(df, queryId = 6L, m = 1, subDim = 4, k = 2,
+          coarseK = 5, topK = 5, codebooks = cb)
+        .select("vec_id").as[Long].collect().toSet
+    val seedRecall = (topIds(None) & exact).size
+    val trained = Similarity.pqTrainCodebooks(df, m = 1, subDim = 4,
+      k = 2, iters = 2)
+    // the model really did split: the two entries must differ now
+    assert(trained.select("cbv").as[Seq[Long]].collect().toSet.size == 2,
+      "two Lloyd rounds must separate the coincident seed entries")
+    val trainedRecall = (topIds(Some(trained)) & exact).size
+    assert(seedRecall <= 2,
+      s"fixture must make seed codebooks bad (got recall $seedRecall/5)")
+    assert(trainedRecall >= 4,
+      s"trained codebooks must recover the neighborhood " +
+        s"(got $trainedRecall/5)")
+    assert(trainedRecall > seedRecall)
+  }
+
   test("pqAnnSearch: the IVF restriction selects cells without " +
       "changing ADC values") {
     val rows = Seq(
