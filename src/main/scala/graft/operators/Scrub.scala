@@ -96,6 +96,14 @@ object Scrub {
       // sketch build, then restore: leaving them raised would let
       // Spark's own InjectRuntimeFilter build arbitrarily large runtime
       // sketches for every later join in the session.
+      // CONCURRENCY CAVEAT (r13 verdict): set-then-restore of SESSION
+      // confs is not safe if two queries CONSTRUCT simultaneously on
+      // one SparkSession — a concurrent constructor could observe (or
+      // clobber) the raised caps. Harmless under Bench/Verify's
+      // sequential driver and any one-thread-per-session notebook; a
+      // multi-threaded driver should construct this query's plan under
+      // external serialization, or on a cloned session
+      // (SparkSession.cloneSession inherits confs copy-on-write).
       val capConfs = Seq(
         "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expected,
         "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)

@@ -1268,6 +1268,14 @@ object Similarity {
     //    deterministic, so the oracle replays every stage. Rides the
     //    shared vectors + pq-enc + ivf-cell caches (the audit costs
     //    three pruned re-rankings, not three corpus re-encodes).
+    //    MEASURED (r14, this query's own output): sf0.01 → pq 6000 bp,
+    //    ivfpq 4000 bp; sf0.1 → pq 5000 bp, ivfpq 2000 bp. That is the
+    //    price of 16× scan compression (pq) plus the nprobe/kIvf = 1/2
+    //    cell prune (ivfpq) on SYNTHETIC near-uniform embeddings —
+    //    seed codebooks have no cluster structure to exploit here, the
+    //    worst case for PQ; corpora with real clusters (and trained
+    //    codebooks via pqTrainCodebooks, which OperatorSpec shows
+    //    lifting a degenerate corpus from 1/5 to 5/5) sit far higher.
     QueryDef(
       "q181_ann_recall",
       oracleVec +
