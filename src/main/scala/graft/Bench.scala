@@ -76,12 +76,52 @@ object Bench {
     }
   }
 
+  /** Which query's timed section ABSORBS each cache build in Bench's
+    * sorted run order — the other half of the lifecycle ledger
+    * ([[releaseAfter]] is the release half). HAND-PASTED from
+    * `tools.ReleasePlan` output; `BenchReleaseSpec` re-derives it via
+    * [[deriveFirstConsumers]] and fails on drift, so the attribution
+    * table BASELINE.md records (the r13 verdict's ask #2) can never
+    * silently rot when the inventory changes. */
+  private[graft] val buildAbsorbers: Map[String, String] = Map(
+    "bm25" -> "q115_bm25_topk",
+    "cms-hashed" -> "q126_countmin_audit",
+    "dsir-lm" -> "q165_dsir_select",
+    "dsir-scored" -> "q165_dsir_select",
+    "dup-cc" -> "q173_cluster_rep",
+    "ivf-cell" -> "q179_ivfpq_ann",
+    "jaccard-pairs" -> "q173_cluster_rep",
+    "lsh-audit-sample" -> "q117_lsh_recall",
+    "lsh-cand" -> "q117_lsh_recall",
+    "minhash-sig" -> "q117_lsh_recall",
+    "phash" -> "q171_phash_pairs",
+    "pq-enc" -> "q178_pq_ann",
+    "sess-cooc" -> "q134_session_cooccurrence",
+    "shingles" -> "q117_lsh_recall",
+    "simhash" -> "q43_simhash_pairs",
+    "source-vocab" -> "q145_source_overlap",
+    "tf-norm" -> "q130_cosine_rerank",
+    "unigram-tf" -> "q130_cosine_rerank",
+    "vectors" -> "q116_hybrid_rrf",
+    "winnow-fp" -> "q146_winnow_pairs",
+  )
+
   /** Derive each cache key-prefix's FIRST consumer in Bench's sorted
     * run order — the query whose timed section normally ABSORBS the
     * cache build (the registry builds on first access; sorted order
     * makes that query deterministic round to round). Same replay
     * machinery and scale-invariance assumption as
-    * [[deriveReleasePlan]]. One honest caveat the r13 verdict forced:
+    * [[deriveReleasePlan]].
+    *
+    * MUST run against a COLD registry: a nested access (a build
+    * closure calling `cached` for its own input) only fires the hook
+    * while the build actually RUNS, so replaying over already-built
+    * frames attributes every nested build to its first DIRECT consumer
+    * instead of the query that triggers the chain (measured:
+    * jaccard-pairs flips q173 → q42 warm). BenchReleaseSpec clears
+    * first; tools.ReleasePlan clears between its two derivations.
+    *
+    * One honest caveat the r13 verdict forced:
     * this records first access during PLAN CONSTRUCTION; a query whose
     * action materializes only part of the persisted frame (e.g. a
     * plan whose limit stops after one cache partition) can defer the

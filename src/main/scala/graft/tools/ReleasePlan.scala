@@ -27,10 +27,17 @@ object ReleasePlan {
     println("  )")
     // build-attribution half (r13 verdict ask #2): which query's timed
     // section absorbs each cache build in sorted run order — paste into
-    // BASELINE.md's attribution table alongside the quiet medians
-    println("  // cache build absorbers (first consumer in bench order):")
+    // Bench.buildAbsorbers AND BASELINE.md's attribution table.
+    // MUST derive on a COLD registry: nested accesses (a build closure
+    // calling cached() for its input) only fire while the build RUNS,
+    // so deriving over the frames the release-plan replay just built
+    // would mis-attribute every nested build to its first DIRECT
+    // consumer (measured: jaccard-pairs flips q173→q42 when warm).
+    graft.CacheRegistry.clear(spark)
+    println("  val buildAbsorbers: Map[String, String] = Map(")
     Bench.deriveFirstConsumers(spark, dir).toSeq.sortBy(_._1)
-      .foreach { case (p, q) => println(s"  //   $p -> $q") }
+      .foreach { case (p, q) => println(s"""    "$p" -> "$q",""") }
+    println("  )")
     spark.stop()
   }
 }

@@ -241,6 +241,15 @@ object ScaleProbe {
       rec("ivfpq_batch5", nVecs) {
         graft.SparkEntry.queries("q180_ivfpq_batch")(spark, dir).count()
       }
+      // codebook training (facade trainPqCodebooks, 2 Lloyd rounds per
+      // subspace): the assign pass is the pqEncode broadcast-argmin,
+      // re-estimation reduces to k·m·subDim cells — expect the kmeans
+      // growth shape (~linear, fixed-overhead-dominated at these sizes)
+      rec("pq_train2", nVecs) {
+        Similarity.pqTrainCodebooks(
+          Similarity.vectors(spark, dir).filter(col("codes").isNotNull),
+          m = 4, subDim = 16, k = 8, iters = 2).count()
+      }
       rec("budget_select", nDocs) {
         SparkEntry.queries("q157_budget_select")(spark, dir).count()
       }

@@ -23,6 +23,21 @@ class BenchReleaseSpec extends SparkTestBase {
     CacheRegistry.clear(spark)
   }
 
+  test("buildAbsorbers matches the derived first-consumer attribution") {
+    // the other half of the lifecycle ledger: BASELINE.md's cache-build
+    // attribution table is pasted from this map, so a new query that
+    // silently becomes a cache's first consumer (shifting which timed
+    // section absorbs the build) must fail here, not confuse the next
+    // round's per-query delta forensics
+    CacheRegistry.clear(spark)
+    val derived = Bench.deriveFirstConsumers(spark, "/root/testdata/sf0.001")
+    assert(derived == Bench.buildAbsorbers,
+      s"""attribution drift — paste `sbt "runMain graft.tools.ReleasePlan"` output into Bench.buildAbsorbers
+         |derived : ${derived.toSeq.sortBy(_._1).mkString(", ")}
+         |declared: ${Bench.buildAbsorbers.toSeq.sortBy(_._1).mkString(", ")}""".stripMargin)
+    CacheRegistry.clear(spark)
+  }
+
   test("releaseByPrefix drops only the matching session-owned entries") {
     CacheRegistry.clear(spark)
     // distinct plans — two identical range(5) plans would share ONE
