@@ -291,6 +291,48 @@ class OperatorSpec extends SparkTestBase {
     assert(trainedRecall > seedRecall)
   }
 
+  test("pqAnn: a precomputed encodings frame is plan sugar, not semantics") {
+    // the r14 index materialization contract: serving from pqEncode's
+    // output (what the pq-enc registry cache holds) must reproduce the
+    // inline-encoding result row-for-row — the cache changes WHERE the
+    // encode cost is paid, never what is computed
+    val rows = Seq(
+      (0L, Seq(1L, 2L, 3L, 4L, 5L, 6L)),
+      (1L, Seq(1L, 2L, 3L, 4L, 5L, 7L)),
+      (2L, Seq(9L, 0L, 1L, 2L, 3L, 4L)),
+      (3L, Seq(-3L, 5L, 2L, 8L, 0L, 1L)),
+      (4L, Seq(2L, 2L, 2L, 2L, 2L, 2L)),
+      (5L, Seq(7L, 7L, 0L, 0L, 1L, 1L)))
+    val df = codesDf(rows)
+    val enc = Similarity.pqEncode(df, m = 2, subDim = 3, k = 3)
+    val direct = Similarity.pqAnn(df, queryId = 0L, m = 2, subDim = 3,
+      k = 3, coarseK = 10, topK = 10).as[(Long, Long, Double)].collect()
+    val served = Similarity.pqAnn(df, queryId = 0L, m = 2, subDim = 3,
+        k = 3, coarseK = 10, topK = 10, enc = Some(enc))
+      .as[(Long, Long, Double)].collect()
+    assert(direct.nonEmpty && served.toSeq == direct.toSeq,
+      "served-from-index must equal inline encoding exactly")
+  }
+
+  test("ivfPqAnnBatch: an empty query set returns empty, schema intact") {
+    // ids all >= qMax → zero quantizable queries: the batch must come
+    // back EMPTY with its declared six columns, never throw or emit a
+    // cross-join of nothing — the degenerate input a scheduled serving
+    // job hits when a shard's id range misses the query band
+    val rows = Seq(
+      (1000L, Seq(1L, 2L, 3L, 4L, 5L, 6L)),
+      (1001L, Seq(9L, 0L, 1L, 2L, 3L, 4L)),
+      (1002L, Seq(-3L, 5L, 2L, 8L, 0L, 1L)))
+    val df = codesDf(rows)
+    val got = Similarity.ivfPqAnnBatch(df,
+      Similarity.pqEncode(df, m = 2, subDim = 3, k = 2),
+      Similarity.ivfAssign(df, kIvf = 2), qMax = 5L, kIvf = 2,
+      nprobe = 1, m = 2, subDim = 3, k = 2, coarseK = 5, topK = 3)
+    assert(got.columns.toSeq ==
+      Seq("q_id", "vec_id", "cell", "adc", "cos_sim", "rn"))
+    assert(got.count() == 0)
+  }
+
   test("pqAnnSearch: the IVF restriction selects cells without " +
       "changing ADC values") {
     val rows = Seq(
