@@ -534,7 +534,14 @@ object Similarity {
     * query reads the precomputed encodings instead of re-encoding the
     * corpus (encode cost is paid once per corpus, not once per query).
     * 3 small integers per row × m rows per vector — at 100 TB this is
-    * the index you'd persist as a cell-partitioned table. */
+    * the index you'd persist as a cell-partitioned table.
+    *
+    * Staleness contract (same as every registry cache): keyed by
+    * (session, dir) — if the parquet under `dir` is rewritten, release
+    * the index (`CacheRegistry.releaseByPrefix(s, "pq-enc")`, likewise
+    * "ivf-cell") alongside `Tables.invalidate`, or the next search
+    * serves encodings of the dead corpus. ScaleProbe's per-multiplier
+    * `CacheRegistry.clear` is the working example. */
   private[graft] def pqEncodings(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cached(s, s"pq-enc:$dir") {
       pqEncode(int8Codes(s, dir), m = 4, subDim = 16, k = 8)
