@@ -370,7 +370,16 @@ object Similarity {
     * shuffle. Returns (vec_id, s, code). At scale this frame IS the PQ
     * index: build it once ([[pqEncodings]] registry-caches it per
     * (session, dir)) and every query's ADC pass scans the 4-id
-    * encodings instead of re-deriving them from the corpus. */
+    * encodings instead of re-deriving them from the corpus.
+    *
+    * Incremental contract (spec-pinned in OperatorSpec): under a
+    * FROZEN `codebooks` frame, encode(old ∪ new) = encode(old) ∪
+    * encode(new) — so daily ingest encodes only the delta and APPENDS
+    * to the index. The freeze is load-bearing: the default seed rule
+    * re-derives codebooks from the k smallest ids of whatever frame it
+    * sees, so an unfrozen "incremental" encode of a batch containing
+    * new low ids would silently code the delta in a different space
+    * than the index it joins. */
   private[graft] def pqEncode(codes: DataFrame, m: Int, subDim: Int,
       k: Int, codebooks: Option[DataFrame] = None): DataFrame = {
     val sub = pqSubvectors(codes, m, subDim)

@@ -314,6 +314,38 @@ class OperatorSpec extends SparkTestBase {
       "served-from-index must equal inline encoding exactly")
   }
 
+  test("pqEncode: frozen codebooks make encoding incremental (append-only index)") {
+    // the 100 TB index-MAINTENANCE story: daily ingest encodes ONLY
+    // the new vectors against the FROZEN codebooks and appends to the
+    // pq-enc index — valid iff encode(old ∪ new) == encode(old) ∪
+    // encode(new) under a FIXED codebook frame. Prove it on a delta
+    // whose ids (< the old minimum) would CHANGE the seed set if the
+    // codebooks were re-derived — i.e. exactly the case where skipping
+    // the freeze silently re-codes the whole corpus differently.
+    val old = Seq(
+      (10L, Seq(1L, 2L, 3L, 4L, 5L, 6L)),
+      (11L, Seq(9L, 0L, 1L, 2L, 3L, 4L)),
+      (12L, Seq(-3L, 5L, 2L, 8L, 0L, 1L)),
+      (13L, Seq(2L, 2L, 2L, 2L, 2L, 2L)))
+    val fresh = Seq(
+      (0L, Seq(7L, 7L, 0L, 0L, 1L, 1L)),
+      (1L, Seq(4L, 4L, 4L, 1L, 1L, 1L)))
+    val cb = Similarity.pqSeedCodebooks(codesDf(old), m = 2, subDim = 3,
+      k = 3)
+    def enc(rows: Seq[(Long, Seq[Long])]) =
+      Similarity.pqEncode(codesDf(rows), m = 2, subDim = 3, k = 3,
+        codebooks = Some(cb)).as[(Long, Int, Long)].collect().toSet
+    assert(enc(old ++ fresh) == enc(old) ++ enc(fresh),
+      "delta encoding under frozen codebooks must equal re-encoding all")
+    // and the guard the freeze exists for: re-deriving seeds over the
+    // grown corpus picks a DIFFERENT codebook (the new ids are now the
+    // smallest), so unfrozen incremental encoding would be inconsistent
+    val reDerived = Similarity.pqEncode(codesDf(old ++ fresh), m = 2,
+      subDim = 3, k = 3).as[(Long, Int, Long)].collect().toSet
+    assert(reDerived != enc(old ++ fresh),
+      "fixture must exercise the seed-shift case the freeze guards")
+  }
+
   test("ivfPqAnnBatch: an empty query set returns empty, schema intact") {
     // ids all >= qMax → zero quantizable queries: the batch must come
     // back EMPTY with its declared six columns, never throw or emit a
