@@ -518,7 +518,7 @@ object Similarity {
   /** The `kIvf` deterministic IVF coarse centroids (cl, c): the kIvf
     * smallest ids present, their FLOAT vectors — the same seed rule as
     * the PQ codebooks, one level up. */
-  private def ivfCentroids(codes: DataFrame, kIvf: Int): DataFrame =
+  private[graft] def ivfCentroids(codes: DataFrame, kIvf: Int): DataFrame =
     codes.orderBy("vec_id").limit(kIvf)
       .select(col("vec_id").as("cl"), col("v").as("c"))
 
@@ -527,9 +527,18 @@ object Similarity {
     * pre-reduced rows shuffle). At scale this frame is the OTHER half
     * of the serving index ([[ivfCells]] registry-caches it): cell is
     * the partition key, so a query's ADC scan physically reads
-    * nprobe/kIvf of the corpus. */
-  private[graft] def ivfAssign(codes: DataFrame, kIvf: Int): DataFrame =
-    codes.crossJoin(broadcast(ivfCentroids(codes, kIvf)))
+    * nprobe/kIvf of the corpus.
+    *
+    * Same incremental contract as [[pqEncode]] (spec-pinned): under a
+    * FROZEN `centroids` frame, assign(old ∪ new) = assign(old) ∪
+    * assign(new) — ingest assigns only the delta and appends; the
+    * default seed centroids re-derive from whatever frame they see,
+    * so the freeze is what keeps a delta's cells consistent with the
+    * index it joins. */
+  private[graft] def ivfAssign(codes: DataFrame, kIvf: Int,
+      centroids: Option[DataFrame] = None): DataFrame =
+    codes.crossJoin(broadcast(
+        centroids.getOrElse(ivfCentroids(codes, kIvf))))
       .select(col("vec_id"),
         struct(graft.plans.L2DistanceSq.l2DistSq(col("v"), col("c"))
           .as("dist"), col("cl")).as("dc"))

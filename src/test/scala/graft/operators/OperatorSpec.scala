@@ -346,6 +346,31 @@ class OperatorSpec extends SparkTestBase {
       "fixture must exercise the seed-shift case the freeze guards")
   }
 
+  test("ivfAssign: frozen centroids make assignment incremental too") {
+    // the other half of the index: cell assignment under a FROZEN
+    // centroid frame appends exactly like pqEncode under frozen
+    // codebooks — and the same seed-shift delta shows why the freeze
+    // is mandatory
+    val old = Seq(
+      (10L, Seq(1L, 2L, 3L, 4L, 5L, 6L)),
+      (11L, Seq(9L, 0L, 1L, 2L, 3L, 4L)),
+      (12L, Seq(-3L, 5L, 2L, 8L, 0L, 1L)),
+      (13L, Seq(2L, 2L, 2L, 2L, 2L, 2L)))
+    val fresh = Seq(
+      (0L, Seq(7L, 7L, 0L, 0L, 1L, 1L)),
+      (1L, Seq(4L, 4L, 4L, 1L, 1L, 1L)))
+    val cents = Similarity.ivfCentroids(codesDf(old), kIvf = 2)
+    def asg(rows: Seq[(Long, Seq[Long])]) =
+      Similarity.ivfAssign(codesDf(rows), kIvf = 2,
+        centroids = Some(cents)).as[(Long, Long)].collect().toSet
+    assert(asg(old ++ fresh) == asg(old) ++ asg(fresh),
+      "delta assignment under frozen centroids must equal assigning all")
+    val reDerived = Similarity.ivfAssign(codesDf(old ++ fresh), kIvf = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(reDerived != asg(old ++ fresh),
+      "fixture must exercise the seed-shift case the freeze guards")
+  }
+
   test("ivfPqAnnBatch: an empty query set returns empty, schema intact") {
     // ids all >= qMax → zero quantizable queries: the batch must come
     // back EMPTY with its declared six columns, never throw or emit a
