@@ -25,7 +25,7 @@ object Bench {
     "q167_kmv_overlap" -> Seq("source-vocab"),
     "q171_phash_pairs" -> Seq("phash"),
     "q172_kl_drift" -> Seq("unigram-tf"),
-    "q181_ann_recall" -> Seq("ivf-cell", "pq-enc"),
+    "q181_ann_recall" -> Seq("ivf-cell", "ivf-cent", "pq-book", "pq-enc"),
     "q42_jaccard_pairs" -> Seq("jaccard-pairs"),
     "q43_simhash_pairs" -> Seq("simhash"),
     "q44_lsh_candidates" -> Seq("lsh-cand", "minhash-sig"),
@@ -90,11 +90,13 @@ object Bench {
     "dsir-scored" -> "q165_dsir_select",
     "dup-cc" -> "q173_cluster_rep",
     "ivf-cell" -> "q179_ivfpq_ann",
+    "ivf-cent" -> "q179_ivfpq_ann",
     "jaccard-pairs" -> "q173_cluster_rep",
     "lsh-audit-sample" -> "q117_lsh_recall",
     "lsh-cand" -> "q117_lsh_recall",
     "minhash-sig" -> "q117_lsh_recall",
     "phash" -> "q171_phash_pairs",
+    "pq-book" -> "q178_pq_ann",
     "pq-enc" -> "q178_pq_ann",
     "sess-cooc" -> "q134_session_cooccurrence",
     "shingles" -> "q117_lsh_recall",
@@ -334,7 +336,11 @@ object Bench {
     * unchanged. Gated OFF (env SPARK_GRAFT_BENCH_COMPACT=1 turns it
     * on); BenchJsonSpec pins the compact worst-case width and
     * round-trips both formats, so flipping the flag is a decision,
-    * not an emergency. */
+    * not an emergency. Compact mode emits whichever render is SHORTER:
+    * deciseconds lose to whole-second clamping once values cross 10 s
+    * ("126" vs "13"), so a slow-regime line falls back to the default
+    * render (absent "u" key ⇒ seconds) rather than blowing the tail
+    * window in the one regime the contingency exists for. */
   private[graft] def renderJson(
       results: Seq[(String, Double, Boolean)], wu: Double, wio: Double,
       wu2: Double, wio2: Double, sfBasename: String,
@@ -352,22 +358,38 @@ object Bench {
       name.takeWhile(_ != '_').dropWhile(_ == 'q')
     require(results.map(r => short(r._1)).toSet.size == results.size,
       "qNN ordinals must stay unique for the compact bench JSON")
-    val qVal: Double => String =
-      if (compact) v => Math.round(v * 10).toString else f1
-    val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + qVal(v) }
-      .mkString("{", ",", "}")
-    // A failed query must be loud, not a -1s "speedup": list failures in
-    // their own key (the driver sees them; an empty list is the pass state
-    // — which compact mode encodes as ABSENCE; a non-empty list always
-    // renders in either mode).
-    val failedList = results.collect { case (k, _, false) => s"\"${short(k)}\"" }
-    val failed =
-      if (compact && failedList.isEmpty) ""
-      else s""","failed":${failedList.mkString("[", ",", "]")}"""
-    val unit = if (compact) ""","u":"ds"""" else ""
     val total = results.map(_._2).sum
     val sf = sfBasename.stripPrefix("sf")
     val sfJson = if (sf.matches("""\d+(\.\d+)?""")) sf else s"\"$sfBasename\""
-    s"""{"metric":"total","value":${f(total)},"wu":${f(wu)},"wio":${f(wio)},"wu2":${f(wu2)},"wio2":${f(wio2)}$unit,"queries":$qs$failed,"sf":$sfJson}"""
+    // A failed query must be loud, not a -1s "speedup": list failures in
+    // their own key (the driver sees them; an empty list is the pass state
+    // — which the deciseconds render encodes as ABSENCE; a non-empty list
+    // always renders in either mode).
+    val failedList = results.collect { case (k, _, false) => s"\"${short(k)}\"" }
+    def render(ds: Boolean): String = {
+      val qVal: Double => String =
+        if (ds) v => Math.round(v * 10).toString else f1
+      val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + qVal(v) }
+        .mkString("{", ",", "}")
+      val failed =
+        if (ds && failedList.isEmpty) ""
+        else s""","failed":${failedList.mkString("[", ",", "]")}"""
+      val unit = if (ds) ""","u":"ds"""" else ""
+      s"""{"metric":"total","value":${f(total)},"wu":${f(wu)},"wio":${f(wio)},"wu2":${f(wu2)},"wio2":${f(wio2)}$unit,"queries":$qs$failed,"sf":$sfJson}"""
+    }
+    if (!compact) render(ds = false)
+    else {
+      // deciseconds save ~1–2 chars per sub-10s value but COST one per
+      // 10–100s value (f1 clamps those to whole seconds: "13" vs "126")
+      // — a slow/outage run full of >=10s queries would render a compact
+      // line WIDER than the default, past the driver's 2000-char tail,
+      // exactly when the contingency is supposed to help. Emit whichever
+      // render is shorter: the "u":"ds" key tells the parser which units
+      // arrived, so the fallback stays parseable and the default render's
+      // worst-case width spec bounds compact mode in every regime.
+      val c = render(ds = true)
+      val d = render(ds = false)
+      if (c.length <= d.length) c else d
+    }
   }
 }

@@ -340,13 +340,16 @@ object Graft {
     * cell is the partition key, so nprobe/kIvf of the corpus is read
     * at all). Returns (vec_id, cell, adc, cos_sim); recall vs an exact
     * scan is the documented tradeoff of both levels. q179 is this at
-    * kIvf=4/nprobe=2/m=4/subDim=16.
+    * kIvf=4/nprobe=2/m=4/subDim=16. `codebooks` opts the PQ stage into
+    * [[trainPqCodebooks]]' trained model, same as [[pqAnn]].
     * See [[operators.Similarity.ivfPqAnn]]. */
   def ivfPqAnn(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, kIvf: Int, nprobe: Int, m: Int, subDim: Int,
-      k: Int = 8, coarseK: Int = 50, topK: Int = 10): DataFrame =
+      k: Int = 8, coarseK: Int = 50, topK: Int = 10,
+      codebooks: Option[DataFrame] = None): DataFrame =
     operators.Similarity.ivfPqAnn(int8CodedVectors(df, idCol, vecCol),
-      queryId, kIvf, nprobe, m, subDim, k, coarseK, topK)
+      queryId, kIvf, nprobe, m, subDim, k, coarseK, topK,
+      codebooks = codebooks)
 
   /** Batch IVF-PQ — the serving shape: every quantizable id below
     * `qMax` queries the corpus (ids ≥ `qMax`) through ONE pass over
@@ -355,16 +358,21 @@ object Graft {
     * builds them once). Per query: probe `nprobe` cells, ADC
     * top-`coarseK`, exact rerank, top-`topK`. Returns (q_id, vec_id,
     * cell, adc, cos_sim, rn) ordered by (q_id, rn). q180 is this at
-    * qMax=5/kIvf=4/nprobe=2. See
+    * qMax=5/kIvf=4/nprobe=2. `codebooks` opts into
+    * [[trainPqCodebooks]]' trained model — threaded to BOTH the
+    * encode and the per-query LUTs, so the two can never rank in
+    * different code spaces. See
     * [[operators.Similarity.ivfPqAnnBatch]]. */
   def ivfPqAnnBatch(df: DataFrame, idCol: String, vecCol: String,
       qMax: Long, kIvf: Int, nprobe: Int, m: Int, subDim: Int,
-      k: Int = 8, coarseK: Int = 50, topK: Int = 10): DataFrame = {
+      k: Int = 8, coarseK: Int = 50, topK: Int = 10,
+      codebooks: Option[DataFrame] = None): DataFrame = {
     val codes = int8CodedVectors(df, idCol, vecCol)
     operators.Similarity.ivfPqAnnBatch(codes,
-      operators.Similarity.pqEncode(codes, m, subDim, k),
+      operators.Similarity.pqEncode(codes, m, subDim, k, codebooks),
       operators.Similarity.ivfAssign(codes, kIvf),
-      qMax, kIvf, nprobe, m, subDim, k, coarseK, topK)
+      qMax, kIvf, nprobe, m, subDim, k, coarseK, topK,
+      codebooks = codebooks)
   }
 
   /** Shared facade prep for the quantized ANN members: rename/cast to

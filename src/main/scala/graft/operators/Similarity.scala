@@ -493,17 +493,25 @@ object Similarity {
     * exact scan is the documented tradeoff of both levels; codebooks
     * stay global. At 100 TB the cell is the partition key, so the scan
     * prunes to nprobe/kIvf of the corpus before reading anything.
-    * Backs q179_ivfpq_ann. */
+    * Backs q179_ivfpq_ann.
+    *
+    * `codebooks`/`centroids` must match the model `encIdx`/`cellIdx`
+    * were built with (the [[ivfPqAnnBatch]] contract); served callers
+    * pass [[pqBooks]]/[[ivfCentroidIdx]] so no per-query
+    * corpus-TakeOrdered re-derives the tiny model frames. */
   private[graft] def ivfPqAnn(codes: DataFrame, queryId: Long, kIvf: Int,
       nprobe: Int, m: Int, subDim: Int, k: Int, coarseK: Int,
       topK: Int, encIdx: Option[DataFrame] = None,
-      cellIdx: Option[DataFrame] = None): DataFrame = {
+      cellIdx: Option[DataFrame] = None,
+      codebooks: Option[DataFrame] = None,
+      centroids: Option[DataFrame] = None): DataFrame = {
     require(kIvf >= 1 && nprobe >= 1 && nprobe <= kIvf,
       "ivfPqAnn: need 1 <= nprobe <= kIvf")
-    val assigned = cellIdx.getOrElse(ivfAssign(codes, kIvf))
+    val assigned = cellIdx.getOrElse(ivfAssign(codes, kIvf, centroids))
     val qv = codes.filter(col("vec_id") === queryId)
       .select(col("v").as("qv0"))
-    val probed = ivfCentroids(codes, kIvf).crossJoin(broadcast(qv))
+    val probed = centroids.getOrElse(ivfCentroids(codes, kIvf))
+      .crossJoin(broadcast(qv))
       .select(col("cl"),
         graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv0")).as("d"))
       .orderBy(col("d").asc, col("cl")).limit(nprobe)
@@ -512,7 +520,7 @@ object Similarity {
       .join(broadcast(probed), col("cell") === col("pcell"))
       .select(col("vec_id"), col("cell"))
     pqAnnSearch(codes, Some(restrict), queryId, m, subDim, k, coarseK,
-      topK, encIdx)
+      topK, encIdx, codebooks)
   }
 
   /** The `kIvf` deterministic IVF coarse centroids (cl, c): the kIvf
@@ -573,6 +581,29 @@ object Similarity {
       ivfAssign(int8Codes(s, dir), kIvf = 4)
     }
 
+  /** The model half of the serving index: the k·m-row PQ codebooks for
+    * the standard configuration, registry-cached so a served query's
+    * LUT reads a k·m-row resident frame instead of re-deriving the
+    * codebooks with a corpus-wide TakeOrdered pass per query — the
+    * last corpus-proportional work the encodings cache left in the
+    * q178–q181 serving path. Same staleness contract as [[pqEncodings]]
+    * (prefix "pq-book"). Values are BY CONSTRUCTION the codebooks
+    * [[pqEncodings]] encoded with (same seed rule, same inputs). */
+  private[graft] def pqBooks(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.cached(s, s"pq-book:$dir") {
+      pqSeedCodebooks(int8Codes(s, dir), m = 4, subDim = 16, k = 8)
+    }
+
+  /** The kIvf-row coarse centroids, registry-cached for the same
+    * reason as [[pqBooks]]: the probe list is a kIvf-row argmin — it
+    * should not pay a corpus TakeOrdered per query to get the
+    * centroids. Prefix "ivf-cent"; matches [[ivfCells]]' assignment by
+    * construction. */
+  private[graft] def ivfCentroidIdx(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.cached(s, s"ivf-cent:$dir") {
+      ivfCentroids(int8Codes(s, dir), kIvf = 4)
+    }
+
   /** Batch IVF-PQ: a SET of query vectors (the quantizable ids <
     * `qMax`) against the corpus (ids >= `qMax`) through the SAME
     * materialized index single-query [[ivfPqAnn]] serves from — the
@@ -586,15 +617,25 @@ object Similarity {
     * exact-cosine rerank, top-`topK`. Returns (q_id, vec_id, cell,
     * adc, cos_sim, rn) ordered by (q_id, rn). Backs q180_ivfpq_batch.
     * At 100 TB this is the serving shape: cell-partitioned encodings
-    * scanned once per BATCH, never once per query. */
+    * scanned once per BATCH, never once per query.
+    *
+    * `codebooks`/`centroids` MUST be the model `enc`/`cells` were
+    * built with (trained index ⇒ trained codebooks here — a seed-space
+    * LUT against trained codes sums meaningless distances and returns
+    * plausible-looking wrong neighbors); defaults re-derive the seed
+    * model from `codes`, matching a seed-built index. */
   private[graft] def ivfPqAnnBatch(codes: DataFrame, enc: DataFrame,
       cells: DataFrame, qMax: Long, kIvf: Int, nprobe: Int, m: Int,
-      subDim: Int, k: Int, coarseK: Int, topK: Int): DataFrame = {
+      subDim: Int, k: Int, coarseK: Int, topK: Int,
+      codebooks: Option[DataFrame] = None,
+      centroids: Option[DataFrame] = None): DataFrame = {
     require(kIvf >= 1 && nprobe >= 1 && nprobe <= kIvf,
       "ivfPqAnnBatch: need 1 <= nprobe <= kIvf")
+    require(m >= 1 && subDim >= 1 && k >= 1,
+      "ivfPqAnnBatch: m, subDim, k must all be >= 1")
     require(qMax >= 1 && coarseK >= 1 && topK >= 1,
       "ivfPqAnnBatch: qMax, coarseK, topK must all be >= 1")
-    val cents = ivfCentroids(codes, kIvf)
+    val cents = centroids.getOrElse(ivfCentroids(codes, kIvf))
     val qs = codes.filter(col("vec_id") < qMax)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
@@ -611,7 +652,11 @@ object Similarity {
     val qsub = pqSubvectors(codes.filter(col("vec_id") < qMax), m, subDim)
       .select(col("vec_id").as("q_id"), col("s").as("qs_s"),
         col("sc").as("qs"))
-    val lut = pqSeedCodebooks(codes, m, subDim, k)
+    // the LUT's codebooks MUST be the ones `enc` was encoded with —
+    // a trained index joined against a seed-space LUT would sum
+    // meaningless distances and return plausible-looking wrong
+    // neighbors with no error (same contract as pqAnnSearch)
+    val lut = codebooks.getOrElse(pqSeedCodebooks(codes, m, subDim, k))
       .join(broadcast(qsub), col("cs") === col("qs_s"))
       .select(col("q_id"), col("cs"), col("cb_id"),
         pqDist2(col("qs"), col("cbv")).as("qd"))
@@ -666,12 +711,12 @@ object Similarity {
     var cb = pqSeedCodebooks(codes, m, subDim, k).localCheckpoint()
     var it = 0
     while (it < iters) {
-      // assignment: the pqEncode argmin against the current model
-      val assigned = sub.join(broadcast(cb), col("s") === col("cs"))
-        .groupBy("vec_id", "s")
-        .agg(min(struct(pqDist2(col("sc"), col("cbv")).as("d"),
-          col("cb_id").as("cb"))).as("m0"))
-        .select(col("vec_id"), col("s"), col("m0.cb").as("cb_id"))
+      // assignment IS pqEncode against the current model — the same
+      // call the index build uses, so a future change to the encode
+      // argmin (tie rule, distance) cannot leave training assigning
+      // in a different rule than the index encodes
+      val assigned = pqEncode(codes, m, subDim, k, Some(cb))
+        .withColumnRenamed("code", "cb_id")
       // re-estimation: per-dim rounded integer mean, k×m×subDim reduce
       // state regardless of corpus size (the q86/q135 keyed-agg shape)
       val re = sub.join(assigned, Seq("vec_id", "s"))
@@ -1131,7 +1176,8 @@ object Similarity {
         // with q179/q180/q181) — result-identical to inline encoding,
         // which is what the oracle replays
         pqAnn(int8Codes(s, dir), queryId = 0L, m = 4, subDim = 16,
-          k = 8, coarseK = 50, topK = 10, enc = Some(pqEncodings(s, dir)))
+          k = 8, coarseK = 50, topK = 10, enc = Some(pqEncodings(s, dir)),
+          codebooks = Some(pqBooks(s, dir)))
     },
 
     // ── IVF-PQ (the Faiss IVF-PQ layout, q73 × q178): a coarse
@@ -1203,7 +1249,9 @@ object Similarity {
         ivfPqAnn(int8Codes(s, dir), queryId = 0L, kIvf = 4, nprobe = 2,
           m = 4, subDim = 16, k = 8, coarseK = 20, topK = 10,
           encIdx = Some(pqEncodings(s, dir)),
-          cellIdx = Some(ivfCells(s, dir)))
+          cellIdx = Some(ivfCells(s, dir)),
+          codebooks = Some(pqBooks(s, dir)),
+          centroids = Some(ivfCentroidIdx(s, dir)))
     },
 
     // ── batch ANN through the materialized IVF-PQ index (q90 × q179):
@@ -1281,7 +1329,9 @@ object Similarity {
           |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
       ivfPqAnnBatch(int8Codes(s, dir), pqEncodings(s, dir),
         ivfCells(s, dir), qMax = 5L, kIvf = 4, nprobe = 2, m = 4,
-        subDim = 16, k = 8, coarseK = 20, topK = 3)
+        subDim = 16, k = 8, coarseK = 20, topK = 3,
+        codebooks = Some(pqBooks(s, dir)),
+        centroids = Some(ivfCentroidIdx(s, dir)))
     },
 
     // ── ANN recall audit (the q117/q144 discipline applied to the
@@ -1394,10 +1444,14 @@ object Similarity {
           .agg(count(lit(1)).cast("int").as("hits"))
           .select(lit(method).as("method"), col("hits"),
             (col("hits") * 1000).as("recall_bp"))
-      recallOf(pqAnn(codes, 0L, 4, 16, 8, 50, 10, enc = encIdx), "pq")
+      val books = Some(pqBooks(s, dir))
+      recallOf(pqAnn(codes, 0L, 4, 16, 8, 50, 10, enc = encIdx,
+          codebooks = books), "pq")
         .unionByName(recallOf(
           ivfPqAnn(codes, 0L, 4, 2, 4, 16, 8, 20, 10,
-            encIdx = encIdx, cellIdx = Some(ivfCells(s, dir))), "ivfpq"))
+            encIdx = encIdx, cellIdx = Some(ivfCells(s, dir)),
+            codebooks = books,
+            centroids = Some(ivfCentroidIdx(s, dir))), "ivfpq"))
         .orderBy("method")
     },
 

@@ -107,6 +107,33 @@ class BenchJsonSpec extends AnyFunSuite {
         s"(default ${dflt.length}, compact ${cmp.length})")
   }
 
+  test("compact never renders wider than default (slow-regime fallback)") {
+    // deciseconds cost one char per value in [10,1000) s ("126" vs
+    // f1's whole-second "13"; "9994" vs "999") — a slow/outage run
+    // full of them would render the compact line WIDER than the
+    // default, past the driver's tail window, exactly when the
+    // contingency is supposed to help. Compact mode emits whichever
+    // render is shorter; the fallback drops the "u" marker so the
+    // parser reads seconds, and the default worst-case spec above
+    // then bounds compact mode in every regime.
+    val slow = names.map(n => (n, 999.4, true))
+    val dflt = Bench.renderJson(slow, 99.99, 99.99, 99.99, 99.99, "sf0.1")
+    val cmp = Bench.renderJson(slow, 99.99, 99.99, 99.99, 99.99, "sf0.1",
+      compact = true)
+    assert(cmp.length <= dflt.length,
+      s"compact must never exceed the default render " +
+        s"(default ${dflt.length}, compact ${cmp.length})")
+    assert(!cmp.contains("\"u\":\"ds\""),
+      "the fallback is the seconds render — it must not claim ds units")
+    assert(cmp.length < 1950, s"slow-regime compact width ${cmp.length}")
+    // the fast-regime case still takes the ds render
+    val fast = names.map(n => (n, 0.3, true))
+    val cmpFast = Bench.renderJson(fast, 1.0, 2.0, 1.0, 2.0, "sf0.1",
+      compact = true)
+    assert(cmpFast.contains("\"u\":\"ds\""),
+      "fast-regime compact lines must keep the decisecond render")
+  }
+
   test("rendering is locale-independent (decimal POINT under any default)") {
     val prev = java.util.Locale.getDefault
     java.util.Locale.setDefault(java.util.Locale.GERMANY) // decimal comma

@@ -342,6 +342,21 @@ class PlanAuditSpec extends SparkTestBase {
     val t178 = tree("q178_pq_ann")
     assert(!t178.contains("SortMergeJoin"),
       s"serving from the index must not introduce a shuffle join:\n$t178")
+    // the MODEL frames are cached too (pq-book/ivf-cent, the r14
+    // review fix): a served query must not re-derive the codebooks or
+    // centroids with a corpus-wide TakeOrdered pass per query. Count
+    // only LIVE nodes — an InMemoryRelation subtree is the cached
+    // build's STORED plan (its TakeOrdereds ran once at build time,
+    // not per query) — so the only live TakeOrdereds in q178 are the
+    // ADC top-coarseK and the rerank top-K; q179 adds the kIvf-row
+    // probe-list cut
+    assert("TakeOrderedAndProject".r.findAllIn(liveTree(t178)).size == 2,
+      s"q178 must have exactly 2 live TakeOrdereds (ADC cut + rerank):" +
+        s"\n$t178")
+    val t179 = tree("q179_ivfpq_ann")
+    assert("TakeOrderedAndProject".r.findAllIn(liveTree(t179)).size == 3,
+      s"q179 must have exactly 3 live TakeOrdereds (probe + ADC + " +
+        s"rerank):\n$t179")
   }
 
   test("q180: batch rides broadcast fan-out; only index-sized joins shuffle") {
@@ -520,6 +535,28 @@ class PlanAuditSpec extends SparkTestBase {
   /** Formatted-mode output repeats each node name in the details
     * section; shape counts must look at the tree block only. */
   private def tree(name: String): String = plan(name).split("\n\n")(0)
+
+  /** The tree with every InMemoryRelation SUBTREE removed: a cached
+    * frame's stored build plan renders inline under its relation node,
+    * but those operators ran once at cache-build time — assertions
+    * about per-query work must not count them. Subtree membership is
+    * by indentation (a child's branch marker sits strictly right of
+    * its parent's). */
+  private def liveTree(t: String): String = {
+    def indentOf(l: String): Int = {
+      val i = l.indexOf("+-"); val j = l.indexOf(":-")
+      if (i < 0) math.max(j, 0) else if (j < 0) i else math.min(i, j)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var skipIndent = -1
+    for (l <- t.split("\n")) {
+      val ind = indentOf(l)
+      if (skipIndent >= 0 && ind > skipIndent) ()
+      else if (l.contains("InMemoryRelation")) skipIndent = ind
+      else { skipIndent = -1; out += l }
+    }
+    out.mkString("\n")
+  }
 
   test("q150: bin aggregation rides the window's source partitioning") {
     val t = tree("q150_compaction_plan")

@@ -390,6 +390,57 @@ class OperatorSpec extends SparkTestBase {
     assert(got.count() == 0)
   }
 
+  test("ivfPqAnnBatch: trained codebooks thread to encode AND LUTs") {
+    // the serving contract the r14 review fixed: an index encoded with
+    // TRAINED codebooks must be probed with LUTs in the SAME code
+    // space — a batch that silently rebuilt seed codebooks for its
+    // LUTs would sum seed-space distances against trained-space ids
+    // and return plausible-looking wrong neighbors with no error.
+    // Reuses the degenerate-seed corpus (training provably changes the
+    // encodings, so this equality is discriminating): batch rows over
+    // a trained index must equal the single-query trained search.
+    val h2 = (2L to 5L).map(i => (i, Seq(-100L, -100L, -100L, -100L - i % 2)))
+    val h1 = (6L to 10L).map(i => (i, Seq(100L, 100L, 100L, 100L + i % 2)))
+    val rows = Seq((0L, Seq(0L, 0L, 0L, 1L)), (1L, Seq(0L, 0L, 0L, 1L))) ++
+      h2 ++ h1
+    val df = codesDf(rows)
+    val cb = Similarity.pqTrainCodebooks(df, m = 1, subDim = 4, k = 2,
+      iters = 2)
+    val encT = Similarity.pqEncode(df, m = 1, subDim = 4, k = 2, Some(cb))
+    val encS = Similarity.pqEncode(df, m = 1, subDim = 4, k = 2)
+    assert(encT.collect().toSet != encS.collect().toSet,
+      "fixture must make trained and seed encodings differ")
+    val cells = Similarity.ivfAssign(df, kIvf = 2)
+    val batch = Similarity.ivfPqAnnBatch(df, encT, cells, qMax = 1L,
+        kIvf = 2, nprobe = 2, m = 1, subDim = 4, k = 2, coarseK = 8,
+        topK = 5, codebooks = Some(cb))
+      .select("vec_id", "cell", "adc", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val single = Similarity.ivfPqAnn(df, queryId = 0L, kIvf = 2,
+        nprobe = 2, m = 1, subDim = 4, k = 2, coarseK = 8, topK = 5,
+        codebooks = Some(cb))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(batch == single,
+      s"trained batch and trained single-query must agree:\n$batch" +
+        s"\nvs\n$single")
+  }
+
+  test("ivfPqAnnBatch: PQ shape validation matches the per-query path") {
+    // m=0 would otherwise explode an empty subvector array — zero rows,
+    // the in-plan length assert never evaluates, and the batch returns
+    // EMPTY, which a serving job reads as "no neighbors"; the require
+    // fails construction instead, same as pqAnnSearch's
+    val rows = Seq((0L, Seq(1L, 2L, 3L, 4L)), (1L, Seq(5L, 6L, 7L, 8L)))
+    val df = codesDf(rows)
+    val enc = Similarity.pqEncode(df, m = 1, subDim = 4, k = 2)
+    val cells = Similarity.ivfAssign(df, kIvf = 2)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqAnnBatch(df, enc, cells, qMax = 1L, kIvf = 2,
+        nprobe = 1, m = 0, subDim = 4, k = 2, coarseK = 5, topK = 3)
+    }
+    assert(ex.getMessage.contains("m, subDim, k"))
+  }
+
   test("pqAnnSearch: the IVF restriction selects cells without " +
       "changing ADC values") {
     val rows = Seq(
