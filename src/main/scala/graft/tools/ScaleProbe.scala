@@ -209,12 +209,17 @@ object ScaleProbe {
       // corpus pass reads m ids per vector); the probe records that the
       // measured growth actually IS ~linear. Since r14 the queries
       // serve from the MATERIALIZED index (pq-enc/ivf-cell registry
-      // caches), so each build-inclusive rec releases the index first —
-      // keeping these two rows comparable with the r12/r13 tables
-      // (which re-encoded inline inside the timing).
+      // caches, plus the pq-book/ivf-cent MODEL frames), so each
+      // build-inclusive rec releases ALL FOUR first — keeping these
+      // two rows comparable with the r12/r13 tables (which re-derived
+      // codebooks/centroids inline inside the timing; the seed-codebook
+      // derivation is itself a corpus TakeOrdered, so leaving pq-book
+      // resident would silently shrink the "build" being measured).
       def dropIndex(): Unit = {
         CacheRegistry.releaseByPrefix(spark, "pq-enc")
         CacheRegistry.releaseByPrefix(spark, "ivf-cell")
+        CacheRegistry.releaseByPrefix(spark, "pq-book")
+        CacheRegistry.releaseByPrefix(spark, "ivf-cent")
       }
       dropIndex()
       rec("pq_ann", nVecs) {
