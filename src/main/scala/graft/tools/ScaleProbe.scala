@@ -53,6 +53,17 @@ object ScaleProbe {
     * replica 0 the holder of the smallest ids (semDedup seeds). */
   private val IdStride = 1000000000L
 
+  /** Every registry prefix the materialized ANN index comprises — the
+    * frames the build-inclusive pq rows must RELEASE before timing so
+    * they stay comparable with the r12/r13 tables that re-derived
+    * everything inline. This is exactly the set whose last bench
+    * consumer is q181 ([[graft.Bench.releaseAfter]]); ScaleProbeSpec
+    * pins the equality so a future ANN cache cannot silently shrink
+    * the "build" these rows measure (the gap the r14 pq-book/ivf-cent
+    * additions opened until reviewed). */
+  private[graft] val AnnIndexPrefixes: Seq[String] =
+    Seq("pq-enc", "ivf-cell", "pq-book", "ivf-cent")
+
   /** phash runs WITHOUT its scale knob — bound the quadratic creep. */
   private val PhashMaxM = 10
   private val EmbBruteMaxM = 10
@@ -215,12 +226,8 @@ object ScaleProbe {
       // codebooks/centroids inline inside the timing; the seed-codebook
       // derivation is itself a corpus TakeOrdered, so leaving pq-book
       // resident would silently shrink the "build" being measured).
-      def dropIndex(): Unit = {
-        CacheRegistry.releaseByPrefix(spark, "pq-enc")
-        CacheRegistry.releaseByPrefix(spark, "ivf-cell")
-        CacheRegistry.releaseByPrefix(spark, "pq-book")
-        CacheRegistry.releaseByPrefix(spark, "ivf-cent")
-      }
+      def dropIndex(): Unit =
+        AnnIndexPrefixes.foreach(CacheRegistry.releaseByPrefix(spark, _))
       dropIndex()
       rec("pq_ann", nVecs) {
         graft.SparkEntry.queries("q178_pq_ann")(spark, dir).count()

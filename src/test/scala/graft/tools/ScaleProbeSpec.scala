@@ -70,4 +70,21 @@ class ScaleProbeSpec extends SparkTestBase {
     assert(scaled.exceptAll(again).count() == 0
       && again.exceptAll(scaled).count() == 0)
   }
+
+  test("build-inclusive pq rows release the WHOLE materialized index") {
+    // the probe's dropIndex must release every registry frame the ANN
+    // serving index comprises, or the "build-inclusive" pq rows would
+    // silently ride a resident piece of it and stop being comparable
+    // with the r12/r13 tables (which re-derived everything inline) —
+    // the exact gap the r14 pq-book/ivf-cent model caches opened until
+    // reviewed. That set is, by the release-ledger's own derivation,
+    // the prefixes whose LAST bench consumer is the q181 recall audit
+    // (the final ANN query in sorted run order); BenchReleaseSpec
+    // drift-gates releaseAfter against the real query definitions, so
+    // a future ANN cache lands there first and this equality then
+    // forces the probe to follow.
+    assert(ScaleProbe.AnnIndexPrefixes.toSet ==
+      graft.Bench.releaseAfter("q181_ann_recall").toSet,
+      "ScaleProbe.AnnIndexPrefixes must track the ANN release set")
+  }
 }
