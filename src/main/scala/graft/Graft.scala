@@ -375,6 +375,48 @@ object Graft {
       codebooks = codebooks)
   }
 
+  /** Persist the IVF-PQ serving index as an ON-DISK parquet dataset
+    * partitioned by coarse cell — encodings under `enc/cell=<id>/`,
+    * model frames under `books/` and `cents/`. This is the 100 TB
+    * layout made concrete: a served query lists and reads ONLY its
+    * probed cells' directories (see [[annIndexServe]]). The encodings
+    * are derived from the model frames read back off disk, so the
+    * index always carries exactly the model it was coded with.
+    * `codebooks` opts into [[trainPqCodebooks]]' trained model. See
+    * [[operators.Similarity.ivfPqIndexWrite]]. */
+  def annIndexWrite(df: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, kIvf: Int, m: Int, subDim: Int, k: Int = 8,
+      codebooks: Option[DataFrame] = None): Unit =
+    operators.Similarity.ivfPqIndexWrite(
+      int8CodedVectors(df, idCol, vecCol), indexDir, kIvf, m, subDim,
+      k, codebooks)
+
+  /** Append new vectors to an existing on-disk ANN index under the
+    * frozen-model contract: the delta is encoded and cell-assigned
+    * against the model frames READ FROM THE INDEX, never re-derived —
+    * so daily ingest appends nprobe-servable rows without touching the
+    * resident corpus (delta ids must be new). See
+    * [[operators.Similarity.ivfPqIndexAppend]]. */
+  def annIndexAppend(df: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, m: Int, subDim: Int): Unit =
+    operators.Similarity.ivfPqIndexAppend(
+      int8CodedVectors(df, idCol, vecCol), indexDir, m, subDim)
+
+  /** Serve one ANN query from an on-disk index written by
+    * [[annIndexWrite]]: the probed-cell list becomes a plan-time
+    * partition filter (spec-pinned), so the encodings scan physically
+    * reads nprobe/kIvf of the index. `df` supplies the query vector
+    * and the full-precision rerank side — the corpus the index was
+    * built from. Returns (vec_id, cell, adc, cos_sim) top-`topK`,
+    * identical to [[ivfPqAnn]] over the same model. See
+    * [[operators.Similarity.ivfPqIndexServe]]. */
+  def annIndexServe(df: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, queryId: Long, nprobe: Int, m: Int,
+      subDim: Int, coarseK: Int = 50, topK: Int = 10): DataFrame =
+    operators.Similarity.ivfPqIndexServe(
+      int8CodedVectors(df, idCol, vecCol), indexDir, queryId, nprobe,
+      m, subDim, coarseK, topK)
+
   /** Shared facade prep for the quantized ANN members: rename/cast to
     * the (vec_id, v, nrm) shape, then attach the int8 absmax codes
     * (the q106/q142 code rule; zero vectors have no direction and are

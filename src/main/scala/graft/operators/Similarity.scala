@@ -461,6 +461,22 @@ object Similarity {
       .select(col("s").as("qs_s"), col("sc").as("qs"))
     val lut = cb.join(broadcast(q), col("cs") === col("qs_s"))
       .select(col("cs"), col("cb_id"), dist2(col("qs"), col("cbv")).as("qd"))
+    adcRerank(codes, enc, lut, queryId, carry, coarseK, topK)
+  }
+
+  /** The ADC scan + exact-cosine rerank tail every PQ search serves
+    * through — ONE implementation shared by the in-memory path
+    * ([[pqAnnSearch]], so q178–q181) and the on-disk partition-pruned
+    * path ([[ivfPqIndexServe]]), for the same reason training calls
+    * [[pqEncode]]: two inlined copies of the ranking stages could
+    * drift onto different tie rules or distances and return different
+    * neighbors for the same index with no error. `enc` rows are
+    * (vec_id, s, code [, carry...]); `lut` rows are (cs, cb_id, qd).
+    * Returns (vec_id [, carry...], adc, cos_sim) top-`topK` by exact
+    * cosine over the ADC top-`coarseK`. */
+  private def adcRerank(codes: DataFrame, enc: DataFrame, lut: DataFrame,
+      queryId: Long, carry: Seq[String], coarseK: Int,
+      topK: Int): DataFrame = {
     val adc = enc.filter(col("vec_id") =!= queryId)
       .join(broadcast(lut),
         col("s") === col("cs") && col("code") === col("cb_id"))
@@ -603,6 +619,122 @@ object Similarity {
     CacheRegistry.cached(s, s"ivf-cent:$dir") {
       ivfCentroids(int8Codes(s, dir), kIvf = 4)
     }
+
+  /** The read schema of the on-disk encodings dataset — declared
+    * EXPLICITLY on every read because `cell` is a partition DIRECTORY
+    * key: inference would type small cell ids as INT locally and LONG
+    * at scale, silently changing the served schema (and breaking the
+    * static `isin(Long)` partition filter) with corpus size. */
+  private val IvfPqEncSchema = "vec_id BIGINT, s INT, code BIGINT, cell BIGINT"
+
+  /** Write the IVF-PQ serving index as an ON-DISK parquet dataset
+    * PARTITIONED BY CELL — the physical layout every "at 100 TB the
+    * cell is the partition key" note in this file describes, made
+    * executable: a served query's encodings scan lists and reads ONLY
+    * its nprobe probed cells' directories (static partition pruning —
+    * see [[ivfPqIndexServe]]), so nprobe/kIvf of the index is touched
+    * before any work runs. Layout under `outDir`:
+    *
+    *   - `enc/cell=<id>/…`  (vec_id, s, code) — the ADC scan side,
+    *     one directory per coarse cell
+    *   - `books/`  (cs, cb_id, cbv) — the K×M PQ codebooks
+    *   - `cents/`  (cl, c) — the kIvf coarse centroids
+    *
+    * The model frames are written FIRST and the encodings are derived
+    * from the frames READ BACK off disk, so what the index directory
+    * carries is bit-for-bit the model its encodings were built with —
+    * the [[ivfPqAnnBatch]] same-code-space contract enforced by
+    * construction rather than by caller care. `codebooks`/`centroids`
+    * opt into a trained or frozen model ([[pqTrainCodebooks]]; a prior
+    * index's frames); the defaults write the seed model, matching
+    * [[pqEncodings]]/[[ivfCells]]. */
+  private[graft] def ivfPqIndexWrite(codes: DataFrame, outDir: String,
+      kIvf: Int, m: Int, subDim: Int, k: Int,
+      codebooks: Option[DataFrame] = None,
+      centroids: Option[DataFrame] = None): Unit = {
+    require(kIvf >= 1 && m >= 1 && subDim >= 1 && k >= 1,
+      "ivfPqIndexWrite: kIvf, m, subDim, k must all be >= 1")
+    val s = codes.sparkSession
+    codebooks.getOrElse(pqSeedCodebooks(codes, m, subDim, k))
+      .write.mode("overwrite").parquet(s"$outDir/books")
+    centroids.getOrElse(ivfCentroids(codes, kIvf))
+      .write.mode("overwrite").parquet(s"$outDir/cents")
+    val books = s.read.parquet(s"$outDir/books")
+    val cents = s.read.parquet(s"$outDir/cents")
+    pqEncode(codes, m, subDim, k, Some(books))
+      .join(ivfAssign(codes, kIvf, Some(cents)), "vec_id")
+      // one write task per cell: each partition directory gets a
+      // single file instead of (shuffle.partitions × kIvf) shards
+      .repartition(kIvf, col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/enc")
+  }
+
+  /** Append a DELTA of vectors to an existing on-disk index — the
+    * [[pqEncode]]/[[ivfAssign]] frozen-model incremental contract
+    * applied to the disk layout: the delta is encoded and assigned
+    * against the model frames READ FROM THE INDEX (never re-derived
+    * from the delta, whose ids would reseed a different code space),
+    * then appended under the same cell directories. Spec-pinned:
+    * append(old index, delta) serves identically to a full rebuild
+    * over old ∪ delta. Caller contract: delta vec_ids must be NEW
+    * (an id already in the index would double-count its ADC terms). */
+  private[graft] def ivfPqIndexAppend(delta: DataFrame, indexDir: String,
+      m: Int, subDim: Int): Unit = {
+    val s = delta.sparkSession
+    val books = s.read.parquet(s"$indexDir/books")
+    val cents = s.read.parquet(s"$indexDir/cents")
+    // k/kIvf parameters are seed-rule knobs — irrelevant under a
+    // provided (frozen) model, which is the whole point here
+    pqEncode(delta, m, subDim, k = 1, Some(books))
+      .join(ivfAssign(delta, kIvf = 1, Some(cents)), "vec_id")
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/enc")
+  }
+
+  /** Serve one ANN query from the ON-DISK index: probe the `nprobe`
+    * nearest coarse cells, then run the shared [[adcRerank]] stages
+    * over an encodings scan that STATICALLY prunes to the probed
+    * cells' directories. The probe list is read driver-side ON
+    * PURPOSE (an eager nprobe-row argmin over the kIvf-row centroid
+    * frame — same class as the pinned eager-by-design constructors):
+    * literal cell values are what turn the filter into a plan-time
+    * `PartitionFilters: [cell IN (…)]` the scan never lists other
+    * directories for — the on-disk analogue of the broadcast
+    * probed-cell join, and the difference between reading nprobe/kIvf
+    * of a 100 TB index and reading all of it. (The join-based
+    * alternative, dynamic partition pruning, prunes at RUNTIME and is
+    * plan-fragile; a serving path wants the guarantee in the plan.)
+    * `codes` supplies the query vector and the full-precision rerank
+    * side — at scale, the corpus table the index was built from.
+    * Returns (vec_id, cell, adc, cos_sim) top-`topK`, identical to
+    * [[ivfPqAnn]] over the same model (spec-pinned). */
+  private[graft] def ivfPqIndexServe(codes: DataFrame, indexDir: String,
+      queryId: Long, nprobe: Int, m: Int, subDim: Int, coarseK: Int,
+      topK: Int): DataFrame = {
+    require(nprobe >= 1 && m >= 1 && subDim >= 1 && coarseK >= 1 &&
+      topK >= 1, "ivfPqIndexServe: all knobs must be >= 1")
+    val s = codes.sparkSession
+    val books = s.read.parquet(s"$indexDir/books")
+    val qv = codes.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv0"))
+    val probedCells: Seq[Long] = s.read.parquet(s"$indexDir/cents")
+      .crossJoin(broadcast(qv))
+      .select(col("cl"),
+        graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv0")).as("d"))
+      .orderBy(col("d").asc, col("cl")).limit(nprobe)
+      .select("cl").collect().toSeq.map(_.getLong(0))
+    val enc = s.read.schema(IvfPqEncSchema).parquet(s"$indexDir/enc")
+      .filter(col("cell").isin(probedCells: _*))
+    val q = pqSubvectors(codes.filter(col("vec_id") === queryId),
+        m, subDim)
+      .select(col("s").as("qs_s"), col("sc").as("qs"))
+    val lut = books.join(broadcast(q), col("cs") === col("qs_s"))
+      .select(col("cs"), col("cb_id"),
+        pqDist2(col("qs"), col("cbv")).as("qd"))
+    adcRerank(codes, enc, lut, queryId, Seq("cell"), coarseK, topK)
+  }
 
   /** Batch IVF-PQ: a SET of query vectors (the quantizable ids <
     * `qMax`) against the corpus (ids >= `qMax`) through the SAME

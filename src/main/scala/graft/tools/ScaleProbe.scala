@@ -253,6 +253,22 @@ object ScaleProbe {
       rec("ivfpq_batch5", nVecs) {
         graft.SparkEntry.queries("q180_ivfpq_batch")(spark, dir).count()
       }
+      // the ON-DISK index (r14): build cost is the write row (encode +
+      // assign + cell-partitioned parquet write — the one-time cost the
+      // serve rows amortize); the serve row reads ONLY the probed
+      // cells' directories via the static partition filter, so its
+      // growth should track the per-cell slice, not the corpus
+      val vecs0 = vs.filter(col("codes").isNotNull)
+      rec("ivfpq_disk_build", nVecs) {
+        Similarity.ivfPqIndexWrite(vecs0, s"$dir/annidx", kIvf = 4,
+          m = 4, subDim = 16, k = 8)
+        nVecs
+      }
+      rec("ivfpq_disk_serve1", nVecs) {
+        Similarity.ivfPqIndexServe(vecs0, s"$dir/annidx", queryId = 0L,
+          nprobe = 2, m = 4, subDim = 16, coarseK = 20, topK = 10)
+          .count()
+      }
       // codebook training (facade trainPqCodebooks, 2 Lloyd rounds per
       // subspace): the assign pass is the pqEncode broadcast-argmin,
       // re-estimation reduces to k·m·subDim cells — expect the kmeans

@@ -356,6 +356,47 @@ class GraftFacadeSpec extends SparkTestBase {
       s"batch and single-query IVF-PQ must agree:\n$batch\nvs\n$single")
   }
 
+  test("annIndex facade: write → serve round-trips ≡ ivfPqAnn") {
+    // the on-disk index through the public surface: a user frame
+    // written as a cell-partitioned index and served from disk must
+    // reproduce the in-memory search exactly (same seed model, same
+    // int8 prep on both paths)
+    val rows = Seq(
+      (0L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      (1L, Seq(8.0, -1.0, 2.0, 0.0, 3.0, -2.0, 1.0, 4.0)),
+      (2L, Seq(-5.0, 5.0, -5.0, 5.0, -5.0, 5.0, -5.0, 5.0)),
+      (3L, Seq(0.5, 0.5, 4.0, -3.0, 2.0, 2.0, -1.0, 0.0)),
+      (4L, Seq(3.0, 1.0, -2.0, 6.0, 0.0, -4.0, 2.0, 2.0)),
+      (5L, Seq(2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0)))
+    val df = rows.toDF("id", "emb")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-annidx-facade").toString
+    Graft.annIndexWrite(df, "id", "emb", idx, kIvf = 3, m = 2,
+      subDim = 4, k = 3)
+    val served = Graft.annIndexServe(df, "id", "emb", idx,
+        queryId = 0L, nprobe = 2, m = 2, subDim = 4, coarseK = 5,
+        topK = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val mem = Graft.ivfPqAnn(df, "id", "emb", queryId = 0L, kIvf = 3,
+        nprobe = 2, m = 2, subDim = 4, k = 3, coarseK = 5, topK = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(served.nonEmpty && served == mem,
+      s"disk-served facade must equal in-memory:\n$served\nvs\n$mem")
+    // append through the facade: a new id lands in a cell directory
+    // and becomes servable without rebuilding
+    Graft.annIndexAppend(
+      Seq((9L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.1)))
+        .toDF("id", "emb"), "id", "emb", idx, m = 2, subDim = 4)
+    val after = Graft.annIndexServe(df.union(
+        Seq((9L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.1)))
+          .toDF("id", "emb")), "id", "emb", idx,
+        queryId = 0L, nprobe = 2, m = 2, subDim = 4, coarseK = 5,
+        topK = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(after.contains(9L),
+      s"the appended near-twin of query 0 must surface: $after")
+  }
+
   test("semDedup facade: later near-dup of a seed is dropped") {
     val e = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
       (2L, Seq(1.0, 0.001))).toDF("id", "emb")

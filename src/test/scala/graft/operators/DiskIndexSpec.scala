@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions._
+
+/** Pins the ON-DISK IVF-PQ index layout (`ivfPqIndexWrite` /
+  * `ivfPqIndexAppend` / `ivfPqIndexServe`): result equivalence with
+  * the in-memory search, the static partition-prune plan shape the
+  * 100 TB story rests on, the declared-schema guard on the partition
+  * key, and the frozen-model append contract. */
+class DiskIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def codesDf(rows: Seq[(Long, Seq[Long])]) =
+    rows.toDF("vec_id", "codes")
+      .withColumn("v", transform(col("codes"), _.cast("double")))
+      .withColumn("nrm", norm(col("v")))
+
+  // two separable integer "haloes" + two near-origin rows: enough
+  // structure that cells and ADC ranks are non-trivial, small enough
+  // that the exact top-k is hand-checkable
+  private val corpus = Seq(
+    (0L, Seq(0L, 0L, 0L, 1L)), (1L, Seq(0L, 0L, 0L, 2L))) ++
+    (2L to 6L).map(i => (i, Seq(-90L, -90L, -90L, -90L - i % 3))) ++
+    (7L to 12L).map(i => (i, Seq(80L, 80L, 80L, 80L + i % 4)))
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-annidx").toString
+
+  test("disk-served query equals the in-memory ivfPqAnn exactly") {
+    val df = codesDf(corpus)
+    val idx = tmp()
+    Similarity.ivfPqIndexWrite(df, idx, kIvf = 2, m = 2, subDim = 2,
+      k = 3)
+    val served = Similarity.ivfPqIndexServe(df, idx, queryId = 0L,
+        nprobe = 2, m = 2, subDim = 2, coarseK = 8, topK = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val mem = Similarity.ivfPqAnn(df, queryId = 0L, kIvf = 2,
+        nprobe = 2, m = 2, subDim = 2, k = 3, coarseK = 8, topK = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(served.nonEmpty && served == mem,
+      s"disk-served must equal in-memory:\n$served\nvs\n$mem")
+  }
+
+  test("the encodings scan statically prunes to the probed cells") {
+    val df = codesDf(corpus)
+    val idx = tmp()
+    Similarity.ivfPqIndexWrite(df, idx, kIvf = 3, m = 2, subDim = 2,
+      k = 3)
+    // nprobe=1 of kIvf=3: the PLAN itself — not runtime stats — must
+    // carry the cell restriction as a partition filter over literal
+    // cell values, with exactly nprobe of them: that is the static
+    // guarantee that only the probed cells' directories are ever
+    // listed, the serving path's whole point at 100 TB. Query 8 lives
+    // in the +80 halo, whose cell holds 7 vectors (its nearest
+    // centroid is seed vector 1's — exact last-dim match beats seed 0)
+    val served = Similarity.ivfPqIndexServe(df, idx, queryId = 8L,
+      nprobe = 1, m = 2, subDim = 2, coarseK = 8, topK = 3)
+    def partFilters(df: org.apache.spark.sql.DataFrame): String = {
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse(
+        fail(s"the cell filter must be a plan-time PartitionFilter:\n$p"))
+    }
+    // a single probed cell optimizes to an equality literal…
+    val pf1 = partFilters(served)
+    assert("\\(cell#\\d+L? = \\d+\\)".r.findFirstIn(pf1).isDefined,
+      s"nprobe=1 must prune to one literal cell: $pf1")
+    // …and two probed cells keep the literal IN — exactly nprobe values
+    val pf2 = partFilters(Similarity.ivfPqIndexServe(df, idx,
+      queryId = 8L, nprobe = 2, m = 2, subDim = 2, coarseK = 8,
+      topK = 3))
+    val inVals = "cell#\\d+L? IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(pf2).map(_.group(1).split(",").map(_.trim).toSeq)
+    assert(inVals.exists(_.size == 2),
+      s"nprobe=2 must prune to exactly two literal cells: $pf2")
+    val cellDirs = new java.io.File(s"$idx/enc").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length == 3, "fixture must produce 3 cell dirs")
+    // and the serve RUNS correctly off the pruned scan: query 8's
+    // cell-mates are {1, 7, 9, 10, 11, 12} — topK=3 of those
+    assert(served.count() == 3)
+  }
+
+  test("partition-key schema is declared: cell stays LONG at any size") {
+    // inference would type the small local cell ids as INT and the
+    // same index at corpus scale as LONG — the declared read schema
+    // pins the served schema (and the isin(Long) pruning) either way
+    val df = codesDf(corpus)
+    val idx = tmp()
+    Similarity.ivfPqIndexWrite(df, idx, kIvf = 2, m = 2, subDim = 2,
+      k = 3)
+    val served = Similarity.ivfPqIndexServe(df, idx, queryId = 1L,
+      nprobe = 1, m = 2, subDim = 2, coarseK = 4, topK = 2)
+    assert(served.schema("cell").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(served.schema("vec_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("frozen-model append serves identically to a full rebuild") {
+    // the pqEncode/ivfAssign incremental contract on the DISK layout:
+    // delta ids BELOW the old minimum would reseed a different model
+    // if append re-derived it — exactly the case that must not matter
+    // because append reads the frozen model frames off the index
+    val old = corpus.filter(_._1 >= 2)
+    val delta = corpus.filter(_._1 < 2)
+    val dfOld = codesDf(old)
+    val dfAll = codesDf(corpus)
+    val incr = tmp(); val full = tmp()
+    Similarity.ivfPqIndexWrite(dfOld, incr, kIvf = 2, m = 2,
+      subDim = 2, k = 3)
+    Similarity.ivfPqIndexAppend(codesDf(delta), incr, m = 2, subDim = 2)
+    // the rebuild reference: one-shot index over old ∪ delta UNDER THE
+    // OLD MODEL (the frames the incremental index froze) — the seed
+    // default would reseed from the delta's smaller ids and code a
+    // different space, which is exactly why append reads the model
+    // off the index instead of deriving it
+    Similarity.ivfPqIndexWrite(dfAll, full, kIvf = 2, m = 2,
+      subDim = 2, k = 3,
+      codebooks = Some(spark.read.parquet(s"$incr/books")),
+      centroids = Some(spark.read.parquet(s"$incr/cents")))
+    val a = Similarity.ivfPqIndexServe(dfAll, incr, queryId = 7L,
+        nprobe = 2, m = 2, subDim = 2, coarseK = 10, topK = 6)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val b = Similarity.ivfPqIndexServe(dfAll, full, queryId = 7L,
+        nprobe = 2, m = 2, subDim = 2, coarseK = 10, topK = 6)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(a.nonEmpty && a == b,
+      s"append must equal the frozen-model rebuild:\n$a\nvs\n$b")
+    // and the appended rows are actually served: a delta id must be
+    // reachable as a neighbor when it is the query's true cell-mate
+    val nearDelta = Similarity.ivfPqIndexServe(dfAll, incr,
+        queryId = 1L, nprobe = 2, m = 2, subDim = 2, coarseK = 10,
+        topK = 6)
+      .select("vec_id").as[Long].collect().toSet
+    assert(nearDelta.contains(0L),
+      s"the appended near-origin row must surface for query 1: $nearDelta")
+  }
+}
