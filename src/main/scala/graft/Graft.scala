@@ -417,6 +417,19 @@ object Graft {
       int8CodedVectors(df, idCol, vecCol), indexDir, queryId, nprobe,
       m, subDim, coarseK, topK)
 
+  /** Batch-serve every id below `qMax` from an on-disk index in ONE
+    * partition-pruned pass: the union of the batch's probed cells (≤
+    * kIvf literals, batch-size-independent) prunes the scan, then each
+    * query restricts to its own cells on the pruned slice. Returns
+    * [[ivfPqAnnBatch]]'s (q_id, vec_id, cell, adc, cos_sim, rn). See
+    * [[operators.Similarity.ivfPqIndexServeBatch]]. */
+  def annIndexServeBatch(df: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, qMax: Long, nprobe: Int, m: Int, subDim: Int,
+      coarseK: Int = 50, topK: Int = 10): DataFrame =
+    operators.Similarity.ivfPqIndexServeBatch(
+      int8CodedVectors(df, idCol, vecCol), indexDir, qMax, nprobe,
+      m, subDim, coarseK, topK)
+
   /** Shared facade prep for the quantized ANN members: rename/cast to
     * the (vec_id, v, nrm) shape, then attach the int8 absmax codes
     * (the q106/q142 code rule; zero vectors have no direction and are

@@ -820,6 +820,50 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Batch-serve a query SET from the ON-DISK index — the
+    * [[ivfPqAnnBatch]] one-pass shape over a STATICALLY
+    * partition-pruned scan: the union of every query's probed cells
+    * is collected as ≤ kIvf literal values (batch-size-INDEPENDENT —
+    * the collect is over the distinct cells, never the per-query
+    * lists) and becomes the encodings scan's partition filter; the
+    * batch machinery then applies each query's own nprobe-cell
+    * restriction per row on the pruned slice. The assignment frame is
+    * the s=0 slice of the same pruned scan (every vector has an s=0
+    * row; no dedup shuffle), and the model frames come off the index,
+    * so the batch can never rank in a different code space than the
+    * encodings were written in. Returns [[ivfPqAnnBatch]]'s
+    * (q_id, vec_id, cell, adc, cos_sim, rn). Construction-eager like
+    * [[ivfPqIndexServe]] (the distinct-cells collect + a kIvf-row
+    * count), by design. */
+  private[graft] def ivfPqIndexServeBatch(codes: DataFrame,
+      indexDir: String, qMax: Long, nprobe: Int, m: Int, subDim: Int,
+      coarseK: Int, topK: Int): DataFrame = {
+    require(qMax >= 1 && nprobe >= 1 && m >= 1 && subDim >= 1 &&
+      coarseK >= 1 && topK >= 1,
+      "ivfPqIndexServeBatch: all knobs must be >= 1")
+    val s = codes.sparkSession
+    val books = s.read.parquet(s"$indexDir/books")
+    val cents = s.read.parquet(s"$indexDir/cents")
+    val kIvf = cents.count().toInt
+    val qs = codes.filter(col("vec_id") < qMax)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("d").asc, col("cl"))
+    val cellsNeeded: Seq[Long] = qs.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cl"),
+        graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv")).as("d"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select("cl").distinct().collect().map(_.getLong(0)).toSeq
+    val encDisk = s.read.schema(IvfPqEncSchema).parquet(s"$indexDir/enc")
+      .filter(col("cell").isin(cellsNeeded: _*))
+    ivfPqAnnBatch(codes,
+      encDisk.select("vec_id", "s", "code"),
+      encDisk.filter(col("s") === 0).select("vec_id", "cell"),
+      qMax, kIvf, nprobe, m, subDim, k = 1, coarseK, topK,
+      codebooks = Some(books), centroids = Some(cents))
+  }
+
   /** Trained PQ codebooks — the opt-in alternative to
     * [[pqSeedCodebooks]] behind the same (cs, cb_id, cbv) shape:
     * Lloyd's k-means per subspace over the integer subvectors, each

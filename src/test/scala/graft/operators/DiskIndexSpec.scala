@@ -100,6 +100,33 @@ class DiskIndexSpec extends SparkTestBase {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("disk batch equals the in-memory batch, through a pruned scan") {
+    // the one-pass batch over the on-disk index must reproduce
+    // ivfPqAnnBatch over the same (seed) model — and its encodings
+    // scan must carry the plan-time cell restriction (the union of
+    // the batch's probed cells as literals)
+    val df = codesDf(corpus)
+    val idx = tmp()
+    Similarity.ivfPqIndexWrite(df, idx, kIvf = 3, m = 2, subDim = 2,
+      k = 3)
+    val disk = Similarity.ivfPqIndexServeBatch(df, idx, qMax = 2L,
+      nprobe = 2, m = 2, subDim = 2, coarseK = 8, topK = 4)
+    val mem = Similarity.ivfPqAnnBatch(df,
+        Similarity.pqEncode(df, m = 2, subDim = 2, k = 3),
+        Similarity.ivfAssign(df, kIvf = 3), qMax = 2L, kIvf = 3,
+        nprobe = 2, m = 2, subDim = 2, k = 3, coarseK = 8, topK = 4)
+      .as[(Long, Long, Long, Long, Double, Int)].collect().toSeq
+    val got = disk.as[(Long, Long, Long, Long, Double, Int)]
+      .collect().toSeq
+    assert(got.nonEmpty && got == mem,
+      s"disk batch must equal in-memory batch:\n$got\nvs\n$mem")
+    val plan = disk.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PartitionFilters: \\[[^\\]]*cell#\\d+L? (IN|=)".r
+      .findFirstIn(plan).isDefined,
+      s"the batch scan must carry a literal cell PartitionFilter:\n$plan")
+  }
+
   test("frozen-model append serves identically to a full rebuild") {
     // the pqEncode/ivfAssign incremental contract on the DISK layout:
     // delta ids BELOW the old minimum would reseed a different model
