@@ -269,6 +269,11 @@ object ScaleProbe {
           nprobe = 2, m = 4, subDim = 16, coarseK = 20, topK = 10)
           .count()
       }
+      rec("ivfpq_disk_batch5", nVecs) {
+        Similarity.ivfPqIndexServeBatch(vecs0, s"$dir/annidx",
+          qMax = 5L, nprobe = 2, m = 4, subDim = 16, coarseK = 20,
+          topK = 3).count()
+      }
       // codebook training (facade trainPqCodebooks, 2 Lloyd rounds per
       // subspace): the assign pass is the pqEncode broadcast-argmin,
       // re-estimation reduces to k·m·subDim cells — expect the kmeans
