@@ -127,6 +127,24 @@ class DiskIndexSpec extends SparkTestBase {
       s"the batch scan must carry a literal cell PartitionFilter:\n$plan")
   }
 
+  test("an absent query id serves EMPTY, not an error (single + batch)") {
+    // the pqAnn contract on the disk path: a missing query yields an
+    // empty probed-cell list, which must become an empty (zero-
+    // partition) scan — this pins Spark's empty-isin semantics the
+    // serve relies on, so a version change that made `isin()` throw
+    // or match-all would fail here instead of in production
+    val df = codesDf(corpus)
+    val idx = tmp()
+    Similarity.ivfPqIndexWrite(df, idx, kIvf = 2, m = 2, subDim = 2,
+      k = 3)
+    assert(Similarity.ivfPqIndexServe(df, idx, queryId = 999L,
+      nprobe = 2, m = 2, subDim = 2, coarseK = 8, topK = 5).count() == 0)
+    // a batch whose qMax admits no ids is likewise empty
+    assert(Similarity.ivfPqIndexServeBatch(
+      df.filter(col("vec_id") >= 2L), idx, qMax = 2L, nprobe = 2,
+      m = 2, subDim = 2, coarseK = 8, topK = 5).count() == 0)
+  }
+
   test("frozen-model append serves identically to a full rebuild") {
     // the pqEncode/ivfAssign incremental contract on the DISK layout:
     // delta ids BELOW the old minimum would reseed a different model
