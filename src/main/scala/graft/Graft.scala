@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The library facade: the reusable, table-agnostic operators behind the
   * named queries, re-exported under one import for users who bring their
@@ -429,6 +429,40 @@ object Graft {
     operators.Similarity.ivfPqIndexServeBatch(
       int8CodedVectors(df, idCol, vecCol), indexDir, qMax, nprobe,
       m, subDim, coarseK, topK)
+
+  /** LOGICAL delete from an on-disk ANN index: the ids land in the
+    * index's `tombstones/` set and stop surfacing from
+    * [[annIndexServe]]/[[annIndexServeBatch]] immediately (broadcast
+    * anti-join — no index rewrite); the next [[annIndexCompact]]
+    * reclaims the space. See
+    * [[operators.Similarity.ivfPqIndexDelete]]. */
+  def annIndexDelete(spark: SparkSession, indexDir: String,
+      ids: Seq[Long]): Unit =
+    operators.Similarity.ivfPqIndexDelete(spark, indexDir, ids)
+
+  /** Compact an on-disk ANN index in place: rewrite the encodings to
+    * one file per cell directory (repairing append/ingest small-file
+    * accretion) and apply outstanding tombstones physically. Serve
+    * results are unchanged (spec-pinned). Single-maintainer op — do
+    * not run concurrently with appends. See
+    * [[operators.Similarity.ivfPqIndexCompact]]. */
+  def annIndexCompact(spark: SparkSession, indexDir: String): Unit =
+    operators.Similarity.ivfPqIndexCompact(spark, indexDir)
+
+  /** Continuously ingest a STREAM of vectors into an on-disk ANN
+    * index: each micro-batch appends under the frozen-model contract,
+    * guarded by a batch-id ledger so checkpoint replays skip
+    * already-applied batches (crash between an append and its marker
+    * is at-least-once — repair via [[annIndexDelete]] +
+    * [[annIndexCompact]] or a rebuild). Returns the started query;
+    * the caller owns its lifecycle. See
+    * [[operators.Similarity.ivfPqIndexIngest]]. */
+  def annIndexIngest(df: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, m: Int, subDim: Int,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    operators.Similarity.ivfPqIndexIngest(
+      int8CodedVectors(df, idCol, vecCol), indexDir, m, subDim,
+      checkpointDir)
 
   /** Shared facade prep for the quantized ANN members: rename/cast to
     * the (vec_id, v, nrm) shape, then attach the int8 absmax codes

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -708,6 +709,7 @@ object Similarity {
     * plan-fragile; a serving path wants the guarantee in the plan.)
     * `codes` supplies the query vector and the full-precision rerank
     * side — at scale, the corpus table the index was built from.
+    * Outstanding tombstones are subtracted ([[minusTombstones]]).
     * Returns (vec_id, cell, adc, cos_sim) top-`topK`, identical to
     * [[ivfPqAnn]] over the same model (spec-pinned). */
   private[graft] def ivfPqIndexServe(codes: DataFrame, indexDir: String,
@@ -725,8 +727,9 @@ object Similarity {
         graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv0")).as("d"))
       .orderBy(col("d").asc, col("cl")).limit(nprobe)
       .select("cl").collect().toSeq.map(_.getLong(0))
-    val enc = s.read.schema(IvfPqEncSchema).parquet(s"$indexDir/enc")
-      .filter(col("cell").isin(probedCells: _*))
+    val enc = minusTombstones(s, indexDir,
+      s.read.schema(IvfPqEncSchema).parquet(s"$indexDir/enc")
+        .filter(col("cell").isin(probedCells: _*)))
     val q = pqSubvectors(codes.filter(col("vec_id") === queryId),
         m, subDim)
       .select(col("s").as("qs_s"), col("sc").as("qs"))
@@ -831,7 +834,8 @@ object Similarity {
     * the s=0 slice of the same pruned scan (every vector has an s=0
     * row; no dedup shuffle), and the model frames come off the index,
     * so the batch can never rank in a different code space than the
-    * encodings were written in. Returns [[ivfPqAnnBatch]]'s
+    * encodings were written in. Outstanding tombstones are subtracted
+    * ([[minusTombstones]]). Returns [[ivfPqAnnBatch]]'s
     * (q_id, vec_id, cell, adc, cos_sim, rn). Construction-eager like
     * [[ivfPqIndexServe]] (the distinct-cells collect + a kIvf-row
     * count), by design. */
@@ -855,14 +859,124 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select("cl").distinct().collect().map(_.getLong(0)).toSeq
-    val encDisk = s.read.schema(IvfPqEncSchema).parquet(s"$indexDir/enc")
-      .filter(col("cell").isin(cellsNeeded: _*))
+    val encDisk = minusTombstones(s, indexDir,
+      s.read.schema(IvfPqEncSchema).parquet(s"$indexDir/enc")
+        .filter(col("cell").isin(cellsNeeded: _*)))
     ivfPqAnnBatch(codes,
       encDisk.select("vec_id", "s", "code"),
       encDisk.filter(col("s") === 0).select("vec_id", "cell"),
       qMax, kIvf, nprobe, m, subDim, k = 1, coarseK, topK,
       codebooks = Some(books), centroids = Some(cents))
   }
+
+  /** Tombstone-aware view of an on-disk encodings scan: subtract the
+    * index's logical-delete set (see [[ivfPqIndexDelete]]) as a
+    * BROADCAST anti-join — the tombstone frame is ids-only and stays
+    * small between compactions by contract, so the serve plan keeps
+    * its partition-pruned scan shape and pays one broadcast hash
+    * lookup per encoding row, never a shuffle. No `tombstones/`
+    * directory means no deletes: the scan is returned untouched (the
+    * common case — zero cost until the first delete). */
+  private def minusTombstones(s: SparkSession, indexDir: String,
+      enc: DataFrame): DataFrame = {
+    val p = new Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) enc
+    else enc.join(
+      broadcast(s.read.schema("vec_id BIGINT").parquet(p.toString)),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** LOGICAL delete from an on-disk index: append the ids to the
+    * index's `tombstones/` parquet set. Serving subtracts tombstones
+    * with a broadcast anti-join ([[minusTombstones]]) — a deleted
+    * vector stops surfacing immediately, at zero rewrite cost — and
+    * the next [[ivfPqIndexCompact]] makes the delete PHYSICAL and
+    * clears the set. This is the delete contract every append-only
+    * columnar index uses at scale (a 100 TB cell directory cannot be
+    * rewritten per delete): deletes are cheap and logical, space is
+    * reclaimed by maintenance. Deleting an id not in the index is a
+    * harmless no-op; deleting an id later re-appended would mask the
+    * new rows too (ids are never reused by contract — the
+    * [[ivfPqIndexAppend]] new-ids rule). */
+  private[graft] def ivfPqIndexDelete(s: SparkSession, indexDir: String,
+      ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "ivfPqIndexDelete: ids must be non-empty")
+    import s.implicits._
+    // ids-frame is caller-side tiny; one file per delete batch
+    ids.toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+  }
+
+  /** Compact an on-disk index in place: rewrite `enc/` to ONE file per
+    * cell directory and apply outstanding tombstones physically. Every
+    * [[ivfPqIndexAppend]] (and each streaming micro-batch of
+    * [[ivfPqIndexIngest]]) adds a file per touched cell, so a
+    * long-lived index accretes small fragments whose per-file open/
+    * footer cost eventually dominates the pruned serve scan — the
+    * classic small-files decay every append-only layout meets.
+    * Compaction is the repair: read the live rows (fragments minus
+    * tombstones), `repartition(kIvf, cell)` so each cell directory
+    * gets exactly one write task, write to a sibling `enc-compact/`,
+    * then swap via two renames and drop the retired data and the
+    * tombstone set. Serve-equality across compaction is spec-pinned.
+    *
+    * Single-maintainer op by contract (like every `overwrite` in this
+    * file): do not compact while another writer appends. Crash between
+    * the two renames leaves `enc/` absent and `enc-retired/` complete —
+    * recovery is renaming `enc-retired/` back, and the require below
+    * names the state loudly rather than half-serving. */
+  private[graft] def ivfPqIndexCompact(s: SparkSession,
+      indexDir: String): Unit = {
+    val enc = new Path(s"$indexDir/enc")
+    val fs = enc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val kIvf = s.read.parquet(s"$indexDir/cents").count().toInt
+    val live = minusTombstones(s, indexDir,
+      s.read.schema(IvfPqEncSchema).parquet(enc.toString))
+    val fresh = new Path(s"$indexDir/enc-compact")
+    live.repartition(kIvf, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(fresh.toString)
+    val retired = new Path(s"$indexDir/enc-retired")
+    if (fs.exists(retired)) fs.delete(retired, true)
+    require(fs.rename(enc, retired) && fs.rename(fresh, enc),
+      s"ivfPqIndexCompact: enc swap failed under $indexDir — " +
+        "if enc/ is missing, rename enc-retired/ back to enc/")
+    fs.delete(retired, true)
+    fs.delete(new Path(s"$indexDir/tombstones"), true)
+  }
+
+  /** CONTINUOUS ingestion into an on-disk index: each micro-batch of
+    * `delta` (codes shape — vec_id, v, nrm, codes — new ids only) is
+    * appended under the frozen-model contract ([[ivfPqIndexAppend]]),
+    * guarded by a batch-id LEDGER at `ingested/batch-<id>/`: a marker
+    * written after the append makes checkpoint replays skip
+    * already-applied batches, so a clean stop/restart never
+    * double-appends (spec-pinned). The honest crash window: dying
+    * BETWEEN the append and its marker replays that one batch
+    * at-least-once — the repair is [[ivfPqIndexCompact]] after
+    * dropping the duplicate ids via [[ivfPqIndexDelete]], or a
+    * rebuild; exactly-once would need the append and the marker in one
+    * atomic commit (an ACID table format, absent in this container by
+    * design — documented, not hidden). At 100 TB/day this is the
+    * serving-index maintenance loop: stream in, appends accrete,
+    * compaction amortizes. */
+  private[graft] def ivfPqIndexIngest(delta: DataFrame, indexDir: String,
+      m: Int, subDim: Int, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    delta.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val marker = new Path(s"$indexDir/ingested/batch-$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          if (!batch.isEmpty) ivfPqIndexAppend(batch, indexDir, m, subDim)
+          fs.mkdirs(marker)
+        }
+        ()
+      }
+      .start()
 
   /** Trained PQ codebooks — the opt-in alternative to
     * [[pqSeedCodebooks]] behind the same (cs, cb_id, cbv) shape:

@@ -184,4 +184,91 @@ class DiskIndexSpec extends SparkTestBase {
     assert(nearDelta.contains(0L),
       s"the appended near-origin row must surface for query 1: $nearDelta")
   }
+
+  private def encFileCounts(idx: String): Map[String, Int] =
+    new java.io.File(s"$idx/enc").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+
+  test("appends fragment cell directories; compaction restores one " +
+      "file per cell, serve-identical") {
+    // two appends into the +80 halo's cell: its directory accretes one
+    // file per write (the small-files decay ingestion causes), and
+    // compaction must collapse it back to ONE file without changing a
+    // single served row
+    val idx = tmp()
+    Similarity.ivfPqIndexWrite(codesDf(corpus.filter(_._1 <= 8)), idx,
+      kIvf = 2, m = 2, subDim = 2, k = 3)
+    Similarity.ivfPqIndexAppend(
+      codesDf(corpus.filter(r => r._1 == 9L || r._1 == 10L)), idx,
+      m = 2, subDim = 2)
+    Similarity.ivfPqIndexAppend(codesDf(corpus.filter(_._1 >= 11)), idx,
+      m = 2, subDim = 2)
+    val dfAll = codesDf(corpus)
+    def serve(): Seq[(Long, Long, Long, Double)] =
+      Similarity.ivfPqIndexServe(dfAll, idx, queryId = 8L, nprobe = 2,
+          m = 2, subDim = 2, coarseK = 10, topK = 6)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    val before = serve()
+    assert(before.nonEmpty)
+    assert(encFileCounts(idx).values.max >= 3,
+      s"the twice-appended cell must carry >= 3 files: ${encFileCounts(idx)}")
+    Similarity.ivfPqIndexCompact(spark, idx)
+    val after = encFileCounts(idx)
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"every cell directory must hold exactly one file: $after")
+    // the swap leaves no scratch directories behind
+    assert(!new java.io.File(s"$idx/enc-compact").exists)
+    assert(!new java.io.File(s"$idx/enc-retired").exists)
+    assert(serve() == before,
+      "compaction must not change a single served row")
+  }
+
+  test("tombstoned ids vanish from single AND batch serve; compaction " +
+      "makes the delete physical") {
+    val idx = tmp()
+    val df = codesDf(corpus)
+    Similarity.ivfPqIndexWrite(df, idx, kIvf = 2, m = 2, subDim = 2,
+      k = 3)
+    def serve(): Seq[(Long, Long, Long, Double)] =
+      Similarity.ivfPqIndexServe(df, idx, queryId = 8L, nprobe = 2,
+          m = 2, subDim = 2, coarseK = 10, topK = 6)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(serve().exists(r => r._1 == 9L || r._1 == 10L),
+      "fixture: 9/10 must be neighbors of 8 before the delete")
+    Similarity.ivfPqIndexDelete(spark, idx, Seq(9L, 10L))
+    val after = serve()
+    assert(after.nonEmpty && !after.exists(r => r._1 == 9L || r._1 == 10L),
+      s"deleted ids must stop surfacing: $after")
+    // logical delete == frozen-model rebuild WITHOUT the deleted rows
+    val rebuilt = tmp()
+    Similarity.ivfPqIndexWrite(
+      df.filter(!col("vec_id").isin(9L, 10L)), rebuilt, kIvf = 2,
+      m = 2, subDim = 2, k = 3,
+      codebooks = Some(spark.read.parquet(s"$idx/books")),
+      centroids = Some(spark.read.parquet(s"$idx/cents")))
+    val ref = Similarity.ivfPqIndexServe(df, rebuilt, queryId = 8L,
+        nprobe = 2, m = 2, subDim = 2, coarseK = 10, topK = 6)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(after == ref,
+      s"tombstone serve must equal the rebuild-without:\n$after\nvs\n$ref")
+    // the batch path subtracts the same set
+    val batch = Similarity.ivfPqIndexServeBatch(df, idx, qMax = 2L,
+        nprobe = 2, m = 2, subDim = 2, coarseK = 10, topK = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(batch.nonEmpty && !batch.contains(9L) && !batch.contains(10L),
+      s"batch serve must honor tombstones: $batch")
+    // compaction applies the tombstones physically and clears the set
+    Similarity.ivfPqIndexCompact(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists,
+      "compaction must clear the tombstone set")
+    val remaining = spark.read
+      .schema("vec_id BIGINT, s INT, code BIGINT, cell BIGINT")
+      .parquet(s"$idx/enc")
+      .filter(col("vec_id").isin(9L, 10L)).count()
+    assert(remaining == 0, "compaction must drop tombstoned rows")
+    assert(serve() == after,
+      "physical delete must serve exactly like the logical one")
+  }
 }
