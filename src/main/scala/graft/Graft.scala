@@ -381,9 +381,12 @@ object Graft {
     * layout made concrete: a served query lists and reads ONLY its
     * probed cells' directories (see [[annIndexServe]]). The encodings
     * are derived from the model frames read back off disk, so the
-    * index always carries exactly the model it was coded with.
-    * `codebooks` opts into [[trainPqCodebooks]]' trained model. See
-    * [[operators.Similarity.ivfPqIndexWrite]]. */
+    * index always carries exactly the model it was coded with, and a
+    * `manifest/` row records the geometry (m, subDim, kIvf, k) — every
+    * later serve/append/ingest validates its knobs against it and
+    * fails loudly on a mismatch instead of ranking in the wrong code
+    * space. `codebooks` opts into [[trainPqCodebooks]]' trained model.
+    * See [[operators.Similarity.ivfPqIndexWrite]]. */
   def annIndexWrite(df: DataFrame, idCol: String, vecCol: String,
       indexDir: String, kIvf: Int, m: Int, subDim: Int, k: Int = 8,
       codebooks: Option[DataFrame] = None): Unit =

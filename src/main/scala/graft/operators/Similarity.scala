@@ -660,6 +660,12 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$outDir/books")
     centroids.getOrElse(ivfCentroids(codes, kIvf))
       .write.mode("overwrite").parquet(s"$outDir/cents")
+    // the index records its own geometry: serve/append/ingest validate
+    // caller knobs against this row instead of silently ranking in the
+    // wrong code space on a mismatch
+    import s.implicits._
+    Seq((m, subDim, kIvf, k)).toDF("m", "subDim", "kIvf", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
     val books = s.read.parquet(s"$outDir/books")
     val cents = s.read.parquet(s"$outDir/cents")
     pqEncode(codes, m, subDim, k, Some(books))
@@ -683,6 +689,7 @@ object Similarity {
   private[graft] def ivfPqIndexAppend(delta: DataFrame, indexDir: String,
       m: Int, subDim: Int): Unit = {
     val s = delta.sparkSession
+    checkIndexManifest(s, indexDir, m, subDim)
     val books = s.read.parquet(s"$indexDir/books")
     val cents = s.read.parquet(s"$indexDir/cents")
     // k/kIvf parameters are seed-rule knobs — irrelevant under a
@@ -718,6 +725,7 @@ object Similarity {
     require(nprobe >= 1 && m >= 1 && subDim >= 1 && coarseK >= 1 &&
       topK >= 1, "ivfPqIndexServe: all knobs must be >= 1")
     val s = codes.sparkSession
+    checkIndexManifest(s, indexDir, m, subDim, nprobe)
     val books = s.read.parquet(s"$indexDir/books")
     val qv = codes.filter(col("vec_id") === queryId)
       .select(col("v").as("qv0"))
@@ -846,6 +854,7 @@ object Similarity {
       coarseK >= 1 && topK >= 1,
       "ivfPqIndexServeBatch: all knobs must be >= 1")
     val s = codes.sparkSession
+    checkIndexManifest(s, indexDir, m, subDim, nprobe)
     val books = s.read.parquet(s"$indexDir/books")
     val cents = s.read.parquet(s"$indexDir/cents")
     val kIvf = cents.count().toInt
@@ -885,6 +894,35 @@ object Similarity {
     else enc.join(
       broadcast(s.read.schema("vec_id BIGINT").parquet(p.toString)),
       Seq("vec_id"), "left_anti")
+  }
+
+  /** Validate caller knobs against the index's own manifest row (see
+    * [[ivfPqIndexWrite]]). A wrong `m`/`subDim` would not error — it
+    * would slice the query into a DIFFERENT subvector geometry than
+    * the encodings were written in and rank garbage with full
+    * confidence, the worst failure mode a serving path can have — so
+    * the mismatch dies here with both geometries named. `nprobe` is
+    * checked against the indexed kIvf when the caller has one (the
+    * in-memory twins validate it against their own knob; the disk
+    * paths learn kIvf only from the manifest). A pre-manifest index
+    * (no `manifest/` directory) skips validation for compatibility.
+    * One tiny one-row read per construction — the serve paths are
+    * construction-eager already, by design. */
+  private def checkIndexManifest(s: SparkSession, indexDir: String,
+      m: Int, subDim: Int, nprobe: Int = Int.MinValue): Unit = {
+    val p = new Path(s"$indexDir/manifest")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val r = s.read.parquet(p.toString)
+        .select("m", "subDim", "kIvf").head()
+      val (im, isd, ik) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      require(m == im && subDim == isd,
+        s"index at $indexDir was written with m=$im subDim=$isd — " +
+          s"got m=$m subDim=$subDim; a mismatched geometry would rank " +
+          "in the wrong code space")
+      require(nprobe == Int.MinValue || nprobe <= ik,
+        s"nprobe=$nprobe exceeds the index's kIvf=$ik cells")
+    }
   }
 
   /** LOGICAL delete from an on-disk index: append the ids to the
@@ -962,7 +1000,10 @@ object Similarity {
     * compaction amortizes. */
   private[graft] def ivfPqIndexIngest(delta: DataFrame, indexDir: String,
       m: Int, subDim: Int, checkpointDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail a geometry mismatch BEFORE the stream starts, not inside
+    // the first micro-batch's error-handling path
+    checkIndexManifest(delta.sparkSession, indexDir, m, subDim)
     delta.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -977,6 +1018,7 @@ object Similarity {
         ()
       }
       .start()
+  }
 
   /** Trained PQ codebooks — the opt-in alternative to
     * [[pqSeedCodebooks]] behind the same (cs, cb_id, cbv) shape:

@@ -274,6 +274,48 @@ object ScaleProbe {
           qMax = 5L, nprobe = 2, m = 4, subDim = 16, coarseK = 20,
           topK = 3).count()
       }
+      // index MAINTENANCE (r14): six frozen-model appends of a small
+      // id-offset wave fragment the cell directories (one file per
+      // touched cell per append — the small-files decay a streaming
+      // ingest causes), then compaction rewrites the index back to one
+      // file per cell. frag_serve is a serve against the fragmented
+      // layout (at local-disk scale the fragment tax is per-file
+      // open/footer cost — expect it near disk_serve1; the row exists
+      // so a REAL regression is visible, not assumed away); compact is
+      // the repair's own cost (a full read+rewrite — expect the
+      // disk_build growth shape); serve-after-compact must fall back
+      // onto the disk_serve1 band, which closes the decay→repair loop.
+      // the serve rows after the appends use a codes frame that COVERS
+      // the appended ids — an indexed id absent from the rerank side
+      // drops out of the final top-k (inner rerank join), which would
+      // shrink `out` and make the rows look like a result change
+      // rather than the pure layout measurement they are
+      val wave = vecs0.filter(col("vec_id") < 200)
+      val codesFrag = (1 to 6).map(i =>
+          wave.withColumn("vec_id", col("vec_id") + lit(1000000L * i)))
+        .foldLeft(vecs0)(_ union _)
+      rec("ivfpq_disk_append6", nVecs) {
+        (1 to 6).foreach { i =>
+          Similarity.ivfPqIndexAppend(
+            wave.withColumn("vec_id", col("vec_id") + lit(1000000L * i)),
+            s"$dir/annidx", m = 4, subDim = 16)
+        }
+        nVecs
+      }
+      rec("ivfpq_disk_frag_serve", nVecs) {
+        Similarity.ivfPqIndexServe(codesFrag, s"$dir/annidx",
+          queryId = 0L, nprobe = 2, m = 4, subDim = 16, coarseK = 20,
+          topK = 10).count()
+      }
+      rec("ivfpq_disk_compact", nVecs) {
+        Similarity.ivfPqIndexCompact(spark, s"$dir/annidx")
+        nVecs
+      }
+      rec("ivfpq_disk_serve2", nVecs) {
+        Similarity.ivfPqIndexServe(codesFrag, s"$dir/annidx",
+          queryId = 0L, nprobe = 2, m = 4, subDim = 16, coarseK = 20,
+          topK = 10).count()
+      }
       // codebook training (facade trainPqCodebooks, 2 Lloyd rounds per
       // subspace): the assign pass is the pqEncode broadcast-argmin,
       // re-estimation reduces to k·m·subDim cells — expect the kmeans

@@ -538,4 +538,50 @@ class GraftFacadeSpec extends SparkTestBase {
       assert(text.substring(a, b) == tok)
     }
   }
+
+  test("annIndex facade lifecycle: ingest a stream, delete, compact — " +
+      "served neighbors track every step") {
+    // the full maintenance loop through the PUBLIC surface only: a
+    // base index, a streamed delta (raw (id, emb) rows — the facade's
+    // int8 prep must ride the micro-batch plan), a logical delete, and
+    // a physical compaction, with the served neighbor set checked
+    // after each step
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Seq(
+      (0L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      (1L, Seq(8.0, -1.0, 2.0, 0.0, 3.0, -2.0, 1.0, 4.0)),
+      (2L, Seq(-5.0, 5.0, -5.0, 5.0, -5.0, 5.0, -5.0, 5.0)),
+      (3L, Seq(0.5, 0.5, 4.0, -3.0, 2.0, 2.0, -1.0, 0.0)),
+      (4L, Seq(3.0, 1.0, -2.0, 6.0, 0.0, -4.0, 2.0, 2.0)),
+      (5L, Seq(2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0)))
+    val delta = (9L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.1))
+    val df = base.toDF("id", "emb")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-annidx-life").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-annidx-ckpt").toString
+    Graft.annIndexWrite(df, "id", "emb", idx, kIvf = 3, m = 2,
+      subDim = 4, k = 3)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = Graft.annIndexIngest(in.toDF().toDF("id", "emb"), "id",
+      "emb", idx, m = 2, subDim = 4, ckpt)
+    try { in.addData(delta); q.processAllAvailable() } finally q.stop()
+    val all = (base :+ delta).toDF("id", "emb")
+    def serve(): Set[Long] = Graft.annIndexServe(all, "id", "emb", idx,
+        queryId = 0L, nprobe = 2, m = 2, subDim = 4, coarseK = 5,
+        topK = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(serve().contains(9L),
+      "the streamed near-twin of query 0 must surface")
+    Graft.annIndexDelete(spark, idx, Seq(9L))
+    val afterDelete = serve()
+    assert(afterDelete.nonEmpty && !afterDelete.contains(9L),
+      s"the deleted id must stop surfacing: $afterDelete")
+    Graft.annIndexCompact(spark, idx)
+    assert(serve() == afterDelete,
+      "compaction must not change the served neighbor set")
+    assert(!new java.io.File(s"$idx/tombstones").exists,
+      "compaction clears the tombstone set")
+  }
 }

@@ -271,4 +271,54 @@ class DiskIndexSpec extends SparkTestBase {
     assert(serve() == after,
       "physical delete must serve exactly like the logical one")
   }
+
+  test("the manifest rejects a wrong geometry on every entry path; " +
+      "a pre-manifest index still serves") {
+    // a wrong m/subDim would not error on its own — it would slice the
+    // query into a different subvector geometry than the encodings and
+    // rank garbage with full confidence — so the manifest row the
+    // write records must kill the call loudly instead
+    val idx = tmp()
+    val df = codesDf(corpus)
+    Similarity.ivfPqIndexWrite(df, idx, kIvf = 2, m = 2, subDim = 2,
+      k = 3)
+    def geometryError(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("m=2 subDim=2"),
+        s"the error must name the indexed geometry: ${e.getMessage}")
+    }
+    geometryError(Similarity.ivfPqIndexServe(codesDf(corpus), idx,
+      queryId = 8L, nprobe = 2, m = 4, subDim = 1, coarseK = 10,
+      topK = 6))
+    geometryError(Similarity.ivfPqIndexServeBatch(codesDf(corpus), idx,
+      qMax = 2L, nprobe = 2, m = 1, subDim = 4, coarseK = 10, topK = 6))
+    geometryError(Similarity.ivfPqIndexAppend(
+      codesDf(Seq((99L, Seq(1L, 1L, 1L, 1L)))), idx, m = 4, subDim = 1))
+    // ingest validates BEFORE the stream starts — no query to clean up
+    geometryError(Similarity.ivfPqIndexIngest(
+      spark.readStream.format("rate").load()
+        .select(col("value").as("vec_id")),
+      idx, m = 4, subDim = 1, s"${tmp()}/ckpt"))
+    // nprobe beyond the indexed cell count is named too
+    val np = intercept[IllegalArgumentException](
+      Similarity.ivfPqIndexServe(codesDf(corpus), idx, queryId = 8L,
+        nprobe = 7, m = 2, subDim = 2, coarseK = 10, topK = 6))
+    assert(np.getMessage.contains("kIvf=2"), np.getMessage)
+    // compatibility: an index written before the manifest existed
+    // (manifest/ absent) skips validation and serves as before
+    val pre = serveable(idx)
+    deleteRecursively(new java.io.File(s"$idx/manifest"))
+    assert(serveable(idx) == pre,
+      "a manifest-less index must serve exactly as before")
+  }
+
+  private def serveable(idx: String): Seq[(Long, Long, Long, Double)] =
+    Similarity.ivfPqIndexServe(codesDf(corpus), idx, queryId = 8L,
+        nprobe = 2, m = 2, subDim = 2, coarseK = 10, topK = 6)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(); ()
+  }
 }
