@@ -25,7 +25,8 @@ object Bench {
     "q167_kmv_overlap" -> Seq("source-vocab"),
     "q171_phash_pairs" -> Seq("phash"),
     "q172_kl_drift" -> Seq("unigram-tf"),
-    "q181_ann_recall" -> Seq("ivf-cell", "ivf-cent", "pq-book", "pq-enc"),
+    "q181_ann_recall" -> Seq("ivf-cell", "pq-enc"),
+    "q182_ivfpq_disk" -> Seq("ivf-cent", "pq-book"),
     "q42_jaccard_pairs" -> Seq("jaccard-pairs"),
     "q43_simhash_pairs" -> Seq("simhash"),
     "q44_lsh_candidates" -> Seq("lsh-cand", "minhash-sig"),
@@ -37,9 +38,10 @@ object Bench {
   /** Derive each cache key-prefix's LAST consumer by replaying plan
     * construction of every query in Bench's sorted order with the
     * registry's access hook armed. Plan construction launches no Spark
-    * jobs outside the five eager-by-design constructors pinned in
+    * jobs outside the six eager-by-design constructors pinned in
     * PlanConstructionSpec (connector write, ANALYZE, the three
-    * iterative materializers): the one data-adaptive constructor — the
+    * iterative materializers, the q182 on-disk index build+probe): the
+    * one data-adaptive constructor — the
     * jaccard-pairs branch probe — is pinned to its `count` branch here
     * via [[graft.operators.TextDedup.BranchConf]], which is
     * lifecycle-safe because both branches consume the same cached

@@ -621,6 +621,30 @@ object Similarity {
       ivfCentroids(int8Codes(s, dir), kIvf = 4)
     }
 
+  /** The ON-DISK serving index for the bench inventory's standard
+    * configuration, built once per corpus dir into a process-temp
+    * directory from the SAME registry-cached model frames as
+    * q178–q181 (so disk serving is result-identical to the in-memory
+    * index by construction — the frozen-model write path). A plain
+    * process memo rather than a CacheRegistry frame: the artifact is
+    * a DIRECTORY holding zero executor memory, so the release ledger
+    * has nothing to release; staleness follows the JVM (a corpus
+    * rewrite in a live session needs a fresh process or a manual
+    * remove, the same contract as `Tables.invalidate` documents).
+    * q182 absorbs the build in its timed section — the bench analogue
+    * of the cache-build absorption discipline. */
+  private val diskIdxDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def diskIndexDir(s: SparkSession, dir: String): String =
+    diskIdxDirs.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q182").toString
+      ivfPqIndexWrite(int8Codes(s, dir), out, kIvf = 4, m = 4,
+        subDim = 16, k = 8, codebooks = Some(pqBooks(s, dir)),
+        centroids = Some(ivfCentroidIdx(s, dir)))
+      out
+    })
+
   /** The read schema of the on-disk encodings dataset — declared
     * EXPLICITLY on every read because `cell` is a partition DIRECTORY
     * key: inference would type small cell ids as INT locally and LONG
@@ -1074,6 +1098,64 @@ object Similarity {
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e)""".stripMargin
 
+  /** The single-query IVF-PQ oracle, shared VERBATIM by q179 (served
+    * from the in-memory registry index) and q182 (served from the
+    * on-disk cell-partitioned index): the two paths are spec-pinned
+    * result-identical (DiskIndexSpec), so one replay of the
+    * math — int8 codes, seed codebooks/centroids, coarse probe,
+    * ADC, exact-cosine rerank — gates both. */
+  private val ivfPqOracle: String =
+    oracleVec +
+      """,
+        |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))
+        |        AS absmax FROM e),
+        |c AS (SELECT vec_id,
+        |  list_transform(v, x -> CAST(floor(x * 127 / absmax + 0.5) AS BIGINT))
+        |    AS codes FROM a WHERE absmax > 0),
+        |cc AS (SELECT n.vec_id AS cl, n.v AS cv FROM n JOIN c USING (vec_id)
+        |       WHERE n.vec_id < 4),
+        |asgn AS (SELECT vec_id, cl AS cell FROM (
+        |  SELECT n.vec_id, cc.cl,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_sum([(n.v[i]-cc.cv[i])*(n.v[i]-cc.cv[i])
+        |                         for i in range(1, len(n.v)+1)]), cc.cl)
+        |      AS rn
+        |  FROM n JOIN c USING (vec_id) CROSS JOIN cc) WHERE rn = 1),
+        |qn AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+        |probed AS (SELECT cl FROM (
+        |  SELECT cc.cl,
+        |    list_sum([(cc.cv[i]-qn.qv[i])*(cc.cv[i]-qn.qv[i])
+        |              for i in range(1, len(cc.cv)+1)]) AS d
+        |  FROM cc, qn) ORDER BY d, cl LIMIT 2),
+        |sub AS (SELECT vec_id, s,
+        |  [c.codes[s*16+i] for i in range(1, 17)] AS sc
+        |  FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+        |cb AS (SELECT s, vec_id AS cb_id, sc AS cbv FROM sub
+        |       WHERE vec_id < 8),
+        |enc AS (SELECT vec_id, s, cb_id AS code FROM (
+        |  SELECT sub.vec_id, sub.s, cb.cb_id,
+        |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        |      ORDER BY list_sum([(sub.sc[i]-cb.cbv[i])*(sub.sc[i]-cb.cbv[i])
+        |                         for i in range(1, 17)]), cb.cb_id) AS rn
+        |  FROM sub JOIN cb USING (s)) WHERE rn = 1),
+        |q AS (SELECT s, sc AS qs FROM sub WHERE vec_id = 0),
+        |lut AS (SELECT cb.s, cb.cb_id,
+        |  CAST(list_sum([(q.qs[i]-cb.cbv[i])*(q.qs[i]-cb.cbv[i])
+        |                 for i in range(1, 17)]) AS BIGINT) AS qd
+        |  FROM cb JOIN q USING (s)),
+        |adc AS (SELECT enc.vec_id, asgn.cell,
+        |  CAST(sum(lut.qd) AS BIGINT) AS adc
+        |  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.cb_id
+        |  JOIN asgn ON enc.vec_id = asgn.vec_id
+        |  WHERE enc.vec_id <> 0 AND asgn.cell IN (SELECT cl FROM probed)
+        |  GROUP BY enc.vec_id, asgn.cell
+        |  ORDER BY adc ASC, enc.vec_id LIMIT 20)
+        |SELECT adc.vec_id, CAST(adc.cell AS BIGINT) AS cell, adc.adc,
+        |  round(list_sum([n.v[i]*qn.qv[i] for i in range(1, len(n.v)+1)])
+        |        / (n.nrm*qn.qnrm), 4) AS cos_sim
+        |FROM adc JOIN n USING (vec_id), qn
+        |ORDER BY cos_sim DESC, adc.vec_id LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── brute-force cosine top-10 for query vector vec_id=0
@@ -1525,56 +1607,7 @@ object Similarity {
     //    exact scan is the documented tradeoff of both levels.
     QueryDef(
       "q179_ivfpq_ann",
-      oracleVec +
-        """,
-          |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))
-          |        AS absmax FROM e),
-          |c AS (SELECT vec_id,
-          |  list_transform(v, x -> CAST(floor(x * 127 / absmax + 0.5) AS BIGINT))
-          |    AS codes FROM a WHERE absmax > 0),
-          |cc AS (SELECT n.vec_id AS cl, n.v AS cv FROM n JOIN c USING (vec_id)
-          |       WHERE n.vec_id < 4),
-          |asgn AS (SELECT vec_id, cl AS cell FROM (
-          |  SELECT n.vec_id, cc.cl,
-          |    row_number() OVER (PARTITION BY n.vec_id
-          |      ORDER BY list_sum([(n.v[i]-cc.cv[i])*(n.v[i]-cc.cv[i])
-          |                         for i in range(1, len(n.v)+1)]), cc.cl)
-          |      AS rn
-          |  FROM n JOIN c USING (vec_id) CROSS JOIN cc) WHERE rn = 1),
-          |qn AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
-          |probed AS (SELECT cl FROM (
-          |  SELECT cc.cl,
-          |    list_sum([(cc.cv[i]-qn.qv[i])*(cc.cv[i]-qn.qv[i])
-          |              for i in range(1, len(cc.cv)+1)]) AS d
-          |  FROM cc, qn) ORDER BY d, cl LIMIT 2),
-          |sub AS (SELECT vec_id, s,
-          |  [c.codes[s*16+i] for i in range(1, 17)] AS sc
-          |  FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
-          |cb AS (SELECT s, vec_id AS cb_id, sc AS cbv FROM sub
-          |       WHERE vec_id < 8),
-          |enc AS (SELECT vec_id, s, cb_id AS code FROM (
-          |  SELECT sub.vec_id, sub.s, cb.cb_id,
-          |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
-          |      ORDER BY list_sum([(sub.sc[i]-cb.cbv[i])*(sub.sc[i]-cb.cbv[i])
-          |                         for i in range(1, 17)]), cb.cb_id) AS rn
-          |  FROM sub JOIN cb USING (s)) WHERE rn = 1),
-          |q AS (SELECT s, sc AS qs FROM sub WHERE vec_id = 0),
-          |lut AS (SELECT cb.s, cb.cb_id,
-          |  CAST(list_sum([(q.qs[i]-cb.cbv[i])*(q.qs[i]-cb.cbv[i])
-          |                 for i in range(1, 17)]) AS BIGINT) AS qd
-          |  FROM cb JOIN q USING (s)),
-          |adc AS (SELECT enc.vec_id, asgn.cell,
-          |  CAST(sum(lut.qd) AS BIGINT) AS adc
-          |  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.cb_id
-          |  JOIN asgn ON enc.vec_id = asgn.vec_id
-          |  WHERE enc.vec_id <> 0 AND asgn.cell IN (SELECT cl FROM probed)
-          |  GROUP BY enc.vec_id, asgn.cell
-          |  ORDER BY adc ASC, enc.vec_id LIMIT 20)
-          |SELECT adc.vec_id, CAST(adc.cell AS BIGINT) AS cell, adc.adc,
-          |  round(list_sum([n.v[i]*qn.qv[i] for i in range(1, len(n.v)+1)])
-          |        / (n.nrm*qn.qnrm), 4) AS cos_sim
-          |FROM adc JOIN n USING (vec_id), qn
-          |ORDER BY cos_sim DESC, adc.vec_id LIMIT 10""".stripMargin) {
+      ivfPqOracle) {
       (s, dir) =>
         // both halves of the serving index read from the registry:
         // encodings (pq-enc) and the cell assignment (ivf-cell)
@@ -1785,6 +1818,26 @@ object Similarity {
             codebooks = books,
             centroids = Some(ivfCentroidIdx(s, dir))), "ivfpq"))
         .orderBy("method")
+    },
+
+    // ── IVF-PQ served from the ON-DISK index (q179 through the
+    //    annIndexWrite/annIndexServe layout): the same query, answered
+    //    by the cell-partitioned parquet index instead of the resident
+    //    registry frames — the encodings scan statically prunes to the
+    //    probed cells' directories (PartitionFilters with literal cell
+    //    values), the manifest gates the geometry, tombstones would be
+    //    subtracted. The index is built ONCE per corpus dir (q182's
+    //    timed section absorbs the build, like every cache build in
+    //    this inventory) from the registry model frames, so the result
+    //    is bit-identical to q179 and the SAME oracle replays both —
+    //    which puts the disk serving path under the driver's DuckDB
+    //    gate every round, not just under its specs.
+    QueryDef(
+      "q182_ivfpq_disk",
+      ivfPqOracle) { (s, dir) =>
+      ivfPqIndexServe(int8Codes(s, dir), diskIndexDir(s, dir),
+        queryId = 0L, nprobe = 2, m = 4, subDim = 16, coarseK = 20,
+        topK = 10)
     },
 
     // ── per-label centroids: the aggregate-of-vectors building block

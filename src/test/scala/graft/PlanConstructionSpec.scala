@@ -23,7 +23,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   *    plan (q89/q174/q175 then ride the cache job-free);
   *  - q121_pagerank_neardup / q135_kmeans: iterative plans that
   *    localCheckpoint their loop-invariant structure (eager by Spark's
-  *    API) so unrolled iterations don't replay it.
+  *    API) so unrolled iterations don't replay it;
+  *  - q182_ivfpq_disk: the on-disk serving path is construction-eager
+  *    BY CONTRACT (ivfPqIndexServe scaladoc) — first touch writes the
+  *    index directory once per corpus (diskIndexDir), and every serve
+  *    runs the manifest check plus the driver-side probed-cells argmin
+  *    that becomes the plan's literal PartitionFilters.
   * Table RESOLUTION (parquet footer/schema read on a table's first
   * touch) also runs small jobs; it is the memoized metastore role, not
   * a query cost, and the spec pre-resolves every table so those jobs
@@ -40,7 +45,8 @@ class PlanConstructionSpec extends SparkTestBase {
 
   private val eagerByDesign = Set(
     "q109_jdbc_roundtrip", "q110_column_stats",
-    "q173_cluster_rep", "q121_pagerank_neardup", "q135_kmeans")
+    "q173_cluster_rep", "q121_pagerank_neardup", "q135_kmeans",
+    "q182_ivfpq_disk")
 
   private val TagProp = "graft.construct.query"
 

@@ -78,13 +78,16 @@ class ScaleProbeSpec extends SparkTestBase {
     // with the r12/r13 tables (which re-derived everything inline) —
     // the exact gap the r14 pq-book/ivf-cent model caches opened until
     // reviewed. That set is, by the release-ledger's own derivation,
-    // the prefixes whose LAST bench consumer is the q181 recall audit
-    // (the final ANN query in sorted run order); BenchReleaseSpec
+    // the prefixes whose LAST bench consumers are the final ANN
+    // queries in sorted run order — q181 (recall audit: pq-enc,
+    // ivf-cell) and q182 (disk serve, which still reads the pq-book/
+    // ivf-cent model frames to build its index); BenchReleaseSpec
     // drift-gates releaseAfter against the real query definitions, so
     // a future ANN cache lands there first and this equality then
     // forces the probe to follow.
     assert(ScaleProbe.AnnIndexPrefixes.toSet ==
-      graft.Bench.releaseAfter("q181_ann_recall").toSet,
+      (graft.Bench.releaseAfter("q181_ann_recall") ++
+        graft.Bench.releaseAfter("q182_ivfpq_disk")).toSet,
       "ScaleProbe.AnnIndexPrefixes must track the ANN release set")
   }
 }
