@@ -332,6 +332,22 @@ object Graft {
     operators.Similarity.pqTrainCodebooks(
       int8CodedVectors(df, idCol, vecCol), m, subDim, k, iters)
 
+  /** Lloyd-trained COARSE IVF centroids — [[trainPqCodebooks]] one
+    * level up, for the `centroids` parameter of [[ivfPqAnn]] /
+    * [[annIndexWrite]]: seed centroids make cell occupancy
+    * data-dependent (a corpus whose low ids cluster leaves one
+    * mega-cell = one straggler partition nprobe can't prune);
+    * training rebalances it. Assignment during training is the SAME
+    * argmin serving assigns with; re-estimation is exact fixed-point
+    * integer arithmetic, so retraining on the same corpus is
+    * deterministic on any engine. EAGER (one small job per round).
+    * Returns (cl, c). See
+    * [[operators.Similarity.ivfTrainCentroids]]. */
+  def trainIvfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      kIvf: Int, iters: Int = 3): DataFrame =
+    operators.Similarity.ivfTrainCentroids(
+      int8CodedVectors(df, idCol, vecCol), kIvf, iters)
+
   /** IVF-PQ over any (`idCol` integral, `vecCol` numeric-array) frame
     * — [[pqAnn]] behind a coarse quantizer: `kIvf` deterministic seed
     * cells partition the corpus, the query probes its `nprobe` nearest
@@ -385,14 +401,16 @@ object Graft {
     * `manifest/` row records the geometry (m, subDim, kIvf, k) — every
     * later serve/append/ingest validates its knobs against it and
     * fails loudly on a mismatch instead of ranking in the wrong code
-    * space. `codebooks` opts into [[trainPqCodebooks]]' trained model.
+    * space. `codebooks` opts into [[trainPqCodebooks]]' trained model;
+    * `centroids` into [[trainIvfCentroids]]' rebalanced coarse cells.
     * See [[operators.Similarity.ivfPqIndexWrite]]. */
   def annIndexWrite(df: DataFrame, idCol: String, vecCol: String,
       indexDir: String, kIvf: Int, m: Int, subDim: Int, k: Int = 8,
-      codebooks: Option[DataFrame] = None): Unit =
+      codebooks: Option[DataFrame] = None,
+      centroids: Option[DataFrame] = None): Unit =
     operators.Similarity.ivfPqIndexWrite(
       int8CodedVectors(df, idCol, vecCol), indexDir, kIvf, m, subDim,
-      k, codebooks)
+      k, codebooks, centroids)
 
   /** Append new vectors to an existing on-disk ANN index under the
     * frozen-model contract: the delta is encoded and cell-assigned
@@ -420,6 +438,24 @@ object Graft {
       int8CodedVectors(df, idCol, vecCol), indexDir, queryId, nprobe,
       m, subDim, coarseK, topK)
 
+  /** FILTERED serve: [[annIndexServe]] restricted to the ids in
+    * `allowed` (any frame carrying `idCol` — typically a metadata
+    * predicate on the corpus table, `docs.filter($"lang" === "en")`),
+    * with PRE-filter semantics: the allow-list restricts candidates
+    * BEFORE the ADC top-`coarseK`, so the result is the allowed
+    * subset's true top-k, not the allowed remnant of the unrestricted
+    * top-k (the filtered-ANN recall hole). Spec-pinned equal to
+    * serving an index built over only the allowed vectors under the
+    * same frozen model. See [[operators.Similarity.ivfPqIndexServe]]. */
+  def annIndexServeFiltered(df: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, queryId: Long, allowed: DataFrame, nprobe: Int,
+      m: Int, subDim: Int, coarseK: Int = 50, topK: Int = 10): DataFrame =
+    operators.Similarity.ivfPqIndexServe(
+      int8CodedVectors(df, idCol, vecCol), indexDir, queryId, nprobe,
+      m, subDim, coarseK, topK,
+      allowed = Some(allowed.select(org.apache.spark.sql.functions
+        .col(idCol).cast("long").as("vec_id"))))
+
   /** Batch-serve every id below `qMax` from an on-disk index in ONE
     * partition-pruned pass: the union of the batch's probed cells (≤
     * kIvf literals, batch-size-independent) prunes the scan, then each
@@ -432,6 +468,16 @@ object Graft {
     operators.Similarity.ivfPqIndexServeBatch(
       int8CodedVectors(df, idCol, vecCol), indexDir, qMax, nprobe,
       m, subDim, coarseK, topK)
+
+  /** Per-cell health report of an on-disk ANN index: (cell, n_vecs,
+    * files, share_bp) ordered by cell — live vectors (tombstones
+    * subtracted), parquet files under the cell directory (the
+    * [[annIndexCompact]] trigger), and the cell's integer basis
+    * points of all live vectors (a share far above 10000/kIvf is the
+    * straggler cell [[trainIvfCentroids]] exists to split). See
+    * [[operators.Similarity.ivfPqIndexStats]]. */
+  def annIndexStats(spark: SparkSession, indexDir: String): DataFrame =
+    operators.Similarity.ivfPqIndexStats(spark, indexDir)
 
   /** LOGICAL delete from an on-disk ANN index: the ids land in the
     * index's `tombstones/` set and stop surfacing from

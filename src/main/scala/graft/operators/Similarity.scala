@@ -742,10 +742,26 @@ object Similarity {
     * side — at scale, the corpus table the index was built from.
     * Outstanding tombstones are subtracted ([[minusTombstones]]).
     * Returns (vec_id, cell, adc, cos_sim) top-`topK`, identical to
-    * [[ivfPqAnn]] over the same model (spec-pinned). */
+    * [[ivfPqAnn]] over the same model (spec-pinned).
+    *
+    * `allowed` (a one-`vec_id`-column frame, typically a metadata
+    * predicate evaluated on the corpus table) opts into FILTERED
+    * search with PRE-filter semantics: candidates are restricted
+    * BEFORE the ADC top-`coarseK`, so the returned top-k is exact
+    * with respect to the predicate — a post-filtered unrestricted
+    * top-k would silently return fewer than k survivors whenever the
+    * true neighbors are mostly disallowed (the classic filtered-ANN
+    * recall hole). The restriction is a semi-join against the
+    * partition-pruned encodings scan, deliberately NOT hint-pinned:
+    * unlike every model-frame join in this file, the allow-list's
+    * size is caller data (a rare license tag vs half the corpus), so
+    * the build side is left to AQE's runtime stats. Spec-pinned:
+    * filtering the full index ≡ serving an index built over only the
+    * allowed vectors under the same frozen model — absent rows and
+    * filtered rows rank identically. */
   private[graft] def ivfPqIndexServe(codes: DataFrame, indexDir: String,
       queryId: Long, nprobe: Int, m: Int, subDim: Int, coarseK: Int,
-      topK: Int): DataFrame = {
+      topK: Int, allowed: Option[DataFrame] = None): DataFrame = {
     require(nprobe >= 1 && m >= 1 && subDim >= 1 && coarseK >= 1 &&
       topK >= 1, "ivfPqIndexServe: all knobs must be >= 1")
     val s = codes.sparkSession
@@ -759,9 +775,11 @@ object Similarity {
         graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv0")).as("d"))
       .orderBy(col("d").asc, col("cl")).limit(nprobe)
       .select("cl").collect().toSeq.map(_.getLong(0))
-    val enc = minusTombstones(s, indexDir,
+    val live = minusTombstones(s, indexDir,
       s.read.schema(IvfPqEncSchema).parquet(s"$indexDir/enc")
         .filter(col("cell").isin(probedCells: _*)))
+    val enc = allowed.fold(live)(a =>
+      live.join(a.select(col("vec_id")), Seq("vec_id"), "leftsemi"))
     val q = pqSubvectors(codes.filter(col("vec_id") === queryId),
         m, subDim)
       .select(col("s").as("qs_s"), col("sc").as("qs"))
@@ -1093,6 +1111,96 @@ object Similarity {
     cb
   }
 
+  /** Lloyd-trained COARSE IVF centroids — [[pqTrainCodebooks]] one
+    * level up: `iters` rounds of (assign via [[ivfAssign]] against the
+    * current model — the SAME argmin the index assigns with, so
+    * training can never converge under a different tie/distance rule
+    * than serving uses) then per-dim mean re-estimation. Seeds (and
+    * the returned `cl` ids) are [[ivfCentroids]]' kIvf lowest ids.
+    * Returns (cl, c) — drop-in for every `centroids` parameter.
+    *
+    * Why it exists: seed centroids make CELL OCCUPANCY data-dependent
+    * — a corpus whose low ids cluster leaves one mega-cell holding
+    * nearly everything, and at scale the cell is the PARTITION, so a
+    * mega-cell is a straggler scan that nprobe can't prune
+    * (OperatorSpec constructs exactly this and measures the rebalance
+    * training buys). Re-estimation is EXACT integer arithmetic in
+    * fixed point (per-dim micro-units: floor(x·10⁶+0.5) summed as
+    * LONG, divided by the exact count, scaled back) — double `avg` is
+    * partition-order-dependent, so a retrain on the same corpus could
+    * otherwise flip ties and re-cell vectors nondeterministically.
+    * Long-sum bound: |x|·10⁶ per row, so a cell holds ~9·10¹²/|x|ₘₐₓ
+    * vectors per dim before overflow — far past any real cell (cells
+    * are sized to be scanned). Per round: one assignment pass + a
+    * (cell, dim)-keyed aggregate with kIvf·d reduce state, corpus-size
+    * independent. EAGER like [[pqTrainCodebooks]] (localCheckpoint per
+    * round): train once per corpus, reuse across queries and index
+    * builds. */
+  private[graft] def ivfTrainCentroids(codes: DataFrame, kIvf: Int,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "ivfTrainCentroids: iters must be >= 1")
+    val Fix = 1e6
+    var cents = ivfCentroids(codes, kIvf).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val assigned = ivfAssign(codes, kIvf, Some(cents))
+      val re = codes.join(assigned, "vec_id")
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg(sum(floor(col("x") * Fix + 0.5).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("i"),
+          (floor(col("sx").cast("double") / col("n") + 0.5) / Fix)
+            .as("cx"))
+        .groupBy("cell")
+        .agg(transform(
+          sort_array(collect_list(struct(col("i"), col("cx")))),
+          e => e.getField("cx")).as("c"))
+        .select(col("cell").as("cl"), col("c"))
+      // a cell that lost every member keeps its previous centroid —
+      // the model stays kIvf rows (pqTrainCodebooks' empty-cluster rule)
+      cents = re.unionByName(
+          cents.join(re.select("cl"), Seq("cl"), "left_anti"))
+        .localCheckpoint()
+      it += 1
+    }
+    cents
+  }
+
+  /** Per-cell health report of an on-disk ANN index — the ops view a
+    * 100 TB index needs BEFORE a slow query does: a skewed cell is a
+    * straggler partition every probe of it must scan, and small-file
+    * accretion under a cell directory is [[ivfPqIndexCompact]]'s
+    * trigger. Returns (cell, n_vecs, files, share_bp) ordered by cell:
+    * live vectors per cell (tombstones subtracted — counted on the
+    * `s = 0` encoding row, one per vector, instead of a DISTINCT over
+    * all m rows), parquet files under the cell's directory
+    * (driver-side listing — kIvf directories, not data), and the
+    * cell's integer basis points of all live vectors. */
+  private[graft] def ivfPqIndexStats(s: SparkSession,
+      indexDir: String): DataFrame = {
+    val live = minusTombstones(s, indexDir,
+      s.read.schema(IvfPqEncSchema).parquet(s"$indexDir/enc")
+        .filter(col("s") === 0))
+    val counts = live.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"))
+    val files = new java.io.File(s"$indexDir/enc").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(d => (d.getName.stripPrefix("cell=").toLong,
+        d.listFiles().count(_.getName.endsWith(".parquet"))))
+      .toSeq
+    import s.implicits._
+    val total = counts.agg(sum(col("n_vecs")).as("tot"))
+    counts
+      .join(broadcast(files.toDF("cell", "files")), Seq("cell"))
+      .crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vecs"), col("files"),
+        // floor to integer basis points (SQL `/` is true division)
+        floor(col("n_vecs") * 10000L / col("tot")).cast("long")
+          .as("share_bp"))
+      .orderBy("cell")
+  }
+
   /** Oracle CTE: embeddings as double arrays + norms. */
   private val oracleVec: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1100,10 +1208,11 @@ object Similarity {
 
   /** The single-query IVF-PQ oracle, shared VERBATIM by q179 (served
     * from the in-memory registry index) and q182 (served from the
-    * on-disk cell-partitioned index): the two paths are spec-pinned
-    * result-identical (DiskIndexSpec), so one replay of the
-    * math — int8 codes, seed codebooks/centroids, coarse probe,
-    * ADC, exact-cosine rerank — gates both. */
+    * on-disk cell-partitioned index), and by q183 with an allow
+    * predicate spliced in ([[ivfPqOracleFiltered]]): the serving paths
+    * are spec-pinned result-identical (DiskIndexSpec), so one replay
+    * of the math — int8 codes, seed codebooks/centroids, coarse probe,
+    * ADC, exact-cosine rerank — gates all of them. */
   private val ivfPqOracle: String =
     oracleVec +
       """,
@@ -1155,6 +1264,20 @@ object Similarity {
         |        / (n.nrm*qn.qnrm), 4) AS cos_sim
         |FROM adc JOIN n USING (vec_id), qn
         |ORDER BY cos_sim DESC, adc.vec_id LIMIT 10""".stripMargin
+
+  /** [[ivfPqOracle]] with an allow predicate spliced into the adc
+    * CTE's candidate filter — the oracle-side twin of
+    * [[ivfPqIndexServe]]'s pre-filter semantics (the predicate
+    * restricts candidates BEFORE the ADC top-coarseK, and the final
+    * rerank sees only filtered survivors). Splicing instead of a
+    * second oracle string keeps the ~50 lines of shared PQ math
+    * replayed by q179/q182/q183 literally identical. */
+  private def ivfPqOracleFiltered(pred: String): String = {
+    val hook = "WHERE enc.vec_id <> 0"
+    require(ivfPqOracle.indexOf(hook) == ivfPqOracle.lastIndexOf(hook)
+      && ivfPqOracle.contains(hook), "ivfPqOracle candidate hook drifted")
+    ivfPqOracle.replace(hook, s"$hook AND $pred")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1838,6 +1961,28 @@ object Similarity {
       ivfPqIndexServe(int8Codes(s, dir), diskIndexDir(s, dir),
         queryId = 0L, nprobe = 2, m = 4, subDim = 16, coarseK = 20,
         topK = 10)
+    },
+
+    // ── FILTERED vector search (q182 under a metadata predicate):
+    //    top-k among only the vectors whose corpus row passes
+    //    label = 1 — the "search the licensed subset / one language"
+    //    shape every retrieval pipeline needs. PRE-filter semantics:
+    //    the allow-list semi-joins the partition-pruned encodings
+    //    scan BEFORE the ADC top-coarseK (a post-filter of the
+    //    unrestricted top-k would return the ~10% of it that happens
+    //    to pass, not the subset's true top-k). The allow frame reads
+    //    (vec_id, label) off the columnar vectors cache; the oracle
+    //    splices the same predicate into the shared IVF-PQ replay.
+    QueryDef(
+      "q183_ivfpq_filtered",
+      ivfPqOracleFiltered(
+        "enc.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 1)")) {
+      (s, dir) =>
+        val allowed = vectors(s, dir).filter(col("label") === 1)
+          .select(col("vec_id"))
+        ivfPqIndexServe(int8Codes(s, dir), diskIndexDir(s, dir),
+          queryId = 0L, nprobe = 2, m = 4, subDim = 16, coarseK = 20,
+          topK = 10, allowed = Some(allowed))
     },
 
     // ── per-label centroids: the aggregate-of-vectors building block

@@ -382,6 +382,22 @@ class GraftFacadeSpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(served.nonEmpty && served == mem,
       s"disk-served facade must equal in-memory:\n$served\nvs\n$mem")
+    // filtered serve through the facade: a metadata allow-frame (any
+    // frame carrying idCol) restricts candidates BEFORE ranking —
+    // every row passes, and allow-everything is the identity (the
+    // pre-filter ≡ allowed-only-index equivalence is DiskIndexSpec's)
+    val allow = Seq(1L, 3L, 4L).toDF("id")
+    val filt = Graft.annIndexServeFiltered(df, "id", "emb", idx,
+        queryId = 0L, allowed = allow, nprobe = 2, m = 2, subDim = 4,
+        coarseK = 5, topK = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(filt.nonEmpty && filt.forall(Set(1L, 3L, 4L)),
+      s"filtered serve must return only allowed ids: $filt")
+    assert(Graft.annIndexServeFiltered(df, "id", "emb", idx,
+        queryId = 0L, allowed = df.select("id"), nprobe = 2, m = 2,
+        subDim = 4, coarseK = 5, topK = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq == served,
+      "an all-ids allow frame must serve identically to the unfiltered")
     // append through the facade: a new id lands in a cell directory
     // and becomes servable without rebuilding
     Graft.annIndexAppend(
@@ -395,6 +411,44 @@ class GraftFacadeSpec extends SparkTestBase {
       .select("vec_id").as[Long].collect().toSet
     assert(after.contains(9L),
       s"the appended near-twin of query 0 must surface: $after")
+  }
+
+  test("trained coarse centroids rebalance the on-disk index; " +
+      "annIndexStats shows it") {
+    // both low ids (the coarse seeds) sit in the +9 clump, so the seed
+    // model crams everything into one cell; training splits the clumps
+    // and the stats report is how a user SEES both states
+    val rows = Seq(
+      (0L, Seq(9.0, 9.0, 9.0, 9.0)), (1L, Seq(9.0, 9.0, 9.0, 9.5)),
+      (2L, Seq(-9.0, -9.0, -9.0, -9.0)), (3L, Seq(-9.0, -9.0, -9.0, -9.5)),
+      (4L, Seq(-9.0, -9.0, -9.5, -9.0)), (5L, Seq(-9.0, -9.5, -9.0, -9.0)),
+      (6L, Seq(9.0, 9.0, 9.5, 9.0)), (7L, Seq(9.0, 9.5, 9.0, 9.0)))
+    val df = rows.toDF("id", "emb")
+    val cents = Graft.trainIvfCentroids(df, "id", "emb", kIvf = 2,
+      iters = 2)
+    def writeIdx(c: Option[org.apache.spark.sql.DataFrame]): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-annidx-bal").toString
+      Graft.annIndexWrite(df, "id", "emb", d, kIvf = 2, m = 2,
+        subDim = 2, k = 3, centroids = c)
+      d
+    }
+    val seedIdx = writeIdx(None)
+    val trainedIdx = writeIdx(Some(cents))
+    def maxShare(idx: String): Long = Graft.annIndexStats(spark, idx)
+      .agg(max("share_bp")).as[Long].head()
+    assert(maxShare(seedIdx) >= 8000,
+      s"fixture: the seed index must be lopsided (${maxShare(seedIdx)} bp)")
+    assert(maxShare(trainedIdx) == 5000,
+      s"training must split the clumps 4/4 (${maxShare(trainedIdx)} bp)")
+    // the rebalanced index serves: query 2's nprobe=1 cell holds
+    // exactly its clump-mates
+    val served = Graft.annIndexServe(df, "id", "emb", trainedIdx,
+        queryId = 2L, nprobe = 1, m = 2, subDim = 2, coarseK = 4,
+        topK = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(served == Set(3L, 4L, 5L),
+      s"the minus clump must serve its own members: $served")
   }
 
   test("semDedup facade: later near-dup of a seed is dropped") {

@@ -24,11 +24,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   *  - q121_pagerank_neardup / q135_kmeans: iterative plans that
   *    localCheckpoint their loop-invariant structure (eager by Spark's
   *    API) so unrolled iterations don't replay it;
-  *  - q182_ivfpq_disk: the on-disk serving path is construction-eager
-  *    BY CONTRACT (ivfPqIndexServe scaladoc) — first touch writes the
-  *    index directory once per corpus (diskIndexDir), and every serve
-  *    runs the manifest check plus the driver-side probed-cells argmin
-  *    that becomes the plan's literal PartitionFilters.
+  *  - q182_ivfpq_disk / q183_ivfpq_filtered: the on-disk serving path
+  *    is construction-eager BY CONTRACT (ivfPqIndexServe scaladoc) —
+  *    first touch writes the index directory once per corpus
+  *    (diskIndexDir), and every serve runs the manifest check plus the
+  *    driver-side probed-cells argmin that becomes the plan's literal
+  *    PartitionFilters.
   * Table RESOLUTION (parquet footer/schema read on a table's first
   * touch) also runs small jobs; it is the memoized metastore role, not
   * a query cost, and the spec pre-resolves every table so those jobs
@@ -46,7 +47,7 @@ class PlanConstructionSpec extends SparkTestBase {
   private val eagerByDesign = Set(
     "q109_jdbc_roundtrip", "q110_column_stats",
     "q173_cluster_rep", "q121_pagerank_neardup", "q135_kmeans",
-    "q182_ivfpq_disk")
+    "q182_ivfpq_disk", "q183_ivfpq_filtered")
 
   private val TagProp = "graft.construct.query"
 

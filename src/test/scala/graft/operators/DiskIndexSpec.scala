@@ -272,6 +272,85 @@ class DiskIndexSpec extends SparkTestBase {
       "physical delete must serve exactly like the logical one")
   }
 
+  test("annIndexStats reports live occupancy, files, and share per cell") {
+    val idx = tmp()
+    Similarity.ivfPqIndexWrite(codesDf(corpus.filter(_._1 <= 8)), idx,
+      kIvf = 2, m = 2, subDim = 2, k = 3)
+    Similarity.ivfPqIndexAppend(codesDf(corpus.filter(_._1 >= 9)), idx,
+      m = 2, subDim = 2)
+    def stats(): Map[Long, (Long, Long, Long)] =
+      Similarity.ivfPqIndexStats(spark, idx)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val before = stats()
+    // occupancy: every corpus vector counted exactly once, per cell
+    assert(before.values.map(_._1).sum == corpus.size.toLong,
+      s"n_vecs must sum to the corpus: $before")
+    // files: the report must agree with the directory listing —
+    // the appended cell's accretion is visible (compaction's trigger)
+    assert(before.map { case (c, (_, f, _)) => s"cell=$c" -> f.toInt } ==
+      encFileCounts(idx), s"files must match the listing: $before")
+    assert(before.values.map(_._2).max >= 2,
+      s"the appended cell must show > 1 file: $before")
+    // share: integer basis points, floor division — sums to ~10000
+    val shares = before.values.map(_._3)
+    assert(shares.sum <= 10000 && shares.sum > 10000 - before.size,
+      s"share_bp must floor-sum to ~10000: $before")
+    // tombstones subtract from the LIVE count immediately
+    Similarity.ivfPqIndexDelete(spark, idx, Seq(9L, 10L))
+    assert(stats().values.map(_._1).sum == corpus.size.toLong - 2,
+      s"deleted ids must leave the live count: ${stats()}")
+    // and compaction restores one file per cell in the report
+    Similarity.ivfPqIndexCompact(spark, idx)
+    val after = stats()
+    assert(after.values.map(_._1).sum == corpus.size.toLong - 2
+      && after.values.forall(_._2 == 1L),
+      s"post-compaction stats must show one file per cell: $after")
+  }
+
+  test("filtered serve has PRE-filter semantics: equal to a frozen-model " +
+      "index over only the allowed vectors") {
+    val idx = tmp()
+    val df = codesDf(corpus)
+    Similarity.ivfPqIndexWrite(df, idx, kIvf = 2, m = 2, subDim = 2,
+      k = 3)
+    // the allow set drops two of query 8's true cell-mates (10, and
+    // near-twin 7 stays; 10/12 dropped… keep 12, drop 10) — with
+    // coarseK=4 binding, the UNRESTRICTED ADC top-4 would spend slots
+    // on disallowed ids, which is exactly what pre-filtering must not
+    val allowIds = Set(1L, 2L, 7L, 9L, 11L, 12L)
+    val allowed = df.filter(col("vec_id").isin(allowIds.toSeq: _*))
+      .select("vec_id")
+    def served(index: String, allow: Option[
+        org.apache.spark.sql.DataFrame]): Seq[(Long, Long, Long, Double)] =
+      Similarity.ivfPqIndexServe(df, index, queryId = 8L, nprobe = 2,
+          m = 2, subDim = 2, coarseK = 4, topK = 4, allowed = allow)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    val got = served(idx, Some(allowed))
+    assert(got.nonEmpty && got.map(_._1).forall(allowIds.contains),
+      s"every served id must pass the predicate: $got")
+    // the strong pin: filtering the FULL index ≡ serving an index that
+    // holds ONLY the allowed vectors, under the same frozen model —
+    // absent rows and filtered rows must rank identically, which is
+    // what makes the result the allowed subset's TRUE top-k rather
+    // than the allowed remnant of the unrestricted top-k
+    val ref = tmp()
+    Similarity.ivfPqIndexWrite(
+      df.filter(col("vec_id").isin(allowIds.toSeq: _*)), ref, kIvf = 2,
+      m = 2, subDim = 2, k = 3,
+      codebooks = Some(spark.read.parquet(s"$idx/books")),
+      centroids = Some(spark.read.parquet(s"$idx/cents")))
+    val sub = served(ref, None)
+    assert(got == sub,
+      s"filtered serve must equal the allowed-only index:\n$got\nvs\n$sub")
+    // allow-everything degrades to the unfiltered serve exactly
+    assert(served(idx, Some(df.select("vec_id"))) == served(idx, None),
+      "an all-ids allow list must be the identity")
+    // an empty allow list serves empty, not an error
+    assert(served(idx, Some(df.filter(lit(false)).select("vec_id")))
+      .isEmpty, "an empty allow list must serve empty")
+  }
+
   test("the manifest rejects a wrong geometry on every entry path; " +
       "a pre-manifest index still serves") {
     // a wrong m/subDim would not error on its own — it would slice the

@@ -291,6 +291,52 @@ class OperatorSpec extends SparkTestBase {
     assert(trainedRecall > seedRecall)
   }
 
+  test("ivfTrainCentroids: training splits the mega-cell the seed rule " +
+      "creates") {
+    // constructed corpus where BOTH coarse seeds (the two lowest ids)
+    // sit in the +100 halo, so the seed model crams the entire -100
+    // halo into seed 0's cell — the mega-cell that at scale is a
+    // straggler partition nprobe cannot prune. Two Lloyd rounds must
+    // (1) move the model, (2) strictly shrink the biggest cell's
+    // share, and (3) end with the haloes in separate cells — the
+    // partition-balance property the trained-centroids option exists
+    // for. The metered q179/q182/q183 keep the oracle-pinned seeds.
+    val rows = Seq((0L, Seq(100L, 100L, 100L, 100L)),
+      (1L, Seq(100L, 100L, 100L, 101L))) ++
+      (2L to 7L).map(i => (i, Seq(-100L, -100L, -100L, -100L - i % 2))) ++
+      (8L to 11L).map(i => (i, Seq(100L, 100L, 100L, 100L + i % 3)))
+    val df = codesDf(rows)
+    def cellSizes(cents: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.ivfAssign(df, kIvf = 2, cents)
+        .groupBy("cell").count().as[(Long, Long)].collect().toMap
+    val seedSizes = cellSizes(None)
+    // seed 1 catches the plus-halo rows whose last dim lands nearer
+    // 101 — the mega-cell is 8/12, a 2:1 skew
+    assert(seedSizes.values.max >= 8,
+      s"fixture must make the seed model lopsided: $seedSizes")
+    val trained = Similarity.ivfTrainCentroids(df, kIvf = 2, iters = 2)
+    assert(trained.count() == 2, "the model must stay kIvf rows")
+    assert(trained.select("c").as[Seq[Double]].collect().toSet !=
+      Similarity.ivfCentroids(df, kIvf = 2).select("c").as[Seq[Double]]
+        .collect().toSet, "training must move the centroids")
+    val trainedSizes = cellSizes(Some(trained))
+    assert(trainedSizes.values.max < seedSizes.values.max,
+      s"training must shrink the mega-cell: $seedSizes -> $trainedSizes")
+    // the haloes end in separate cells
+    val byId = Similarity.ivfAssign(df, kIvf = 2, Some(trained))
+      .as[(Long, Long)].collect().toMap
+    val minus = (2L to 7L).map(byId).toSet
+    val plus = (Seq(0L, 1L) ++ (8L to 11L)).map(byId).toSet
+    assert(minus.size == 1 && plus.size == 1 && minus != plus,
+      s"trained cells must separate the haloes: $byId")
+    // determinism: retraining reproduces the exact model (fixed-point
+    // integer re-estimation — no partition-order double drift)
+    val again = Similarity.ivfTrainCentroids(df, kIvf = 2, iters = 2)
+    assert(again.orderBy("cl").as[(Long, Seq[Double])].collect().toSeq ==
+      trained.orderBy("cl").as[(Long, Seq[Double])].collect().toSeq,
+      "retraining the same corpus must be bit-identical")
+  }
+
   test("pqAnn: a precomputed encodings frame is plan sugar, not semantics") {
     // the r14 index materialization contract: serving from pqEncode's
     // output (what the pq-enc registry cache holds) must reproduce the
