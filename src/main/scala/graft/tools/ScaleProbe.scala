@@ -269,6 +269,19 @@ object ScaleProbe {
           nprobe = 2, m = 4, subDim = 16, coarseK = 20, topK = 10)
           .count()
       }
+      // FILTERED serve (q183's shape): a ~10% allow-list (vec_id % 10
+      // == 1 — deterministic and scale-covariant, like q183's label
+      // predicate) semi-joins the pruned encodings scan before the
+      // ADC top-k. Expect the disk_serve1 band: the filter runs on
+      // the nprobe/kIvf slice the partition filter already cut, so
+      // selectivity changes the candidate count, not the scan
+      rec("ivfpq_disk_filt1", nVecs) {
+        Similarity.ivfPqIndexServe(vecs0, s"$dir/annidx", queryId = 0L,
+          nprobe = 2, m = 4, subDim = 16, coarseK = 20, topK = 10,
+          allowed = Some(vecs0.filter(col("vec_id") % 10 === 1)
+            .select("vec_id")))
+          .count()
+      }
       rec("ivfpq_disk_batch5", nVecs) {
         Similarity.ivfPqIndexServeBatch(vecs0, s"$dir/annidx",
           qMax = 5L, nprobe = 2, m = 4, subDim = 16, coarseK = 20,
@@ -324,6 +337,13 @@ object ScaleProbe {
         Similarity.pqTrainCodebooks(
           Similarity.vectors(spark, dir).filter(col("codes").isNotNull),
           m = 4, subDim = 16, k = 8, iters = 2).count()
+      }
+      // coarse-centroid training (facade trainIvfCentroids, 2 Lloyd
+      // rounds): per round one ivfAssign pass + a (cell, dim)-keyed
+      // exact-integer aggregate with kIvf·d reduce state — expect the
+      // pq_train2 growth shape
+      rec("ivf_train2", nVecs) {
+        Similarity.ivfTrainCentroids(vecs0, kIvf = 4, iters = 2).count()
       }
       rec("budget_select", nDocs) {
         SparkEntry.queries("q157_budget_select")(spark, dir).count()
