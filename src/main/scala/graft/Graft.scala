@@ -469,6 +469,22 @@ object Graft {
       int8CodedVectors(df, idCol, vecCol), indexDir, qMax, nprobe,
       m, subDim, coarseK, topK)
 
+  /** FILTERED batch serve: [[annIndexServeBatch]] with every query's
+    * candidates restricted to the ids in `allowed` — the
+    * [[annIndexServeFiltered]] pre-filter semantics applied to the
+    * whole batch in its one pruned pass (query vectors come from `df`
+    * and need not be allowed themselves). See
+    * [[operators.Similarity.ivfPqIndexServeBatch]]. */
+  def annIndexServeBatchFiltered(df: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, qMax: Long, allowed: DataFrame,
+      nprobe: Int, m: Int, subDim: Int, coarseK: Int = 50,
+      topK: Int = 10): DataFrame =
+    operators.Similarity.ivfPqIndexServeBatch(
+      int8CodedVectors(df, idCol, vecCol), indexDir, qMax, nprobe,
+      m, subDim, coarseK, topK,
+      allowed = Some(allowed.select(org.apache.spark.sql.functions
+        .col(idCol).cast("long").as("vec_id"))))
+
   /** Per-cell health report of an on-disk ANN index: (cell, n_vecs,
     * files, share_bp) ordered by cell — live vectors (tombstones
     * subtracted), parquet files under the cell directory (the

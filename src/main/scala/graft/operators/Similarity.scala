@@ -888,10 +888,16 @@ object Similarity {
     * ([[minusTombstones]]). Returns [[ivfPqAnnBatch]]'s
     * (q_id, vec_id, cell, adc, cos_sim, rn). Construction-eager like
     * [[ivfPqIndexServe]] (the distinct-cells collect + a kIvf-row
-    * count), by design. */
+    * count), by design. `allowed` restricts CANDIDATES for the whole
+    * batch with the single-query path's pre-filter semantics (the
+    * semi-join lands on the pruned scan before any ranking; query
+    * vectors come from `codes` and need not be allowed themselves —
+    * same as the single path, where the query is excluded from its
+    * own candidates anyway). */
   private[graft] def ivfPqIndexServeBatch(codes: DataFrame,
       indexDir: String, qMax: Long, nprobe: Int, m: Int, subDim: Int,
-      coarseK: Int, topK: Int): DataFrame = {
+      coarseK: Int, topK: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(qMax >= 1 && nprobe >= 1 && m >= 1 && subDim >= 1 &&
       coarseK >= 1 && topK >= 1,
       "ivfPqIndexServeBatch: all knobs must be >= 1")
@@ -910,9 +916,11 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select("cl").distinct().collect().map(_.getLong(0)).toSeq
-    val encDisk = minusTombstones(s, indexDir,
+    val live = minusTombstones(s, indexDir,
       s.read.schema(IvfPqEncSchema).parquet(s"$indexDir/enc")
         .filter(col("cell").isin(cellsNeeded: _*)))
+    val encDisk = allowed.fold(live)(a =>
+      live.join(a.select(col("vec_id")), Seq("vec_id"), "leftsemi"))
     ivfPqAnnBatch(codes,
       encDisk.select("vec_id", "s", "code"),
       encDisk.filter(col("s") === 0).select("vec_id", "cell"),
@@ -1179,25 +1187,36 @@ object Similarity {
     * cell's integer basis points of all live vectors. */
   private[graft] def ivfPqIndexStats(s: SparkSession,
       indexDir: String): DataFrame = {
+    val encRoot = new java.io.File(s"$indexDir/enc")
+    require(encRoot.isDirectory,
+      s"ivfPqIndexStats: no encodings dataset under $indexDir — " +
+        "not an index directory (ivfPqIndexWrite creates enc/)")
     val live = minusTombstones(s, indexDir,
-      s.read.schema(IvfPqEncSchema).parquet(s"$indexDir/enc")
+      s.read.schema(IvfPqEncSchema).parquet(encRoot.toString)
         .filter(col("s") === 0))
     val counts = live.groupBy("cell")
-      .agg(count(lit(1)).as("n_vecs"))
-    val files = new java.io.File(s"$indexDir/enc").listFiles()
+      .agg(count(lit(1)).as("live"))
+    val files = encRoot.listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
       .map(d => (d.getName.stripPrefix("cell=").toLong,
         d.listFiles().count(_.getName.endsWith(".parquet"))))
       .toSeq
     import s.implicits._
-    val total = counts.agg(sum(col("n_vecs")).as("tot"))
-    counts
-      .join(broadcast(files.toDF("cell", "files")), Seq("cell"))
+    val total = counts.agg(coalesce(sum(col("live")), lit(0L)).as("tot"))
+    // the directory listing is the authoritative cell set: a cell
+    // whose vectors are ALL tombstoned must still report (live 0,
+    // files > 0) — that pending-compaction state is exactly what the
+    // report exists to surface, and an inner join would hide it
+    broadcast(files.toDF("cell", "files"))
+      .join(counts, Seq("cell"), "left")
       .crossJoin(broadcast(total))
-      .select(col("cell"), col("n_vecs"), col("files"),
-        // floor to integer basis points (SQL `/` is true division)
-        floor(col("n_vecs") * 10000L / col("tot")).cast("long")
-          .as("share_bp"))
+      .select(col("cell"),
+        coalesce(col("live"), lit(0L)).as("n_vecs"), col("files"),
+        // floor to integer basis points (SQL `/` is true division);
+        // an all-deleted index reports 0 bp, not a division by zero
+        when(col("tot") > 0,
+          floor(coalesce(col("live"), lit(0L)) * 10000L / col("tot"))
+            .cast("long")).otherwise(lit(0L)).as("share_bp"))
       .orderBy("cell")
   }
 

@@ -398,6 +398,12 @@ class GraftFacadeSpec extends SparkTestBase {
         subDim = 4, coarseK = 5, topK = 5)
       .as[(Long, Long, Long, Double)].collect().toSeq == served,
       "an all-ids allow frame must serve identically to the unfiltered")
+    // the batch facade applies the same filter: qMax=1 ≡ the single
+    assert(Graft.annIndexServeBatchFiltered(df, "id", "emb", idx,
+        qMax = 1L, allowed = allow, nprobe = 2, m = 2, subDim = 4,
+        coarseK = 5, topK = 5)
+      .select("vec_id").as[Long].collect().toSeq == filt,
+      "batch-filtered (qMax=1) must equal the single filtered serve")
     // append through the facade: a new id lands in a cell directory
     // and becomes servable without rebuilding
     Graft.annIndexAppend(

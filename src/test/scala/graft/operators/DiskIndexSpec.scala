@@ -306,6 +306,27 @@ class DiskIndexSpec extends SparkTestBase {
     assert(after.values.map(_._1).sum == corpus.size.toLong - 2
       && after.values.forall(_._2 == 1L),
       s"post-compaction stats must show one file per cell: $after")
+    // a cell whose vectors are ALL tombstoned must STAY in the report
+    // (live 0, files still on disk — the pending-compaction state the
+    // report exists to surface)
+    val byCell = spark.read
+      .schema("vec_id BIGINT, s INT, code BIGINT, cell BIGINT")
+      .parquet(s"$idx/enc").filter(col("s") === 0)
+      .select("cell", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSeq }
+    val (emptied, victims) = byCell.minBy(_._1)
+    Similarity.ivfPqIndexDelete(spark, idx, victims)
+    val hollow = stats()
+    assert(hollow.contains(emptied)
+      && hollow(emptied)._1 == 0L && hollow(emptied)._2 >= 1L
+      && hollow(emptied)._3 == 0L,
+      s"an all-tombstoned cell must report (0 live, files kept): $hollow")
+    // an ALL-deleted index reports 0 bp everywhere, not a div-by-zero
+    Similarity.ivfPqIndexDelete(spark, idx,
+      byCell.values.flatten.toSeq.filterNot(victims.contains))
+    val dead = stats()
+    assert(dead.nonEmpty && dead.values.forall(v => v._1 == 0L
+      && v._3 == 0L), s"an all-deleted index must report zeros: $dead")
   }
 
   test("filtered serve has PRE-filter semantics: equal to a frozen-model " +
@@ -349,6 +370,19 @@ class DiskIndexSpec extends SparkTestBase {
     // an empty allow list serves empty, not an error
     assert(served(idx, Some(df.filter(lit(false)).select("vec_id")))
       .isEmpty, "an empty allow list must serve empty")
+    // the batch path applies the same pre-filter: a qMax=1 filtered
+    // batch must equal the single-query filtered serve row-for-row
+    val single0 = Similarity.ivfPqIndexServe(df, idx, queryId = 0L,
+        nprobe = 2, m = 2, subDim = 2, coarseK = 4, topK = 4,
+        allowed = Some(allowed))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val batch0 = Similarity.ivfPqIndexServeBatch(df, idx, qMax = 1L,
+        nprobe = 2, m = 2, subDim = 2, coarseK = 4, topK = 4,
+        allowed = Some(allowed))
+      .as[(Long, Long, Long, Long, Double, Int)].collect().toSeq
+    assert(batch0.nonEmpty && batch0.map(_._1).forall(_ == 0L))
+    assert(batch0.map(b => (b._2, b._3, b._4, b._5)) == single0,
+      s"filtered batch must equal filtered single:\n$batch0\nvs\n$single0")
   }
 
   test("the manifest rejects a wrong geometry on every entry path; " +
