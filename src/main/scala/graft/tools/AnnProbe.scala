@@ -86,6 +86,38 @@ object AnnProbe {
         codebooks = Some(cb))))
       println(f"[annprobe] path=pq_trained iters=$it recall_bp=${recall(got)} secs=$secs%.2f")
     }
+    // FILTERED search (q183's shape), measured against the allowed
+    // subset's OWN exact top-10 across selectivities: `pre` is the
+    // shipped pre-filter serve (allow-list semi-joined before the ADC
+    // top-k); `post` is the naive alternative — take the UNRESTRICTED
+    // top-10 and keep the allowed survivors — whose recall collapse at
+    // low selectivity is the hole the pre-filter semantics close.
+    // labels are uniform 0..9, so `label < s` is ~s·10% selectivity.
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-annprobe-idx").toString
+    Similarity.ivfPqIndexWrite(codes, idxDir, kIvf, m, subDim, k)
+    val unrestricted = ids(Similarity.ivfPqIndexServe(codes, idxDir,
+      queryId, nprobe = 2, m, subDim, coarseK = 20, topK = 10))
+    for (sel <- Seq(1, 2, 5)) {
+      val allow = vs.filter(col("label") < sel).select("vec_id")
+      val exactF = vs.filter(col("vec_id") =!= queryId)
+        .join(allow, Seq("vec_id"), "leftsemi")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosineFast(col("v"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+        .select("vec_id").as[Long](spark.implicits.newLongEncoder)
+        .collect().toSet
+      val allowSet = ids(allow)
+      val (pre, secs) = t(ids(Similarity.ivfPqIndexServe(codes, idxDir,
+        queryId, nprobe = 2, m, subDim, coarseK = 20, topK = 10,
+        allowed = Some(allow))))
+      val post = unrestricted & allowSet
+      println(f"[annprobe] path=filtered sel=${sel * 10}%% " +
+        f"pre_bp=${(pre & exactF).size * 1000} " +
+        f"post_bp=${(post & exactF).size * 1000} " +
+        f"post_survivors=${post.size} secs=$secs%.2f")
+    }
     spark.stop()
   }
 }
