@@ -63,6 +63,11 @@ object Bench {
     val bc = graft.operators.TextDedup.BranchConf
     val prevBranch = spark.conf.getOption(bc)
     spark.conf.set(bc, "count")
+    // replay against a COLD disk-index memo: in the bench JVM q182
+    // builds the index (touching the model-frame caches) and q183
+    // memo-hits — a warm memo here would skip the build and derive a
+    // different (wrong) last consumer for pq-book/ivf-cent
+    graft.operators.Similarity.resetDiskIndexMemo()
     try CacheRegistry.withAccessHook(
       (k: String) => last(k.takeWhile(_ != ':')) = current) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -141,6 +146,9 @@ object Bench {
     val bc = graft.operators.TextDedup.BranchConf
     val prevBranch = spark.conf.getOption(bc)
     spark.conf.set(bc, "count")
+    // cold disk-index memo, same reason as deriveReleasePlan: the
+    // absorber of the q182 index build must derive as q182 itself
+    graft.operators.Similarity.resetDiskIndexMemo()
     try CacheRegistry.withAccessHook(
       (k: String) => {
         val p = k.takeWhile(_ != ':')

@@ -485,6 +485,26 @@ object Graft {
       allowed = Some(allowed.select(org.apache.spark.sql.functions
         .col(idCol).cast("long").as("vec_id"))))
 
+  /** PER-QUERY filtered batch serve: each query in the batch
+    * restricted to ITS OWN allow set — `allowed` carries
+    * (`queryCol`, `idCol`) pairs (one predicate per request, the
+    * real serving shape; a query with no pairs returns no rows), and
+    * every query's result has [[annIndexServeFiltered]]'s pre-filter
+    * semantics (spec-pinned equal to it query by query). See
+    * [[operators.Similarity.ivfPqAnnBatch]]. */
+  def annIndexServeBatchFilteredPerQuery(df: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, qMax: Long, allowed: DataFrame,
+      queryCol: String, nprobe: Int, m: Int, subDim: Int,
+      coarseK: Int = 50, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    operators.Similarity.ivfPqIndexServeBatch(
+      int8CodedVectors(df, idCol, vecCol), indexDir, qMax, nprobe,
+      m, subDim, coarseK, topK,
+      allowedPairs = Some(allowed.select(
+        col(queryCol).cast("long").as("q_id"),
+        col(idCol).cast("long").as("vec_id"))))
+  }
+
   /** Per-cell health report of an on-disk ANN index: (cell, n_vecs,
     * files, share_bp) ordered by cell — live vectors (tombstones
     * subtracted), parquet files under the cell directory (the

@@ -635,6 +635,19 @@ object Similarity {
     * of the cache-build absorption discipline. */
   private val diskIdxDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Reset [[diskIndexDir]]'s process memo. The release-plan
+    * derivations ([[graft.Bench.deriveReleasePlan]] /
+    * `deriveFirstConsumers`) replay plan construction and must see
+    * the COLD-JVM lifecycle the real bench runs: with a warm memo
+    * q182 skips its index build, never touches the pq-book/ivf-cent
+    * model frames, and the derived ledger mis-attributes them — the
+    * same warm-replay trap the CacheRegistry derivation documents,
+    * resurfacing through a memo the registry's clear cannot reach.
+    * The index directories themselves are process-temp; the OS owns
+    * their cleanup. */
+  private[graft] def resetDiskIndexMemo(): Unit = diskIdxDirs.clear()
+
   private[graft] def diskIndexDir(s: SparkSession, dir: String): String =
     diskIdxDirs.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files
@@ -808,12 +821,21 @@ object Similarity {
     * built with (trained index ⇒ trained codebooks here — a seed-space
     * LUT against trained codes sums meaningless distances and returns
     * plausible-looking wrong neighbors); defaults re-derive the seed
-    * model from `codes`, matching a seed-built index. */
+    * model from `codes`, matching a seed-built index.
+    *
+    * `allowedPairs` (a (q_id, vec_id) frame) is PER-QUERY filtered
+    * search — each query restricted to ITS OWN allow set (real
+    * serving batches carry one predicate per request, not one per
+    * batch): the semi-join lands at candidate formation, before the
+    * per-query ADC window, so every query's top-k has the single
+    * filtered path's pre-filter semantics (spec-pinned equal to it,
+    * query by query). A query with no allowed pairs returns no rows. */
   private[graft] def ivfPqAnnBatch(codes: DataFrame, enc: DataFrame,
       cells: DataFrame, qMax: Long, kIvf: Int, nprobe: Int, m: Int,
       subDim: Int, k: Int, coarseK: Int, topK: Int,
       codebooks: Option[DataFrame] = None,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      allowedPairs: Option[DataFrame] = None): DataFrame = {
     require(kIvf >= 1 && nprobe >= 1 && nprobe <= kIvf,
       "ivfPqAnnBatch: need 1 <= nprobe <= kIvf")
     require(m >= 1 && subDim >= 1 && k >= 1,
@@ -845,12 +867,18 @@ object Similarity {
       .join(broadcast(qsub), col("cs") === col("qs_s"))
       .select(col("q_id"), col("cs"), col("cb_id"),
         pqDist2(col("qs"), col("cbv")).as("qd"))
-    val adcg = enc.filter(col("vec_id") >= qMax)
+    val cand = enc.filter(col("vec_id") >= qMax)
       .join(cells, "vec_id")
       .join(broadcast(probed), col("cell") === col("pcell"))
       .join(broadcast(lut),
         col("pq") === col("q_id") && col("s") === col("cs")
           && col("code") === col("cb_id"))
+    // per-query pre-filter: like the single path's allow-list, the
+    // join strategy is left to AQE — the pairs frame's size is caller
+    // data (|batch| tenant sets vs per-request survivor lists)
+    val adcg = allowedPairs.fold(cand)(ap =>
+        cand.join(ap.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "leftsemi"))
       .groupBy("q_id", "vec_id", "cell")
       .agg(sum(col("qd")).as("adc"))
     val wAdc = Window.partitionBy("q_id")
@@ -893,11 +921,14 @@ object Similarity {
     * semi-join lands on the pruned scan before any ranking; query
     * vectors come from `codes` and need not be allowed themselves —
     * same as the single path, where the query is excluded from its
-    * own candidates anyway). */
+    * own candidates anyway). `allowedPairs` ((q_id, vec_id)) instead
+    * restricts EACH query to its own set ([[ivfPqAnnBatch]]'s
+    * per-query pre-filter); passing both applies both. */
   private[graft] def ivfPqIndexServeBatch(codes: DataFrame,
       indexDir: String, qMax: Long, nprobe: Int, m: Int, subDim: Int,
       coarseK: Int, topK: Int,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      allowedPairs: Option[DataFrame] = None): DataFrame = {
     require(qMax >= 1 && nprobe >= 1 && m >= 1 && subDim >= 1 &&
       coarseK >= 1 && topK >= 1,
       "ivfPqIndexServeBatch: all knobs must be >= 1")
@@ -925,7 +956,8 @@ object Similarity {
       encDisk.select("vec_id", "s", "code"),
       encDisk.filter(col("s") === 0).select("vec_id", "cell"),
       qMax, kIvf, nprobe, m, subDim, k = 1, coarseK, topK,
-      codebooks = Some(books), centroids = Some(cents))
+      codebooks = Some(books), centroids = Some(cents),
+      allowedPairs = allowedPairs)
   }
 
   /** Tombstone-aware view of an on-disk encodings scan: subtract the

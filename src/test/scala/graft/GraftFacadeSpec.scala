@@ -404,6 +404,13 @@ class GraftFacadeSpec extends SparkTestBase {
         coarseK = 5, topK = 5)
       .select("vec_id").as[Long].collect().toSeq == filt,
       "batch-filtered (qMax=1) must equal the single filtered serve")
+    // and the PER-QUERY pairs facade: query 0's own pair set ≡ same
+    val pairs = Seq((0L, 1L), (0L, 3L), (0L, 4L)).toDF("qid", "id")
+    assert(Graft.annIndexServeBatchFilteredPerQuery(df, "id", "emb",
+        idx, qMax = 1L, allowed = pairs, queryCol = "qid", nprobe = 2,
+        m = 2, subDim = 4, coarseK = 5, topK = 5)
+      .select("vec_id").as[Long].collect().toSeq == filt,
+      "per-query pairs (one query) must equal the single filtered serve")
     // append through the facade: a new id lands in a cell directory
     // and becomes servable without rebuilding
     Graft.annIndexAppend(

@@ -385,6 +385,49 @@ class DiskIndexSpec extends SparkTestBase {
       s"filtered batch must equal filtered single:\n$batch0\nvs\n$single0")
   }
 
+  test("per-query filtered batch: each query ranks against ITS OWN " +
+      "allow set, equal to the single filtered serve") {
+    val idx = tmp()
+    val df = codesDf(corpus)
+    Similarity.ivfPqIndexWrite(df, idx, kIvf = 2, m = 2, subDim = 2,
+      k = 3)
+    // two queries, DIFFERENT predicates: query 0 sees only the -90
+    // halo, query 1 only the +80 halo — a shared allow-list could not
+    // express this (the real serving shape: one predicate per request)
+    val a0 = (2L to 6L).toSeq
+    val a1 = (7L to 12L).filterNot(_ == 10L)
+    val pairs = (a0.map(0L -> _) ++ a1.map(1L -> _))
+      .toDF("q_id", "vec_id")
+    val got = Similarity.ivfPqIndexServeBatch(df, idx, qMax = 2L,
+        nprobe = 2, m = 2, subDim = 2, coarseK = 6, topK = 4,
+        allowedPairs = Some(pairs))
+      .as[(Long, Long, Long, Long, Double, Int)].collect().toSeq
+    def single(qid: Long, allow: Seq[Long]) =
+      Similarity.ivfPqIndexServe(df, idx, queryId = qid, nprobe = 2,
+          m = 2, subDim = 2, coarseK = 6, topK = 4,
+          allowed = Some(allow.toDF("vec_id")))
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    val g0 = got.filter(_._1 == 0L).map(b => (b._2, b._3, b._4, b._5))
+    val g1 = got.filter(_._1 == 1L).map(b => (b._2, b._3, b._4, b._5))
+    assert(g0.nonEmpty && g0 == single(0L, a0),
+      s"query 0 must rank against its own set:\n$g0\nvs\n${single(0L, a0)}")
+    assert(g1.nonEmpty && g1 == single(1L, a1),
+      s"query 1 must rank against its own set:\n$g1\nvs\n${single(1L, a1)}")
+    // cross-contamination check: no query returns an id only the
+    // OTHER query was allowed to see
+    assert(g0.map(_._1).forall(a0.contains)
+      && g1.map(_._1).forall(a1.contains),
+      s"per-query sets must not leak across the batch: $got")
+    // a query with NO pairs returns no rows, the others unaffected
+    val gone = Similarity.ivfPqIndexServeBatch(df, idx, qMax = 2L,
+        nprobe = 2, m = 2, subDim = 2, coarseK = 6, topK = 4,
+        allowedPairs = Some(a1.map(1L -> _).toDF("q_id", "vec_id")))
+      .as[(Long, Long, Long, Long, Double, Int)].collect().toSeq
+    assert(gone.forall(_._1 == 1L)
+      && gone.map(b => (b._2, b._3, b._4, b._5)) == single(1L, a1),
+      s"an empty per-query set must serve empty for that query: $gone")
+  }
+
   test("the manifest rejects a wrong geometry on every entry path; " +
       "a pre-manifest index still serves") {
     // a wrong m/subDim would not error on its own — it would slice the
