@@ -301,7 +301,7 @@ object Bench {
     val wio2 = wioProbe()
     println(renderJson(results, wu, wio, wu2, wio2,
       new java.io.File(sfDir).getName,
-      compact = sys.env.get("SPARK_GRAFT_BENCH_COMPACT").contains("1")))
+      compact = compactFromEnv(sys.env)))
     spark.stop()
   }
 
@@ -333,9 +333,10 @@ object Bench {
     * same probes AFTER the query loop: the deltas bound mid-run drift,
     * the one thing a pre-run snapshot cannot see.
     *
-    * `compact` is the STANDING CONTINGENCY for the next inventory
-    * growth (the line measures ~1790/1950 at 181 queries — the r13
-    * ceiling warning): per-query values become integer DECIseconds
+    * `compact` is ON BY DEFAULT since round 15 (the 181-query line
+    * measured 1818/1950 — ONE query of headroom — and r15 adds metered
+    * queries; the r14 verdict's #1 ask was to flip this preemptively):
+    * per-query values become integer DECIseconds
     * under a `"u":"ds"` unit marker — the SAME ±0.05 s information as
     * today's 1-decimal seconds (today's format IS deciseconds with a
     * decimal point), ~300 chars narrower because ~150 sub-second
@@ -343,14 +344,23 @@ object Bench {
     * `"failed":[]` key is dropped when EMPTY (absent ⇒ pass; a
     * non-empty list still always renders — failures stay loud). The
     * judged TOTAL and the four markers keep 2-decimal seconds
-    * unchanged. Gated OFF (env SPARK_GRAFT_BENCH_COMPACT=1 turns it
-    * on); BenchJsonSpec pins the compact worst-case width and
+    * unchanged. Opt-out only (env SPARK_GRAFT_BENCH_COMPACT=0 restores
+    * the legacy seconds render — the driver sets no env, so the code
+    * default is the format the driver sees);
+    * BenchJsonSpec pins the compact worst-case width and
     * round-trips both formats, so flipping the flag is a decision,
     * not an emergency. Compact mode emits whichever render is SHORTER:
     * deciseconds lose to whole-second clamping once values cross 10 s
     * ("126" vs "13"), so a slow-regime line falls back to the default
     * render (absent "u" key ⇒ seconds) rather than blowing the tail
     * window in the one regime the contingency exists for. */
+  /** Compact render is the DEFAULT (round 15): the driver launches
+    * Bench with no env of ours, so an env-opt-IN flag could never fire
+    * on the judged run. `SPARK_GRAFT_BENCH_COMPACT=0` restores the
+    * legacy seconds render for side-by-side format checks. */
+  private[graft] def compactFromEnv(env: Map[String, String]): Boolean =
+    !env.get("SPARK_GRAFT_BENCH_COMPACT").contains("0")
+
   private[graft] def renderJson(
       results: Seq[(String, Double, Boolean)], wu: Double, wio: Double,
       wu2: Double, wio2: Double, sfBasename: String,
