@@ -63,20 +63,30 @@ object Bench {
     val bc = graft.operators.TextDedup.BranchConf
     val prevBranch = spark.conf.getOption(bc)
     spark.conf.set(bc, "count")
+    val lmc = graft.operators.Curation.LmBroadcastConf
+    val prevLm = spark.conf.getOption(lmc)
+    spark.conf.set(lmc, "on")
     // replay against a COLD disk-index memo: in the bench JVM q182
     // builds the index (touching the model-frame caches) and q183
     // memo-hits — a warm memo here would skip the build and derive a
     // different (wrong) last consumer for pq-book/ivf-cent
     graft.operators.Similarity.resetDiskIndexMemo()
+    graft.operators.TextDedup.resetDiskDedupMemo()
     try CacheRegistry.withAccessHook(
       (k: String) => last(k.takeWhile(_ != ':')) = current) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         current = name
         fn(spark, sfDir)
       }
-    } finally prevBranch match {
-      case Some(v) => spark.conf.set(bc, v)
-      case None => spark.conf.unset(bc)
+    } finally {
+      prevBranch match {
+        case Some(v) => spark.conf.set(bc, v)
+        case None => spark.conf.unset(bc)
+      }
+      prevLm match {
+        case Some(v) => spark.conf.set(lmc, v)
+        case None => spark.conf.unset(lmc)
+      }
     }
     last.toSeq.groupBy(_._2).map { case (q, kvs) =>
       q -> kvs.map(_._1).toSeq.sorted
@@ -146,9 +156,14 @@ object Bench {
     val bc = graft.operators.TextDedup.BranchConf
     val prevBranch = spark.conf.getOption(bc)
     spark.conf.set(bc, "count")
-    // cold disk-index memo, same reason as deriveReleasePlan: the
-    // absorber of the q182 index build must derive as q182 itself
+    val lmc = graft.operators.Curation.LmBroadcastConf
+    val prevLm = spark.conf.getOption(lmc)
+    spark.conf.set(lmc, "on")
+    // cold disk-index memos, same reason as deriveReleasePlan: the
+    // absorbers of the q182/q184 index builds must derive as q182/q184
+    // themselves
     graft.operators.Similarity.resetDiskIndexMemo()
+    graft.operators.TextDedup.resetDiskDedupMemo()
     try CacheRegistry.withAccessHook(
       (k: String) => {
         val p = k.takeWhile(_ != ':')
@@ -158,9 +173,15 @@ object Bench {
         current = name
         fn(spark, sfDir)
       }
-    } finally prevBranch match {
-      case Some(v) => spark.conf.set(bc, v)
-      case None => spark.conf.unset(bc)
+    } finally {
+      prevBranch match {
+        case Some(v) => spark.conf.set(bc, v)
+        case None => spark.conf.unset(bc)
+      }
+      prevLm match {
+        case Some(v) => spark.conf.set(lmc, v)
+        case None => spark.conf.unset(lmc)
+      }
     }
     first.toMap
   }

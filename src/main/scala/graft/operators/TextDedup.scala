@@ -214,15 +214,23 @@ object TextDedup {
   private[graft] def minhashCandidatePairs(docs: DataFrame, idCol: String,
       textCol: String,
       tilePairs: Long = Similarity.AutoSaltTilePairs): DataFrame = {
-    val sig = docs
+    val sig = signaturesOf(docs, idCol, textCol)
+    if (tilePairs == Long.MaxValue) bandedPairsOf(bandsOf(sig))
+    else bandedPairsTiled(bandsOf(sig), tilePairs)
+  }
+
+  /** Table-agnostic MinHash signatures of any (`idCol`, `textCol`)
+    * frame — the one narrow map every MinHash consumer derives from
+    * (the dir-bound [[signatures]] cache is this over the documents
+    * table): (doc_id, mh0..mh7), docs under 3 words dropped. */
+  private[operators] def signaturesOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
       .filter(size(split(col(textCol), " ")) >= 3)
       .select(col(idCol).as("doc_id"),
         graft.plans.MinHashSig.minhashSig(shingles(col(textCol))).as("ms"))
       .select(col("doc_id") +:
         (0 until 8).map(k => col("ms").getItem(k).as(s"mh$k")): _*)
-    if (tilePairs == Long.MaxValue) bandedPairsOf(bandsOf(sig))
-    else bandedPairsTiled(bandsOf(sig), tilePairs)
-  }
 
   /** Shared oracle CTE prefix: shingles + 8 md5 minhashes per doc
     * (also the prefix of GraphOps' q121 oracle). */
@@ -1081,39 +1089,81 @@ object TextDedup {
     //    additionally pins consistency with the full-corpus pair set.
     QueryDef(
       "q156_incremental_dedup",
-      oracleSig +
-        """,
-          |g AS (SELECT m.*,
-          |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-          |    % 100 AS bk FROM m)
-          |SELECT n.doc_id,
-          |  CAST(count(DISTINCT o.doc_id) AS INTEGER) AS n_dups,
-          |  CASE WHEN count(DISTINCT o.doc_id) > 0 THEN 'reject'
-          |       ELSE 'admit' END AS status
-          |FROM (SELECT * FROM g WHERE bk >= 95) n
-          |LEFT JOIN (SELECT * FROM g WHERE bk < 95) o
-          |  ON (n.mh0 = o.mh0 AND n.mh1 = o.mh1)
-          |  OR (n.mh2 = o.mh2 AND n.mh3 = o.mh3)
-          |  OR (n.mh4 = o.mh4 AND n.mh5 = o.mh5)
-          |  OR (n.mh6 = o.mh6 AND n.mh7 = o.mh7)
-          |GROUP BY n.doc_id
-          |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+      incrementalDedupOracle) { (s, dir) =>
       val gate = graft.plans.HexWindowToLong.md5Bucket(col("doc_id"), 100)
       val sig = signatures(s, dir) // shared persisted cache
-      val neu = bandsOf(sig.filter(gate >= 95))
-        .toDF("doc_id", "band", "bv")
-      val old = bandsOf(sig.filter(gate < 95))
-        .toDF("old_id", "old_band", "old_bv")
-      neu.join(old,
-          col("band") === col("old_band") && col("bv") === col("old_bv"),
-          "left")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("old_id")).cast("int").as("n_dups"))
-        .select(col("doc_id"), col("n_dups"),
-          when(col("n_dups") > 0, "reject").otherwise("admit").as("status"))
-        .orderBy("doc_id")
+      ingestVerdicts(bandsOf(sig.filter(gate >= 95)),
+        bandsOf(sig.filter(gate < 95)))
+    },
+
+    // ── incremental dedup served from the ON-DISK signature store:
+    //    q156's exact verdicts, with the resident side read off the
+    //    band-partitioned parquet store dedupIndexWrite lays out
+    //    instead of a registry cache — the persistence story a real
+    //    corpus pipeline needs (the resident signature set outlives
+    //    the JVM; "recompute or keep the session alive" stops being
+    //    the contract). The store is built ONCE per corpus dir (this
+    //    query's timed section absorbs the build — the q182 disk
+    //    analogue of cache-build absorption); the serve is the same
+    //    banded equality join, |new| × collisions, with tombstones
+    //    subtracted and the manifest gating the banding geometry.
+    //    SAME oracle as q156 — the driver's DuckDB gate checks the
+    //    disk path end to end, not just its specs (DedupIndexSpec
+    //    pins q156-parity, append ≡ rebuild, and the layout).
+    QueryDef(
+      "q184_disk_incremental_dedup",
+      incrementalDedupOracle) { (s, dir) =>
+      val gate = graft.plans.HexWindowToLong.md5Bucket(col("doc_id"), 100)
+      dedupIndexServeBands(
+        bandsOf(signatures(s, dir).filter(gate >= 95)),
+        diskDedupDir(s, dir))
     }
   )
+
+  /** The incremental-dedup oracle, shared VERBATIM by q156 (resident
+    * side from the registry signature cache) and q184 (resident side
+    * read off the on-disk store): the serving paths are spec-pinned
+    * result-identical (DedupIndexSpec), so one replay of the math —
+    * md5 gate, 4×2 banding, OR-of-bands collision count — gates both. */
+  // lazy: referenced while `defs` initializes, defined after it — a
+  // strict val here would be null at QueryDef construction
+  private lazy val incrementalDedupOracle: String =
+    oracleSig +
+      """,
+        |g AS (SELECT m.*,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 100 AS bk FROM m)
+        |SELECT n.doc_id,
+        |  CAST(count(DISTINCT o.doc_id) AS INTEGER) AS n_dups,
+        |  CASE WHEN count(DISTINCT o.doc_id) > 0 THEN 'reject'
+        |       ELSE 'admit' END AS status
+        |FROM (SELECT * FROM g WHERE bk >= 95) n
+        |LEFT JOIN (SELECT * FROM g WHERE bk < 95) o
+        |  ON (n.mh0 = o.mh0 AND n.mh1 = o.mh1)
+        |  OR (n.mh2 = o.mh2 AND n.mh3 = o.mh3)
+        |  OR (n.mh4 = o.mh4 AND n.mh5 = o.mh5)
+        |  OR (n.mh6 = o.mh6 AND n.mh7 = o.mh7)
+        |GROUP BY n.doc_id
+        |ORDER BY n.doc_id""".stripMargin
+
+  /** The ONE admit/reject verdict join q156 and every disk-serve path
+    * run: each new doc LEFT-joined to the resident band view on
+    * (band, bv) equality, n_dups = distinct resident collisions.
+    * Factored so the in-memory and on-disk serves cannot drift.
+    * `neu` is (doc_id, band, bv); `old` any same-shaped frame. */
+  private[operators] def ingestVerdicts(neu: DataFrame,
+      old: DataFrame): DataFrame = {
+    val o = old.toDF("old_id", "old_band", "old_bv")
+    neu.toDF("doc_id", "band", "bv")
+      .join(o,
+        col("band") === col("old_band") && col("bv") === col("old_bv"),
+        "left")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("old_id")).cast("int").as("n_dups"))
+      .select(col("doc_id"), col("n_dups"),
+        when(col("n_dups") > 0, "reject").otherwise("admit").as("status"))
+      .orderBy("doc_id")
+  }
 
   /** Winnowing fingerprints (k=3, w=4) of a (doc_id, text) frame →
     * (doc_id, fp) with fp a 60-bit md5-window integer. Guarantee: two
@@ -1132,4 +1182,272 @@ object TextDedup {
       .filter(size(col("ws")) >= 6)
       .select(col("doc_id"),
         explode(graft.plans.WinnowFP.winnowFp(col("ws"))).as("fp"))
+
+  // ───────────────── ON-DISK LSH SIGNATURE STORE ─────────────────
+  // The ivfPqIndex lifecycle (Similarity.scala) applied to the text-
+  // dedup resident state: before this store, the band-signature set
+  // behind q156/ingestDedup lived only in registry caches and
+  // streaming state — the one first-class LLM-pipeline component
+  // whose 100 TB story was "recompute or keep the JVM alive". The
+  // store persists the exploded BAND VIEW (doc_id, bv, band) — 4 rows
+  // per doc, ~100× smaller than the text it sketches, exactly the
+  // standing state a dedup service keeps hot — partitioned by band:
+  // every serve/append shuffles on (band, bv), so the band directory
+  // is the natural layout unit (compaction rewrites per band; a
+  // band-restricted audit prunes to one directory).
+
+  /** Frozen banding geometry of every store this library writes — the
+    * q41/q44/q117/q121/q156 pipeline's one shared banding. Recorded in
+    * each store's manifest so a FUTURE geometry change cannot silently
+    * serve verdicts computed in a different band space (the text twin
+    * of the ANN index's m/subDim guard). */
+  private val DedupShingleK = 3
+  private val DedupNumHashes = 8
+  private val DedupNumBands = 4
+  private val DedupRowsPerBand = 2
+
+  /** Declared read schema — `band` is a partition DIRECTORY key: at
+    * local scale inference types it INT from the directory names, but
+    * the declaration is the contract (the `cell` discipline of
+    * [[graft.operators.Similarity]]'s IvfPqEncSchema). */
+  private val DedupBandSchema = "doc_id BIGINT, bv STRING, band INT"
+
+  /** The (doc_id, band, bv) band view of any (`idCol`, `textCol`)
+    * frame — [[bandsOf]] over [[signaturesOf]], the shared derivation
+    * every store entry point and its parity spec run. */
+  private[operators] def bandsOfSignatures(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bandsOf(signaturesOf(docs, idCol, textCol))
+
+  /** Write the resident signature store: `docs` (idCol, textCol) →
+    * MinHash bands under `outDir/bands/band=<b>/…`, plus a geometry
+    * manifest. Rebuild-safe: stale sidecar state from a prior store
+    * life under the same dir (tombstones, ingest ledger) is cleared —
+    * the [[Similarity.ivfPqIndexWrite]] rebuild rule. */
+  private[graft] def dedupIndexWrite(docs: DataFrame, outDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    dedupIndexWriteBands(bandsOfSignatures(docs, idCol, textCol), outDir)
+
+  /** [[dedupIndexWrite]] over a precomputed (doc_id, band, bv) band
+    * frame — the entry the metered q184 uses so the store build rides
+    * the shared registry signature cache instead of re-shingling. */
+  private[operators] def dedupIndexWriteBands(bands: DataFrame,
+      outDir: String): Unit = {
+    val s = bands.sparkSession
+    val hc = s.sparkContext.hadoopConfiguration
+    for (side <- Seq("tombstones", "ingested")) {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/$side")
+      val fs = p.getFileSystem(hc)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    import s.implicits._
+    Seq((DedupShingleK, DedupNumHashes, DedupNumBands, DedupRowsPerBand))
+      .toDF("shingle_k", "n_hashes", "bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    bands.select(col("doc_id"), col("bv"), col("band"))
+      // one write task per band: each partition directory gets a
+      // single file instead of (shuffle.partitions × bands) shards
+      .repartition(DedupNumBands, col("band"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$outDir/bands")
+  }
+
+  /** Append a DELTA of docs to an existing store under the frozen
+    * geometry (validated against the manifest). Caller contract: delta
+    * doc_ids must be NEW — an id already resident would double its
+    * band rows and inflate its own collision counts. Spec-pinned:
+    * append(old store, delta) serves identically to a full rebuild
+    * over old ∪ delta (the banding has no trained state, so unlike the
+    * ANN index the equality is exact by construction — the spec guards
+    * the LAYOUT path, not a model). */
+  private[graft] def dedupIndexAppend(docs: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val s = docs.sparkSession
+    checkDedupManifest(s, indexDir)
+    bandsOfSignatures(docs, idCol, textCol)
+      .select(col("doc_id"), col("bv"), col("band"))
+      .repartition(col("band"))
+      .write.mode("append").partitionBy("band")
+      .parquet(s"$indexDir/bands")
+  }
+
+  /** Serve admit/reject verdicts for a NEW batch against the on-disk
+    * resident store: q156's exact semantics ([[ingestVerdicts]] — the
+    * same join, the same oracle) with the resident side read off disk,
+    * tombstones subtracted. Cost is |new| × band-collisions — never
+    * corpus², and the resident scan is the 4-rows/doc band view, never
+    * the text. */
+  private[graft] def dedupIndexServe(newDocs: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    dedupIndexServeBands(bandsOfSignatures(newDocs, idCol, textCol),
+      indexDir)
+
+  /** [[dedupIndexServe]] over a precomputed new-batch band frame. */
+  private[operators] def dedupIndexServeBands(newBands: DataFrame,
+      indexDir: String): DataFrame = {
+    val s = newBands.sparkSession
+    checkDedupManifest(s, indexDir)
+    ingestVerdicts(newBands, residentBands(s, indexDir))
+  }
+
+  /** The live resident band view: the partitioned scan minus the
+    * logical-delete set — broadcast anti-join, the
+    * [[Similarity.ivfPqIndexDelete]] contract (tombstones stay small
+    * between compactions; zero cost until the first delete). */
+  private def residentBands(s: SparkSession, indexDir: String): DataFrame = {
+    val enc = s.read.schema(DedupBandSchema)
+      .parquet(s"$indexDir/bands")
+      .select(col("doc_id"), col("band"), col("bv"))
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) enc
+    else enc.join(
+      broadcast(s.read.schema("doc_id BIGINT").parquet(p.toString)),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** LOGICAL delete: append ids to `tombstones/`; serving subtracts
+    * them immediately, [[dedupIndexCompact]] reclaims the space. A
+    * deleted doc stops matching new batches at zero rewrite cost. */
+  private[graft] def dedupIndexDelete(s: SparkSession, indexDir: String,
+      ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "dedupIndexDelete: ids must be non-empty")
+    import s.implicits._
+    ids.toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+  }
+
+  /** Compact in place: rewrite `bands/` to one file per band with
+    * tombstones applied physically, swap via two renames, clear the
+    * tombstone set — [[Similarity.ivfPqIndexCompact]]'s repair for the
+    * small-files decay appends cause, on the text store. Same crash
+    * contract: between the renames, `bands-retired/` holds the
+    * complete prior data and the require names the recovery. */
+  private[graft] def dedupIndexCompact(s: SparkSession,
+      indexDir: String): Unit = {
+    val enc = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+    val fs = enc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val live = residentBands(s, indexDir)
+      .select(col("doc_id"), col("bv"), col("band"))
+    val fresh = new org.apache.hadoop.fs.Path(s"$indexDir/bands-compact")
+    live.repartition(DedupNumBands, col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(fresh.toString)
+    val retired = new org.apache.hadoop.fs.Path(s"$indexDir/bands-retired")
+    if (fs.exists(retired)) fs.delete(retired, true)
+    require(fs.rename(enc, retired) && fs.rename(fresh, enc),
+      s"dedupIndexCompact: bands swap failed under $indexDir — " +
+        "if bands/ is missing, rename bands-retired/ back to bands/")
+    fs.delete(retired, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+    ()
+  }
+
+  /** Per-band health report: (band, n_docs, files) — live resident
+    * docs (tombstones subtracted) and parquet files per band directory
+    * (the compaction trigger). Hadoop FS listing, so the report works
+    * wherever the store does. The listing is the authoritative band
+    * set: an all-tombstoned band still reports (0 docs, >0 files). */
+  private[graft] def dedupIndexStats(s: SparkSession,
+      indexDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
+      s"dedupIndexStats: no band dataset under $indexDir — " +
+        "not a store directory (dedupIndexWrite creates bands/)")
+    val counts = residentBands(s, indexDir)
+      .groupBy("band").agg(count(lit(1)).as("rows"))
+    val files = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("band="))
+      .map(st => (st.getPath.getName.stripPrefix("band=").toInt,
+        fs.listStatus(st.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet"))))
+      .toSeq
+    import s.implicits._
+    broadcast(files.toDF("band", "files"))
+      .join(counts, Seq("band"), "left")
+      .select(col("band"),
+        coalesce(col("rows"), lit(0L)).as("n_docs"), col("files"))
+      .orderBy("band")
+  }
+
+  /** CONTINUOUS ingestion into the store: each micro-batch of `delta`
+    * (idCol, textCol — new ids only) is appended under the frozen
+    * geometry, guarded by the same batch-id LEDGER as
+    * [[Similarity.ivfPqIndexIngest]] (`ingested/batch-<id>/` markers
+    * make checkpoint replays skip already-applied batches — clean
+    * stop/restart never double-appends). Same honest crash window:
+    * dying between the append and its marker replays that batch
+    * at-least-once; the repair is [[dedupIndexDelete]] of the
+    * duplicate ids + [[dedupIndexCompact]], or a rebuild. This is the
+    * crawler loop at 100 TB/day: stream in, appends accrete,
+    * compaction amortizes, and the resident state SURVIVES the JVM. */
+  private[graft] def dedupIndexIngest(delta: DataFrame, indexDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    checkDedupManifest(delta.sparkSession, indexDir)
+    delta.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+        val marker =
+          new org.apache.hadoop.fs.Path(s"$indexDir/ingested/batch-$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          if (!batch.isEmpty) dedupIndexAppend(batch, indexDir)
+          fs.mkdirs(marker)
+          ()
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Validate a store's manifest against this library's frozen banding
+    * geometry — a store written under a DIFFERENT banding would not
+    * error on its own: the (band, bv) equality join would simply match
+    * almost nothing and admit near-duplicates with full confidence,
+    * the silent-wrong failure mode the ANN manifest guard exists for.
+    * A pre-manifest store (no `manifest/`) skips validation. */
+  private def checkDedupManifest(s: SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/manifest")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val r = s.read.parquet(p.toString)
+        .select("shingle_k", "n_hashes", "bands", "rows_per_band").head()
+      val got = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      val want = (DedupShingleK, DedupNumHashes, DedupNumBands,
+        DedupRowsPerBand)
+      require(got == want,
+        s"store at $indexDir was written with (shingle_k, n_hashes, " +
+          s"bands, rows_per_band)=$got — this library bands with " +
+          s"$want; a mismatched geometry would silently admit dups")
+    }
+  }
+
+  /** The on-disk store behind q184 for the bench inventory — built
+    * once per corpus dir into a process-temp directory from the SAME
+    * registry signature cache q156 reads (so disk serving is
+    * result-identical by construction), resident side = the md5-gate
+    * bk < 95 docs. Process memo, not a registry frame (a directory
+    * holds no executor memory — the [[Similarity.diskIndexDir]]
+    * contract, including the warm-replay trap: ledger derivations must
+    * [[resetDiskDedupMemo]] or a replayed q184 skips its build and
+    * mis-attributes the signature cache's first consumer). */
+  private val diskDedupDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def resetDiskDedupMemo(): Unit = diskDedupDirs.clear()
+
+  private[graft] def diskDedupDir(s: SparkSession, dir: String): String =
+    diskDedupDirs.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-dedupidx-q184").toString
+      val gate = graft.plans.HexWindowToLong.md5Bucket(col("doc_id"), 100)
+      dedupIndexWriteBands(
+        bandsOf(signatures(s, dir).filter(gate < 95)), out)
+      out
+    })
 }

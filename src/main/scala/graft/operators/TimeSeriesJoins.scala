@@ -358,14 +358,11 @@ object TimeSeriesJoins {
           .distinct()
       }
       val n = sess.groupBy("event_type").agg(count(lit(1)).as("n_sess"))
-      val a = sess.select(col("user_id"), col("sid"),
-        col("event_type").as("type_a"))
-      val b = sess.select(col("user_id"), col("sid"),
-        col("event_type").as("type_b"))
-      a.join(b, Seq("user_id", "sid"))
-        .filter(col("type_a") < col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(count(lit(1)).as("n_both"))
+      // the metered plan keeps the untiled join (this corpus's
+      // per-session distinct-type count is bounded by its ~5 event
+      // types — measured skew-free; the q93/q156 salt=1 discipline);
+      // the tiled twin below guards the open-cardinality case
+      sessionPairCounts(sess, tilePairs = Long.MaxValue)
         .join(broadcast(n.select(col("event_type").as("type_a"),
           col("n_sess").as("n_a"))), "type_a")
         .join(broadcast(n.select(col("event_type").as("type_b"),
@@ -493,4 +490,64 @@ object TimeSeriesJoins {
           count(col("tp")).as("n_purchased_after"))
     }
   )
+
+  /** Per-session co-occurrence pair counts over a (user_id, sid,
+    * event_type) DISTINCT frame → (type_a, type_b, n_both) with
+    * type_a < type_b — q134's pair join, factored with the SAME
+    * per-bucket pair-space tiling the LSH joins grew in r12/r13
+    * ([[Similarity.tileSalt]] over a (user_id, sid) occupancy window,
+    * the [[TextDedup.bandedPairsTiled]] shape): on a closed type
+    * vocabulary the per-session distinct-type count k is bounded and
+    * the plain session-keyed join is Σk²-safe, but "session
+    * co-occurrence" run over an OPEN item space (the market-basket
+    * shape this query bootstraps) meets the same enemy as boilerplate
+    * LSH buckets — one bot mega-session with 100k distinct items
+    * serializes a 10^10-pair space on one task, the hot-bucket class
+    * AQE's byte-based skew split cannot see. Tiling splits each
+    * session's pair space: probe side hashed to a tile, build side
+    * replicated across that session's tiles, (user_id, sid, tile) the
+    * join key — RESULT-IDENTICAL for any `tilePairs` (spec-pinned at
+    * forced multi-tile with a planted mega-session); cold sessions pay
+    * zero replication. `tilePairs = Long.MaxValue` pins the untiled
+    * plan (the metered q134 does — its corpus is measured skew-free,
+    * keeping the broadcast-eligible pristine shape). Merge hint +
+    * explicit probe repartition are [[Similarity.saltedProbeSide]]'s
+    * documented discipline (AQE coalesces byte-light tiles back onto
+    * one task without it). */
+  private[graft] def sessionPairCounts(sess: DataFrame,
+      tilePairs: Long = Similarity.AutoSaltTilePairs): DataFrame = {
+    require(tilePairs >= 1, "tilePairs must be >= 1")
+    val a = sess.select(col("user_id"), col("sid"),
+      col("event_type").as("type_a"))
+    val b = sess.select(col("user_id"), col("sid"),
+      col("event_type").as("type_b"))
+    val pairs =
+      if (tilePairs == Long.MaxValue)
+        a.join(b, Seq("user_id", "sid"))
+          .filter(col("type_a") < col("type_b"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "sid")
+        val withS = sess
+          .withColumn("__n", count(lit(1)).over(w))
+          .withColumn("__s", Similarity.tileSalt(col("__n"), tilePairs))
+          .drop("__n")
+        val probe = Similarity.saltedProbeSide(
+          withS.withColumn("__h",
+            pmod(xxhash64(col("event_type")), col("__s"))),
+          Seq("user_id", "sid", "__h"))
+        val build = withS.withColumn("__h",
+          explode(sequence(lit(0), col("__s") - 1)))
+        build.as("a").hint("merge")
+          .join(probe.as("b"),
+            col("a.user_id") === col("b.user_id")
+              && col("a.sid") === col("b.sid")
+              && col("a.__h") === col("b.__h")
+              && col("a.event_type") < col("b.event_type"))
+          .select(col("a.user_id").as("user_id"), col("a.sid").as("sid"),
+            col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+      }
+    pairs.groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+  }
 }

@@ -192,6 +192,24 @@ object ScaleProbe {
       rec("dup_clusters", nDocs) {
         TextDedup.dupClusters(spark, dir).count()
       }
+      // the ON-DISK text-dedup store lifecycle (r15): build = one
+      // signature pass + a 4-way band-partitioned write (expect the
+      // corpus-linear minhash growth shape); serve = a fixed 500-doc
+      // batch (copies of resident docs under fresh IdStride-derived
+      // ids, so every one collides and the verdict join does real
+      // work) against the corpus-sized resident store — the growth
+      // that matters: |batch| × collisions, NOT corpus-shaped.
+      val docsAll = Tables(spark, dir, "documents")
+      rec("dedup_disk_build", nDocs) {
+        TextDedup.dedupIndexWrite(docsAll, s"$dir/dedupidx")
+        nDocs
+      }
+      val serveBatch = docsAll
+        .filter(col("doc_id") < 500)
+        .withColumn("doc_id", col("doc_id") + lit(IdStride * (m + 20L)))
+      rec("dedup_disk_serve", nDocs) {
+        TextDedup.dedupIndexServe(serveBatch, s"$dir/dedupidx").count()
+      }
       val planes = 4 + math.ceil(math.log(m) / math.log(2)).toInt
       // skew discipline: similar vectors co-bucket by design, so planes
       // alone cannot flatten a hot cluster's bucket — the pair join
@@ -304,13 +322,21 @@ object ScaleProbe {
       // shrink `out` and make the rows look like a result change
       // rather than the pure layout measurement they are
       val wave = vecs0.filter(col("vec_id") < 200)
+      // wave offsets derive from IdStride, ABOVE every replica id: the
+      // scaled fixture's ids reach (m-1)*IdStride + baseMax, so a
+      // fixed 1e6*i offset would collide with existing corpus ids once
+      // a fixture exceeds ~1e6 vectors — violating ivfPqIndexAppend's
+      // new-ids contract (double-counted ADC rows) and quietly
+      // corrupting the frag_serve/serve2/compact rows. IdStride*(m+i)
+      // for i >= 1 is strictly beyond the corpus max at every m.
+      def waveOff(i: Int): Long = IdStride * (m + i)
       val codesFrag = (1 to 6).map(i =>
-          wave.withColumn("vec_id", col("vec_id") + lit(1000000L * i)))
+          wave.withColumn("vec_id", col("vec_id") + lit(waveOff(i))))
         .foldLeft(vecs0)(_ union _)
       rec("ivfpq_disk_append6", nVecs) {
         (1 to 6).foreach { i =>
           Similarity.ivfPqIndexAppend(
-            wave.withColumn("vec_id", col("vec_id") + lit(1000000L * i)),
+            wave.withColumn("vec_id", col("vec_id") + lit(waveOff(i))),
             s"$dir/annidx", m = 4, subDim = 16)
         }
         nVecs

@@ -29,7 +29,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   *    first touch writes the index directory once per corpus
   *    (diskIndexDir), and every serve runs the manifest check plus the
   *    driver-side probed-cells argmin that becomes the plan's literal
-  *    PartitionFilters.
+  *    PartitionFilters;
+  *  - q184_disk_incremental_dedup: same contract on the text store —
+  *    first touch writes the band-partitioned signature store once per
+  *    corpus (diskDedupDir), and every serve runs the geometry
+  *    manifest check.
   * Table RESOLUTION (parquet footer/schema read on a table's first
   * touch) also runs small jobs; it is the memoized metastore role, not
   * a query cost, and the spec pre-resolves every table so those jobs
@@ -47,7 +51,8 @@ class PlanConstructionSpec extends SparkTestBase {
   private val eagerByDesign = Set(
     "q109_jdbc_roundtrip", "q110_column_stats",
     "q173_cluster_rep", "q121_pagerank_neardup", "q135_kmeans",
-    "q182_ivfpq_disk", "q183_ivfpq_filtered")
+    "q182_ivfpq_disk", "q183_ivfpq_filtered",
+    "q184_disk_incremental_dedup")
 
   private val TagProp = "graft.construct.query"
 
@@ -70,6 +75,11 @@ class PlanConstructionSpec extends SparkTestBase {
     sc.addSparkListener(listener)
     val bc = graft.operators.TextDedup.BranchConf
     spark.conf.set(bc, "count")
+    // pin the LM broadcast branch the same way: auto's one-time doc
+    // count is a (memoized) constructor job this spec must not charge
+    // to whichever LM query constructs first
+    val lmc = graft.operators.Curation.LmBroadcastConf
+    spark.conf.set(lmc, "on")
     try {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         sc.setLocalProperty(TagProp, name)
@@ -87,6 +97,7 @@ class PlanConstructionSpec extends SparkTestBase {
       }
     } finally {
       spark.conf.unset(bc)
+      spark.conf.unset(lmc)
       sc.setLocalProperty(TagProp, null)
       sc.removeSparkListener(listener)
     }

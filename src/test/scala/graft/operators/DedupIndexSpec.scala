@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Pins the ON-DISK LSH signature store (`dedupIndexWrite` / `Append` /
+  * `Serve` / `Delete` / `Compact` / `Stats`): q156-parity of the disk
+  * serve, the append ≡ rebuild contract, the tombstone/compaction
+  * lifecycle, the geometry manifest, and the rebuild-over-used-dir
+  * sidecar rule — the text twin of DiskIndexSpec. */
+class DedupIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // a tiny corpus with exact near-dups: docs 1/2 share their text
+  // verbatim (identical signatures → collide in every band), 3/4 too;
+  // 0 and 5 are loners. Long enough for 3-gram shingles.
+  private def doc(id: Long, text: String) = (id, text)
+  private val corpus = Seq(
+    doc(0L, "the quick brown fox jumps over the lazy dog today"),
+    doc(1L, "pack my box with five dozen liquor jugs right now"),
+    doc(2L, "pack my box with five dozen liquor jugs right now"),
+    doc(3L, "sphinx of black quartz judge my vow said the king"),
+    doc(4L, "sphinx of black quartz judge my vow said the king"),
+    doc(5L, "how vexingly quick daft zebras jump over a fence"))
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-dedupidx").toString
+
+  private def serveSeq(newDocs: Seq[(Long, String)], idx: String)
+      : Seq[(Long, Int, String)] =
+    TextDedup.dedupIndexServe(docsDf(newDocs), idx)
+      .as[(Long, Int, String)].collect().toSeq
+
+  test("disk serve equals the in-memory ingestVerdicts exactly") {
+    val resident = corpus.filter(_._1 <= 3)
+    val batch = corpus.filter(_._1 >= 4)
+    val idx = tmp()
+    TextDedup.dedupIndexWrite(docsDf(resident), idx)
+    val disk = serveSeq(batch, idx)
+    val mem = TextDedup.ingestVerdicts(
+        TextDedup.bandsOfSignatures(docsDf(batch)),
+        TextDedup.bandsOfSignatures(docsDf(resident)))
+      .as[(Long, Int, String)].collect().toSeq
+    assert(disk.nonEmpty && disk == mem,
+      s"disk-served verdicts must equal in-memory:\n$disk\nvs\n$mem")
+    // the fixture must exercise both verdicts or the pin is vacuous
+    assert(disk.exists(_._3 == "reject") && disk.exists(_._3 == "admit"))
+  }
+
+  test("q184 equals q156 row for row at sf0.001") {
+    // the metered disk path and the registry path share their oracle;
+    // this pins them against each other directly, engine-side
+    TextDedup.resetDiskDedupMemo()
+    val a = SparkEntry.queries("q184_disk_incremental_dedup")(spark, sf)
+      .as[(Long, Int, String)].collect().toSeq
+    val b = SparkEntry.queries("q156_incremental_dedup")(spark, sf)
+      .as[(Long, Int, String)].collect().toSeq
+    assert(a.nonEmpty && a == b,
+      "the disk-served q184 must match q156 exactly")
+  }
+
+  test("append serves identically to a full rebuild") {
+    val old = corpus.filter(_._1 <= 2)
+    val delta = corpus.filter(d => d._1 == 3L || d._1 == 4L)
+    val batch = corpus.filter(_._1 == 5L) ++ Seq(
+      doc(6L, "sphinx of black quartz judge my vow said the king"))
+    val incr = tmp(); val full = tmp()
+    TextDedup.dedupIndexWrite(docsDf(old), incr)
+    TextDedup.dedupIndexAppend(docsDf(delta), incr)
+    TextDedup.dedupIndexWrite(docsDf(old ++ delta), full)
+    val a = serveSeq(batch, incr)
+    val b = serveSeq(batch, full)
+    assert(a.nonEmpty && a == b,
+      s"append must equal the rebuild:\n$a\nvs\n$b")
+    // the appended rows actually match: doc 6 collides with 3/4
+    assert(a.exists(r => r._1 == 6L && r._2 == 2 && r._3 == "reject"),
+      s"doc 6 must reject against the appended residents: $a")
+  }
+
+  test("tombstoned docs stop matching; compaction preserves verdicts " +
+      "and restores one file per band") {
+    val resident = corpus.filter(_._1 <= 4)
+    val batch = Seq(doc(7L, "pack my box with five dozen liquor jugs right now"))
+    val idx = tmp()
+    TextDedup.dedupIndexWrite(docsDf(resident), idx)
+    // fragment: append a loner so band dirs hold >1 file
+    TextDedup.dedupIndexAppend(docsDf(Seq(
+      doc(8L, "a completely different sentence about distant quiet stars"))), idx)
+    assert(serveSeq(batch, idx).head == ((7L, 2, "reject")),
+      "doc 7 must initially reject against residents 1 and 2")
+    // delete one twin: the collision count must drop immediately
+    TextDedup.dedupIndexDelete(spark, idx, Seq(2L))
+    val afterDel = serveSeq(batch, idx)
+    assert(afterDel.head == ((7L, 1, "reject")),
+      s"a tombstoned resident must stop matching: $afterDel")
+    // compact: physical apply + one file per band, verdicts unchanged
+    TextDedup.dedupIndexCompact(spark, idx)
+    assert(serveSeq(batch, idx) == afterDel,
+      "compaction must not change a single verdict")
+    val stats = TextDedup.dedupIndexStats(spark, idx)
+      .as[(Int, Long, Int)].collect().toSeq
+    assert(stats.map(_._1) == Seq(0, 1, 2, 3),
+      s"all four bands must report: $stats")
+    assert(stats.forall(_._3 == 1),
+      s"compaction must leave ONE file per band: $stats")
+    // 5 residents + 1 appended - 1 tombstoned = 5 live docs per band
+    assert(stats.forall(_._2 == 5L),
+      s"each band holds one row per live doc: $stats")
+    // tombstone set is cleared — a re-appended id would serve again
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+  }
+
+  test("the manifest rejects a store written under a different banding") {
+    val idx = tmp()
+    TextDedup.dedupIndexWrite(docsDf(corpus.take(3)), idx)
+    // simulate a store from a future library version: overwrite the
+    // manifest with a different geometry row
+    Seq((4, 16, 8, 2)).toDF("shingle_k", "n_hashes", "bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/manifest")
+    def geometryError(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("(4,16,8,2)"),
+        s"the error must name the stored geometry: ${e.getMessage}")
+    }
+    geometryError(TextDedup.dedupIndexServe(docsDf(corpus.drop(3)), idx))
+    geometryError(TextDedup.dedupIndexAppend(docsDf(corpus.drop(3)), idx))
+    // a pre-manifest store still serves (compatibility)
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/manifest"), true)
+    assert(serveSeq(corpus.drop(3), idx).nonEmpty)
+  }
+
+  test("rebuild over a used dir clears stale tombstones and ingest ledger") {
+    val idx = tmp()
+    TextDedup.dedupIndexWrite(docsDf(corpus), idx)
+    TextDedup.dedupIndexDelete(spark, idx, Seq(1L))
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/ingested/batch-0"))
+    // second life, same ids: the stale tombstone must not mask doc 1
+    TextDedup.dedupIndexWrite(docsDf(corpus), idx)
+    for (side <- Seq("tombstones", "ingested"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$side")),
+        s"stale $side/ must not survive a rebuild")
+    val verdict = serveSeq(
+      Seq(doc(9L, "pack my box with five dozen liquor jugs right now")), idx)
+    assert(verdict.head._2 == 2,
+      s"rebuilt resident 1 must match again (stale tombstone): $verdict")
+  }
+
+  test("the band view reads through the declared schema (band stays INT)") {
+    val idx = tmp()
+    TextDedup.dedupIndexWrite(docsDf(corpus), idx)
+    val schema = spark.read
+      .schema("doc_id BIGINT, bv STRING, band INT")
+      .parquet(s"$idx/bands").schema
+    assert(schema("band").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // and each band directory exists with exactly one file from write
+    val stats = TextDedup.dedupIndexStats(spark, idx)
+      .as[(Int, Long, Int)].collect().toSeq
+    assert(stats.map(_._1) == Seq(0, 1, 2, 3) && stats.forall(_._3 == 1),
+      s"write must lay out one file per band: $stats")
+  }
+}

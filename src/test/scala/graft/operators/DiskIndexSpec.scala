@@ -468,6 +468,113 @@ class DiskIndexSpec extends SparkTestBase {
       "a manifest-less index must serve exactly as before")
   }
 
+  test("maintenance policy: decisions on a fragmented/tombstoned/skewed " +
+      "index; execute compacts; retrieval survives the full lifecycle") {
+    // ask #4 (policy op) + ask #5 (recall after maintenance) of the
+    // r14 verdict in one composed leg: build → append×3 (fragments) →
+    // delete (tombstones) → maintain(execute) → the served top-k must
+    // equal a FRESH index over the same live set under the same frozen
+    // model — maintenance must never silently degrade retrieval.
+    val idx = tmp()
+    val dfOld = codesDf(corpus)
+    Similarity.ivfPqIndexWrite(dfOld, idx, kIvf = 2, m = 2, subDim = 2,
+      k = 3)
+    // three appended waves into the +80 halo fragment its cell
+    val waves = (1 to 3).map(i =>
+      (100L + i, Seq(80L, 80L, 80L, 80L + i)))
+    waves.foreach(wv => Similarity.ivfPqIndexAppend(
+      codesDf(Seq(wv)), idx, m = 2, subDim = 2))
+    // delete 2 of the ~7 rows of the -90 halo's cell (~28% > 20% cap)
+    Similarity.ivfPqIndexDelete(spark, idx, Seq(3L, 4L))
+    val report = Similarity.ivfPqIndexMaintain(spark, idx)
+      .as[(Long, Long, Int, Long, Long, String)].collect().toSeq
+    assert(report.map(_._6).forall(Set("ok", "compact", "retrain")))
+    // the fragmented cell decides compact on files (1 + 3 appends = 4
+    // files > default? no — default maxFiles is 8, so force it here),
+    // and the tombstoned cell decides compact on dead share
+    val strict = Similarity.ivfPqIndexMaintain(spark, idx, maxFiles = 3)
+      .as[(Long, Long, Int, Long, Long, String)].collect().toSeq
+    assert(strict.exists(r => r._3 > 3 && r._6 == "compact"),
+      s"the 4-file cell must decide compact at maxFiles=3: $strict")
+    assert(report.exists(r => r._4 > 0 && r._6 == "compact"),
+      s"a >20%-tombstoned cell must decide compact: $report")
+    // a skewed index decides retrain: drop the share cap to force it
+    val skew = Similarity.ivfPqIndexMaintain(spark, idx,
+        maxShareBp = 4000L)
+      .as[(Long, Long, Int, Long, Long, String)].collect().toSeq
+    assert(skew.exists(_._6 == "retrain"),
+      s"a cell past the share cap must decide retrain: $skew")
+    // execute: compaction runs, files collapse, tombstones clear
+    val executed = Similarity.ivfPqIndexMaintain(spark, idx,
+        maxFiles = 3, execute = true)
+      .as[(Long, Long, Int, Long, Long, String)].collect().toSeq
+    assert(executed.exists(_._6 == "compact"),
+      "the executed run must report the decisions it acted on")
+    val after = Similarity.ivfPqIndexStats(spark, idx)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(after.forall(_._3 == 1),
+      s"maintenance must leave one file per cell: $after")
+    // retrieval parity: the maintained index serves exactly like a
+    // fresh frozen-model index over the live set
+    val live = corpus.filterNot(c => c._1 == 3L || c._1 == 4L) ++ waves
+    val fresh = tmp()
+    Similarity.ivfPqIndexWrite(codesDf(live), fresh, kIvf = 2, m = 2,
+      subDim = 2, k = 3,
+      codebooks = Some(spark.read.parquet(s"$idx/books")),
+      centroids = Some(spark.read.parquet(s"$idx/cents")))
+    val codesAll = codesDf(live)
+    def serve(d: String) = Similarity.ivfPqIndexServe(codesAll, d,
+        queryId = 7L, nprobe = 2, m = 2, subDim = 2, coarseK = 10,
+        topK = 6)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val maintained = serve(idx)
+    assert(maintained.nonEmpty && maintained == serve(fresh),
+      "the maintained index must serve exactly like a fresh rebuild " +
+        "over the live set — maintenance degraded retrieval")
+    // the maintained-after state is quiet: a fresh policy run is all-ok
+    val calm = Similarity.ivfPqIndexMaintain(spark, idx, maxFiles = 3)
+      .as[(Long, Long, Int, Long, Long, String)].collect().toSeq
+    assert(calm.forall(_._6 == "ok"),
+      s"post-maintenance policy must be all-ok: $calm")
+  }
+
+  test("rebuild over a used dir clears stale sidecar state (tombstones, " +
+      "ingest ledger, retired data)") {
+    // A prior index life under the same dir leaves append-side
+    // artifacts that overwrite mode never touches: a stale tombstones/
+    // set would MASK freshly written rows whose ids were reused
+    // (silent row loss), a stale ingested/ ledger would make a new
+    // stream with a fresh checkpoint SKIP its first batches (batch ids
+    // restart at 0), and a stale enc-retired/ is a crashed compaction
+    // of superseded data. ivfPqIndexWrite must clear all three.
+    val idx = tmp()
+    val df = codesDf(corpus)
+    Similarity.ivfPqIndexWrite(df, idx, kIvf = 2, m = 2, subDim = 2,
+      k = 3)
+    // first life: delete an id (tombstones/), simulate an applied
+    // ingest batch (ingested/batch-0) and a crashed compaction
+    // (enc-retired/)
+    Similarity.ivfPqIndexDelete(spark, idx, Seq(8L))
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/ingested/batch-0"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/enc-retired"))
+    // second life: REBUILD in place with the same ids
+    Similarity.ivfPqIndexWrite(df, idx, kIvf = 2, m = 2, subDim = 2,
+      k = 3)
+    for (side <- Seq("tombstones", "ingested", "enc-retired"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$side")),
+        s"stale $side/ must not survive a rebuild")
+    // the reused id must surface again for its halo-mate (the serve
+    // excludes the QUERY id itself, so probe from neighbor 7) — the
+    // stale tombstone would have silently masked it
+    val got = Similarity.ivfPqIndexServe(df, idx, queryId = 7L,
+        nprobe = 2, m = 2, subDim = 2, coarseK = 10, topK = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.contains(8L),
+      s"rebuilt id 8 must serve (stale tombstone masked it): $got")
+  }
+
   private def serveable(idx: String): Seq[(Long, Long, Long, Double)] =
     Similarity.ivfPqIndexServe(codesDf(corpus), idx, queryId = 8L,
         nprobe = 2, m = 2, subDim = 2, coarseK = 10, topK = 6)

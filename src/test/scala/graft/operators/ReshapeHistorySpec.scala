@@ -126,6 +126,34 @@ class ReshapeHistorySpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("sessionPairCounts: forced multi-tile on a planted mega-session " +
+      "equals the untiled join exactly") {
+    // the hot-bucket exposure the r14 verdict flagged on q134: over an
+    // OPEN item space one bot mega-session's k² pair space lands on a
+    // single task of the session-keyed join. The tiled twin must be a
+    // pure physical rewrite — same counts, any tilePairs — proven here
+    // with a session big enough that tilePairs=50 forces real
+    // multi-tile fan-out (k=40 → k²=1600 → salt ceil(32) per tile rule)
+    // alongside ordinary small sessions.
+    val mega = (0 until 40).map(i => (1L, 0L, f"item_$i%03d"))
+    val smalls = (0 until 30).flatMap(u => Seq(
+      (10L + u, 0L, "item_001"), (10L + u, 0L, f"item_${u % 7}%03d"),
+      (10L + u, 1L, "item_002")))
+    val sess = (mega ++ smalls).distinct
+      .toDF("user_id", "sid", "event_type")
+    def counts(tp: Long): Map[(String, String), Long] =
+      TimeSeriesJoins.sessionPairCounts(sess, tp)
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val untiled = counts(Long.MaxValue)
+    val tiled = counts(50L)
+    assert(untiled.nonEmpty && tiled == untiled,
+      s"tiling must be result-identical: ${tiled.size} vs ${untiled.size}")
+    // the mega session contributes C(40,2) pairs spread over its items
+    assert(untiled.values.sum >= 40L * 39 / 2,
+      "the planted mega-session's pair space must be present")
+  }
+
   test("q130 rerank scores every LSH candidate pair with a valid cosine") {
     val out = SparkEntry.queries("q130_cosine_rerank")(spark, sf).cache()
     assert(out.filter($"cosine" <= 0 || $"cosine" > 1).count() == 0,
