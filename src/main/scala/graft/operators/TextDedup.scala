@@ -1153,8 +1153,13 @@ object TextDedup {
     * `neu` is (doc_id, band, bv); `old` any same-shaped frame. */
   private[operators] def ingestVerdicts(neu: DataFrame,
       old: DataFrame): DataFrame = {
-    val o = old.toDF("old_id", "old_band", "old_bv")
-    neu.toDF("doc_id", "band", "bv")
+    // rename BY NAME, not positional toDF: the disk read's column
+    // order (doc_id, bv, band — partition key last) differs from
+    // bandsOf's (doc_id, band, bv), and a positional rename would
+    // silently join band values against band IDS
+    val o = old.select(col("doc_id").as("old_id"),
+      col("band").as("old_band"), col("bv").as("old_bv"))
+    neu.select(col("doc_id"), col("band"), col("bv"))
       .join(o,
         col("band") === col("old_band") && col("bv") === col("old_bv"),
         "left")
