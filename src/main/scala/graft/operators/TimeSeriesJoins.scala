@@ -513,7 +513,15 @@ object TimeSeriesJoins {
     * keeping the broadcast-eligible pristine shape). Merge hint +
     * explicit probe repartition are [[Similarity.saltedProbeSide]]'s
     * documented discipline (AQE coalesces byte-light tiles back onto
-    * one task without it). */
+    * one task without it).
+    *
+    * MEASURED (tools.SkewProbe session leg, 8000-item mega-session +
+    * 50k 3-item sessions, round 2): tiled 7.1 s vs untiled-SMJ 32.3 s
+    * (the non-broadcastable regime — the tiling's 4.5× win) vs
+    * untiled-BHJ 4.1 s (at broadcastable scale the hot session spreads
+    * for free over the probe's input partitioning) — the same
+    * three-way pattern as the minhash leg, identical 32.0M-row result
+    * in all six runs. */
   private[graft] def sessionPairCounts(sess: DataFrame,
       tilePairs: Long = Similarity.AutoSaltTilePairs): DataFrame = {
     require(tilePairs >= 1, "tilePairs must be >= 1")

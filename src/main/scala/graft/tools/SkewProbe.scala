@@ -89,6 +89,57 @@ object SkewProbe {
         })
     }
     require(counts.distinct.size == 1, "tiling must be result-identical")
+
+    // ── session co-occurrence leg (r15): the same hot-bucket class on
+    // the q134 pair join — one bot mega-session with kSess distinct
+    // items against 50k ordinary 3-item sessions (the open-item-space
+    // market-basket shape). The mega session's C(kSess,2) pair space
+    // sits on ONE task untiled; TimeSeriesJoins.sessionPairCounts
+    // tiles it by ceil(k²/tilePairs) shuffle keys, result-identical
+    // (spec-pinned in ReshapeHistorySpec). Same two-regime, two-round
+    // read discipline as the minhash leg above.
+    val kSess = args.lift(2).getOrElse("8000").toInt
+    val smallSess = spark.range(50000).select(
+      (col("id") + 1000L).as("user_id"), lit(0L).as("sid"),
+      explode(array(lit("a"),
+        concat(lit("t"), (col("id") % 97).cast("string")),
+        concat(lit("u"), (col("id") % 53).cast("string"))))
+        .as("event_type"))
+    val megaSess = spark.range(kSess).select(
+      lit(1L).as("user_id"), lit(0L).as("sid"),
+      concat(lit("m"), col("id").cast("string")).as("event_type"))
+    val sess = smallSess.unionByName(megaSess)
+    sess.write.format("noop").mode("overwrite").save() // warm
+    def timeS(label: String)(body: => Long): Long = {
+      val t0 = System.nanoTime()
+      val n = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[skewprobe] variant=$label kSess=$kSess rows=$n secs=$secs%.2f")
+      n
+    }
+    import graft.operators.TimeSeriesJoins
+    val sessCounts = (1 to 2).flatMap { round =>
+      Seq(
+        timeS(s"sess_tiled_r$round") {
+          TimeSeriesJoins.sessionPairCounts(sess).count()
+        },
+        timeS(s"sess_untiled_broadcast_r$round") {
+          TimeSeriesJoins.sessionPairCounts(sess,
+            tilePairs = Long.MaxValue).count()
+        }, {
+          val prior = spark.conf.getOption(thresholdKey)
+          spark.conf.set(thresholdKey, "-1")
+          try timeS(s"sess_untiled_shuffle_r$round") {
+            TimeSeriesJoins.sessionPairCounts(sess,
+              tilePairs = Long.MaxValue).count()
+          } finally prior match {
+            case Some(v) => spark.conf.set(thresholdKey, v)
+            case None => spark.conf.unset(thresholdKey)
+          }
+        })
+    }
+    require(sessCounts.distinct.size == 1,
+      "session tiling must be result-identical")
     spark.stop()
   }
 }
