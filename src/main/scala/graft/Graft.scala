@@ -637,8 +637,11 @@ object Graft {
     * in-memory verdict stream. See
     * [[operators.TextDedup.dedupIndexIngest]]. */
   def dedupIndexIngest(docs: DataFrame, indexDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    operators.TextDedup.dedupIndexIngest(docs, indexDir, checkpointDir)
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    operators.TextDedup.dedupIndexIngest(docs, indexDir, checkpointDir,
+      idCol, textCol)
 
   /** Shared facade prep for the quantized ANN members: rename/cast to
     * the (vec_id, v, nrm) shape, then attach the int8 absmax codes

@@ -1240,7 +1240,7 @@ object TextDedup {
       outDir: String): Unit = {
     val s = bands.sparkSession
     val hc = s.sparkContext.hadoopConfiguration
-    for (side <- Seq("tombstones", "ingested")) {
+    for (side <- Seq("tombstones", "ingested", "bands-retired")) {
       val p = new org.apache.hadoop.fs.Path(s"$outDir/$side")
       val fs = p.getFileSystem(hc)
       if (fs.exists(p)) fs.delete(p, true)
@@ -1387,7 +1387,8 @@ object TextDedup {
     * crawler loop at 100 TB/day: stream in, appends accrete,
     * compaction amortizes, and the resident state SURVIVES the JVM. */
   private[graft] def dedupIndexIngest(delta: DataFrame, indexDir: String,
-      checkpointDir: String)
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     checkDedupManifest(delta.sparkSession, indexDir)
     delta.writeStream
@@ -1401,7 +1402,8 @@ object TextDedup {
         val fs = marker.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
-          if (!batch.isEmpty) dedupIndexAppend(batch, indexDir)
+          if (!batch.isEmpty)
+            dedupIndexAppend(batch, indexDir, idCol, textCol)
           fs.mkdirs(marker)
           ()
         }

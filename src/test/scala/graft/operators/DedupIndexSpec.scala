@@ -146,9 +146,10 @@ class DedupIndexSpec extends SparkTestBase {
     val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/ingested/batch-0"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/bands-retired"))
     // second life, same ids: the stale tombstone must not mask doc 1
     TextDedup.dedupIndexWrite(docsDf(corpus), idx)
-    for (side <- Seq("tombstones", "ingested"))
+    for (side <- Seq("tombstones", "ingested", "bands-retired"))
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$side")),
         s"stale $side/ must not survive a rebuild")
     val verdict = serveSeq(
