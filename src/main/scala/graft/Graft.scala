@@ -629,6 +629,19 @@ object Graft {
   def dedupIndexStats(spark: SparkSession, indexDir: String): DataFrame =
     operators.TextDedup.dedupIndexStats(spark, indexDir)
 
+  /** The store MAINTENANCE POLICY: per-band (band, n_docs, files,
+    * tomb, action) — `compact` on fragmentation or tombstone share
+    * past threshold, else `ok` (no retrain: the banding has no
+    * trained state). `execute = true` runs the compaction when
+    * warranted (serve-identical, spec-pinned) — [[annIndexMaintain]]
+    * on the text store. See
+    * [[operators.TextDedup.dedupIndexMaintain]]. */
+  def dedupIndexMaintain(spark: SparkSession, indexDir: String,
+      maxFiles: Int = 8, maxTombBp: Long = 2000L,
+      execute: Boolean = false): DataFrame =
+    operators.TextDedup.dedupIndexMaintain(spark, indexDir, maxFiles,
+      maxTombBp, execute)
+
   /** Continuously ingest a STREAM of new docs into the on-disk store:
     * micro-batch appends under the frozen geometry, batch-id ledger
     * for idempotent checkpoint replays (at-least-once across a crash

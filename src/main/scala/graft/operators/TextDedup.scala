@@ -1412,6 +1412,54 @@ object TextDedup {
       .start()
   }
 
+  /** The store MAINTENANCE POLICY — [[Similarity.ivfPqIndexMaintain]]'s
+    * decision layer on the text store: per band, (band, n_docs, files,
+    * tomb, action) where action is `compact` when the band directory's
+    * file count exceeds `maxFiles` (append/ingest small-file accretion)
+    * or the tombstoned-row share of the band exceeds `maxTombBp`
+    * (dead rows every serve's anti-join still subtracts), else `ok`.
+    * No retrain action: the banding has no trained state to rebalance
+    * — band occupancy is fixed at NumBands by construction, which is
+    * exactly why the text policy is simpler than the ANN one.
+    * `execute = true` runs [[dedupIndexCompact]] when any band decides
+    * `compact` (whole-store by construction; serve-identical,
+    * spec-pinned). */
+  private[graft] def dedupIndexMaintain(s: SparkSession,
+      indexDir: String, maxFiles: Int = 8, maxTombBp: Long = 2000L,
+      execute: Boolean = false): DataFrame = {
+    require(maxFiles >= 1 && maxTombBp >= 0,
+      "dedupIndexMaintain: maxFiles >= 1, maxTombBp >= 0")
+    val raw = s.read.schema(DedupBandSchema).parquet(s"$indexDir/bands")
+    val tombP = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val tombFs = tombP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dead =
+      if (!tombFs.exists(tombP)) raw.filter(lit(false))
+      else raw.join(
+        broadcast(s.read.schema("doc_id BIGINT").parquet(tombP.toString)),
+        Seq("doc_id"), "left_semi")
+    val tomb = dead.groupBy("band").agg(count(lit(1)).as("tomb"))
+    val report = dedupIndexStats(s, indexDir)
+      .join(tomb, Seq("band"), "left")
+      .select(col("band"), col("n_docs"), col("files"),
+        coalesce(col("tomb"), lit(0L)).as("tomb"))
+      .withColumn("action",
+        when(col("files") > maxFiles
+          || (col("n_docs") + col("tomb") > 0
+            && col("tomb") * 10000L
+               > lit(maxTombBp) * (col("n_docs") + col("tomb"))),
+          "compact").otherwise("ok"))
+      .orderBy("band")
+    if (execute) {
+      val decided = report.collect()
+      if (decided.exists(_.getAs[String]("action") == "compact"))
+        dedupIndexCompact(s, indexDir)
+      import s.implicits._
+      decided.map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getString(4)))
+        .toSeq.toDF("band", "n_docs", "files", "tomb", "action")
+    } else report
+  }
+
   /** Validate a store's manifest against this library's frozen banding
     * geometry — a store written under a DIFFERENT banding would not
     * error on its own: the (band, bv) equality join would simply match

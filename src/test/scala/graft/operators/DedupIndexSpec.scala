@@ -118,6 +118,45 @@ class DedupIndexSpec extends SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
   }
 
+  test("maintenance policy: compact decisions on fragmentation and " +
+      "tombstone share; execute compacts, verdicts survive") {
+    // the annIndexMaintain decision layer on the text store: build →
+    // append (fragments every band) → delete 2 of 7 residents (~28%
+    // dead > 20% cap) → maintain(execute) → verdicts must equal a
+    // fresh rebuild over the live set, and a fresh policy run is
+    // all-ok
+    val idx = tmp()
+    TextDedup.dedupIndexWrite(docsDf(corpus), idx)
+    TextDedup.dedupIndexAppend(docsDf(Seq(
+      doc(6L, "one more wholly original sentence rides in the append wave"))),
+      idx)
+    TextDedup.dedupIndexDelete(spark, idx, Seq(2L, 4L))
+    val report = TextDedup.dedupIndexMaintain(spark, idx)
+      .as[(Int, Long, Int, Long, String)].collect().toSeq
+    assert(report.map(_._1) == Seq(0, 1, 2, 3), s"all bands report: $report")
+    assert(report.forall(r => r._4 == 2L && r._5 == "compact"),
+      s"2 of 7 docs dead (~2857 bp > 2000) must decide compact: $report")
+    // fragmentation alone also triggers: 2 files/band > maxFiles=1
+    val frag = TextDedup.dedupIndexMaintain(spark, idx, maxFiles = 1,
+        maxTombBp = 10000L)
+      .as[(Int, Long, Int, Long, String)].collect().toSeq
+    assert(frag.forall(r => r._3 == 2 && r._5 == "compact"),
+      s"2-file bands must decide compact at maxFiles=1: $frag")
+    val batch = Seq(doc(9L, "pack my box with five dozen liquor jugs right now"))
+    val before = serveSeq(batch, idx)
+    val executed = TextDedup.dedupIndexMaintain(spark, idx,
+        execute = true)
+      .as[(Int, Long, Int, Long, String)].collect().toSeq
+    assert(executed.exists(_._5 == "compact"),
+      "the executed run reports the decisions it acted on")
+    assert(serveSeq(batch, idx) == before,
+      "executed maintenance must not change a verdict")
+    val calm = TextDedup.dedupIndexMaintain(spark, idx)
+      .as[(Int, Long, Int, Long, String)].collect().toSeq
+    assert(calm.forall(r => r._3 == 1 && r._4 == 0L && r._5 == "ok"),
+      s"post-maintenance policy must be all-ok, one file per band: $calm")
+  }
+
   test("the manifest rejects a store written under a different banding") {
     val idx = tmp()
     TextDedup.dedupIndexWrite(docsDf(corpus.take(3)), idx)
