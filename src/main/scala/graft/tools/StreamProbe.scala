@@ -153,6 +153,62 @@ object StreamProbe {
         java.nio.file.Files.walk(ckptRoot).iterator().asScala.toSeq
           .reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
       }
+
+      // ── dedupIndexIngest (r15): the ON-DISK store's crawler loop.
+      // Per-batch cost is a signature map + a partitioned parquet
+      // append — the append never READS the resident store, so
+      // per-batch time must stay flat as the store absorbs the corpus
+      // (last/first is the smell test; the decay that DOES accrue —
+      // small files — is compaction's job, timed here to close the
+      // loop, and the post-ingest serve proves the accreted store
+      // answers at its ScaleProbe band).
+      val storeRoot = java.nio.file.Files.createTempDirectory(s"sp_disk_$m")
+      try {
+        val store = storeRoot.resolve("store").toString
+        graft.operators.TextDedup.dedupIndexWrite(
+          spark.emptyDataset[Doc].toDF(), store)
+        val sin = MemoryStream[Doc]
+        val sq = graft.operators.TextDedup.dedupIndexIngest(sin.toDF(),
+          store, storeRoot.resolve("ckpt").toString)
+        var sFirst = 0.0; var sLast = 0.0
+        val st0 = System.nanoTime()
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val bt0 = System.nanoTime()
+          sin.addData(b.toSeq)
+          sq.processAllAvailable()
+          val bt = (System.nanoTime() - bt0) / 1e9
+          if (i == 0) sFirst = bt
+          if (i == batches.size - 1) sLast = bt
+        }
+        val sTotal = (System.nanoTime() - st0) / 1e9
+        sq.stop()
+        // serve a fixed 1000-doc batch (fresh IdStride-derived ids) off
+        // the fully accreted, FRAGMENTED store
+        val serveBatch = ScaleProbe.scaledDocuments(spark, baseDir, 1)
+          .filter(col("doc_id") < 1000)
+          .select((col("doc_id") + lit(1000000000L * (m + 40L)))
+            .as("doc_id"), col("text"))
+        val v0 = System.nanoTime()
+        val verdicts = graft.operators.TextDedup
+          .dedupIndexServe(serveBatch, store).count()
+        val serveSecs = (System.nanoTime() - v0) / 1e9
+        val fragFiles = graft.operators.TextDedup
+          .dedupIndexStats(spark, store)
+          .agg(max(col("files"))).head().getInt(0)
+        val c0 = System.nanoTime()
+        graft.operators.TextDedup.dedupIndexCompact(spark, store)
+        val compactSecs = (System.nanoTime() - c0) / 1e9
+        println(f"[streamprobe] op=diskIngest m=$m docs=${docs.length} " +
+          f"batches=${batches.size} secs=$sTotal%.1f " +
+          f"docs_per_sec=${docs.length / sTotal}%.0f " +
+          f"first_batch=$sFirst%.2f last_batch=$sLast%.2f " +
+          f"frag_files=$fragFiles serve=$serveSecs%.2f " +
+          f"verdicts=$verdicts compact=$compactSecs%.2f")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(storeRoot).iterator().asScala.toSeq
+          .reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
     }
     spark.stop()
   }

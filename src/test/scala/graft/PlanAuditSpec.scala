@@ -74,6 +74,19 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q184: the resident side scans the on-disk band store through " +
+      "the declared schema") {
+    // the disk-dedup serve must read the STORE (4 rows/doc band view),
+    // never re-derive the resident signatures from text — the
+    // persistence is the point. The declared read schema keeps doc_id
+    // BIGINT / bv STRING (band is the partition directory key).
+    val p = plan("q184_disk_incremental_dedup")
+    assert(p.contains("graft-dedupidx-q184"),
+      "the q184 plan must scan the per-corpus store directory")
+    assert(p.contains("struct<doc_id:bigint,bv:string>"),
+      s"the store scan must read through the declared schema")
+  }
+
   test("no query degenerates into CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
