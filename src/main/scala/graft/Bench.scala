@@ -72,6 +72,7 @@ object Bench {
     // different (wrong) last consumer for pq-book/ivf-cent
     graft.operators.Similarity.resetDiskIndexMemo()
     graft.operators.TextDedup.resetDiskDedupMemo()
+    graft.operators.Search.resetDiskSearchMemo()
     try CacheRegistry.withAccessHook(
       (k: String) => last(k.takeWhile(_ != ':')) = current) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -164,6 +165,7 @@ object Bench {
     // themselves
     graft.operators.Similarity.resetDiskIndexMemo()
     graft.operators.TextDedup.resetDiskDedupMemo()
+    graft.operators.Search.resetDiskSearchMemo()
     try CacheRegistry.withAccessHook(
       (k: String) => {
         val p = k.takeWhile(_ != ':')

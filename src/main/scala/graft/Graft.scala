@@ -656,6 +656,31 @@ object Graft {
     operators.TextDedup.dedupIndexIngest(docs, indexDir, checkpointDir,
       idCol, textCol)
 
+  /** Write the ON-DISK SEARCH INDEX: postings (doc_id, term, tf)
+    * partitioned by term-hash bucket, per-doc lengths, corpus stats,
+    * and a tokenizer/bucket manifest — the disk-lifecycle template's
+    * third instance (ANN [[annIndexWrite]], dedup [[dedupIndexWrite]]),
+    * so the lexical retrieval state survives the JVM. Backs q185. See
+    * [[operators.Search.searchIndexWrite]]. */
+  def searchIndexWrite(docs: DataFrame, outDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 8): Unit =
+    operators.Search.searchIndexWrite(docs, outDir, idCol, textCol,
+      nBuckets)
+
+  /** Serve a BM25 top-`topK` off the on-disk index: the query terms'
+    * hash buckets become plan-time `PartitionFilters` (the scan lists
+    * ≤ |terms| of the index's bucket directories, corpus-size-
+    * independent), df/tf come from the pruned postings, and the
+    * scoring is byte-identical to [[bm25Score]]. Returns (doc_id, dl,
+    * tf1..tfN, score) top-k among docs matching ≥ 1 term. See
+    * [[operators.Search.searchIndexServe]]. */
+  def searchIndexServe(spark: SparkSession, indexDir: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame =
+    operators.Search.searchIndexServe(spark, indexDir, queryTerms, k1,
+      b, topK)
+
   /** Shared facade prep for the quantized ANN members: rename/cast to
     * the (vec_id, v, nrm) shape, then attach the int8 absmax codes
     * (the q106/q142 code rule; zero vectors have no direction and are

@@ -122,6 +122,19 @@ object Search {
       queryTerms.indices.map(i =>
         sum(when(col(s"tf${i + 1}") > 0, 1).otherwise(0)).as(s"df${i + 1}"))
     val st = feats.agg(stCols.head, stCols.tail: _*)
+    feats.crossJoin(broadcast(st))
+      .select(bm25ScoreCols(idCol, queryTerms.size, k1, b): _*)
+  }
+
+  /** The ONE Okapi scoring projection — factored so [[bm25Score]] (the
+    * in-memory path behind q115/q116) and [[searchIndexServe]] (the
+    * on-disk path behind q185) build the IDENTICAL expression tree:
+    * float association is part of the hash-oracle contract, and two
+    * hand-maintained copies of the formula would drift by a
+    * parenthesis. Expects (idCol, dl, tf1..tfN, n, sdl, df1..dfN)
+    * columns in scope. */
+  private def bm25ScoreCols(idCol: String, nTerms: Int, k1: Double,
+      b: Double): Seq[Column] = {
     val ad = col("sdl") * lit(1.0) / col("n")
     def idf(i: Int): Column =
       log((col("n") - col(s"df${i + 1}") + lit(0.5))
@@ -129,12 +142,11 @@ object Search {
     def termScore(i: Int): Column =
       idf(i) * col(s"tf${i + 1}") * lit(k1 + 1) /
         (col(s"tf${i + 1}") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / ad))
-    feats.crossJoin(broadcast(st))
-      .select(col(idCol) +: col("dl").cast("int").as("dl") +:
-        queryTerms.indices.map(i =>
-          col(s"tf${i + 1}").cast("int").as(s"tf${i + 1}")) :+
-        round(queryTerms.indices.map(termScore).reduce(_ + _), 4)
-          .as("score"): _*)
+    col(idCol) +: col("dl").cast("int").as("dl") +:
+      (0 until nTerms).map(i =>
+        col(s"tf${i + 1}").cast("int").as(s"tf${i + 1}")) :+
+      round((0 until nTerms).map(termScore).reduce(_ + _), 4)
+        .as("score")
   }
 
   /** Reciprocal-rank fusion over ANY number of (`idCol`, `scoreCol`)
@@ -209,6 +221,15 @@ object Search {
       |    AS score
       |  FROM d, st)""".stripMargin
 
+  /** The BM25 top-10 oracle, shared VERBATIM by q115 (scored from the
+    * registry cache) and q185 (served from the on-disk term-bucketed
+    * index): the two paths are spec-pinned result-identical
+    * (SearchIndexSpec), so one replay of the formula gates both. */
+  private val bm25TopOracle: String =
+    oracleBm25 +
+      "\nSELECT doc_id, dl, tf1, tf2, tf3, score FROM sc " +
+      "ORDER BY score DESC, doc_id LIMIT 10"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── inverted index: term → collection frequency, doc frequency, and
@@ -237,10 +258,30 @@ object Search {
     //    by the ROUNDED score so a last-ulp difference cannot reorder
     QueryDef(
       "q115_bm25_topk",
-      oracleBm25 +
-        "\nSELECT doc_id, dl, tf1, tf2, tf3, score FROM sc " +
-        "ORDER BY score DESC, doc_id LIMIT 10") { (s, dir) =>
+      bm25TopOracle) { (s, dir) =>
       bm25(s, dir).orderBy(col("score").desc, col("doc_id")).limit(10)
+    },
+
+    // ── BM25 served from the ON-DISK term-bucketed inverted index:
+    //    q115's exact top-10, with the postings read off the parquet
+    //    store searchIndexWrite lays out — the third instance of the
+    //    disk-lifecycle template (ANN q182, dedup q184), completing
+    //    "every resident retrieval state survives the JVM". The query
+    //    terms' hash buckets become plan-time PartitionFilters
+    //    (|terms| directory families of the index are listed, never
+    //    all of it — the q182 probed-cells discipline on text), the
+    //    term equality pushes into the parquet scan within them, and
+    //    the scoring projection is bm25ScoreCols — the SAME expression
+    //    tree q115 runs, so the SAME oracle replays both (top-k among
+    //    docs matching ≥1 term ≡ the global top-k whenever ≥ topK docs
+    //    score positive — guaranteed here by mid-frequency terms, and
+    //    the driver's hash gate would catch any corpus where it broke).
+    //    Index built once per corpus dir (this query's timed section
+    //    absorbs it — the q182/q184 absorption discipline).
+    QueryDef(
+      "q185_bm25_disk",
+      bm25TopOracle) { (s, dir) =>
+      searchIndexServe(s, diskSearchDir(s, dir), terms)
     },
 
     // ── hybrid search: reciprocal-rank fusion (k=60) of the BM25 and
@@ -496,4 +537,137 @@ object Search {
         .orderBy("name_a", "name_b")
     }
   )
+
+  // ───────────────── ON-DISK SEARCH INDEX ─────────────────
+  // The disk-lifecycle template's third instance: the lexical
+  // retrieval state (postings + doc lengths + corpus stats) persists
+  // as a parquet dataset whose postings are PARTITIONED BY TERM-HASH
+  // BUCKET — a query's terms resolve to <= |terms| bucket literals at
+  // plan time, so the serve scan lists only those directory families
+  // (the PartitionFilters guarantee q182's probed cells established),
+  // and the term equality pushes into the parquet scan within them.
+  // At 100 TB the postings list is the big artifact; reading
+  // |query terms|/nBuckets of it per query — independent of corpus
+  // size — is the difference between a search index and a table scan.
+
+  private val SearchTokenizer = "whitespace"
+
+  /** Declared read schemas — `bkt` is the partition directory key
+    * (the cell/band discipline). */
+  private val SearchPostingsSchema = "doc_id BIGINT, term STRING, tf INT, bkt INT"
+  private val SearchDocsSchema = "doc_id BIGINT, dl INT"
+
+  /** Write the search index: postings (doc_id, term, tf) bucketed by
+    * term hash under `postings/bkt=<b>/…`, per-doc lengths under
+    * `docs/`, the (n_docs, sum_dl) corpus stats under `stats/` (derived
+    * from the docs file READ BACK, so the stats can never disagree
+    * with the lengths the scorer joins — the model-frames-read-back
+    * discipline of the ANN write), and a manifest (bucket count +
+    * tokenizer) every serve validates. `nBuckets` sizes the pruning
+    * granularity: a serve reads ~|query terms|/nBuckets of the
+    * postings, so grow it with the corpus (the default suits the test
+    * corpus; a web-scale index wants thousands). */
+  private[graft] def searchIndexWrite(docs: DataFrame, outDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 8): Unit = {
+    require(nBuckets >= 1, "searchIndexWrite: nBuckets must be >= 1")
+    val s = docs.sparkSession
+    import s.implicits._
+    Seq((nBuckets, SearchTokenizer)).toDF("n_buckets", "tokenizer")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    val ws = split(col(textCol), " ")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(ws).as("dl"))
+      .write.mode("overwrite").parquet(s"$outDir/docs")
+    s.read.schema(SearchDocsSchema).parquet(s"$outDir/docs")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(ws).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .withColumn("bkt",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      // one write task per bucket: each partition directory gets one
+      // file instead of (shuffle.partitions x nBuckets) shards
+      .repartition(nBuckets, col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$outDir/postings")
+  }
+
+  /** Serve a BM25 top-`topK` for `queryTerms` OFF the on-disk index:
+    * the terms' hash buckets are computed driver-side into literal
+    * partition-filter values (the eager probed-cells discipline — a
+    * |terms|-row job at plan construction; the guarantee it buys is a
+    * plan-time `PartitionFilters: [bkt IN (…)]` the scan never lists
+    * other bucket directories for), df per term and the matched docs'
+    * tf columns come from that pruned scan, dl joins from the docs
+    * sidecar, and the scoring projection is [[bm25ScoreCols]] — the
+    * byte-identical expression tree the in-memory q115 runs. Returns
+    * the top-k among docs matching >= 1 query term (docs matching
+    * none score exactly 0 and cannot enter a top-k with >= topK
+    * positive scores). */
+  private[graft] def searchIndexServe(s: SparkSession, indexDir: String,
+      queryTerms: Seq[String], k1: Double = K1, b: Double = B,
+      topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "searchIndexServe needs query terms")
+    require(queryTerms.distinct.size == queryTerms.size,
+      "duplicate query terms — dedup the bag first")
+    require(topK >= 1, "searchIndexServe: topK must be >= 1")
+    val man = s.read.parquet(s"$indexDir/manifest")
+      .select("n_buckets", "tokenizer").head()
+    val nBuckets = man.getInt(0)
+    require(man.getString(1) == SearchTokenizer,
+      s"index at $indexDir was written with tokenizer " +
+        s"'${man.getString(1)}' — this library serves '$SearchTokenizer'")
+    import s.implicits._
+    val bkts = queryTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong))
+        .cast("int").as("bkt"))
+      .distinct().as[Int].collect().toSeq
+    val post = s.read.schema(SearchPostingsSchema)
+      .parquet(s"$indexDir/postings")
+      .filter(col("bkt").isin(bkts.map(Int.box): _*)
+        && col("term").isin(queryTerms: _*))
+    // one-row stats: df per term from the pruned postings (a postings
+    // row exists iff tf > 0, so the count IS the doc frequency) plus
+    // the corpus-wide (n, sdl) the write recorded
+    val dfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1).otherwise(0)).as(s"df${i + 1}") }
+    val st = post.agg(dfCols.head, dfCols.tail: _*)
+      .crossJoin(broadcast(s.read.parquet(s"$indexDir/stats")
+        .select(col("n_docs").as("n"), col("sum_dl").as("sdl"))))
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("term") === t, col("tf"))), lit(0))
+        .as(s"tf${i + 1}") }
+    post.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+      // matched side is df-bounded, docs sidecar is corpus-sized:
+      // keyed join, deliberately unhinted — AQE broadcasts the matched
+      // side when it is small, shuffles when a stopword query makes it
+      // corpus-sized (the allow-list non-hint rule of the ANN serve)
+      .join(s.read.schema(SearchDocsSchema).parquet(s"$indexDir/docs"),
+        "doc_id")
+      .crossJoin(broadcast(st))
+      .select(bm25ScoreCols("doc_id", queryTerms.size, k1, b): _*)
+      .orderBy(col("score").desc, col("doc_id")).limit(topK)
+  }
+
+  /** The on-disk index behind q185 — built once per corpus dir into a
+    * process-temp directory (the [[graft.operators.Similarity.diskIndexDir]]
+    * memo contract, including the warm-replay trap: ledger derivations
+    * must [[resetDiskSearchMemo]]). Built INDEPENDENTLY of the registry
+    * caches (one tokenize pass) so the bench ledger is untouched. */
+  private val diskSearchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def resetDiskSearchMemo(): Unit = diskSearchDirs.clear()
+
+  private[graft] def diskSearchDir(s: SparkSession, dir: String): String =
+    diskSearchDirs.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-searchidx-q185").toString
+      searchIndexWrite(T(s, dir, "documents"), out)
+      out
+    })
 }

@@ -33,7 +33,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   *  - q184_disk_incremental_dedup: same contract on the text store —
   *    first touch writes the band-partitioned signature store once per
   *    corpus (diskDedupDir), and every serve runs the geometry
-  *    manifest check.
+  *    manifest check;
+  *  - q185_bm25_disk: same contract on the search index — first touch
+  *    writes the term-bucketed postings store (diskSearchDir), and
+  *    every serve runs the manifest check plus the driver-side
+  *    term-bucket hash that becomes the plan's PartitionFilters.
   * Table RESOLUTION (parquet footer/schema read on a table's first
   * touch) also runs small jobs; it is the memoized metastore role, not
   * a query cost, and the spec pre-resolves every table so those jobs
@@ -52,7 +56,7 @@ class PlanConstructionSpec extends SparkTestBase {
     "q109_jdbc_roundtrip", "q110_column_stats",
     "q173_cluster_rep", "q121_pagerank_neardup", "q135_kmeans",
     "q182_ivfpq_disk", "q183_ivfpq_filtered",
-    "q184_disk_incremental_dedup")
+    "q184_disk_incremental_dedup", "q185_bm25_disk")
 
   private val TagProp = "graft.construct.query"
 
