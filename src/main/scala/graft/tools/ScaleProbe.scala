@@ -210,6 +210,22 @@ object ScaleProbe {
       rec("dedup_disk_serve", nDocs) {
         TextDedup.dedupIndexServe(serveBatch, s"$dir/dedupidx").count()
       }
+      // the ON-DISK search index (r15): build = tokenize + term-bucket
+      // partitioned write (corpus-linear ceiling); serve = a 3-term
+      // BM25 top-10 whose scan prunes to the terms' hash buckets —
+      // the growth that matters is bucket-local postings volume, and
+      // at a FIXED bucket count that is corpus/nBuckets (sub-linear
+      // absolute cost; at scale nBuckets grows with the corpus and the
+      // per-query read stays constant).
+      rec("search_disk_build", nDocs) {
+        graft.operators.Search.searchIndexWrite(docsAll,
+          s"$dir/searchidx")
+        nDocs
+      }
+      rec("search_disk_serve", nDocs) {
+        graft.operators.Search.searchIndexServe(spark,
+          s"$dir/searchidx", Seq("hash", "scan", "filter")).count()
+      }
       val planes = 4 + math.ceil(math.log(m) / math.log(2)).toInt
       // skew discipline: similar vectors co-bucket by design, so planes
       // alone cannot flatten a hot cluster's bucket — the pair join
