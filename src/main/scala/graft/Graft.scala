@@ -660,7 +660,11 @@ object Graft {
     * partitioned by term-hash bucket, per-doc lengths, corpus stats,
     * and a tokenizer/bucket manifest — the disk-lifecycle template's
     * third instance (ANN [[annIndexWrite]], dedup [[dedupIndexWrite]]),
-    * so the lexical retrieval state survives the JVM. Backs q185. See
+    * so the lexical retrieval state survives the JVM. Caller contract:
+    * `docs` ids must be UNIQUE (a repeated id silently doubles its
+    * rows and inflates n_docs/sum_dl/tf — exact-dedup first if
+    * unsure). Rebuilding over a used dir clears stale tombstones, the
+    * ingest ledger, and crashed-compaction artifacts. Backs q185. See
     * [[operators.Search.searchIndexWrite]]. */
   def searchIndexWrite(docs: DataFrame, outDir: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -668,18 +672,93 @@ object Graft {
     operators.Search.searchIndexWrite(docs, outDir, idCol, textCol,
       nBuckets)
 
+  /** Append NEW docs (fresh ids — the [[searchIndexWrite]] unique-id
+    * contract across lives) to an existing index under its frozen
+    * bucket geometry. The corpus-global stats sidecar is reconciled
+    * INCREMENTALLY (stored one-row stats + the delta's aggregate —
+    * exact by associativity, and O(|delta|) regardless of index age:
+    * the one reconciliation BM25 forces on this store that band/cell
+    * appends never need); per-term df needs none — serves count it
+    * from the postings themselves. Append ≡ rebuild is spec-pinned.
+    * See [[operators.Search.searchIndexAppend]]. */
+  def searchIndexAppend(docs: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    operators.Search.searchIndexAppend(docs, indexDir, idCol, textCol)
+
   /** Serve a BM25 top-`topK` off the on-disk index: the query terms'
     * hash buckets become plan-time `PartitionFilters` (the scan lists
     * ≤ |terms| of the index's bucket directories, corpus-size-
-    * independent), df/tf come from the pruned postings, and the
-    * scoring is byte-identical to [[bm25Score]]. Returns (doc_id, dl,
-    * tf1..tfN, score) top-k among docs matching ≥ 1 term. See
+    * independent), df/tf come from the pruned postings, the scoring is
+    * byte-identical to [[bm25Score]], and tombstoned docs subtract
+    * from the ranking, the df counts, AND the corpus stats (their
+    * lengths ride the tombstone records — no docs re-scan). Returns
+    * (doc_id, dl, tf1..tfN, score).
+    *
+    * HARD CAVEAT: by default this is the top-k among docs matching
+    * ≥ 1 query term — equal to the global [[bm25Score]] top-k only
+    * while ≥ topK matched docs score positive (mid-frequency terms
+    * over a real corpus; q185's case). A tiny index or stopword-ish
+    * terms diverge: the global list pads with zero-scoring unmatched
+    * docs this serve never reads. Set `includeZeroMatches = true` for
+    * exact global semantics on arbitrary terms, at the cost of a
+    * corpus-sized docs scan. See
     * [[operators.Search.searchIndexServe]]. */
   def searchIndexServe(spark: SparkSession, indexDir: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-      topK: Int = 10): DataFrame =
+      topK: Int = 10, includeZeroMatches: Boolean = false): DataFrame =
     operators.Search.searchIndexServe(spark, indexDir, queryTerms, k1,
-      b, topK)
+      b, topK, includeZeroMatches)
+
+  /** LOGICAL delete (takedowns) of indexed docs: (doc_id, dl)
+    * tombstones — the length captured now is what lets serves correct
+    * the corpus-global stats without re-scanning docs/. Idempotent
+    * (already-tombstoned and absent ids skip, so a retry can never
+    * double-subtract); [[searchIndexCompact]] reclaims the space. See
+    * [[operators.Search.searchIndexDelete]]. */
+  def searchIndexDelete(spark: SparkSession, indexDir: String,
+      ids: Seq[Long]): Unit =
+    operators.Search.searchIndexDelete(spark, indexDir, ids)
+
+  /** Compact the index in place: one file per bucket directory,
+    * tombstones applied physically to postings AND docs, stats
+    * re-derived, rankings unchanged (spec-pinned). Writes a
+    * `compact-inflight` marker before the directory swaps so tooling
+    * can detect a half-swapped store. Single-maintainer op. See
+    * [[operators.Search.searchIndexCompact]]. */
+  def searchIndexCompact(spark: SparkSession, indexDir: String): Unit =
+    operators.Search.searchIndexCompact(spark, indexDir)
+
+  /** Per-bucket health report: (bkt, n_postings, n_terms, files) —
+    * the compaction trigger, plus the term-skew lens (a hot bucket
+    * argues for a rebuild at a higher bucket count). See
+    * [[operators.Search.searchIndexStats]]. */
+  def searchIndexStats(spark: SparkSession, indexDir: String): DataFrame =
+    operators.Search.searchIndexStats(spark, indexDir)
+
+  /** The store MAINTENANCE POLICY: per-bucket (bkt, n_postings, files,
+    * tomb, action) — `compact` on fragmentation or tombstone share
+    * past threshold, else `ok` (no retrain: term-hash bucketing has no
+    * trained state). `execute = true` runs the compaction when
+    * warranted (serve-identical, spec-pinned). See
+    * [[operators.Search.searchIndexMaintain]]. */
+  def searchIndexMaintain(spark: SparkSession, indexDir: String,
+      maxFiles: Int = 8, maxTombBp: Long = 2000L,
+      execute: Boolean = false): DataFrame =
+    operators.Search.searchIndexMaintain(spark, indexDir, maxFiles,
+      maxTombBp, execute)
+
+  /** Continuously ingest a STREAM of new docs into the on-disk index:
+    * micro-batch appends under the frozen geometry (stats sidecar
+    * reconciled per batch), batch-id ledger for idempotent checkpoint
+    * replays (at-least-once across a crash between append and marker —
+    * repair via [[searchIndexDelete]] + [[searchIndexCompact]]). See
+    * [[operators.Search.searchIndexIngest]]. */
+  def searchIndexIngest(docs: DataFrame, indexDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    operators.Search.searchIndexIngest(docs, indexDir, checkpointDir,
+      idCol, textCol)
 
   /** Shared facade prep for the quantized ANN members: rename/cast to
     * the (vec_id, v, nrm) shape, then attach the int8 absmax codes

@@ -66,10 +66,21 @@ object Curation {
   private val docCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Reset the auto-branch doc-count memo (r15 advice): the memo is
+    * per-JVM-lifetime, so a corpus that GROWS under the same dir in a
+    * long-lived session (e.g. streaming ingest) would keep a stale
+    * sub-threshold verdict and broadcast a vocab frame that no longer
+    * fits. Call this alongside `Tables.invalidate` after a corpus
+    * rewrite — or pin [[LmBroadcastConf]] to "off" for sessions over
+    * mutating corpora. The ledger derivations need no reset because
+    * they pin "on" (the memo is never consulted there). */
+  private[graft] def resetLmDocCountMemo(): Unit = docCounts.clear()
+
   /** Apply the [[LmBroadcastConf]] branch to a vocab-sized model
     * frame. The auto probe is one memoized metadata-cheap count of the
     * documents table per (session-lifetime, dir) — never a vocabulary
-    * scan, never a registry access. */
+    * scan, never a registry access; [[resetLmDocCountMemo]] is the
+    * staleness hook for long-lived sessions over mutating corpora. */
   private def lmHint(s: SparkSession, dir: String,
       model: DataFrame): DataFrame =
     s.conf.get(LmBroadcastConf, "auto") match {

@@ -230,6 +230,54 @@ object Search {
       "\nSELECT doc_id, dl, tf1, tf2, tf3, score FROM sc " +
       "ORDER BY score DESC, doc_id LIMIT 10"
 
+  /** The RAG-fusion oracle (chunk → chunk-BM25 ⊕ doc-embedding cosine
+    * → RRF → top-10), shared VERBATIM by q170 (all stages in-memory)
+    * and q186 (lexical leg served from the on-disk chunk search index,
+    * semantic leg served from the on-disk IVF-PQ index at exhaustive
+    * settings) — the splice discipline's fourth instance: one replay
+    * of the math gates the composed END-TO-END disk serving path. */
+  private val ragFuseOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |p AS (SELECT doc_id, ws, len(ws) AS n,
+      |  CAST(ceil(greatest(n - 64, 0) / 64.0) AS INTEGER) AS kmax FROM t),
+      |x AS (SELECT doc_id, ws, unnest(range(0, kmax + 1)) AS k FROM p),
+      |c AS (SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+      |       ws[k*64+1 : k*64+64] AS chunk FROM x),
+      |d AS (SELECT doc_id, chunk_idx, len(chunk) AS dl,
+      |  len(list_filter(chunk, w -> w = 'hash')) AS tf1,
+      |  len(list_filter(chunk, w -> w = 'scan')) AS tf2,
+      |  len(list_filter(chunk, w -> w = 'filter')) AS tf3 FROM c),
+      |st AS (SELECT count(*) AS n, sum(dl) AS sdl,
+      |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+      |  sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM d),
+      |sc AS (SELECT doc_id, chunk_idx,
+      |  round(ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2
+      |          / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sdl * 1.0 / n)))
+      |      + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2
+      |          / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sdl * 1.0 / n)))
+      |      + ln((n - df3 + 0.5) / (df3 + 0.5) + 1) * tf3 * 2.2
+      |          / (tf3 + 1.2 * (0.25 + 0.75 * dl / (sdl * 1.0 / n))), 4)
+      |    AS score
+      |  FROM d, st),
+      |rb AS (SELECT doc_id, chunk_idx, lex_rank FROM (SELECT doc_id,
+      |  chunk_idx, CAST(row_number() OVER (ORDER BY score DESC, doc_id,
+      |    chunk_idx) AS INTEGER) AS lex_rank FROM sc) WHERE lex_rank <= 100),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |nn AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+      |q AS (SELECT v AS qv, nrm AS qnrm FROM nn WHERE vec_id = 0),
+      |cs AS (SELECT vec_id,
+      |  round(list_sum([nn.v[i]*q.qv[i] for i in range(1, len(nn.v)+1)])
+      |        / (nn.nrm*q.qnrm), 4) AS cos_sim
+      |  FROM nn, q WHERE vec_id <> 0),
+      |rc AS (SELECT vec_id, sem_rank FROM (SELECT vec_id,
+      |  CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER)
+      |    AS sem_rank FROM cs) WHERE sem_rank <= 100)
+      |SELECT rb.doc_id, rb.chunk_idx, lex_rank, sem_rank,
+      |  round(1.0 / (60 + lex_rank) + 1.0 / (60 + sem_rank), 6) AS rrf
+      |FROM rb JOIN rc ON rb.doc_id = rc.vec_id
+      |ORDER BY rrf DESC, doc_id, chunk_idx LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── inverted index: term → collection frequency, doc frequency, and
@@ -408,46 +456,7 @@ object Search {
     //    rounded 6 dp; identical association both engines.
     QueryDef(
       "q170_rag_fuse",
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-        |p AS (SELECT doc_id, ws, len(ws) AS n,
-        |  CAST(ceil(greatest(n - 64, 0) / 64.0) AS INTEGER) AS kmax FROM t),
-        |x AS (SELECT doc_id, ws, unnest(range(0, kmax + 1)) AS k FROM p),
-        |c AS (SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
-        |       ws[k*64+1 : k*64+64] AS chunk FROM x),
-        |d AS (SELECT doc_id, chunk_idx, len(chunk) AS dl,
-        |  len(list_filter(chunk, w -> w = 'hash')) AS tf1,
-        |  len(list_filter(chunk, w -> w = 'scan')) AS tf2,
-        |  len(list_filter(chunk, w -> w = 'filter')) AS tf3 FROM c),
-        |st AS (SELECT count(*) AS n, sum(dl) AS sdl,
-        |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-        |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
-        |  sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM d),
-        |sc AS (SELECT doc_id, chunk_idx,
-        |  round(ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2
-        |          / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sdl * 1.0 / n)))
-        |      + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2
-        |          / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sdl * 1.0 / n)))
-        |      + ln((n - df3 + 0.5) / (df3 + 0.5) + 1) * tf3 * 2.2
-        |          / (tf3 + 1.2 * (0.25 + 0.75 * dl / (sdl * 1.0 / n))), 4)
-        |    AS score
-        |  FROM d, st),
-        |rb AS (SELECT doc_id, chunk_idx, lex_rank FROM (SELECT doc_id,
-        |  chunk_idx, CAST(row_number() OVER (ORDER BY score DESC, doc_id,
-        |    chunk_idx) AS INTEGER) AS lex_rank FROM sc) WHERE lex_rank <= 100),
-        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |nn AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
-        |q AS (SELECT v AS qv, nrm AS qnrm FROM nn WHERE vec_id = 0),
-        |cs AS (SELECT vec_id,
-        |  round(list_sum([nn.v[i]*q.qv[i] for i in range(1, len(nn.v)+1)])
-        |        / (nn.nrm*q.qnrm), 4) AS cos_sim
-        |  FROM nn, q WHERE vec_id <> 0),
-        |rc AS (SELECT vec_id, sem_rank FROM (SELECT vec_id,
-        |  CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER)
-        |    AS sem_rank FROM cs) WHERE sem_rank <= 100)
-        |SELECT rb.doc_id, rb.chunk_idx, lex_rank, sem_rank,
-        |  round(1.0 / (60 + lex_rank) + 1.0 / (60 + sem_rank), 6) AS rrf
-        |FROM rb JOIN rc ON rb.doc_id = rc.vec_id
-        |ORDER BY rrf DESC, doc_id, chunk_idx LIMIT 10""".stripMargin) {
+      ragFuseOracle) {
       (s, dir) =>
       val chunks = T(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -490,6 +499,56 @@ object Search {
         .select(col("vec_id"),
           round(cosineFast(col("v"), col("qv")), 4).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id")).limit(100)
+        .select(col("vec_id"), row_number().over(wc).as("sem_rank"))
+      lex.join(sem, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("chunk_idx"), col("lex_rank"),
+          col("sem_rank"),
+          round(lit(1.0) / (lit(60) + col("lex_rank"))
+            + lit(1.0) / (lit(60) + col("sem_rank")), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"), col("chunk_idx"))
+        .limit(10)
+    },
+
+    // ── the RAG capstone served ENTIRELY OFF THE THREE-STORE DISK
+    //    LAYER: q170's exact pipeline with the lexical leg read from an
+    //    on-disk CHUNK-level search index (chunk ids packed as
+    //    doc_id·10⁶+chunk_idx — order-isomorphic to (doc_id,
+    //    chunk_idx), so the packed-id tiebreak reproduces q170's rank
+    //    windows exactly) and the semantic leg served from the q182
+    //    on-disk IVF-PQ index at EXHAUSTIVE settings (nprobe = kIvf,
+    //    uncapped ADC shortlist): with every cell probed and no ADC
+    //    truncation, the shared adcRerank tail's exact-cosine rerank
+    //    over the full-precision corpus IS the brute-force top-100 —
+    //    by construction, not by luck — which is what lets this query
+    //    share q170's oracle verbatim (splice #4). A production serve
+    //    sets nprobe < kIvf and accepts q181's measured recall; the
+    //    capstone pays exhaustiveness because the oracle demands
+    //    exactness. Lexical-leg guarantee: the chunk index's top-100
+    //    equals the global chunk ranking while ≥ 100 matched chunks
+    //    score positive (mid-frequency terms; the serve caveat) — the
+    //    driver's hash gate re-checks it every round. Both index
+    //    builds are absorbed in this query's timed section on first
+    //    touch (the q182/q184/q185 absorption discipline); the ANN
+    //    index memo is shared with q182, so only the chunk index build
+    //    is new cost. Proves the three stores compose into the
+    //    end-to-end serving path they exist for.
+    QueryDef(
+      "q186_rag_fuse_disk",
+      ragFuseOracle) { (s, dir) =>
+      val lexServe = searchIndexServe(s, diskChunkSearchDir(s, dir),
+        terms, topK = 100)
+      val wb = Window.orderBy(col("score").desc, col("doc_id"))
+      val lex = lexServe
+        .select(col("doc_id").as("cid"),
+          row_number().over(wb).as("lex_rank"))
+        .select((col("cid") / ChunkIdBase).cast("long").as("doc_id"),
+          pmod(col("cid"), lit(ChunkIdBase)).cast("int").as("chunk_idx"),
+          col("lex_rank"))
+      val wc = Window.orderBy(col("cos_sim").desc, col("vec_id"))
+      val sem = Similarity.ivfPqIndexServe(
+          Similarity.int8Codes(s, dir), Similarity.diskIndexDir(s, dir),
+          queryId = 0L, nprobe = 4, m = 4, subDim = 16,
+          coarseK = 100000, topK = 100)
         .select(col("vec_id"), row_number().over(wc).as("sem_rank"))
       lex.join(sem, col("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("chunk_idx"), col("lex_rank"),
@@ -557,6 +616,16 @@ object Search {
   private val SearchPostingsSchema = "doc_id BIGINT, term STRING, tf INT, bkt INT"
   private val SearchDocsSchema = "doc_id BIGINT, dl INT"
 
+  /** Tombstone read schema: `dl` is CAPTURED AT DELETE TIME (looked up
+    * from `docs/` while the delete runs) so a serve can subtract a
+    * deleted doc from the corpus-global (n_docs, sum_dl) stats by
+    * aggregating the SMALL tombstone set alone — never re-scanning the
+    * corpus-sized docs sidecar per query. This is the one place the
+    * search store is harder than the dedup store's stateless bands:
+    * BM25's stats are corpus-global, so a delete must carry enough
+    * state to reconcile them. */
+  private val SearchTombSchema = "doc_id BIGINT, dl INT"
+
   /** Write the search index: postings (doc_id, term, tf) bucketed by
     * term hash under `postings/bkt=<b>/…`, per-doc lengths under
     * `docs/`, the (n_docs, sum_dl) corpus stats under `stats/` (derived
@@ -566,12 +635,29 @@ object Search {
     * tokenizer) every serve validates. `nBuckets` sizes the pruning
     * granularity: a serve reads ~|query terms|/nBuckets of the
     * postings, so grow it with the corpus (the default suits the test
-    * corpus; a web-scale index wants thousands). */
+    * corpus; a web-scale index wants thousands).
+    *
+    * Caller contract (the [[dedupIndexAppend]] rule, stated here too —
+    * r15 advice): `docs` ids must be UNIQUE. A repeated id doubles its
+    * rows in docs/ and postings/, inflating n_docs, sum_dl and its own
+    * tf with no error — exact-dedup the frame first (q40) if unsure.
+    *
+    * Rebuild-safe: stale sidecar state from a prior store life under
+    * the same dir (tombstones, ingest ledger, a crashed compaction's
+    * retired/inflight artifacts) is cleared — the
+    * [[Similarity.ivfPqIndexWrite]] rebuild rule, third instance. */
   private[graft] def searchIndexWrite(docs: DataFrame, outDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       nBuckets: Int = 8): Unit = {
     require(nBuckets >= 1, "searchIndexWrite: nBuckets must be >= 1")
     val s = docs.sparkSession
+    val hc = s.sparkContext.hadoopConfiguration
+    for (side <- Seq("tombstones", "ingested", "postings-retired",
+        "docs-retired", "compact-inflight")) {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/$side")
+      val fs = p.getFileSystem(hc)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     import s.implicits._
     Seq((nBuckets, SearchTokenizer)).toDF("n_buckets", "tokenizer")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
@@ -596,6 +682,293 @@ object Search {
       .parquet(s"$outDir/postings")
   }
 
+  /** Append a DELTA of docs to an existing index under its frozen
+    * bucket geometry (read from the manifest, never assumed). The
+    * corpus-global stats sidecar is reconciled INCREMENTALLY: new
+    * stats = stored one-row stats + the delta's own (count, Σdl)
+    * aggregate — EXACT, not approximate, because count and sum are
+    * associative, so the invariant `stats ≡ agg(docs/)` holds at every
+    * rest point by induction from the write's read-back derivation.
+    * The incremental form is the 100 TB requirement, not a shortcut:
+    * an append (and every streaming micro-batch riding it) costs
+    * O(|delta|) + two one-row jobs, independent of how much corpus the
+    * index has absorbed — a full docs/ re-scan per batch would grow
+    * linearly with index age. [[searchIndexWrite]] and
+    * [[searchIndexCompact]] remain the full re-derivation points (the
+    * self-healing resets of the induction base). Per-term df needs no
+    * reconciliation at all: the serve counts df from the pruned
+    * postings themselves (a postings row exists iff tf > 0), so
+    * appended postings ARE the df update. Spec-pinned: append(old,
+    * delta) serves identically to a full rebuild over old ∪ delta.
+    *
+    * Caller contract: delta ids must be NEW (the [[searchIndexWrite]]
+    * unique-id rule across lives). Crash honesty: the three writes
+    * (postings append, docs append, stats overwrite) are not atomic —
+    * dying between them leaves a delta doc searchable-but-uncounted or
+    * counted-but-unsearchable; the repair is [[searchIndexDelete]] of
+    * the delta ids + [[searchIndexCompact]], then re-append — the same
+    * at-least-once window and repair as [[searchIndexIngest]]. */
+  private[graft] def searchIndexAppend(docs: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val s = docs.sparkSession
+    val nBuckets = checkSearchManifest(s, indexDir)
+    val ws = split(col(textCol), " ")
+    // one-row reads BEFORE the appends, so a crash mid-append can only
+    // leave stats BEHIND the data (under-counting the delta — the
+    // documented repair window), never double-counting it
+    val old = s.read.parquet(s"$indexDir/stats")
+      .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
+      .head()
+    val delta = docs
+      .agg(count(lit(1)).cast("long"),
+        coalesce(sum(size(ws).cast("long")), lit(0L)))
+      .head()
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(ws).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .withColumn("bkt",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bkt"))
+      .write.mode("append").partitionBy("bkt")
+      .parquet(s"$indexDir/postings")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(ws).as("dl"))
+      .write.mode("append").parquet(s"$indexDir/docs")
+    import s.implicits._
+    Seq((old.getLong(0) + delta.getLong(0),
+        old.getLong(1) + delta.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** LOGICAL delete (takedowns): record (doc_id, dl) tombstones —
+    * dl looked up from the docs sidecar NOW so serves subtract the
+    * deleted docs from the corpus-global stats by aggregating the
+    * small tombstone set, never re-scanning docs/ per query (see
+    * [[SearchTombSchema]]). Serving subtracts immediately;
+    * [[searchIndexCompact]] reclaims the space. Idempotent: ids
+    * already tombstoned (or absent from the store) are skipped, so a
+    * retried delete cannot double-subtract the stats correction — the
+    * one way this store's delete is STRICTER than the dedup store's
+    * (whose anti-join semantics forgive duplicates for free). */
+  private[graft] def searchIndexDelete(s: SparkSession, indexDir: String,
+      ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "searchIndexDelete: ids must be non-empty")
+    import s.implicits._
+    val tombP = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = tombP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fresh = ids.distinct.toDF("doc_id")
+    val novel =
+      if (!fs.exists(tombP)) fresh
+      else fresh.join(
+        s.read.schema(SearchTombSchema).parquet(tombP.toString)
+          .select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    s.read.schema(SearchDocsSchema).parquet(s"$indexDir/docs")
+      .join(broadcast(novel), Seq("doc_id"), "left_semi")
+      .coalesce(1).write.mode("append").parquet(tombP.toString)
+  }
+
+  /** The live tombstone set (doc_id, dl) — empty frame when none. */
+  private def searchTombstones(s: SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(s.read.schema(SearchTombSchema).parquet(p.toString))
+  }
+
+  /** Compact in place: rewrite `postings/` (one file per bucket) and
+    * `docs/` with tombstones applied physically, re-derive the stats
+    * sidecar from the new docs read back, swap via renames, clear the
+    * tombstone set. A `compact-inflight` marker file is created before
+    * the first rename and removed after the last cleanup, so tooling
+    * can DETECT a half-swapped store instead of relying on an operator
+    * reading exception text (r15 advice on the dedup compact, applied
+    * here from birth); between the renames the `*-retired/` dirs hold
+    * the complete prior data and the require names the recovery. */
+  private[graft] def searchIndexCompact(s: SparkSession,
+      indexDir: String): Unit = {
+    val nBuckets = checkSearchManifest(s, indexDir)
+    val hc = s.sparkContext.hadoopConfiguration
+    def path(p: String) = new org.apache.hadoop.fs.Path(s"$indexDir/$p")
+    val fs = path("postings").getFileSystem(hc)
+    val tombIds = searchTombstones(s, indexDir)
+      .map(t => broadcast(t.select("doc_id")))
+    def minusTombs(df: DataFrame): DataFrame =
+      tombIds.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+    minusTombs(s.read.schema(SearchPostingsSchema)
+        .parquet(s"$indexDir/postings"))
+      .select("doc_id", "term", "tf", "bkt")
+      .repartition(nBuckets, col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$indexDir/postings-compact")
+    minusTombs(s.read.schema(SearchDocsSchema).parquet(s"$indexDir/docs"))
+      .write.mode("overwrite").parquet(s"$indexDir/docs-compact")
+    for (retired <- Seq("postings-retired", "docs-retired"))
+      if (fs.exists(path(retired))) fs.delete(path(retired), true)
+    fs.create(path("compact-inflight"), true).close()
+    require(fs.rename(path("postings"), path("postings-retired"))
+        && fs.rename(path("postings-compact"), path("postings")),
+      s"searchIndexCompact: postings swap failed under $indexDir — if " +
+        "postings/ is missing, rename postings-retired/ back to postings/")
+    require(fs.rename(path("docs"), path("docs-retired"))
+        && fs.rename(path("docs-compact"), path("docs")),
+      s"searchIndexCompact: docs swap failed under $indexDir — if " +
+        "docs/ is missing, rename docs-retired/ back to docs/")
+    // stats re-derive BEFORE the tombstones clear: at every rest point
+    // either (stats ≡ agg(docs/) and tombstones subtract cleanly) or
+    // (stats stale but tombstones still present to re-run the compact)
+    s.read.schema(SearchDocsSchema).parquet(s"$indexDir/docs")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+    fs.delete(path("tombstones"), true)
+    for (retired <- Seq("postings-retired", "docs-retired"))
+      fs.delete(path(retired), true)
+    fs.delete(path("compact-inflight"), false)
+    ()
+  }
+
+  /** Per-bucket health report: (bkt, n_postings, n_terms, files) —
+    * live posting rows and distinct terms (tombstones subtracted) plus
+    * parquet files per bucket directory (the compaction trigger).
+    * Hadoop FS listing is the authoritative bucket set — an
+    * all-tombstoned bucket still reports (0, 0, >0 files). n_terms is
+    * the skew lens the other stores don't need: term-hash bucketing is
+    * static, so a pathologically hot bucket argues for a rebuild at a
+    * higher bucket count, and this report is where that shows. */
+  private[graft] def searchIndexStats(s: SparkSession,
+      indexDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
+      s"searchIndexStats: no postings dataset under $indexDir — " +
+        "not a store directory (searchIndexWrite creates postings/)")
+    val tombIds = searchTombstones(s, indexDir)
+      .map(t => broadcast(t.select("doc_id")))
+    val live = tombIds.fold(
+        s.read.schema(SearchPostingsSchema).parquet(root.toString))(t =>
+      s.read.schema(SearchPostingsSchema).parquet(root.toString)
+        .join(t, Seq("doc_id"), "left_anti"))
+    val counts = live.groupBy("bkt")
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("term")).as("terms"))
+    val files = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bkt="))
+      .map(st => (st.getPath.getName.stripPrefix("bkt=").toInt,
+        fs.listStatus(st.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet"))))
+      .toSeq
+    import s.implicits._
+    broadcast(files.toDF("bkt", "files"))
+      .join(counts, Seq("bkt"), "left")
+      .select(col("bkt"),
+        coalesce(col("rows"), lit(0L)).as("n_postings"),
+        coalesce(col("terms"), lit(0L)).as("n_terms"), col("files"))
+      .orderBy("bkt")
+  }
+
+  /** CONTINUOUS ingestion: each micro-batch of `delta` (idCol, textCol
+    * — new ids only) is appended under the frozen bucket geometry,
+    * guarded by the same batch-id LEDGER as the other two stores
+    * (`ingested/batch-<id>/` markers make checkpoint replays skip
+    * already-applied batches — clean stop/restart never
+    * double-appends). Same honest crash window: dying between the
+    * append and its marker replays that batch at-least-once; the
+    * repair is [[searchIndexDelete]] of the duplicate ids +
+    * [[searchIndexCompact]], or a rebuild. Note the stats sidecar is
+    * rewritten per batch (a one-row overwrite — the corpus-global
+    * reconciliation appends force on this store). */
+  private[graft] def searchIndexIngest(delta: DataFrame, indexDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    checkSearchManifest(delta.sparkSession, indexDir)
+    delta.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+        val marker =
+          new org.apache.hadoop.fs.Path(s"$indexDir/ingested/batch-$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          if (!batch.isEmpty)
+            searchIndexAppend(batch, indexDir, idCol, textCol)
+          fs.mkdirs(marker)
+          ()
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The store MAINTENANCE POLICY — the decision table the other two
+    * stores carry, on the search store: per bucket, (bkt, n_postings,
+    * files, tomb, action) where action is `compact` when the bucket
+    * directory's file count exceeds `maxFiles` (append/ingest
+    * small-file accretion) or the tombstoned-row share of the bucket
+    * exceeds `maxTombBp` (dead rows every serve still anti-joins
+    * away — and, uniquely here, dead weight in the stats correction),
+    * else `ok`. No retrain action: term-hash bucketing has no trained
+    * state; a hot-bucket skew problem shows in [[searchIndexStats]]'s
+    * n_terms column and argues for a REBUILD at a higher bucket count,
+    * which is a write, not a maintenance op. `execute = true` runs
+    * [[searchIndexCompact]] when any bucket decides `compact`
+    * (whole-store by construction; serve-identical, spec-pinned). */
+  private[graft] def searchIndexMaintain(s: SparkSession,
+      indexDir: String, maxFiles: Int = 8, maxTombBp: Long = 2000L,
+      execute: Boolean = false): DataFrame = {
+    require(maxFiles >= 1 && maxTombBp >= 0,
+      "searchIndexMaintain: maxFiles >= 1, maxTombBp >= 0")
+    val raw = s.read.schema(SearchPostingsSchema)
+      .parquet(s"$indexDir/postings")
+    val dead = searchTombstones(s, indexDir) match {
+      case None => raw.filter(lit(false))
+      case Some(t) =>
+        raw.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_semi")
+    }
+    val tomb = dead.groupBy("bkt").agg(count(lit(1)).as("tomb"))
+    val report = searchIndexStats(s, indexDir)
+      .join(tomb, Seq("bkt"), "left")
+      .select(col("bkt"), col("n_postings"), col("files"),
+        coalesce(col("tomb"), lit(0L)).as("tomb"))
+      .withColumn("action",
+        when(col("files") > maxFiles
+          || (col("n_postings") + col("tomb") > 0
+            && col("tomb") * 10000L
+               > lit(maxTombBp) * (col("n_postings") + col("tomb"))),
+          "compact").otherwise("ok"))
+      .orderBy("bkt")
+    if (execute) {
+      val decided = report.collect()
+      if (decided.exists(_.getAs[String]("action") == "compact"))
+        searchIndexCompact(s, indexDir)
+      import s.implicits._
+      decided.map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getString(4)))
+        .toSeq.toDF("bkt", "n_postings", "files", "tomb", "action")
+    } else report
+  }
+
+  /** Validate a store's manifest (tokenizer match) and return its
+    * frozen bucket count — every lifecycle op routes through this so a
+    * store written under a different tokenizer or bucketing can never
+    * be silently served/appended in the wrong term space. */
+  private def checkSearchManifest(s: SparkSession,
+      indexDir: String): Int = {
+    val man = s.read.parquet(s"$indexDir/manifest")
+      .select("n_buckets", "tokenizer").head()
+    require(man.getString(1) == SearchTokenizer,
+      s"index at $indexDir was written with tokenizer " +
+        s"'${man.getString(1)}' — this library serves '$SearchTokenizer'")
+    man.getInt(0)
+  }
+
   /** Serve a BM25 top-`topK` for `queryTerms` OFF the on-disk index:
     * the terms' hash buckets are computed driver-side into literal
     * partition-filter values (the eager probed-cells discipline — a
@@ -604,44 +977,75 @@ object Search {
     * other bucket directories for), df per term and the matched docs'
     * tf columns come from that pruned scan, dl joins from the docs
     * sidecar, and the scoring projection is [[bm25ScoreCols]] — the
-    * byte-identical expression tree the in-memory q115 runs. Returns
-    * the top-k among docs matching >= 1 query term (docs matching
-    * none score exactly 0 and cannot enter a top-k with >= topK
-    * positive scores). */
+    * byte-identical expression tree the in-memory q115 runs.
+    * Tombstoned docs are subtracted everywhere they could show: the
+    * pruned postings are anti-joined (so deleted docs neither rank nor
+    * count toward df), and the corpus stats are corrected by the
+    * tombstones' own (count, Σdl) — a broadcast aggregate over the
+    * small delete set, never a docs/ re-scan (see [[SearchTombSchema]]).
+    *
+    * HARD CAVEAT (default mode): the result is the top-k among docs
+    * matching >= 1 query term. That equals [[bm25Score]]'s GLOBAL
+    * top-k whenever >= topK matched docs carry a positive rounded
+    * score — true for mid-frequency terms over a real corpus (q185's
+    * case, where the driver's hash gate would catch any break), but a
+    * tiny index or a rounded-to-zero tail diverges: the global top-k
+    * pads with zero-scoring unmatched docs this serve never reads.
+    * `includeZeroMatches = true` opts into exact global semantics for
+    * arbitrary terms — unmatched live docs enter with tf=0, score 0 —
+    * at the cost of a corpus-sized docs/ anti-join + top-k (the pruned
+    * scan is the point of the index; the option exists so the caveat
+    * has an escape hatch, not as the serving default). */
   private[graft] def searchIndexServe(s: SparkSession, indexDir: String,
       queryTerms: Seq[String], k1: Double = K1, b: Double = B,
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10, includeZeroMatches: Boolean = false): DataFrame = {
     require(queryTerms.nonEmpty, "searchIndexServe needs query terms")
     require(queryTerms.distinct.size == queryTerms.size,
       "duplicate query terms — dedup the bag first")
     require(topK >= 1, "searchIndexServe: topK must be >= 1")
-    val man = s.read.parquet(s"$indexDir/manifest")
-      .select("n_buckets", "tokenizer").head()
-    val nBuckets = man.getInt(0)
-    require(man.getString(1) == SearchTokenizer,
-      s"index at $indexDir was written with tokenizer " +
-        s"'${man.getString(1)}' — this library serves '$SearchTokenizer'")
+    val nBuckets = checkSearchManifest(s, indexDir)
     import s.implicits._
     val bkts = queryTerms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong))
         .cast("int").as("bkt"))
       .distinct().as[Int].collect().toSeq
-    val post = s.read.schema(SearchPostingsSchema)
+    val tombs = searchTombstones(s, indexDir)
+    val tombIds = tombs.map(t => broadcast(t.select("doc_id")))
+    def minusTombs(df: DataFrame): DataFrame =
+      tombIds.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+    val post = minusTombs(s.read.schema(SearchPostingsSchema)
       .parquet(s"$indexDir/postings")
       .filter(col("bkt").isin(bkts.map(Int.box): _*)
-        && col("term").isin(queryTerms: _*))
+        && col("term").isin(queryTerms: _*)))
     // one-row stats: df per term from the pruned postings (a postings
     // row exists iff tf > 0, so the count IS the doc frequency) plus
-    // the corpus-wide (n, sdl) the write recorded
+    // the corpus-wide (n, sdl) the write recorded, minus the deleted
+    // docs' own one-row aggregate
+    val rawStats = s.read.parquet(s"$indexDir/stats")
+      .select(col("n_docs").as("n"), col("sum_dl").as("sdl"))
+    val corrected = tombs.fold(rawStats)(t =>
+      rawStats.crossJoin(broadcast(
+          t.agg(count(lit(1)).as("tn"),
+            coalesce(sum(col("dl").cast("long")), lit(0L)).as("tdl"))))
+        .select((col("n") - col("tn")).as("n"),
+          (col("sdl") - col("tdl")).as("sdl")))
     val dfCols = queryTerms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1).otherwise(0)).as(s"df${i + 1}") }
     val st = post.agg(dfCols.head, dfCols.tail: _*)
-      .crossJoin(broadcast(s.read.parquet(s"$indexDir/stats")
-        .select(col("n_docs").as("n"), col("sum_dl").as("sdl"))))
+      .crossJoin(broadcast(corrected))
     val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
       coalesce(sum(when(col("term") === t, col("tf"))), lit(0))
         .as(s"tf${i + 1}") }
-    post.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+    val matched = post.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+    val base =
+      if (!includeZeroMatches) matched
+      else matched.unionByName(
+        minusTombs(s.read.schema(SearchDocsSchema)
+            .parquet(s"$indexDir/docs"))
+          .join(matched.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id") +: queryTerms.indices.map(i =>
+            lit(0L).as(s"tf${i + 1}")): _*))
+    base
       // matched side is df-bounded, docs sidecar is corpus-sized:
       // keyed join, deliberately unhinted — AQE broadcasts the matched
       // side when it is small, shuffles when a stopword query makes it
@@ -661,13 +1065,60 @@ object Search {
   private val diskSearchDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def resetDiskSearchMemo(): Unit = diskSearchDirs.clear()
+  private[graft] def resetDiskSearchMemo(): Unit = {
+    diskSearchDirs.clear()
+    diskChunkSearchDirs.clear()
+  }
 
   private[graft] def diskSearchDir(s: SparkSession, dir: String): String =
     diskSearchDirs.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files
         .createTempDirectory("graft-searchidx-q185").toString
       searchIndexWrite(T(s, dir, "documents"), out)
+      out
+    })
+
+  /** Packing base for chunk ids in the chunk-level search index:
+    * chunk_id = doc_id·base + chunk_idx. Base far above any real
+    * chunk count per doc (the fixed C=S=64 chunking yields
+    * ~tokens/64 chunks), so packed ids order exactly like
+    * (doc_id, chunk_idx) — the property q186's rank-window equality
+    * with q170 rests on. */
+  private val ChunkIdBase = 1000000L
+
+  /** The q170/q96 fixed-window chunking (C = S = 64) as an indexable
+    * (chunk_id, chunk_text) corpus: the same slice arithmetic as
+    * q170's inline chunker, with the token array re-joined to text so
+    * [[searchIndexWrite]]'s whitespace tokenizer reproduces the
+    * original token sequence exactly (split/concat_ws round-trips on
+    * single-space joins, empties included). */
+  private[operators] def chunkCorpus(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("kmax",
+        ceil(greatest(size(col("ws")) - 64, lit(0)) / 64.0).cast("int"))
+      .select(col("doc_id"),
+        col("ws"), explode(sequence(lit(0), col("kmax"))).as("k"))
+      .select(
+        (col("doc_id") * ChunkIdBase + col("k")).cast("long")
+          .as("chunk_id"),
+        concat_ws(" ", slice(col("ws"), col("k") * 64 + 1, lit(64)))
+          .as("chunk_text"))
+
+  /** The on-disk CHUNK-level index behind q186 — same memo contract as
+    * [[diskSearchDir]] (one build per corpus dir, q186's timed section
+    * absorbs it; ledger derivations reset via [[resetDiskSearchMemo]],
+    * which clears BOTH search memos). */
+  private val diskChunkSearchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def diskChunkSearchDir(s: SparkSession,
+      dir: String): String =
+    diskChunkSearchDirs.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-searchidx-q186").toString
+      searchIndexWrite(chunkCorpus(T(s, dir, "documents")), out,
+        idCol = "chunk_id", textCol = "chunk_text")
       out
     })
 }

@@ -705,7 +705,8 @@ object Similarity {
     // append-side artifacts overwrite mode never touches, so they are
     // cleared here explicitly (DiskIndexSpec pins rebuild-over-used-dir).
     val hc = s.sparkContext.hadoopConfiguration
-    for (side <- Seq("tombstones", "ingested", "enc-retired")) {
+    for (side <- Seq("tombstones", "ingested", "enc-retired",
+        "compact-inflight")) {
       val p = new Path(s"$outDir/$side")
       val fs = p.getFileSystem(hc)
       if (fs.exists(p)) fs.delete(p, true)
@@ -1062,7 +1063,11 @@ object Similarity {
     * file): do not compact while another writer appends. Crash between
     * the two renames leaves `enc/` absent and `enc-retired/` complete —
     * recovery is renaming `enc-retired/` back, and the require below
-    * names the state loudly rather than half-serving. */
+    * names the state loudly rather than half-serving; a
+    * `compact-inflight` marker file brackets the swap (created before
+    * the first rename, removed after the last cleanup) so tooling can
+    * DETECT the half-swapped state without reading exception text
+    * (r15 advice, applied to all three stores). */
   private[graft] def ivfPqIndexCompact(s: SparkSession,
       indexDir: String): Unit = {
     val enc = new Path(s"$indexDir/enc")
@@ -1075,11 +1080,15 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(fresh.toString)
     val retired = new Path(s"$indexDir/enc-retired")
     if (fs.exists(retired)) fs.delete(retired, true)
+    val marker = new Path(s"$indexDir/compact-inflight")
+    fs.create(marker, true).close()
     require(fs.rename(enc, retired) && fs.rename(fresh, enc),
       s"ivfPqIndexCompact: enc swap failed under $indexDir — " +
         "if enc/ is missing, rename enc-retired/ back to enc/")
     fs.delete(retired, true)
     fs.delete(new Path(s"$indexDir/tombstones"), true)
+    fs.delete(marker, false)
+    ()
   }
 
   /** CONTINUOUS ingestion into an on-disk index: each micro-batch of

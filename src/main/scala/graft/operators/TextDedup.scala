@@ -1240,7 +1240,8 @@ object TextDedup {
       outDir: String): Unit = {
     val s = bands.sparkSession
     val hc = s.sparkContext.hadoopConfiguration
-    for (side <- Seq("tombstones", "ingested", "bands-retired")) {
+    for (side <- Seq("tombstones", "ingested", "bands-retired",
+        "compact-inflight")) {
       val p = new org.apache.hadoop.fs.Path(s"$outDir/$side")
       val fs = p.getFileSystem(hc)
       if (fs.exists(p)) fs.delete(p, true)
@@ -1327,7 +1328,11 @@ object TextDedup {
     * tombstone set — [[Similarity.ivfPqIndexCompact]]'s repair for the
     * small-files decay appends cause, on the text store. Same crash
     * contract: between the renames, `bands-retired/` holds the
-    * complete prior data and the require names the recovery. */
+    * complete prior data and the require names the recovery — and a
+    * `compact-inflight` marker file brackets the swap (created before
+    * the first rename, removed after the last cleanup), so tooling
+    * can DETECT a half-swapped store instead of relying on an
+    * operator reading exception text (r15 advice). */
   private[graft] def dedupIndexCompact(s: SparkSession,
       indexDir: String): Unit = {
     val enc = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
@@ -1339,11 +1344,14 @@ object TextDedup {
       .write.mode("overwrite").partitionBy("band").parquet(fresh.toString)
     val retired = new org.apache.hadoop.fs.Path(s"$indexDir/bands-retired")
     if (fs.exists(retired)) fs.delete(retired, true)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/compact-inflight")
+    fs.create(marker, true).close()
     require(fs.rename(enc, retired) && fs.rename(fresh, enc),
       s"dedupIndexCompact: bands swap failed under $indexDir — " +
         "if bands/ is missing, rename bands-retired/ back to bands/")
     fs.delete(retired, true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+    fs.delete(marker, false)
     ()
   }
 

@@ -226,6 +226,39 @@ object ScaleProbe {
         graft.operators.Search.searchIndexServe(spark,
           s"$dir/searchidx", Seq("hash", "scan", "filter")).count()
       }
+      // search-index APPEND (r16): a fixed 500-doc delta against the
+      // corpus-sized index. The row exists to prove the incremental
+      // stats reconciliation holds the append FLAT: cost is
+      // O(|delta|) + two one-row jobs, independent of absorbed corpus
+      // — a full docs/ re-derive here would grow linearly with m and
+      // this row would show it.
+      val searchWave = docsAll.filter(col("doc_id") < 500)
+        .withColumn("doc_id", col("doc_id") + lit(IdStride * (m + 40L)))
+      rec("search_disk_append", nDocs) {
+        graft.operators.Search.searchIndexAppend(searchWave,
+          s"$dir/searchidx")
+        nDocs
+      }
+      // the LM broadcast-size gate's SHUFFLE branch (r15 verdict
+      // residue): the scaled fixture multiplies the vocabulary by m
+      // (every replica's tokens are suffix-tagged), so these two rows
+      // measure the SAME query under each pinned branch on a genuinely
+      // grown vocab — the "off" row is the open-web posture (model too
+      // big to broadcast), whose tail α had been spec-proven
+      // result-identical but never growth-measured. One discarded run
+      // first so the shared unigram caches charge to neither branch.
+      val lmc = graft.operators.Curation.LmBroadcastConf
+      SparkEntry.queries("q103_unigram_logprob")(spark, dir).count()
+      rec("lm_gate_on", nDocs) {
+        spark.conf.set(lmc, "on")
+        try SparkEntry.queries("q103_unigram_logprob")(spark, dir).count()
+        finally spark.conf.unset(lmc)
+      }
+      rec("lm_gate_off", nDocs) {
+        spark.conf.set(lmc, "off")
+        try SparkEntry.queries("q103_unigram_logprob")(spark, dir).count()
+        finally spark.conf.unset(lmc)
+      }
       val planes = 4 + math.ceil(math.log(m) / math.log(2)).toInt
       // skew discipline: similar vectors co-bucket by design, so planes
       // alone cannot flatten a hot cluster's bucket — the pair join

@@ -19,7 +19,10 @@ class BenchJsonSpec extends AnyFunSuite {
     val results = names.zipWithIndex.map { case (n, i) =>
       (n, sec, i >= names.size - nFailed)
     }.map { case (n, s, failTail) => (n, s, !failTail) }
-    Bench.renderJson(results, wu, wio, wu, wio, "sf0.1")
+    // mid markers always render on a real run (q134 is in the
+    // inventory), so the width pin includes them at worst-case width
+    Bench.renderJson(results, wu, wio, wu, wio, "sf0.1",
+      mid = Some((wu, wio)))
   }
 
   test("worst-case line width stays under the driver's 2000-char tail") {
@@ -155,6 +158,30 @@ class BenchJsonSpec extends AnyFunSuite {
       assert(line.contains("\"value\":12.34") && line.contains("\"wu\":1.23"),
         s"locale leaked into number formatting: $line")
     } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("mid-inventory markers and order tag render; sorted stays tagless") {
+    // the r15-verdict segment instruments: wum/wiom re-probe the box
+    // right before q134's timed section; a reordered diagnostic run
+    // carries an explicit "order" key so it can never be read as a
+    // judged (sorted) line
+    val r = Seq(("q01_a", 0.2, true))
+    val withMid = Bench.renderJson(r, 0.5, 0.5, 0.5, 0.5, "sf0.1",
+      mid = Some((1.87, 6.42)))
+    assert(withMid.contains("\"wum\":1.87") && withMid.contains("\"wiom\":6.42"))
+    assert(!withMid.contains("\"order\""),
+      "a sorted run must not carry an order tag")
+    val noMid = Bench.renderJson(r, 0.5, 0.5, 0.5, 0.5, "sf0.1")
+    assert(!noMid.contains("\"wum\"") && !noMid.contains("\"wiom\""))
+    val rev = Bench.renderJson(r, 0.5, 0.5, 0.5, 0.5, "sf0.1",
+      mid = Some((1.0, 2.0)), orderTag = "reverse", compact = true)
+    assert(rev.contains("\"order\":\"reverse\""))
+    // structurally valid in both modes with all optional keys present
+    for (l <- Seq(withMid, rev)) {
+      assert(l.count(_ == '{') == l.count(_ == '}'))
+      assert(l.count(_ == '"') % 2 == 0)
+    }
+    assert(Bench.MidMarkerQuery == "q134_session_cooccurrence")
   }
 
   test("failed queries are listed by ordinal") {

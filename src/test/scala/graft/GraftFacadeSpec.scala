@@ -651,4 +651,41 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(!new java.io.File(s"$idx/tombstones").exists,
       "compaction clears the tombstone set")
   }
+
+  test("searchIndex facade lifecycle: write → append → delete → " +
+      "maintain(execute) — served ranking tracks every step") {
+    // the full lexical-store maintenance loop through the PUBLIC
+    // surface only (the annIndex lifecycle test's shape on the third
+    // store): base index, appended delta, logical delete, policy-
+    // driven compaction, ranking checked after each step
+    val base = Seq((0L, "alpha beta gamma"), (1L, "beta gamma delta"),
+      (2L, "alpha alpha beta"), (3L, "gamma delta epsilon"))
+    val delta = Seq((9L, "alpha alpha alpha beta"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-searchidx-life").toString
+    Graft.searchIndexWrite(base.toDF("doc_id", "text"), idx, nBuckets = 4)
+    def serve(): Seq[Long] =
+      Graft.searchIndexServe(spark, idx, Seq("alpha"), topK = 10)
+        .select("doc_id").as[Long].collect().toSeq
+    assert(serve() == Seq(2L, 0L), s"base ranking: ${serve()}")
+    Graft.searchIndexAppend(delta.toDF("doc_id", "text"), idx)
+    assert(serve().head == 9L,
+      "the appended alpha-heavy doc must outrank the residents " +
+        "(postings AND stats reconciled)")
+    Graft.searchIndexDelete(spark, idx, Seq(9L))
+    val afterDelete = serve()
+    assert(afterDelete.nonEmpty && !afterDelete.contains(9L),
+      s"the deleted id must stop ranking: $afterDelete")
+    val report = Graft.searchIndexMaintain(spark, idx, maxFiles = 1,
+      execute = true)
+    assert(report.columns.toSeq ==
+      Seq("bkt", "n_postings", "files", "tomb", "action"))
+    assert(serve() == afterDelete,
+      "policy-driven compaction must not change the ranking")
+    assert(!new java.io.File(s"$idx/tombstones").exists,
+      "the executed compaction clears the tombstone set")
+    assert(Graft.searchIndexStats(spark, idx)
+      .select("files").as[Int].collect().forall(_ == 1),
+      "the compacted store holds one file per bucket")
+  }
 }

@@ -37,7 +37,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   *  - q185_bm25_disk: same contract on the search index — first touch
   *    writes the term-bucketed postings store (diskSearchDir), and
   *    every serve runs the manifest check plus the driver-side
-  *    term-bucket hash that becomes the plan's PartitionFilters.
+  *    term-bucket hash that becomes the plan's PartitionFilters;
+  *  - q186_rag_fuse_disk: the three-store capstone composes BOTH
+  *    serving contracts — first touch writes the chunk-level search
+  *    index (diskChunkSearchDir) and rides q182's ANN index memo, and
+  *    the serve runs both manifest checks plus both driver-side
+  *    probe/bucket lists.
   * Table RESOLUTION (parquet footer/schema read on a table's first
   * touch) also runs small jobs; it is the memoized metastore role, not
   * a query cost, and the spec pre-resolves every table so those jobs
@@ -56,7 +61,8 @@ class PlanConstructionSpec extends SparkTestBase {
     "q109_jdbc_roundtrip", "q110_column_stats",
     "q173_cluster_rep", "q121_pagerank_neardup", "q135_kmeans",
     "q182_ivfpq_disk", "q183_ivfpq_filtered",
-    "q184_disk_incremental_dedup", "q185_bm25_disk")
+    "q184_disk_incremental_dedup", "q185_bm25_disk",
+    "q186_rag_fuse_disk")
 
   private val TagProp = "graft.construct.query"
 

@@ -86,4 +86,184 @@ class SearchIndexSpec extends SparkTestBase {
     assert(e.getMessage.contains("bpe"),
       s"the error must name the stored tokenizer: ${e.getMessage}")
   }
+
+  // ─── lifecycle parity (r15 verdict ask #2) ───
+
+  /** A deterministic 12-doc corpus with enough term spread that BM25
+    * scores discriminate: 'alpha' mid-frequency, 'beta' common, 'rare'
+    * in one doc. */
+  private val corpus: Seq[(Long, String)] = Seq(
+    (0L, "alpha beta gamma delta epsilon"),
+    (1L, "beta gamma delta epsilon zeta"),
+    (2L, "alpha alpha beta zeta eta"),
+    (3L, "gamma delta epsilon eta theta"),
+    (4L, "alpha beta beta theta iota"),
+    (5L, "rare alpha beta gamma iota"),
+    (6L, "beta delta zeta iota kappa"),
+    (7L, "alpha gamma epsilon kappa mu"),
+    (8L, "beta beta gamma mu nu"),
+    (9L, "alpha delta eta nu xi"),
+    (10L, "beta epsilon zeta xi omicron"),
+    (11L, "alpha alpha gamma kappa omicron"))
+
+  private def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  private def serveAll(idx: String, terms: Seq[String] = Seq("alpha", "beta"))
+      : Seq[String] =
+    Search.searchIndexServe(spark, idx, terms, topK = 100)
+      .collect().map(_.toString).toSeq
+
+  test("append ≡ rebuild: postings, docs, AND the reconciled stats") {
+    val (a, b) = corpus.splitAt(7)
+    val appended = tmp(); val rebuilt = tmp()
+    Search.searchIndexWrite(df(a), appended)
+    Search.searchIndexAppend(df(b), appended)
+    Search.searchIndexWrite(df(corpus), rebuilt)
+    val got = serveAll(appended)
+    assert(got.nonEmpty && got == serveAll(rebuilt),
+      s"append must serve like the rebuild:\n$got\nvs\n${serveAll(rebuilt)}")
+    // the invariant the append doc promises: stats ≡ agg(docs/)
+    val st = spark.read.parquet(s"$appended/stats")
+      .as[(Long, Long)].collect().head
+    assert(st == ((corpus.size.toLong,
+      corpus.map(_._2.split(" ").length.toLong).sum)),
+      s"stats sidecar must equal the docs aggregate: $st")
+  }
+
+  test("delete subtracts from ranking, df AND corpus stats; idempotent") {
+    val idx = tmp(); val survivors = tmp()
+    Search.searchIndexWrite(df(corpus), idx)
+    val dead = Seq(2L, 4L, 11L) // heavy 'alpha' docs — df1/n/sdl all move
+    Search.searchIndexDelete(spark, idx, dead)
+    Search.searchIndexWrite(
+      df(corpus.filterNot(r => dead.contains(r._1))), survivors)
+    val got = serveAll(idx)
+    assert(got.nonEmpty && got == serveAll(survivors),
+      "a tombstoned serve must equal the survivor rebuild — ranking, " +
+        s"df and (n, sum_dl) all corrected:\n$got\nvs\n${serveAll(survivors)}")
+    // a RETRIED delete must not double-subtract the stats correction
+    Search.searchIndexDelete(spark, idx, dead)
+    assert(serveAll(idx) == serveAll(survivors),
+      "delete must be idempotent (tombstone dedup guards the correction)")
+  }
+
+  test("compact: serve-identical, space reclaimed, marker cleared") {
+    val idx = tmp()
+    Search.searchIndexWrite(df(corpus.take(8)), idx, nBuckets = 4)
+    Search.searchIndexAppend(df(corpus.drop(8)), idx)
+    Search.searchIndexDelete(spark, idx, Seq(0L, 8L))
+    val before = serveAll(idx)
+    Search.searchIndexCompact(spark, idx)
+    assert(serveAll(idx) == before, "compaction must not change serving")
+    assert(!new java.io.File(s"$idx/tombstones").exists,
+      "compaction clears the tombstone set")
+    assert(!new java.io.File(s"$idx/compact-inflight").exists,
+      "a completed compaction removes its inflight marker")
+    for (retired <- Seq("postings-retired", "docs-retired"))
+      assert(!new java.io.File(s"$idx/$retired").exists,
+        s"$retired must be reclaimed")
+    // physically gone, not just masked: no tombstoned doc in either set
+    val ids = spark.read.schema("doc_id BIGINT, term STRING, tf INT, bkt INT")
+      .parquet(s"$idx/postings").select("doc_id")
+      .union(spark.read.schema("doc_id BIGINT, dl INT")
+        .parquet(s"$idx/docs").select("doc_id"))
+      .distinct().as[Long].collect().toSet
+    assert(!ids.contains(0L) && !ids.contains(8L), s"dead rows remain: $ids")
+  }
+
+  test("stats report: live rows per bucket, fragmentation visible, " +
+      "all-tombstoned bucket still reports") {
+    val idx = tmp()
+    Search.searchIndexWrite(df(corpus.take(6)), idx, nBuckets = 2)
+    Search.searchIndexAppend(df(corpus.slice(6, 9)), idx)
+    val frag = Search.searchIndexStats(spark, idx)
+      .as[(Int, Long, Long, Int)].collect().toSeq
+    assert(frag.map(_._1) == Seq(0, 1), s"bucket listing: $frag")
+    assert(frag.exists(_._4 > 1), s"appends must show as extra files: $frag")
+    val totalPostings = corpus.take(9)
+      .map(_._2.split(" ").distinct.length.toLong).sum
+    assert(frag.map(_._2).sum == totalPostings,
+      s"per-bucket live rows must sum to the corpus postings: $frag")
+    // tombstone everything: buckets still report, at zero live rows
+    Search.searchIndexDelete(spark, idx, corpus.take(9).map(_._1))
+    val emptied = Search.searchIndexStats(spark, idx)
+      .as[(Int, Long, Long, Int)].collect().toSeq
+    assert(emptied.map(_._1) == Seq(0, 1) &&
+      emptied.forall(r => r._2 == 0L && r._3 == 0L && r._4 > 0),
+      s"an all-tombstoned bucket reports (0 rows, 0 terms, >0 files): $emptied")
+  }
+
+  test("maintain: composed audit — build, 3 appends, delete, " +
+      "maintain(execute) serves exactly like a fresh rebuild") {
+    val idx = tmp()
+    Search.searchIndexWrite(df(corpus.take(3)), idx, nBuckets = 2)
+    for (wave <- Seq(corpus.slice(3, 6), corpus.slice(6, 9),
+        corpus.slice(9, 12)))
+      Search.searchIndexAppend(df(wave), idx)
+    Search.searchIndexDelete(spark, idx, Seq(1L, 5L))
+    // decision table: 4 write generations in 2 buckets → files > 3
+    val report = Search.searchIndexMaintain(spark, idx, maxFiles = 3)
+      .as[(Int, Long, Int, Long, String)].collect().toSeq
+    assert(report.exists(_._5 == "compact"),
+      s"fragmentation past maxFiles must decide compact: $report")
+    assert(report.forall(_._4 >= 0L) && report.map(_._4).sum > 0,
+      s"the tombstoned-row column must be populated: $report")
+    // execute: the maintained store serves like a fresh rebuild
+    Search.searchIndexMaintain(spark, idx, maxFiles = 3, execute = true)
+    val fresh = tmp()
+    Search.searchIndexWrite(
+      df(corpus.filterNot(r => Seq(1L, 5L).contains(r._1))), fresh)
+    val got = serveAll(idx)
+    assert(got.nonEmpty && got == serveAll(fresh),
+      s"maintained ≡ fresh rebuild:\n$got\nvs\n${serveAll(fresh)}")
+    val after = Search.searchIndexMaintain(spark, idx, maxFiles = 3)
+      .as[(Int, Long, Int, Long, String)].collect().toSeq
+    assert(after.forall(r => r._5 == "ok" && r._3 == 1 && r._4 == 0L),
+      s"a maintained store decides ok at one file per bucket: $after")
+  }
+
+  test("includeZeroMatches serves the exact global top-k where the " +
+      "default diverges (the serve caveat's escape hatch)") {
+    val docs = Seq((0L, "beta gamma"), (1L, "alpha beta"),
+      (2L, "gamma delta"), (3L, "delta epsilon")).toDF("doc_id", "text")
+    val idx = tmp()
+    Search.searchIndexWrite(docs, idx, nBuckets = 4)
+    // 'alpha' matches ONE doc; a top-3 needs two zero-score pads
+    assert(Search.searchIndexServe(spark, idx, Seq("alpha"), topK = 3)
+      .count() == 1, "default mode returns matched docs only")
+    val global = Search.bm25Score(docs, "doc_id", "text", Seq("alpha"))
+      .orderBy(col("score").desc, col("doc_id")).limit(3)
+      .collect().map(_.toString).toSeq
+    val padded = Search.searchIndexServe(spark, idx, Seq("alpha"),
+        topK = 3, includeZeroMatches = true)
+      .collect().map(_.toString).toSeq
+    assert(padded == global,
+      s"zero-union mode must equal the global scorer:\n$padded\nvs\n$global")
+  }
+
+  test("rebuild over a used dir clears stale sidecar state") {
+    val idx = tmp()
+    Search.searchIndexWrite(df(corpus.take(4)), idx)
+    Search.searchIndexDelete(spark, idx, Seq(0L))
+    new java.io.File(s"$idx/ingested/batch-0").mkdirs()
+    new java.io.File(s"$idx/compact-inflight").createNewFile()
+    Search.searchIndexWrite(df(corpus.take(4)), idx)
+    for (side <- Seq("tombstones", "ingested", "compact-inflight"))
+      assert(!new java.io.File(s"$idx/$side").exists,
+        s"a rebuild must clear stale $side")
+    // the reused id 0 serves (a stale tombstone would mask it silently)
+    assert(Search.searchIndexServe(spark, idx, Seq("alpha"))
+      .filter(col("doc_id") === 0L).count() == 1)
+  }
+
+  test("q186 equals q170 row for row (three-store disk serve == " +
+      "in-memory RAG pipeline)") {
+    Search.resetDiskSearchMemo()
+    val a = SparkEntry.queries("q186_rag_fuse_disk")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("q170_rag_fuse")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a == b,
+      s"disk-served RAG fusion must equal the in-memory pipeline:\n$a\nvs\n$b")
+  }
 }
