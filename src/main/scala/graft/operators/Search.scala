@@ -653,7 +653,8 @@ object Search {
     val s = docs.sparkSession
     val hc = s.sparkContext.hadoopConfiguration
     for (side <- Seq("tombstones", "ingested", "postings-retired",
-        "docs-retired", "compact-inflight")) {
+        "docs-retired", "postings-compact", "docs-compact",
+        "compact-inflight")) {
       val p = new org.apache.hadoop.fs.Path(s"$outDir/$side")
       val fs = p.getFileSystem(hc)
       if (fs.exists(p)) fs.delete(p, true)

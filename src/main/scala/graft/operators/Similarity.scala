@@ -706,7 +706,7 @@ object Similarity {
     // cleared here explicitly (DiskIndexSpec pins rebuild-over-used-dir).
     val hc = s.sparkContext.hadoopConfiguration
     for (side <- Seq("tombstones", "ingested", "enc-retired",
-        "compact-inflight")) {
+        "enc-compact", "compact-inflight")) {
       val p = new Path(s"$outDir/$side")
       val fs = p.getFileSystem(hc)
       if (fs.exists(p)) fs.delete(p, true)

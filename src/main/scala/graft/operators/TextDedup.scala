@@ -1241,7 +1241,7 @@ object TextDedup {
     val s = bands.sparkSession
     val hc = s.sparkContext.hadoopConfiguration
     for (side <- Seq("tombstones", "ingested", "bands-retired",
-        "compact-inflight")) {
+        "bands-compact", "compact-inflight")) {
       val p = new org.apache.hadoop.fs.Path(s"$outDir/$side")
       val fs = p.getFileSystem(hc)
       if (fs.exists(p)) fs.delete(p, true)

@@ -231,9 +231,15 @@ object ScaleProbe {
       // stats reconciliation holds the append FLAT: cost is
       // O(|delta|) + two one-row jobs, independent of absorbed corpus
       // — a full docs/ re-derive here would grow linearly with m and
-      // this row would show it.
+      // this row would show it. The delta is MATERIALIZED (eager
+      // localCheckpoint) before the timing: it is cut from the scaled
+      // corpus by a filter, and leaving that inside the timed section
+      // would charge three corpus-sized fixture scans (postings
+      // explode, dl projection, stats delta agg) to the append row —
+      // fixture cost masquerading as store growth.
       val searchWave = docsAll.filter(col("doc_id") < 500)
         .withColumn("doc_id", col("doc_id") + lit(IdStride * (m + 40L)))
+        .localCheckpoint()
       rec("search_disk_append", nDocs) {
         graft.operators.Search.searchIndexAppend(searchWave,
           s"$dir/searchidx")
