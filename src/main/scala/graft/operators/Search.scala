@@ -668,7 +668,7 @@ object Search {
       .write.mode("overwrite").parquet(s"$outDir/docs")
     s.read.schema(SearchDocsSchema).parquet(s"$outDir/docs")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("dl").cast("long")).as("sum_dl"))
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
     docs.select(col(idCol).cast("long").as("doc_id"),
         explode(ws).as("term"))
@@ -823,7 +823,7 @@ object Search {
     // (stats stale but tombstones still present to re-run the compact)
     s.read.schema(SearchDocsSchema).parquet(s"$indexDir/docs")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("dl").cast("long")).as("sum_dl"))
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
     fs.delete(path("tombstones"), true)
     for (retired <- Seq("postings-retired", "docs-retired"))

@@ -209,6 +209,64 @@ object StreamProbe {
         java.nio.file.Files.walk(storeRoot).iterator().asScala.toSeq
           .reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
       }
+
+      // ── searchIndexIngest (r16): the lexical store's crawler loop.
+      // Per-batch cost = tokenize + bucketed postings append + docs
+      // append + the INCREMENTAL stats reconcile (one stored-row read
+      // + the delta's own aggregate). The flatness claim is sharper
+      // here than on the dedup store: a full stats re-derive would
+      // read the whole docs/ sidecar per batch — last_batch would
+      // GROW with absorbed corpus and this leg would show it; flat
+      // last/first is the measured form of the associativity
+      // argument. Post-ingest: a BM25 serve off the accreted
+      // fragmented store, then maintain(execute) and a re-serve —
+      // the policy loop closed on streamed state.
+      val sIdxRoot = java.nio.file.Files.createTempDirectory(s"sp_sidx_$m")
+      try {
+        val sIdx = sIdxRoot.resolve("idx").toString
+        graft.operators.Search.searchIndexWrite(
+          spark.emptyDataset[Doc].toDF(), sIdx)
+        val xin = MemoryStream[Doc]
+        val xq = graft.operators.Search.searchIndexIngest(xin.toDF(),
+          sIdx, sIdxRoot.resolve("ckpt").toString)
+        var xFirst = 0.0; var xLast = 0.0
+        val xt0 = System.nanoTime()
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val bt0 = System.nanoTime()
+          xin.addData(b.toSeq)
+          xq.processAllAvailable()
+          val bt = (System.nanoTime() - bt0) / 1e9
+          if (i == 0) xFirst = bt
+          if (i == batches.size - 1) xLast = bt
+        }
+        val xTotal = (System.nanoTime() - xt0) / 1e9
+        xq.stop()
+        val xsv0 = System.nanoTime()
+        val hits = graft.operators.Search.searchIndexServe(spark, sIdx,
+          Seq("hash", "scan", "filter")).count()
+        val xServe = (System.nanoTime() - xsv0) / 1e9
+        val xFrag = graft.operators.Search.searchIndexStats(spark, sIdx)
+          .agg(max(col("files"))).head().getInt(0)
+        val xm0 = System.nanoTime()
+        graft.operators.Search.searchIndexMaintain(spark, sIdx,
+          execute = true)
+        val xMaint = (System.nanoTime() - xm0) / 1e9
+        val xsv1 = System.nanoTime()
+        val hits2 = graft.operators.Search.searchIndexServe(spark, sIdx,
+          Seq("hash", "scan", "filter")).count()
+        val xServe2 = (System.nanoTime() - xsv1) / 1e9
+        println(f"[streamprobe] op=searchIngest m=$m docs=${docs.length} " +
+          f"batches=${batches.size} secs=$xTotal%.1f " +
+          f"docs_per_sec=${docs.length / xTotal}%.0f " +
+          f"first_batch=$xFirst%.2f last_batch=$xLast%.2f " +
+          f"frag_files=$xFrag serve=$xServe%.2f hits=$hits " +
+          f"maintain_exec=$xMaint%.2f serve_after=$xServe2%.2f " +
+          f"hits_after=$hits2")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(sIdxRoot).iterator().asScala.toSeq
+          .reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
     }
     spark.stop()
   }

@@ -241,6 +241,23 @@ class SearchIndexSpec extends SparkTestBase {
       s"zero-union mode must equal the global scorer:\n$padded\nvs\n$global")
   }
 
+  test("an EMPTY write bootstraps a store appends can grow (the " +
+      "streaming-ingest start state: stats (0,0), never null)") {
+    val idx = tmp()
+    Search.searchIndexWrite(spark.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit("").as("text")).limit(0), idx)
+    val st0 = spark.read.parquet(s"$idx/stats")
+      .as[(Long, Long)].collect().head
+    assert(st0 == ((0L, 0L)),
+      s"empty-corpus stats must be (0, 0) — a NULL sum would NPE the " +
+        s"first incremental append: $st0")
+    Search.searchIndexAppend(df(corpus.take(4)), idx)
+    val fresh = tmp()
+    Search.searchIndexWrite(df(corpus.take(4)), fresh)
+    assert(serveAll(idx) == serveAll(fresh),
+      "empty-write + append must serve like a direct write")
+  }
+
   test("rebuild over a used dir clears stale sidecar state") {
     val idx = tmp()
     Search.searchIndexWrite(df(corpus.take(4)), idx)
