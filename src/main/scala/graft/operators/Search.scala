@@ -1030,8 +1030,14 @@ object Search {
             coalesce(sum(col("dl").cast("long")), lit(0L)).as("tdl"))))
         .select((col("n") - col("tn")).as("n"),
           (col("sdl") - col("tdl")).as("sdl")))
+    // coalesce: over an EMPTY pruned scan (every term a vocabulary
+    // miss) the sums are NULL, which would null every score — the
+    // default mode never surfaces it (matched is empty too), but
+    // includeZeroMatches mode would return NULL-scored rows where the
+    // global scorer returns exact 0.0
     val dfCols = queryTerms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === t, 1).otherwise(0)).as(s"df${i + 1}") }
+      coalesce(sum(when(col("term") === t, 1).otherwise(0)), lit(0))
+        .as(s"df${i + 1}") }
     val st = post.agg(dfCols.head, dfCols.tail: _*)
       .crossJoin(broadcast(corrected))
     val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>

@@ -239,6 +239,19 @@ class SearchIndexSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     assert(padded == global,
       s"zero-union mode must equal the global scorer:\n$padded\nvs\n$global")
+    // a FULL vocabulary miss: the pruned scan is empty, so the df
+    // aggregates would be NULL without their coalesce — zero-union
+    // mode must still return the global scorer's exact 0.0 scores,
+    // not NULL-scored rows (self-review catch, round 16)
+    val missGlobal = Search.bm25Score(docs, "doc_id", "text", Seq("omega"))
+      .orderBy(col("score").desc, col("doc_id")).limit(3)
+      .collect().map(_.toString).toSeq
+    val missPadded = Search.searchIndexServe(spark, idx, Seq("omega"),
+        topK = 3, includeZeroMatches = true)
+      .collect().map(_.toString).toSeq
+    assert(missPadded == missGlobal && missPadded.forall(_.contains("0.0")),
+      s"vocabulary-miss zero-union must score exact 0.0:\n$missPadded" +
+        s"\nvs\n$missGlobal")
   }
 
   test("an EMPTY write bootstraps a store appends can grow (the " +
