@@ -760,6 +760,38 @@ object Graft {
     operators.Search.searchIndexIngest(docs, indexDir, checkpointDir,
       idCol, textCol)
 
+  /** Hybrid RAG retrieval served ENTIRELY off the on-disk layer — the
+    * q186 composition as a reusable member: a BM25 top-`topR` from the
+    * search index at `searchIndexDir` (bucket-pruned scan) and an ANN
+    * cosine top-`topR` from the IVF-PQ index at `annIndexDir`
+    * (cell-pruned scan + exact rerank), fused by reciprocal rank
+    * ([[rrfFuse]]'s standard over-top-R union semantics: an id
+    * retrieved by only one leg still fuses, `n_lists` says which).
+    * Returns (`doc_id`, n_lists, rrf) top-`topK` by (rrf desc, id).
+    * `df` is the corpus vector frame the ANN index was built from
+    * (query vector + rerank side); lexical doc ids and vector ids must
+    * share the id space for the fusion to be meaningful (q186 packs
+    * chunk ids and fuses at the DOC level instead — fusion keys are
+    * the caller's design decision, this member takes them as given).
+    * Note the ANN leg is approximate at production `nprobe`/`coarseK`
+    * (q181 measures recall); nprobe = kIvf with a large coarseK makes
+    * it exact, which is how q186 satisfies a brute-force oracle. */
+  def ragServeDisk(df: DataFrame, idCol: String, vecCol: String,
+      annIndexDir: String, searchIndexDir: String,
+      queryTerms: Seq[String], queryId: Long, nprobe: Int, m: Int,
+      subDim: Int, coarseK: Int = 50, rrfK: Int = 60, topR: Int = 100,
+      topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lex = searchIndexServe(df.sparkSession, searchIndexDir,
+        queryTerms, topK = topR)
+      .select(col("doc_id"), col("score"))
+    val sem = annIndexServe(df, idCol, vecCol, annIndexDir, queryId,
+        nprobe, m, subDim, coarseK, topK = topR)
+      .select(col("vec_id").as("doc_id"), col("cos_sim").as("score"))
+    operators.Search.rrfFuse(Seq(lex, sem), "doc_id", "score", rrfK, topR)
+      .orderBy(col("rrf").desc, col("doc_id")).limit(topK)
+  }
+
   /** Shared facade prep for the quantized ANN members: rename/cast to
     * the (vec_id, v, nrm) shape, then attach the int8 absmax codes
     * (the q106/q142 code rule; zero vectors have no direction and are

@@ -652,6 +652,56 @@ class GraftFacadeSpec extends SparkTestBase {
       "compaction clears the tombstone set")
   }
 
+  test("ragServeDisk fuses the two disk legs exactly as rrfFuse of " +
+      "the single serves (the q186 composition as a public member)") {
+    // one id space: docs 0..5 carry both a text and an 8-dim vector
+    val texts = Seq((0L, "alpha beta gamma"), (1L, "beta gamma delta"),
+      (2L, "alpha alpha beta"), (3L, "gamma delta epsilon"),
+      (4L, "alpha epsilon zeta"), (5L, "beta beta zeta"))
+    val vecs = Seq(
+      (0L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      (1L, Seq(8.0, -1.0, 2.0, 0.0, 3.0, -2.0, 1.0, 4.0)),
+      (2L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.1)),
+      (3L, Seq(-5.0, 5.0, -5.0, 5.0, -5.0, 5.0, -5.0, 5.0)),
+      (4L, Seq(0.5, 0.5, 4.0, -3.0, 2.0, 2.0, -1.0, 0.0)),
+      (5L, Seq(2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0)))
+    val vdf = vecs.toDF("id", "emb")
+    val annIdx = java.nio.file.Files
+      .createTempDirectory("graft-rag-ann").toString
+    val sIdx = java.nio.file.Files
+      .createTempDirectory("graft-rag-search").toString
+    Graft.annIndexWrite(vdf, "id", "emb", annIdx, kIvf = 2, m = 2,
+      subDim = 4, k = 3)
+    Graft.searchIndexWrite(texts.toDF("doc_id", "text"), sIdx,
+      nBuckets = 4)
+    val terms = Seq("alpha", "beta")
+    val fused = Graft.ragServeDisk(vdf, "id", "emb", annIdx, sIdx,
+        terms, queryId = 0L, nprobe = 2, m = 2, subDim = 4,
+        coarseK = 6, topK = 5)
+      .collect().map(_.toString).toSeq
+    // the member must equal rrfFuse over the two single serves
+    import org.apache.spark.sql.functions.col
+    val lex = Graft.searchIndexServe(spark, sIdx, terms, topK = 100)
+      .select(col("doc_id"), col("score"))
+    val sem = Graft.annIndexServe(vdf, "id", "emb", annIdx, 0L,
+        nprobe = 2, m = 2, subDim = 4, coarseK = 6, topK = 100)
+      .select(col("vec_id").as("doc_id"), col("cos_sim").as("score"))
+    val expect = Graft.rrfFuse(Seq(lex, sem), "doc_id", "score")
+      .orderBy(col("rrf").desc, col("doc_id")).limit(5)
+      .collect().map(_.toString).toSeq
+    assert(fused.nonEmpty && fused == expect,
+      s"composed member vs manual fusion:\n$fused\nvs\n$expect")
+    // union semantics: doc 3 matches neither query term but is in the
+    // ANN corpus — it may fuse with n_lists = 1; ids in both legs
+    // carry n_lists = 2 (doc 0 is the query and excluded by the ANN
+    // leg, so its lexical hit fuses alone)
+    val byId = fused.map(r => r.stripPrefix("[").stripSuffix("]")
+      .split(",")).map(a => a(0).toLong -> a(1).toInt).toMap
+    assert(byId(0L) == 1, "the query id fuses from the lexical leg only")
+    assert(byId.contains(2L) && byId(2L) == 2,
+      s"doc 2 (alpha-heavy text, near-twin vector) fuses from both: $byId")
+  }
+
   test("searchIndex facade lifecycle: write → append → delete → " +
       "maintain(execute) — served ranking tracks every step") {
     // the full lexical-store maintenance loop through the PUBLIC

@@ -271,6 +271,31 @@ class SearchIndexSpec extends SparkTestBase {
       "empty-write + append must serve like a direct write")
   }
 
+  test("a half-swapped compact is DETECTABLE and the documented " +
+      "recovery restores serving (the compact-inflight contract)") {
+    // simulate the crash window the marker exists for: postings/
+    // renamed away, marker still present — exactly the state a crash
+    // between searchIndexCompact's renames leaves behind
+    val idx = tmp()
+    Search.searchIndexWrite(df(corpus.take(6)), idx, nBuckets = 2)
+    val before = serveAll(idx)
+    val root = new java.io.File(idx)
+    assert(new java.io.File(root, "postings")
+      .renameTo(new java.io.File(root, "postings-retired")))
+    new java.io.File(root, "compact-inflight").createNewFile()
+    // detection: tooling checks the marker, not exception text
+    assert(new java.io.File(root, "compact-inflight").exists &&
+      !new java.io.File(root, "postings").exists,
+      "the half-swapped state is visible from the directory alone")
+    // recovery per the require message: rename *-retired back, drop
+    // the marker — serving must be exactly what it was
+    assert(new java.io.File(root, "postings-retired")
+      .renameTo(new java.io.File(root, "postings")))
+    new java.io.File(root, "compact-inflight").delete()
+    assert(serveAll(idx) == before,
+      "the recovered store must serve exactly its pre-crash results")
+  }
+
   test("rebuild over a used dir clears stale sidecar state") {
     val idx = tmp()
     Search.searchIndexWrite(df(corpus.take(4)), idx)
