@@ -705,9 +705,13 @@ object Search {
     * Caller contract: delta ids must be NEW (the [[searchIndexWrite]]
     * unique-id rule across lives). Crash honesty: the three writes
     * (postings append, docs append, stats overwrite) are not atomic —
-    * dying between them leaves a delta doc searchable-but-uncounted or
-    * counted-but-unsearchable; the repair is [[searchIndexDelete]] of
-    * the delta ids + [[searchIndexCompact]], then re-append — the same
+    * dying after only the postings leaves ORPHANED rows (unrankable,
+    * since the serve's dl join drops them, but transiently inflating
+    * the affected terms' df); dying after the docs leaves the delta
+    * counted-but-stats-stale. The one repair covers every window:
+    * [[searchIndexDelete]] of the delta ids that reached docs/ +
+    * [[searchIndexCompact]] (which also reclaims orphans — it keeps
+    * only postings whose doc survives), then re-append — the same
     * at-least-once window and repair as [[searchIndexIngest]]. */
   private[graft] def searchIndexAppend(docs: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
@@ -788,7 +792,17 @@ object Search {
     * can DETECT a half-swapped store instead of relying on an operator
     * reading exception text (r15 advice on the dedup compact, applied
     * here from birth); between the renames the `*-retired/` dirs hold
-    * the complete prior data and the require names the recovery. */
+    * the complete prior data and the require names the recovery.
+    *
+    * Compaction also restores the `postings ⊆ docs` invariant: a
+    * crash inside [[searchIndexAppend]]'s window can leave ORPHANED
+    * postings (rows whose doc never reached docs/) — they cannot rank
+    * (the serve's dl join drops them) but they transiently inflate the
+    * affected terms' df, and [[searchIndexDelete]] cannot tombstone an
+    * id docs/ has never seen. The compact rewrite keeps only postings
+    * whose doc survives in the compacted docs sidecar, so the
+    * documented append-crash repair (delete the landed delta ids +
+    * compact) reclaims BOTH halves of the wreckage (spec-pinned). */
   private[graft] def searchIndexCompact(s: SparkSession,
       indexDir: String): Unit = {
     val nBuckets = checkSearchManifest(s, indexDir)
@@ -799,13 +813,16 @@ object Search {
       .map(t => broadcast(t.select("doc_id")))
     def minusTombs(df: DataFrame): DataFrame =
       tombIds.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+    val liveDocs =
+      minusTombs(s.read.schema(SearchDocsSchema).parquet(s"$indexDir/docs"))
     minusTombs(s.read.schema(SearchPostingsSchema)
         .parquet(s"$indexDir/postings"))
+      .join(liveDocs.select("doc_id"), Seq("doc_id"), "left_semi")
       .select("doc_id", "term", "tf", "bkt")
       .repartition(nBuckets, col("bkt"))
       .write.mode("overwrite").partitionBy("bkt")
       .parquet(s"$indexDir/postings-compact")
-    minusTombs(s.read.schema(SearchDocsSchema).parquet(s"$indexDir/docs"))
+    liveDocs
       .write.mode("overwrite").parquet(s"$indexDir/docs-compact")
     for (retired <- Seq("postings-retired", "docs-retired"))
       if (fs.exists(path(retired))) fs.delete(path(retired), true)

@@ -271,6 +271,34 @@ class SearchIndexSpec extends SparkTestBase {
       "empty-write + append must serve like a direct write")
   }
 
+  test("compact reclaims ORPHANED postings (the append-crash window: " +
+      "postings landed, docs did not — df transiently inflated, " +
+      "unreachable by delete)") {
+    val idx = tmp(); val fresh = tmp()
+    Search.searchIndexWrite(df(corpus), idx)
+    Search.searchIndexWrite(df(corpus), fresh)
+    // simulate the crash: one postings row for a doc docs/ never saw
+    Seq((999999L, "alpha", 3)).toDF("doc_id", "term", "tf")
+      .withColumn("bkt", pmod(xxhash64(col("term")), lit(8L)).cast("int"))
+      .repartition(1)
+      .write.mode("append").partitionBy("bkt").parquet(s"$idx/postings")
+    // the orphan cannot rank (no dl row) — but df1 now counts it, so
+    // every alpha score shifts off the clean store's
+    val dirty = serveAll(idx)
+    assert(!dirty.exists(_.startsWith("[999999")),
+      "an orphan must never rank")
+    assert(dirty != serveAll(fresh),
+      "the orphan inflates df — scores must visibly differ pre-compact " +
+        "(this is the wound the repair exists for)")
+    Search.searchIndexCompact(spark, idx)
+    assert(serveAll(idx) == serveAll(fresh),
+      "compaction must reclaim the orphan and restore clean-store scores")
+    val ids = spark.read.schema("doc_id BIGINT, term STRING, tf INT, bkt INT")
+      .parquet(s"$idx/postings").select("doc_id")
+      .distinct().as[Long].collect().toSet
+    assert(!ids.contains(999999L), "the orphan row must be physically gone")
+  }
+
   test("a half-swapped compact is DETECTABLE and the documented " +
       "recovery restores serving (the compact-inflight contract)") {
     // simulate the crash window the marker exists for: postings/
