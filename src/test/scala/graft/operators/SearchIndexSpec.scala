@@ -271,6 +271,24 @@ class SearchIndexSpec extends SparkTestBase {
       "empty-write + append must serve like a direct write")
   }
 
+  test("bucket pruning survives the tombstone branch of the serve plan") {
+    // deletes add an anti-join and a stats correction to the plan —
+    // neither may cost the scan its plan-time PartitionFilters (the
+    // 100 TB guarantee); pin the pruned shape on a tombstoned store
+    val idx = tmp()
+    Search.searchIndexWrite(df(corpus), idx)
+    Search.searchIndexDelete(spark, idx, Seq(2L))
+    val plan = Search.searchIndexServe(spark, idx, Seq("alpha", "beta"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).find(_.contains("bkt"))
+    assert(pf.isDefined && pf.get.toLowerCase.contains("in"),
+      s"tombstoned serve must keep the literal bkt partition filter:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      "the term IN-list must still push into the pruned scan")
+  }
+
   test("compact reclaims ORPHANED postings (the append-crash window: " +
       "postings landed, docs did not — df transiently inflated, " +
       "unreachable by delete)") {
