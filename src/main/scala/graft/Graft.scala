@@ -782,6 +782,14 @@ object Graft {
       subDim: Int, coarseK: Int = 50, rrfK: Int = 60, topR: Int = 100,
       topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.functions._
+    // cross-store snapshot guard (r16 verdict): the two stores answer
+    // the SAME corpus, so their corpus-version stamps must agree —
+    // serving a search index that saw a takedown against an ANN index
+    // that didn't would return a half-deleted document's chunks.
+    // Mutate both stores through [[takedown]]/coordinated appends and
+    // the stamps stay aligned; a divergence fails here, loudly.
+    operators.Stores.requireAlignedVersions(df.sparkSession,
+      Seq(annIndexDir, searchIndexDir))
     val lex = searchIndexServe(df.sparkSession, searchIndexDir,
         queryTerms, topK = topR)
       .select(col("doc_id"), col("score"))
@@ -791,6 +799,73 @@ object Graft {
     operators.Search.rrfFuse(Seq(lex, sem), "doc_id", "score", rrfK, topR)
       .orderBy(col("rrf").desc, col("doc_id")).limit(topK)
   }
+
+  // ───────── cross-store coordination (r16 verdict asks #2/#3) ─────────
+
+  /** Store reference types for [[takedown]]: which lifecycle family
+    * owns each directory ([[SearchStore]], [[ChunkSearchStore]] with
+    * its packed-id base, [[DedupStore]], [[AnnStore]]). */
+  type StoreRef = operators.Stores.StoreRef
+  val SearchStore: operators.Stores.SearchStore.type =
+    operators.Stores.SearchStore
+  val ChunkSearchStore: operators.Stores.ChunkSearchStore.type =
+    operators.Stores.ChunkSearchStore
+  val DedupStore: operators.Stores.DedupStore.type =
+    operators.Stores.DedupStore
+  val AnnStore: operators.Stores.AnnStore.type =
+    operators.Stores.AnnStore
+
+  /** A store's corpus-version stamp: mutations applied since its last
+    * rebuild (write ⇒ 0; append / ingested batch / delete ⇒ +1;
+    * compaction never bumps). Stores mutated through the same
+    * coordinated pipeline carry equal stamps — the alignment
+    * [[ragServeDisk]] demands. A pre-stamp store reads 0. See
+    * [[operators.Stores]]. */
+  def storeVersion(spark: SparkSession, indexDir: String): Long =
+    operators.Stores.storeVersion(spark, indexDir)
+
+  /** (store_dir, corpus_version) audit view over many stores. */
+  def storeVersions(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    operators.Stores.storeVersions(spark, dirs)
+
+  /** Apply ONE document's takedown across every store serving the
+    * corpus in one call: doc-level deletes on search/dedup/ANN stores,
+    * packed-range chunk deletes on a chunk-level search store. Each
+    * store's version stamp bumps exactly once, so aligned stores stay
+    * aligned and [[ragServeDisk]] keeps serving; a takedown applied to
+    * only SOME stores diverges the stamps and the composed serve fails
+    * loudly until the takedown is completed. See
+    * [[operators.Stores.takedown]]. */
+  def takedown(spark: SparkSession, docId: Long,
+      stores: Seq[StoreRef]): Unit =
+    operators.Stores.takedown(spark, docId, stores)
+
+  /** EXECUTABLE crash repair for any graft store directory: reads the
+    * `compact-inflight` / scratch / retired / sidecar state, classifies
+    * the crash window (half-swapped compact, marker-present-but-intact,
+    * torn scratch, append orphans, stale stats, replayed ingest
+    * batches), and RUNS the documented recovery — the scaladoc repairs,
+    * as code. Dispatches on the store's own layout; returns a
+    * (check, state, action) report. `execute = false` classifies
+    * without touching the store. See [[operators.Stores.storeFsck]]. */
+  def storeFsck(spark: SparkSession, indexDir: String,
+      execute: Boolean = true): DataFrame =
+    operators.Stores.storeFsck(spark, indexDir, execute)
+
+  /** [[storeFsck]] pinned to a search store. */
+  def searchIndexFsck(spark: SparkSession, indexDir: String,
+      execute: Boolean = true): DataFrame =
+    operators.Stores.searchIndexFsck(spark, indexDir, execute)
+
+  /** [[storeFsck]] pinned to a dedup store. */
+  def dedupIndexFsck(spark: SparkSession, indexDir: String,
+      execute: Boolean = true): DataFrame =
+    operators.Stores.dedupIndexFsck(spark, indexDir, execute)
+
+  /** [[storeFsck]] pinned to an ANN store. */
+  def annIndexFsck(spark: SparkSession, indexDir: String,
+      execute: Boolean = true): DataFrame =
+    operators.Stores.annIndexFsck(spark, indexDir, execute)
 
   /** Shared facade prep for the quantized ANN members: rename/cast to
     * the (vec_id, v, nrm) shape, then attach the int8 absmax codes

@@ -541,7 +541,11 @@ object Search {
       val lex = lexServe
         .select(col("doc_id").as("cid"),
           row_number().over(wb).as("lex_rank"))
-        .select((col("cid") / ChunkIdBase).cast("long").as("doc_id"),
+        // exact INTEGER unpack (r16 advice): `/` on longs is double
+        // division, and past 2^53 the truncating cast could yield
+        // doc_id−1 and silently join the wrong vector id — `div` is
+        // integral on both engines (pmod is already exact)
+        .select(expr(s"cid div ${ChunkIdBase}L").as("doc_id"),
           pmod(col("cid"), lit(ChunkIdBase)).cast("int").as("chunk_idx"),
           col("lex_rank"))
       val wc = Window.orderBy(col("cos_sim").desc, col("vec_id"))
@@ -681,6 +685,9 @@ object Search {
       .repartition(nBuckets, col("bkt"))
       .write.mode("overwrite").partitionBy("bkt")
       .parquet(s"$outDir/postings")
+    // fresh corpus-version stamp (see [[Stores]]): a rebuild starts a
+    // new coordination epoch at 0
+    Stores.writeStoreVersion(s, outDir, 0L)
   }
 
   /** Append a DELTA of docs to an existing index under its frozen
@@ -718,26 +725,40 @@ object Search {
     val s = docs.sparkSession
     val nBuckets = checkSearchManifest(s, indexDir)
     val ws = split(col(textCol), " ")
+    // Pin the delta ONCE (r16 advice): the three derivations below
+    // (stats delta, postings, docs) would otherwise re-evaluate the
+    // caller's frame, and a non-deterministic input (sample/limit, a
+    // re-read mutating source, rand-derived ids) could make the
+    // written rows diverge from the stats delta — silently breaking
+    // the stats ≡ agg(docs/) invariant the serve depends on.
+    // localCheckpoint is eager and O(|delta|), within the append's
+    // cost contract (and it spares the delta plan two re-executions).
+    val pinned = docs.localCheckpoint()
     // one-row reads BEFORE the appends, so a crash mid-append can only
     // leave stats BEHIND the data (under-counting the delta — the
     // documented repair window), never double-counting it
     val old = s.read.parquet(s"$indexDir/stats")
       .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
       .head()
-    val delta = docs
+    val delta = pinned
       .agg(count(lit(1)).cast("long"),
         coalesce(sum(size(ws).cast("long")), lit(0L)))
       .head()
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    pinned.select(col(idCol).cast("long").as("doc_id"),
         explode(ws).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("int").as("tf"))
       .withColumn("bkt",
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
-      .repartition(col("bkt"))
+      // the WRITE's one-file-per-bucket discipline, not a bare column
+      // repartition (r16 verdict): each append lands at most one file
+      // per touched bucket, so ingest fragments accrete per-batch ×
+      // buckets-touched instead of × shuffle.partitions — compaction
+      // still reclaims, but the leak between compacts is bounded
+      .repartition(nBuckets, col("bkt"))
       .write.mode("append").partitionBy("bkt")
       .parquet(s"$indexDir/postings")
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    pinned.select(col(idCol).cast("long").as("doc_id"),
         size(ws).as("dl"))
       .write.mode("append").parquet(s"$indexDir/docs")
     import s.implicits._
@@ -745,6 +766,7 @@ object Search {
         old.getLong(1) + delta.getLong(1)))
       .toDF("n_docs", "sum_dl")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+    Stores.bumpStoreVersion(s, indexDir)
   }
 
   /** LOGICAL delete (takedowns): record (doc_id, dl) tombstones —
@@ -773,6 +795,7 @@ object Search {
     s.read.schema(SearchDocsSchema).parquet(s"$indexDir/docs")
       .join(broadcast(novel), Seq("doc_id"), "left_semi")
       .coalesce(1).write.mode("append").parquet(tombP.toString)
+    Stores.bumpStoreVersion(s, indexDir)
   }
 
   /** The live tombstone set (doc_id, dl) — empty frame when none. */
@@ -793,6 +816,12 @@ object Search {
     * reading exception text (r15 advice on the dedup compact, applied
     * here from birth); between the renames the `*-retired/` dirs hold
     * the complete prior data and the require names the recovery.
+    * Marker-present does NOT by itself mean half-swapped (r16 advice):
+    * a crash between marker creation and the first rename leaves the
+    * store fully intact with marker + scratch present. Which dirs
+    * exist disambiguates the window, and [[Stores.searchIndexFsck]]
+    * reads them and EXECUTES the right repair — operators should run
+    * fsck, not pattern-match this scaladoc mid-incident.
     *
     * Compaction also restores the `postings ⊆ docs` invariant: a
     * crash inside [[searchIndexAppend]]'s window can leave ORPHANED
@@ -1107,8 +1136,13 @@ object Search {
     * chunk count per doc (the fixed C=S=64 chunking yields
     * ~tokens/64 chunks), so packed ids order exactly like
     * (doc_id, chunk_idx) — the property q186's rank-window equality
-    * with q170 rests on. */
+    * with q170 rests on. The packing bounds doc_id: ids must sit in
+    * [0, Long.MaxValue/base ≈ 9.2e12) or doc_id·base overflows Long —
+    * [[chunkCorpus]] enforces the bound per row (r16 advice). */
   private val ChunkIdBase = 1000000L
+
+  /** Exclusive upper bound on packable doc ids (≈ 9.22e12). */
+  private[graft] val MaxChunkDocId = Long.MaxValue / ChunkIdBase
 
   /** The q170/q96 fixed-window chunking (C = S = 64) as an indexable
     * (chunk_id, chunk_text) corpus: the same slice arithmetic as
@@ -1118,7 +1152,19 @@ object Search {
     * single-space joins, empties included). */
   private[operators] def chunkCorpus(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // per-row packability guard: a doc_id at or beyond MaxChunkDocId
+      // would overflow the packed chunk_id silently (wrong ids, wrong
+      // joins) — fail loudly instead. One codegen'd branch per row, no
+      // extra job; negative ids are equally unpackable (pmod would
+      // shift the unpack).
+      .select(
+        when(col("doc_id") >= 0 && col("doc_id") < MaxChunkDocId,
+          col("doc_id"))
+          .otherwise(raise_error(concat(
+            lit("chunkCorpus: doc_id "), col("doc_id").cast("string"),
+            lit(s" not packable — need 0 <= doc_id < $MaxChunkDocId"))))
+          .as("doc_id"),
+        split(col("text"), " ").as("ws"))
       .withColumn("kmax",
         ceil(greatest(size(col("ws")) - 64, lit(0)) / 64.0).cast("int"))
       .select(col("doc_id"),

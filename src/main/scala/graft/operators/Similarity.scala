@@ -730,6 +730,9 @@ object Similarity {
       .repartition(kIvf, col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$outDir/enc")
+    // fresh corpus-version stamp (see [[Stores]]): a rebuild starts a
+    // new coordination epoch at 0
+    Stores.writeStoreVersion(s, outDir, 0L)
   }
 
   /** Append a DELTA of vectors to an existing on-disk index — the
@@ -749,11 +752,17 @@ object Similarity {
     val cents = s.read.parquet(s"$indexDir/cents")
     // k/kIvf parameters are seed-rule knobs — irrelevant under a
     // provided (frozen) model, which is the whole point here
+    // the write's one-file-per-cell discipline (r16 verdict on the
+    // search append, applied to all three stores): repartitioning into
+    // the index's own cell count lands at most one file per touched
+    // cell per append, bounding small-file accretion between compacts
+    val nCells = cents.count().toInt
     pqEncode(delta, m, subDim, k = 1, Some(books))
       .join(ivfAssign(delta, kIvf = 1, Some(cents)), "vec_id")
-      .repartition(col("cell"))
+      .repartition(nCells, col("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/enc")
+    Stores.bumpStoreVersion(s, indexDir)
   }
 
   /** Serve one ANN query from the ON-DISK index: probe the `nprobe`
@@ -1044,6 +1053,7 @@ object Similarity {
     // ids-frame is caller-side tiny; one file per delete batch
     ids.toDF("vec_id").coalesce(1)
       .write.mode("append").parquet(s"$indexDir/tombstones")
+    Stores.bumpStoreVersion(s, indexDir)
   }
 
   /** Compact an on-disk index in place: rewrite `enc/` to ONE file per

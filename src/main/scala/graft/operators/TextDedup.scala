@@ -873,20 +873,22 @@ object TextDedup {
     },
 
     // ── LSH quality audit, production form: exact PRECISION over the
-    //    FULL candidate set (every LSH candidate pair is verified with
-    //    one bounded array_intersect — O(|candidates|), never all-pairs)
-    //    plus RECALL estimated over a deterministic per-source quota
-    //    sample (quota 50 — q144's machinery with a 4× budget; reruns
-    //    and appends never swap picks). The r9 form computed truth over
-    //    the whole corpus — Σ C(df,2) pair rows by definition, the one
-    //    audit shape that cannot run recurrently at 100 TB (112 s in the
-    //    r9 driver bench; the #1 gate liability). This form is the audit
-    //    a production pipeline actually schedules: candidate-bounded
-    //    precision is exact at any scale, and the recall estimator's
-    //    budget is the quota knob. At sf0.001 the quota covers the whole
-    //    corpus, so the full-audit semantics are still pinned by spec.
-    //    Zero-guards as in q144: an empty truth/candidate set yields
-    //    NULL rates, not a division blow-up.
+    //    FULL candidate set plus RECALL estimated over a deterministic
+    //    per-source quota sample (quota 50 — q144's machinery with a 4×
+    //    budget; reruns and appends never swap picks). The r9 form
+    //    computed truth over the whole corpus — Σ C(df,2) pair rows by
+    //    definition, the one audit shape that cannot run recurrently at
+    //    100 TB (112 s in the r9 driver bench; the #1 gate liability).
+    //    Since r17 both legs READ the pipeline's exact verified pair
+    //    set (the jaccard-pairs cache) instead of re-verifying: the
+    //    audit runs beside the dedup pipeline that computes those edges
+    //    anyway, so truth = pair-set ∩ sample² (two broadcast semi
+    //    joins) and per-candidate verification = one membership join —
+    //    no second count-join, no per-pair array_intersect. Identical
+    //    values by the containment argument in the body. At sf0.001 the
+    //    quota covers the whole corpus, so the full-audit semantics are
+    //    still pinned by spec. Zero-guards as in q144: an empty
+    //    truth/candidate set yields NULL rates, not a division blow-up.
     QueryDef(
       "q117_lsh_recall",
       oracleSig +
@@ -921,20 +923,31 @@ object TextDedup {
           |      AS BIGINT) END AS precision_bp
           |FROM hit, tp""".stripMargin) { (s, dir) =>
       val ids = quotaSample(s, dir, 50)
-      // exact truth over the SAMPLE only (the count-join shape of q42,
-      // budget-bounded by construction — worst case the sample's own
-      // all-pairs)
-      val truth = countJoinPairs(docShingles(s, dir).join(broadcast(ids), "doc_id"))
+      // Truth and per-candidate verification both come from the
+      // pipeline's OWN exact pair set (the jaccard-pairs cache q42
+      // publishes and the cluster chain consumes) instead of being
+      // recomputed here — the r16 verdict's ask #1 cut. Soundness: a
+      // true pair (3c ≥ na+nb) always shares ≥1 shingle (c ≥ 1) and
+      // always passes the length-ratio prefilter (3c ≥ na+nb with
+      // c ≤ min(na,nb) forces max ≤ 2·min), so the exact pair set
+      // contains EVERY true pair — sample truth is its restriction to
+      // in-sample endpoints, and a candidate is true iff it appears in
+      // it. The audit this models runs beside the dedup pipeline whose
+      // verified edges exist anyway; a STANDALONE audit (no dedup run)
+      // would instead verify candidates directly against the shingle
+      // arrays — that form is what [[prefixVerifyPairs]] keeps.
+      val pairs = jaccardPairs(s, dir).select("doc_i", "doc_j")
+      val truth = pairs
+        .join(broadcast(ids.select(col("doc_id").as("doc_i"))),
+          Seq("doc_i"), "left_semi")
+        .join(broadcast(ids.select(col("doc_id").as("doc_j"))),
+          Seq("doc_j"), "left_semi")
         .select(col("doc_i"), col("doc_j"), lit(1).as("in_t"))
-      // every candidate verified exactly against the cached shingle
-      // arrays: one join per endpoint + one array_intersect per pair
-      val a = docShingles(s, dir).select(col("doc_id").as("doc_i"), col("sh").as("sh_i"))
-      val b = docShingles(s, dir).select(col("doc_id").as("doc_j"), col("sh").as("sh_j"))
       val cand = lshCandidatePairs(s, dir)
-        .join(a, "doc_i").join(b, "doc_j")
+        .join(pairs.select(col("doc_i"), col("doc_j"),
+          lit(true).as("verified")), Seq("doc_i", "doc_j"), "left")
         .select(col("doc_i"), col("doc_j"), lit(1).as("in_c"),
-          (size(array_intersect(col("sh_i"), col("sh_j"))) * 3 >=
-            size(col("sh_i")) + size(col("sh_j"))).as("is_true"))
+          coalesce(col("verified"), lit(false)).as("is_true"))
       truth.join(cand, Seq("doc_i", "doc_j"), "full")
         .agg(count(col("in_t")).as("n_truth"),
           count(col("in_c")).as("n_cand"),
@@ -1258,6 +1271,9 @@ object TextDedup {
       .repartition(DedupNumBands, col("band"))
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$outDir/bands")
+    // fresh corpus-version stamp (see [[Stores]]): a rebuild starts a
+    // new coordination epoch at 0
+    Stores.writeStoreVersion(s, outDir, 0L)
   }
 
   /** Append a DELTA of docs to an existing store under the frozen
@@ -1274,9 +1290,14 @@ object TextDedup {
     checkDedupManifest(s, indexDir)
     bandsOfSignatures(docs, idCol, textCol)
       .select(col("doc_id"), col("bv"), col("band"))
-      .repartition(col("band"))
+      // the write's one-file-per-band discipline (r16 verdict on the
+      // search append, applied to all three stores): each append lands
+      // at most one file per band, bounding small-file accretion
+      // between compacts
+      .repartition(DedupNumBands, col("band"))
       .write.mode("append").partitionBy("band")
       .parquet(s"$indexDir/bands")
+    Stores.bumpStoreVersion(s, indexDir)
   }
 
   /** Serve admit/reject verdicts for a NEW batch against the on-disk
@@ -1323,6 +1344,7 @@ object TextDedup {
     import s.implicits._
     ids.toDF("doc_id").coalesce(1)
       .write.mode("append").parquet(s"$indexDir/tombstones")
+    Stores.bumpStoreVersion(s, indexDir)
   }
 
   /** Compact in place: rewrite `bands/` to one file per band with

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Graft, SparkTestBase}
+
+/** Pins the CROSS-store coordination layer (r16 verdict asks #2/#3):
+  * corpus-version stamps (write 0, mutations +1, compaction never),
+  * the aligned-versions precondition on the composed RAG serve (a
+  * takedown applied to one store but not the other must fail LOUDLY,
+  * not serve a half-deleted document's chunks), and the one-call
+  * [[Stores.takedown]] across all four store kinds. */
+class StoreCoordinationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-storecoord").toString
+
+  /** Six docs with 4-dim embeddings; vec ids = doc ids; doc/vec 0 is
+    * the query side for the RAG serve. Texts are ≥3 tokens (the dedup
+    * banding's shingle minimum) and the query terms 'alpha beta' hit
+    * docs 0/2/3/4. */
+  private val corpus = Seq(
+    (0L, "alpha beta gamma delta", Seq(1.0, 0.0, 0.0, 1.0)),
+    (1L, "gamma delta epsilon zeta", Seq(-9.0, -9.0, -9.0, -8.0)),
+    (2L, "alpha alpha beta zeta", Seq(8.0, 8.0, 8.0, 9.0)),
+    (3L, "beta gamma alpha eta", Seq(2.0, 1.0, 0.0, 2.0)),
+    (4L, "alpha beta beta theta", Seq(7.0, 8.0, 9.0, 8.0)),
+    (5L, "gamma epsilon zeta iota", Seq(-8.0, -9.0, -8.0, -9.0)))
+
+  private def full = corpus.toDF("doc_id", "text", "emb")
+  private def docsDf = full.select("doc_id", "text")
+  private val terms = Seq("alpha", "beta")
+
+  test("version stamps: write is epoch 0; append and delete bump by " +
+      "one; compact never bumps; a rebuild resets") {
+    val idx = tmp()
+    val (a, b) = corpus.splitAt(4)
+    Search.searchIndexWrite(a.toDF("doc_id", "text", "emb")
+      .select("doc_id", "text"), idx)
+    assert(Graft.storeVersion(spark, idx) == 0L, "write starts at 0")
+    Search.searchIndexAppend(b.toDF("doc_id", "text", "emb")
+      .select("doc_id", "text"), idx)
+    assert(Graft.storeVersion(spark, idx) == 1L, "append bumps")
+    Search.searchIndexDelete(spark, idx, Seq(5L))
+    assert(Graft.storeVersion(spark, idx) == 2L, "delete bumps")
+    Search.searchIndexCompact(spark, idx)
+    assert(Graft.storeVersion(spark, idx) == 2L,
+      "compaction is physical housekeeping, not a corpus mutation")
+    Search.searchIndexWrite(docsDf, idx)
+    assert(Graft.storeVersion(spark, idx) == 0L,
+      "a rebuild starts a new coordination epoch")
+  }
+
+  test("a pre-stamp store reads version 0 and aligns with a fresh " +
+      "rebuild") {
+    val idx = tmp()
+    TextDedup.dedupIndexWrite(docsDf, idx)
+    // simulate a store written before the stamp existed
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$idx/version"))
+    assert(Graft.storeVersion(spark, idx) == 0L,
+      "legacy stores read 0 — the same epoch a fresh write records")
+    assert(Stores.requireAlignedVersions(spark, Seq(idx, idx)) == 0L)
+  }
+
+  test("requireAlignedVersions names every diverged store loudly") {
+    val a = tmp(); val b = tmp()
+    TextDedup.dedupIndexWrite(docsDf, a)
+    TextDedup.dedupIndexWrite(docsDf, b)
+    assert(Stores.requireAlignedVersions(spark, Seq(a, b)) == 0L)
+    TextDedup.dedupIndexDelete(spark, b, Seq(5L))
+    val e = intercept[IllegalStateException](
+      Stores.requireAlignedVersions(spark, Seq(a, b)))
+    assert(e.getMessage.contains("diverge")
+        && e.getMessage.contains(s"$a@v0")
+        && e.getMessage.contains(s"$b@v1"),
+      s"the error must name each store and its version: ${e.getMessage}")
+  }
+
+  test("ragServeDisk refuses mixed-version stores, serves aligned " +
+      "ones, and never returns a fully-taken-down doc") {
+    val ann = tmp(); val search = tmp()
+    Graft.annIndexWrite(full, "doc_id", "emb", ann,
+      kIvf = 2, m = 2, subDim = 2, k = 3)
+    Graft.searchIndexWrite(docsDf, search)
+    def serve() = Graft.ragServeDisk(full, "doc_id", "emb", ann, search,
+        terms, queryId = 0L, nprobe = 2, m = 2, subDim = 2,
+        coarseK = 50).select("doc_id").as[Long].collect().toSet
+    val before = serve()
+    assert(before.contains(4L),
+      s"doc 4 matches both legs and must fuse before its takedown: $before")
+    // the mixed-version window: the takedown reached the search store
+    // only — the composed serve must fail LOUDLY, not half-serve
+    Graft.searchIndexDelete(spark, search, Seq(4L))
+    val e = intercept[IllegalStateException](serve())
+    assert(e.getMessage.contains("diverge"),
+      s"mixed-version serve must name the divergence: ${e.getMessage}")
+    // completing the takedown re-aligns the stamps and the doc is gone
+    Graft.annIndexDelete(spark, ann, Seq(4L))
+    val after = serve()
+    assert(after.nonEmpty && !after.contains(4L),
+      s"after the completed takedown doc 4 must never fuse: $after")
+  }
+
+  test("one-call takedown reaches all four store kinds and keeps " +
+      "their stamps aligned") {
+    val search = tmp(); val chunk = tmp(); val dedup = tmp(); val ann = tmp()
+    Search.searchIndexWrite(docsDf, search)
+    Search.searchIndexWrite(Search.chunkCorpus(docsDf), chunk,
+      idCol = "chunk_id", textCol = "chunk_text")
+    TextDedup.dedupIndexWrite(docsDf, dedup)
+    Graft.annIndexWrite(full, "doc_id", "emb", ann,
+      kIvf = 2, m = 2, subDim = 2, k = 3)
+    Graft.takedown(spark, 2L, Seq(
+      Graft.SearchStore(search), Graft.ChunkSearchStore(chunk),
+      Graft.DedupStore(dedup), Graft.AnnStore(ann)))
+    // search: doc 2 matches 'alpha' but must never serve again
+    val hits = Search.searchIndexServe(spark, search, terms, topK = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.nonEmpty && !hits.contains(2L),
+      s"doc 2 must be tombstoned out of the doc-level serve: $hits")
+    // chunk store: none of doc 2's packed chunk ids may serve
+    val chunkHits = Search.searchIndexServe(spark, chunk, terms,
+        topK = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(chunkHits.nonEmpty &&
+      !chunkHits.exists(id => id >= 2000000L && id < 3000000L),
+      s"doc 2's packed chunks must be tombstoned: $chunkHits")
+    // dedup: a byte-identical clone of doc 2 now ADMITS
+    val verdicts = TextDedup.dedupIndexServe(
+        Seq((100L, corpus(2)._2)).toDF("doc_id", "text"), dedup)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(verdicts(100L) == "admit",
+      s"a clone of the taken-down doc must admit: $verdicts")
+    // ANN: doc 2's vector never surfaces for a nearby query (doc 4 is
+    // in the same +8 halo)
+    val annHits = Graft.annIndexServe(full, "doc_id", "emb", ann,
+        queryId = 4L, nprobe = 2, m = 2, subDim = 2, coarseK = 50,
+        topK = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(annHits.nonEmpty && !annHits.contains(2L),
+      s"doc 2's vector must be tombstoned out of the ANN serve: $annHits")
+    // and every stamp bumped exactly once — still aligned
+    val vs = Seq(search, chunk, dedup, ann)
+      .map(d => Graft.storeVersion(spark, d))
+    assert(vs == Seq(1L, 1L, 1L, 1L),
+      s"takedown must bump each store exactly once: $vs")
+  }
+
+  test("takedown of an id absent everywhere still bumps every store — " +
+      "alignment is preserved for the composed serve") {
+    val search = tmp(); val chunk = tmp()
+    Search.searchIndexWrite(docsDf, search)
+    Search.searchIndexWrite(Search.chunkCorpus(docsDf), chunk,
+      idCol = "chunk_id", textCol = "chunk_text")
+    Graft.takedown(spark, 999L,
+      Seq(Graft.SearchStore(search), Graft.ChunkSearchStore(chunk)))
+    val vs = Seq(search, chunk).map(d => Graft.storeVersion(spark, d))
+    assert(vs == Seq(1L, 1L),
+      s"an absent-id takedown must still bump both stamps: $vs")
+    assert(Stores.requireAlignedVersions(spark, Seq(search, chunk)) == 1L)
+  }
+}

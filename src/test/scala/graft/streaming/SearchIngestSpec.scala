@@ -78,6 +78,18 @@ class SearchIngestSpec extends SparkTestBase {
     assert(perDoc.keySet == all.map(_._1).toSet &&
       perDoc.values.forall(_ == 1L),
       s"each doc must carry exactly one length row: $perDoc")
+    // one-file-per-touched-bucket append discipline (r16 verdict #4):
+    // the write lands one file per bucket and each committed batch adds
+    // at most one more per bucket it touches — never shuffle.partitions
+    // many — so ingest fragmentation grows ≤ batches, not × partitions
+    val bktFiles = new java.io.File(s"$idx/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(bktFiles.nonEmpty &&
+      bktFiles.values.forall(n => n >= 1 && n <= 3),
+      s"per-bucket file count must grow <= 1 per committed batch " +
+        s"(write + 2 batches => <= 3): $bktFiles")
     // the ingested index serves exactly like a one-shot rebuild
     val rebuilt = tmp()
     Search.searchIndexWrite(docsDf(all), rebuilt, nBuckets = 4)
