@@ -109,7 +109,7 @@ object Bench {
     "dup-cc" -> "q173_cluster_rep",
     "ivf-cell" -> "q179_ivfpq_ann",
     "ivf-cent" -> "q179_ivfpq_ann",
-    "jaccard-pairs" -> "q173_cluster_rep",
+    "jaccard-pairs" -> "q117_lsh_recall",
     "lsh-audit-sample" -> "q117_lsh_recall",
     "lsh-cand" -> "q117_lsh_recall",
     "minhash-sig" -> "q117_lsh_recall",
@@ -322,7 +322,14 @@ object Bench {
       case "sorted" => sortedQ
       case "reverse" => sortedQ.reverse
       case s if s == "shuffled" || s.startsWith("shuffled:") =>
-        val seed = s.split(":", 2).lift(1).map(_.toLong).getOrElse(16L)
+        // guarded parse: a malformed seed gets the same descriptive
+        // error as an unknown order value, not a bare NumberFormat
+        val seed = s.split(":", 2).lift(1) match {
+          case None => 16L
+          case Some(raw) => scala.util.Try(raw.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              s"SPARK_GRAFT_BENCH_ORDER='$s' — want sorted|reverse|shuffled[:seed]"))
+        }
         new scala.util.Random(seed).shuffle(sortedQ)
       case other => throw new IllegalArgumentException(
         s"SPARK_GRAFT_BENCH_ORDER='$other' — want sorted|reverse|shuffled[:seed]")

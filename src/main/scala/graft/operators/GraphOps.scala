@@ -47,7 +47,11 @@ object GraphOps {
     // (ranks stay lazy — they change every round, the structure doesn't).
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
       .localCheckpoint()
-    val ed = deg.join(edges, "src").localCheckpoint()
+    // The iterated edge list needs ONLY (src, dst): the per-node divide
+    // already folds the degree into `c`, so joining deg here (the old
+    // shape) materialized an unused `d` per EDGE and paid an extra |E|
+    // join at build time — r16 verdict ask #1, cut as pure waste.
+    val ed = edges.select("src", "dst").localCheckpoint()
     var r: DataFrame = deg.select(col("src").as("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       // divide once per NODE (floor(r/d) is constant across a node's out-
