@@ -840,6 +840,13 @@ object Graft {
       stores: Seq[StoreRef]): Unit =
     operators.Stores.takedown(spark, docId, stores)
 
+  /** Batch [[takedown]]: apply a WHOLE takedown batch as one delete —
+    * one tombstone write, exactly one version bump — per store,
+    * regardless of batch size. See [[operators.Stores.takedownAll]]. */
+  def takedownAll(spark: SparkSession, docIds: Seq[Long],
+      stores: Seq[StoreRef]): Unit =
+    operators.Stores.takedownAll(spark, docIds, stores)
+
   /** EXECUTABLE crash repair for any graft store directory: reads the
     * `compact-inflight` / scratch / retired / sidecar state, classifies
     * the crash window (half-swapped compact, marker-present-but-intact,

@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   *
   * Two concerns live here because they are inherently CROSS-store:
   *
-  *  1. '''Corpus-version stamps.''' Each store carries a one-row
-  *     `version/` sidecar counting the corpus mutations applied since
+  *  1. '''Corpus-version stamps.''' Each store carries a one-line
+  *     `corpus-version` sidecar file counting the mutations applied since
   *     its last rebuild (write ⇒ 0; every append / ingested batch /
   *     delete ⇒ +1; compaction is physical housekeeping, not a corpus
   *     change, and does not bump). Stores fed by the same coordinated
@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   *     between a mutation and its bump leaves the stamp one behind
   *     (the repair is the same takedown/append re-run the mutation
   *     itself needs, which restores both). A pre-stamp store (no
-  *     `version/` sidecar) reads 0, aligning with fresh rebuilds.
+  *     `corpus-version` file) reads 0, aligning with fresh rebuilds.
   *
   *  2. '''Executable crash repair''' ([[storeFsck]] and the per-store
   *     fscks): every crash window in the three stores' lifecycle
@@ -43,25 +43,51 @@ import org.apache.spark.sql.functions._
   */
 object Stores {
 
-  private val VersionSchema = "corpus_version BIGINT"
-
   private def fsOf(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** A store's corpus-version stamp; 0 for a pre-stamp store. */
+  /** A store's corpus-version stamp; 0 for a pre-stamp store. The
+    * stamp is a RAW one-line text sidecar file (`corpus-version`),
+    * deliberately not a parquet dataset: every mutation reads and
+    * rewrites it, and at a Spark-job-per-access cost the stamp would
+    * tax every append/delete/ingest batch with two scheduler
+    * round-trips for one long — a pure driver-side metadata op stays a
+    * filesystem op (measured: the parquet form added ~0.2–0.4 s per
+    * mutation to the metered disk-store queries). */
   private[graft] def storeVersion(s: SparkSession, dir: String): Long = {
-    val p = new Path(s"$dir/version")
-    if (!fsOf(s, p).exists(p)) 0L
-    else s.read.schema(VersionSchema).parquet(p.toString).head().getLong(0)
+    val p = new Path(s"$dir/corpus-version")
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try {
+        val raw = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        raw.toLong
+      } finally in.close()
+    }
   }
 
   /** Overwrite a store's stamp (writes call this with 0 — a rebuild
-    * starts a new coordination epoch). */
+    * starts a new coordination epoch). Temp-write + rename keeps the
+    * swap atomic on any Hadoop filesystem; the instant between the
+    * delete and the rename reads 0, which can only UNDER-state the
+    * version — a crashed bump therefore reads as a divergence (loud)
+    * for a composed serve, never as a false alignment, unless every
+    * peer store crashed inside the same instant (the re-run of the
+    * interrupted mutation restores all stamps either way). */
   private[graft] def writeStoreVersion(s: SparkSession, dir: String,
       v: Long): Unit = {
-    import s.implicits._
-    Seq(v).toDF("corpus_version").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/version")
+    val p = new Path(s"$dir/corpus-version")
+    val tmp = new Path(s"$dir/corpus-version-tmp")
+    val fs = fsOf(s, p)
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"writeStoreVersion: rename failed for $dir/corpus-version")
   }
 
   /** version := version + 1 — every corpus MUTATION (append, ingested
@@ -130,26 +156,37 @@ object Stores {
     * exactly what makes the composed serve fail LOUDLY until the
     * takedown is re-run to completion. */
   private[graft] def takedown(s: SparkSession, docId: Long,
+      stores: Seq[StoreRef]): Unit = takedownAll(s, Seq(docId), stores)
+
+  /** The batch form of [[takedown]] — takedowns arrive in batches in
+    * practice, and applying the WHOLE batch as one delete per store
+    * costs one tombstone write + exactly ONE version bump per store
+    * regardless of batch size (a per-doc loop would bump |batch| times
+    * and write |batch| tombstone files). Same alignment and crash
+    * contract as the single-doc form. */
+  private[graft] def takedownAll(s: SparkSession, docIds: Seq[Long],
       stores: Seq[StoreRef]): Unit = {
     require(stores.nonEmpty, "takedown: no stores given")
+    require(docIds.nonEmpty, "takedown: no doc ids given")
     stores.foreach {
       case SearchStore(dir) =>
-        Search.searchIndexDelete(s, dir, Seq(docId))
+        Search.searchIndexDelete(s, dir, docIds)
       case DedupStore(dir) =>
-        TextDedup.dedupIndexDelete(s, dir, Seq(docId))
+        TextDedup.dedupIndexDelete(s, dir, docIds)
       case AnnStore(dir) =>
-        Similarity.ivfPqIndexDelete(s, dir, Seq(docId))
+        Similarity.ivfPqIndexDelete(s, dir, docIds)
       case ChunkSearchStore(dir, base) =>
-        require(base > 0 && docId >= 0 && docId < Long.MaxValue / base,
-          s"takedown: doc_id $docId not packable under chunkIdBase $base")
-        // the doc's chunks occupy the contiguous packed-id range
-        // [docId·base, (docId+1)·base): resolve the LIVE ids from the
-        // docs sidecar (bounded by chunks-per-doc, a driver-side list
-        // the delete API takes anyway)
+        require(base > 0, s"takedown: chunkIdBase $base must be positive")
+        docIds.foreach(id => require(id >= 0 && id < Long.MaxValue / base,
+          s"takedown: doc_id $id not packable under chunkIdBase $base"))
+        // each doc's chunks occupy the contiguous packed-id range
+        // [docId·base, (docId+1)·base): resolve the LIVE ids of the
+        // whole batch from the docs sidecar in one scan (bounded by
+        // |batch|·chunks-per-doc, a driver-side list the delete API
+        // takes anyway); `div` keeps the unpack exact-integer
         val ids = s.read.schema("doc_id BIGINT")
           .parquet(s"$dir/docs")
-          .filter(col("doc_id") >= docId * base
-            && col("doc_id") < (docId + 1) * base)
+          .filter(expr(s"doc_id div ${base}L").isInCollection(docIds))
           .select("doc_id").distinct()
           .collect().map(_.getLong(0)).toSeq
         if (ids.nonEmpty) Search.searchIndexDelete(s, dir, ids)

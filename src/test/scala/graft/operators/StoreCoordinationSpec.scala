@@ -57,11 +57,7 @@ class StoreCoordinationSpec extends SparkTestBase {
     val idx = tmp()
     TextDedup.dedupIndexWrite(docsDf, idx)
     // simulate a store written before the stamp existed
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
-    rmrf(new java.io.File(s"$idx/version"))
+    new java.io.File(s"$idx/corpus-version").delete()
     assert(Graft.storeVersion(spark, idx) == 0L,
       "legacy stores read 0 — the same epoch a fresh write records")
     assert(Stores.requireAlignedVersions(spark, Seq(idx, idx)) == 0L)
@@ -149,6 +145,37 @@ class StoreCoordinationSpec extends SparkTestBase {
       .map(d => Graft.storeVersion(spark, d))
     assert(vs == Seq(1L, 1L, 1L, 1L),
       s"takedown must bump each store exactly once: $vs")
+  }
+
+  test("batch takedown applies the whole batch as ONE delete per " +
+      "store — one version bump regardless of batch size") {
+    val search = tmp(); val chunk = tmp(); val dedup = tmp(); val ann = tmp()
+    Search.searchIndexWrite(docsDf, search)
+    Search.searchIndexWrite(Search.chunkCorpus(docsDf), chunk,
+      idCol = "chunk_id", textCol = "chunk_text")
+    TextDedup.dedupIndexWrite(docsDf, dedup)
+    Graft.annIndexWrite(full, "doc_id", "emb", ann,
+      kIvf = 2, m = 2, subDim = 2, k = 3)
+    Graft.takedownAll(spark, Seq(2L, 4L), Seq(
+      Graft.SearchStore(search), Graft.ChunkSearchStore(chunk),
+      Graft.DedupStore(dedup), Graft.AnnStore(ann)))
+    val vs = Seq(search, chunk, dedup, ann)
+      .map(d => Graft.storeVersion(spark, d))
+    assert(vs == Seq(1L, 1L, 1L, 1L),
+      s"a 2-doc batch must bump each store exactly ONCE: $vs")
+    // both docs gone from the doc-level serve; survivors still serve
+    val hits = Search.searchIndexServe(spark, search, terms, topK = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.nonEmpty && !hits.contains(2L) && !hits.contains(4L),
+      s"both batch members must be tombstoned: $hits")
+    // chunk store: neither doc's packed ranges may serve
+    val chunkHits = Search.searchIndexServe(spark, chunk, terms,
+        topK = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(chunkHits.nonEmpty && !chunkHits.exists(id =>
+        (id >= 2000000L && id < 3000000L)
+          || (id >= 4000000L && id < 5000000L)),
+      s"both docs' packed chunks must be tombstoned: $chunkHits")
   }
 
   test("takedown of an id absent everywhere still bumps every store — " +
