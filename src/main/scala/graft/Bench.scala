@@ -21,6 +21,7 @@ object Bench {
     "q134_session_cooccurrence" -> Seq("sess-cooc"),
     "q144_lsh_recall_sampled" -> Seq("lsh-audit-sample"),
     "q146_winnow_pairs" -> Seq("winnow-fp"),
+    "q164_nb_source" -> Seq("nb-cst"),
     "q165_dsir_select" -> Seq("dsir-lm", "dsir-scored"),
     "q167_kmv_overlap" -> Seq("source-vocab"),
     "q171_phash_pairs" -> Seq("phash"),
@@ -113,6 +114,7 @@ object Bench {
     "lsh-audit-sample" -> "q117_lsh_recall",
     "lsh-cand" -> "q117_lsh_recall",
     "minhash-sig" -> "q117_lsh_recall",
+    "nb-cst" -> "q164_nb_source",
     "phash" -> "q171_phash_pairs",
     "pq-book" -> "q178_pq_ann",
     "pq-enc" -> "q178_pq_ann",

@@ -756,14 +756,24 @@ object Curation {
         |WHERE a.rn = 1 ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
       val tf = Search.unigramTf(s, dir)
       val lab = T(s, dir, "documents").select(col("doc_id"), col("source"))
-      val cst = tf.join(lab, "doc_id")
-        .groupBy(col("source").as("lbl"), col("w"))
-        .agg(sum("tf").as("c"))
+      // The model frame is registry-cached (r17): tot's old plan
+      // re-evaluated cst's full lineage — a SECOND corpus-sized shuffle
+      // of the cached tf frame — and vv re-distincted tf when cst's own
+      // word set is the same set (every tf row inner-joins exactly one
+      // lab row, NULL sources group rather than drop, so
+      // distinct-w(cst) = distinct-w(tf)). One build, and the two
+      // vocab×K-sized reductions read the vocab×K cache instead of the
+      // corpus. Same open-vocab caveat as dsir-lm.
+      val cst = graft.CacheRegistry.cached(s, s"nb-cst:$dir") {
+        tf.join(lab, "doc_id")
+          .groupBy(col("source").as("lbl"), col("w"))
+          .agg(sum("tf").as("c"))
+      }
       val tot = cst.groupBy("lbl").agg(sum("c").as("tt"))
       val pri = lab.groupBy(col("source").as("lbl"))
         .agg(count(lit(1)).as("nd"))
       val nn = lab.agg(count(lit(1)).as("n"))
-      val vv = tf.agg(countDistinct("w").as("vsz"))
+      val vv = cst.agg(countDistinct("w").as("vsz"))
       val sc = tf
         .crossJoin(broadcast(tot))
         .join(lmHint(s, dir, cst), Seq("lbl", "w"), "left")
@@ -855,23 +865,23 @@ object Curation {
       }
       val pool = withSrc.filter(col("source") =!= "src0")
         .select(col("doc_id"), col("w"), col("tf"))
-      val tt = lm.agg(sum("ct").as("t"))
-      val ta = lm.agg(sum("ca").as("a"))
-      // vocab size = lm's row count: lm groups the FULL corpus by word
-      // (withSrc keeps every doc — the conditional sums do the source
-      // split, not a filter), so this equals the oracle's
-      // count(DISTINCT w) over all tokens INCLUDING words unique to
-      // NULL-source docs, and reads the tiny cached lm frame instead of
-      // re-distincting the corpus-sized tf frame
-      val vv = lm.agg(count(lit(1)).as("vsz"))
+      // BOTH grand totals and the vocab size in ONE one-row aggregate
+      // over the cached lm frame (r17: the old tt/ta/vv triple scanned
+      // the cache three times and rode three broadcast exchanges where
+      // one suffices). vocab size = lm's row count: lm groups the FULL
+      // corpus by word (withSrc keeps every doc — the conditional sums
+      // do the source split, not a filter), so count(1) equals the
+      // oracle's count(DISTINCT w) over all tokens INCLUDING words
+      // unique to NULL-source docs, without re-distincting the
+      // corpus-sized tf frame
+      val gl = lm.agg(sum("ct").as("t"), sum("ca").as("a"),
+        count(lit(1)).as("vsz"))
       // one broadcast join brings BOTH models: every pool word is in lm
       // with non-NULL ca (pool rows fed its sum), so the inner join
       // keeps exactly the rows the old left-tgt + inner-bg pair kept
       val sc = pool
         .join(lmHint(s, dir, lm), "w")
-        .crossJoin(broadcast(tt))
-        .crossJoin(broadcast(ta))
-        .crossJoin(broadcast(vv))
+        .crossJoin(broadcast(gl))
         .groupBy("doc_id")
         .agg(sum("tf").as("n_words"),
           round(sum(col("tf") * log((coalesce(col("ct"), lit(0L)) + lit(1.0))
