@@ -830,11 +830,14 @@ object Graft {
 
   /** Apply ONE document's takedown across every store serving the
     * corpus in one call: doc-level deletes on search/dedup/ANN stores,
-    * packed-range chunk deletes on a chunk-level search store. Each
-    * store's version stamp bumps exactly once, so aligned stores stay
-    * aligned and [[ragServeDisk]] keeps serving; a takedown applied to
-    * only SOME stores diverges the stamps and the composed serve fails
-    * loudly until the takedown is completed. See
+    * packed-range chunk deletes on a chunk-level search store. Every
+    * store lands on the SAME stamp (target = max(stamps) + 1, set
+    * after each store's delete), so aligned stores stay aligned and
+    * [[ragServeDisk]] keeps serving; a takedown applied to only SOME
+    * stores (a crash mid-list) diverges the stamps and the composed
+    * serve fails loudly — and RE-RUNNING the same takedown against the
+    * same store list CONVERGES: re-deletes are no-ops and all stores
+    * land on the new common target. See
     * [[operators.Stores.takedown]]. */
   def takedown(spark: SparkSession, docId: Long,
       stores: Seq[StoreRef]): Unit =

@@ -143,54 +143,67 @@ object Stores {
     * corpus, in one call — the cross-store twin of the per-store
     * deletes, closing the window where a takedown reaches the search
     * index but not the ANN index and the composed RAG serve keeps
-    * returning the document's chunks. Each store's corpus-version
-    * stamp bumps EXACTLY once (the per-store delete bumps; a store
-    * with nothing to delete — id absent, or chunk store with no live
-    * chunks — bumps explicitly), so stores that were aligned before
-    * the takedown are aligned after it, and
-    * [[requireAlignedVersions]] keeps gating the composed serve.
-    * Idempotent per store (re-deletes are tombstone no-ops) but each
-    * call bumps versions — re-run a takedown against ALL stores, not
-    * one. Crash honesty: per-store deletes are not atomic across
-    * stores; a crash mid-list leaves versions diverged, which is
-    * exactly what makes the composed serve fail LOUDLY until the
-    * takedown is re-run to completion. */
+    * returning the document's chunks. Each store lands on the SAME
+    * stamp (see [[takedownAll]] for the convergence rule), so stores
+    * that were aligned before the takedown are aligned after it, and
+    * [[requireAlignedVersions]] keeps gating the composed serve. */
   private[graft] def takedown(s: SparkSession, docId: Long,
       stores: Seq[StoreRef]): Unit = takedownAll(s, Seq(docId), stores)
 
   /** The batch form of [[takedown]] — takedowns arrive in batches in
     * practice, and applying the WHOLE batch as one delete per store
-    * costs one tombstone write + exactly ONE version bump per store
+    * costs one tombstone write + exactly one stamp write per store
     * regardless of batch size (a per-doc loop would bump |batch| times
-    * and write |batch| tombstone files). Same alignment and crash
-    * contract as the single-doc form. */
+    * and write |batch| tombstone files).
+    *
+    * '''Crash contract — re-running CONVERGES.''' Per-store deletes
+    * are not atomic across stores; a crash mid-list leaves completed
+    * stores ahead of untouched ones, which is exactly what makes the
+    * composed serve fail LOUDLY until the takedown is completed. The
+    * repair is: re-run the same takedown against the same store list.
+    * That converges because the target stamp is computed ONCE up
+    * front as max(current stamps) + 1 and every store is SET to it
+    * after its delete (the per-store delete's own +1 bump is
+    * overwritten) — a naive increment-per-store would instead keep
+    * the crashed run's completed stores permanently one ahead, and no
+    * number of re-runs could ever re-align them. Re-deleting already
+    * tombstoned ids is a no-op in every store family, so the re-run's
+    * extra deletes cost nothing and change nothing. The same rule
+    * makes takedown self-healing for stores that diverged for OTHER
+    * reasons: all land on the same target. */
   private[graft] def takedownAll(s: SparkSession, docIds: Seq[Long],
       stores: Seq[StoreRef]): Unit = {
     require(stores.nonEmpty, "takedown: no stores given")
     require(docIds.nonEmpty, "takedown: no doc ids given")
-    stores.foreach {
-      case SearchStore(dir) =>
-        Search.searchIndexDelete(s, dir, docIds)
-      case DedupStore(dir) =>
-        TextDedup.dedupIndexDelete(s, dir, docIds)
-      case AnnStore(dir) =>
-        Similarity.ivfPqIndexDelete(s, dir, docIds)
-      case ChunkSearchStore(dir, base) =>
-        require(base > 0, s"takedown: chunkIdBase $base must be positive")
-        docIds.foreach(id => require(id >= 0 && id < Long.MaxValue / base,
-          s"takedown: doc_id $id not packable under chunkIdBase $base"))
-        // each doc's chunks occupy the contiguous packed-id range
-        // [docId·base, (docId+1)·base): resolve the LIVE ids of the
-        // whole batch from the docs sidecar in one scan (bounded by
-        // |batch|·chunks-per-doc, a driver-side list the delete API
-        // takes anyway); `div` keeps the unpack exact-integer
-        val ids = s.read.schema("doc_id BIGINT")
-          .parquet(s"$dir/docs")
-          .filter(expr(s"doc_id div ${base}L").isInCollection(docIds))
-          .select("doc_id").distinct()
-          .collect().map(_.getLong(0)).toSeq
-        if (ids.nonEmpty) Search.searchIndexDelete(s, dir, ids)
-        else bumpStoreVersion(s, dir) // keep the stamp aligned
+    val target = stores.map(r => storeVersion(s, r.dir)).max + 1
+    stores.foreach { ref =>
+      ref match {
+        case SearchStore(dir) =>
+          Search.searchIndexDelete(s, dir, docIds)
+        case DedupStore(dir) =>
+          TextDedup.dedupIndexDelete(s, dir, docIds)
+        case AnnStore(dir) =>
+          Similarity.ivfPqIndexDelete(s, dir, docIds)
+        case ChunkSearchStore(dir, base) =>
+          require(base > 0, s"takedown: chunkIdBase $base must be positive")
+          docIds.foreach(id => require(id >= 0 && id < Long.MaxValue / base,
+            s"takedown: doc_id $id not packable under chunkIdBase $base"))
+          // each doc's chunks occupy the contiguous packed-id range
+          // [docId·base, (docId+1)·base): resolve the LIVE ids of the
+          // whole batch from the docs sidecar in one scan (bounded by
+          // |batch|·chunks-per-doc, a driver-side list the delete API
+          // takes anyway); `div` keeps the unpack exact-integer
+          val ids = s.read.schema("doc_id BIGINT")
+            .parquet(s"$dir/docs")
+            .filter(expr(s"doc_id div ${base}L").isInCollection(docIds))
+            .select("doc_id").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          if (ids.nonEmpty) Search.searchIndexDelete(s, dir, ids)
+      }
+      // convergent stamp: SET to the pre-computed target (overwriting
+      // the delete's internal +1), so a crashed run's re-run aligns
+      // every store instead of chasing an ever-moving increment
+      writeStoreVersion(s, ref.dir, target)
     }
   }
 

@@ -178,6 +178,39 @@ class StoreCoordinationSpec extends SparkTestBase {
       s"both docs' packed chunks must be tombstoned: $chunkHits")
   }
 
+  test("a crashed takedown RE-RUN converges the stamps (the repair " +
+      "the crash contract names actually terminates)") {
+    val search = tmp(); val dedup = tmp(); val ann = tmp()
+    Search.searchIndexWrite(docsDf, search)
+    TextDedup.dedupIndexWrite(docsDf, dedup)
+    Graft.annIndexWrite(full, "doc_id", "emb", ann,
+      kIvf = 2, m = 2, subDim = 2, k = 3)
+    val all = Seq(Graft.SearchStore(search), Graft.DedupStore(dedup),
+      Graft.AnnStore(ann))
+    // simulate the crash window: the takedown completed the first TWO
+    // stores and died before the third — exactly the state a mid-list
+    // crash leaves (completed stores stamped ahead, the rest untouched)
+    Graft.takedownAll(spark, Seq(4L), all.take(2))
+    assert(Seq(search, dedup, ann).map(Graft.storeVersion(spark, _))
+      == Seq(1L, 1L, 0L), "the crash leaves a diverged tail")
+    intercept[IllegalStateException](
+      Stores.requireAlignedVersions(spark, Seq(search, dedup, ann)))
+    // the documented repair: re-run the SAME takedown against the SAME
+    // full store list. A bump-per-store scheme would leave the two
+    // completed stores permanently ahead (2,2,1 — still diverged, and
+    // diverged after every further re-run); the max+1 target converges.
+    Graft.takedownAll(spark, Seq(4L), all)
+    assert(Stores.requireAlignedVersions(
+      spark, Seq(search, dedup, ann)) == 2L,
+      "one re-run must align every store on the common target")
+    // and the re-run's re-deletes changed nothing: doc 4 is gone, the
+    // survivors still serve
+    val hits = Search.searchIndexServe(spark, search, terms, topK = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.nonEmpty && !hits.contains(4L),
+      s"doc 4 must stay tombstoned through the re-run: $hits")
+  }
+
   test("takedown of an id absent everywhere still bumps every store — " +
       "alignment is preserved for the composed serve") {
     val search = tmp(); val chunk = tmp()
