@@ -850,6 +850,24 @@ object Graft {
       stores: Seq[StoreRef]): Unit =
     operators.Stores.takedownAll(spark, docIds, stores)
 
+  /** Coordinated IDEMPOTENT append: apply one named delta batch of
+    * documents across every store serving the corpus — doc-level
+    * search, chunk-level search (chunked + packed here), dedup bands,
+    * ANN encodings (geometry read from the store's own manifest) —
+    * guarded per store by the same batch-id ledger streaming ingest
+    * uses. A crash mid-list diverges the stamps (the composed serve
+    * fails loudly); RE-RUNNING the same batch id against the same
+    * store list converges: completed stores' ledger markers skip the
+    * re-append (no duplicate ids), the rest append, and all land on
+    * the common target stamp. With [[takedownAll]] this makes the
+    * whole cross-store mutation surface crash-recoverable by re-run.
+    * See [[operators.Stores.appendAll]]. */
+  def appendAll(docs: DataFrame, batchId: String, stores: Seq[StoreRef],
+      idCol: String = "doc_id", textCol: String = "text",
+      vecCol: String = "emb"): Unit =
+    operators.Stores.appendAll(docs, batchId, stores, idCol, textCol,
+      vecCol)
+
   /** EXECUTABLE crash repair for any graft store directory: reads the
     * `compact-inflight` / scratch / retired / sidecar state, classifies
     * the crash window (half-swapped compact, marker-present-but-intact,
@@ -882,15 +900,8 @@ object Graft {
     * (the q106/q142 code rule; zero vectors have no direction and are
     * excluded). */
   private def int8CodedVectors(
-      df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import graft.functions.VectorFunctions._
-    operators.Similarity.asVectors(df, idCol, vecCol)
-      .withColumn("absmax", absMax(col("v")))
-      .filter(col("absmax") > 0)
-      .withColumn("codes", int8Code(col("v"), col("absmax")))
-      .drop("absmax")
-  }
+      df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    operators.Similarity.int8CodedVectors(df, idCol, vecCol)
 
   /** Conf key gating the adaptive exact-Jaccard pair strategy behind
     * q42/q89 ("count" | "prefix" | "auto"). CONTRACT: `auto` (the

@@ -1139,7 +1139,7 @@ object Search {
     * with q170 rests on. The packing bounds doc_id: ids must sit in
     * [0, Long.MaxValue/base ≈ 9.2e12) or doc_id·base overflows Long —
     * [[chunkCorpus]] enforces the bound per row (r16 advice). */
-  private val ChunkIdBase = 1000000L
+  private[operators] val ChunkIdBase = 1000000L
 
   /** Exclusive upper bound on packable doc ids (≈ 9.22e12). */
   private[graft] val MaxChunkDocId = Long.MaxValue / ChunkIdBase

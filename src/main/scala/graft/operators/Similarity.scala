@@ -117,6 +117,22 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
   }
 
+  /** [[asVectors]] plus the int8 absmax codes (the q106/q142 code
+    * rule; zero vectors have no direction and are dropped) —
+    * (vec_id, v, nrm, codes), the shared prep every quantized ANN
+    * entry point runs before PQ/IVF encoding. Lives here (not on the
+    * facade) so the coordination layer can feed an [[AnnStore]]
+    * append without reaching back into `graft.Graft`. */
+  private[graft] def int8CodedVectors(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    asVectors(df, idCol, vecCol)
+      .withColumn("absmax", absMax(col("v")))
+      .filter(col("absmax") > 0)
+      .withColumn("codes", int8Code(col("v"), col("absmax")))
+      .drop("absmax")
+  }
+
   /** Hyperplane-LSH near-dup pair search over a [[vectors]]-shaped
     * frame (vec_id, v, nrm): bucket by `planes` deterministic random
     * hyperplanes (2^planes buckets), compare only within a bucket, keep

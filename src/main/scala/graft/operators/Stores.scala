@@ -207,6 +207,87 @@ object Stores {
     }
   }
 
+  /** Coordinated IDEMPOTENT append — the mutation-side twin of
+    * [[takedownAll]], closing the remaining non-convergent cross-store
+    * window: a coordinated append that crashes mid-list must be
+    * re-runnable, but a bare re-run would DOUBLE-append the delta into
+    * every store the first run completed (the duplicate-id state fsck
+    * can only report, never repair). Each store is therefore guarded
+    * by the same batch-id ledger streaming ingest uses
+    * (`ingested/named-<id>` markers — the `named-` namespace cannot
+    * collide with streaming's numeric `batch-<n>` markers even on a
+    * store running both; rebuilds clear the whole `ingested/` dir, so
+    * batch ids are scoped to a store life like ingest's): the re-run
+    * SKIPS stores whose marker exists, appends the rest, and SETS
+    * every store to the max+1 target stamp — converging exactly like
+    * a re-run takedown. Re-running an already-complete batch is a
+    * stamp-only no-op that keeps alignment.
+    *
+    * Honest window, same as streaming ingest's: a crash BETWEEN a
+    * store's append and its marker replays that store's append
+    * at-least-once — the repair is the documented dup-id recovery
+    * (delete the batch's ids on that store + compact, then re-run).
+    *
+    * `docs` must carry `idCol`/`textCol`; an [[AnnStore]] in the list
+    * additionally needs `vecCol` (the embedding array) and reads its
+    * frozen (m, subDim) geometry from the store's own manifest. The
+    * delta must be NEW ids on every store (the appends' shared
+    * unique-id contract). A [[ChunkSearchStore]] receives the chunked
+    * corpus (fixed C=S=64 windows, ids packed under the store's
+    * base — which must equal the packer's). */
+  private[graft] def appendAll(docs: DataFrame, batchId: String,
+      stores: Seq[StoreRef], idCol: String = "doc_id",
+      textCol: String = "text", vecCol: String = "emb"): Unit = {
+    val s = docs.sparkSession
+    require(stores.nonEmpty, "appendAll: no stores given")
+    require(batchId.nonEmpty && batchId.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"appendAll: batch id '$batchId' must be a filesystem-safe token " +
+        "([A-Za-z0-9._-]) — it names the per-store ledger marker")
+    // pin the delta once, LAZILY (a fully-replayed batch must not pay
+    // a materialization): four store kinds derive different frames
+    // from it, and a non-deterministic input could diverge them — the
+    // same discipline searchIndexAppend applies internally
+    lazy val pinned = docs.localCheckpoint()
+    val target = stores.map(r => storeVersion(s, r.dir)).max + 1
+    stores.foreach { ref =>
+      val marker = new Path(s"${ref.dir}/ingested/named-$batchId")
+      val fs = fsOf(s, marker)
+      if (!fs.exists(marker)) {
+        ref match {
+          case SearchStore(dir) =>
+            Search.searchIndexAppend(pinned, dir, idCol, textCol)
+          case ChunkSearchStore(dir, base) =>
+            require(base == Search.ChunkIdBase,
+              s"appendAll: chunk store base $base != the packer's " +
+                s"${Search.ChunkIdBase} — serve-side unpacking would " +
+                "resolve the wrong documents")
+            Search.searchIndexAppend(
+              Search.chunkCorpus(pinned.select(
+                col(idCol).as("doc_id"), col(textCol).as("text"))),
+              dir, "chunk_id", "chunk_text")
+          case DedupStore(dir) =>
+            TextDedup.dedupIndexAppend(pinned, dir, idCol, textCol)
+          case AnnStore(dir) =>
+            val mp = new Path(s"$dir/manifest")
+            require(fsOf(s, mp).exists(mp),
+              s"appendAll: ANN store $dir has no manifest — cannot " +
+                "recover its frozen (m, subDim) geometry; append " +
+                "directly with ivfPqIndexAppend or rebuild")
+            val g = s.read.parquet(mp.toString).select("m", "subDim").head()
+            Similarity.ivfPqIndexAppend(
+              Similarity.int8CodedVectors(pinned, idCol, vecCol),
+              dir, g.getInt(0), g.getInt(1))
+        }
+        fs.mkdirs(marker)
+        ()
+      }
+      // convergent stamp, same rule as takedownAll: SET to the
+      // pre-computed target so a crashed run's re-run aligns the list
+      writeStoreVersion(s, ref.dir, target)
+    }
+  }
+
   // ───────────────── executable crash repair (fsck) ─────────────────
 
   /** Bring one dataset (`name/` + its `-compact`/`-retired` siblings)

@@ -211,6 +211,77 @@ class StoreCoordinationSpec extends SparkTestBase {
       s"doc 4 must stay tombstoned through the re-run: $hits")
   }
 
+  test("coordinated append reaches all four store kinds, serves the " +
+      "new docs, and lands every stamp on the same target") {
+    val search = tmp(); val chunk = tmp(); val dedup = tmp(); val ann = tmp()
+    val (seed, delta) = corpus.splitAt(4)
+    val seedDf = seed.toDF("doc_id", "text", "emb")
+    Search.searchIndexWrite(seedDf.select("doc_id", "text"), search)
+    Search.searchIndexWrite(
+      Search.chunkCorpus(seedDf.select("doc_id", "text")), chunk,
+      idCol = "chunk_id", textCol = "chunk_text")
+    TextDedup.dedupIndexWrite(seedDf.select("doc_id", "text"), dedup)
+    Graft.annIndexWrite(seedDf, "doc_id", "emb", ann,
+      kIvf = 2, m = 2, subDim = 2, k = 3)
+    val all = Seq(Graft.SearchStore(search), Graft.ChunkSearchStore(chunk),
+      Graft.DedupStore(dedup), Graft.AnnStore(ann))
+    Graft.appendAll(delta.toDF("doc_id", "text", "emb"), "b1", all)
+    assert(Stores.requireAlignedVersions(spark,
+      all.map(_.dir)) == 1L, "one append batch = stamp 1 everywhere")
+    // doc 4 ('alpha beta beta theta') arrived via the append on BOTH
+    // search stores and the ANN store
+    val hits = Search.searchIndexServe(spark, search, terms, topK = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.contains(4L), s"the appended doc must serve: $hits")
+    val chunkHits = Search.searchIndexServe(spark, chunk, terms,
+        topK = 100).select("doc_id").as[Long].collect().toSet
+    assert(chunkHits.exists(id => id >= 4000000L && id < 5000000L),
+      s"the appended doc's packed chunks must serve: $chunkHits")
+    // dedup: a byte-identical clone of the appended doc now REJECTS
+    val verdicts = TextDedup.dedupIndexServe(
+        Seq((100L, corpus(4)._2)).toDF("doc_id", "text"), dedup)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(verdicts(100L) == "reject",
+      s"a clone of the appended doc must reject: $verdicts")
+    val annHits = Graft.annIndexServe(full, "doc_id", "emb", ann,
+        queryId = 2L, nprobe = 2, m = 2, subDim = 2, coarseK = 50,
+        topK = 5).select("vec_id").as[Long].collect().toSet
+    assert(annHits.contains(4L),
+      s"the appended vector must surface for its +8-halo neighbor: $annHits")
+  }
+
+  test("a crashed coordinated append RE-RUN converges without " +
+      "double-appending (the ledger skips completed stores)") {
+    val search = tmp(); val dedup = tmp()
+    val (seed, delta) = corpus.splitAt(4)
+    val seedDf = seed.toDF("doc_id", "text", "emb").select("doc_id", "text")
+    Search.searchIndexWrite(seedDf, search)
+    TextDedup.dedupIndexWrite(seedDf, dedup)
+    val all = Seq(Graft.SearchStore(search), Graft.DedupStore(dedup))
+    val deltaDf = delta.toDF("doc_id", "text", "emb")
+    // the crash window: the first store completed (append + marker +
+    // stamp), the second was never reached
+    Graft.appendAll(deltaDf, "b1", all.take(1))
+    intercept[IllegalStateException](
+      Stores.requireAlignedVersions(spark, all.map(_.dir)))
+    // the documented repair: re-run the SAME batch id on the FULL list
+    Graft.appendAll(deltaDf, "b1", all)
+    assert(Stores.requireAlignedVersions(spark, all.map(_.dir)) == 2L,
+      "one re-run must align both stores")
+    // the completed store was NOT double-appended: exactly one docs
+    // row per id (the dup-id state fsck can only report)
+    val dups = spark.read.parquet(s"$search/docs")
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dups == 0, s"the ledger must skip the completed store: $dups")
+    // and a FULL replay of a completed batch is a stamp-only no-op
+    val before = spark.read.parquet(s"$search/docs").count()
+    Graft.appendAll(deltaDf, "b1", all)
+    assert(spark.read.parquet(s"$search/docs").count() == before,
+      "replaying a completed batch must append nothing")
+    assert(Stores.requireAlignedVersions(spark, all.map(_.dir)) == 3L,
+      "the replay still re-stamps — alignment is preserved")
+  }
+
   test("takedown of an id absent everywhere still bumps every store — " +
       "alignment is preserved for the composed serve") {
     val search = tmp(); val chunk = tmp()
