@@ -946,8 +946,10 @@ object Search {
         if (!fs.exists(marker)) {
           if (!batch.isEmpty)
             searchIndexAppend(batch, indexDir, idCol, textCol)
-          fs.mkdirs(marker)
-          ()
+          // a silently-false mkdirs would leave the marker missing and
+          // the next replay would double-append — fail the batch loudly
+          require(fs.mkdirs(marker),
+            s"searchIndexIngest: ledger marker create failed: $marker")
         }
         ()
       }

@@ -1147,7 +1147,10 @@ object Similarity {
           batch.sparkSession.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
           if (!batch.isEmpty) ivfPqIndexAppend(batch, indexDir, m, subDim)
-          fs.mkdirs(marker)
+          // a silently-false mkdirs would leave the marker missing and
+          // the next replay would double-append — fail the batch loudly
+          require(fs.mkdirs(marker),
+            s"ivfPqIndexIngest: ledger marker create failed: $marker")
         }
         ()
       }

@@ -279,8 +279,10 @@ object Stores {
               Similarity.int8CodedVectors(pinned, idCol, vecCol),
               dir, g.getInt(0), g.getInt(1))
         }
-        fs.mkdirs(marker)
-        ()
+        // a silently-false mkdirs would leave the marker missing and
+        // a re-run would double-append this store — fail loudly
+        require(fs.mkdirs(marker),
+          s"appendAll: ledger marker create failed: $marker")
       }
       // convergent stamp, same rule as takedownAll: SET to the
       // pre-computed target so a crashed run's re-run aligns the list

@@ -1436,8 +1436,10 @@ object TextDedup {
         if (!fs.exists(marker)) {
           if (!batch.isEmpty)
             dedupIndexAppend(batch, indexDir, idCol, textCol)
-          fs.mkdirs(marker)
-          ()
+          // a silently-false mkdirs would leave the marker missing and
+          // the next replay would double-append — fail the batch loudly
+          require(fs.mkdirs(marker),
+            s"dedupIndexIngest: ledger marker create failed: $marker")
         }
         ()
       }
