@@ -192,10 +192,18 @@ object Stores {
           // [docId·base, (docId+1)·base): resolve the LIVE ids of the
           // whole batch from the docs sidecar in one scan (bounded by
           // |batch|·chunks-per-doc, a driver-side list the delete API
-          // takes anyway); `div` keeps the unpack exact-integer
+          // takes anyway); `div` keeps the unpack exact-integer. The
+          // membership test is on a COMPUTED column, which parquet
+          // cannot push down — the leading RAW-column range conjunct
+          // restores row-group pruning (chunk writes land ~doc_id-
+          // ordered, so min/max stats bite), turning a full sidecar
+          // decode at corpus scale into a batch-bounded one.
+          val lo = docIds.min * base
+          val hi = (docIds.max + 1) * base
           val ids = s.read.schema("doc_id BIGINT")
             .parquet(s"$dir/docs")
-            .filter(expr(s"doc_id div ${base}L").isInCollection(docIds))
+            .filter(col("doc_id") >= lo && col("doc_id") < hi
+              && expr(s"doc_id div ${base}L").isInCollection(docIds))
             .select("doc_id").distinct()
             .collect().map(_.getLong(0)).toSeq
           if (ids.nonEmpty) Search.searchIndexDelete(s, dir, ids)
