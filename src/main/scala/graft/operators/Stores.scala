@@ -123,6 +123,28 @@ object Stores {
 
   // ───────────────── one-call takedown ─────────────────
 
+  /** The chunk-id resolution scan behind a [[ChunkSearchStore]]
+    * takedown: each doc's chunks occupy the contiguous packed-id range
+    * [docId·base, (docId+1)·base) — resolve the whole batch's live
+    * chunk ids from the docs sidecar in ONE scan (result bounded by
+    * |batch|·chunks-per-doc, a driver-side list the delete API takes
+    * anyway); `div` keeps the unpack exact-integer. The membership
+    * test is on a COMPUTED column, which parquet cannot push down —
+    * the leading RAW-column range conjunct restores row-group pruning
+    * (chunk writes land ~doc_id-ordered, so min/max stats bite),
+    * turning a full sidecar decode at corpus scale into a
+    * batch-bounded one (the pushdown is spec-pinned). */
+  private[graft] def chunkIdsPlan(s: SparkSession, dir: String,
+      base: Long, docIds: Seq[Long]): DataFrame = {
+    val lo = docIds.min * base
+    val hi = (docIds.max + 1) * base
+    s.read.schema("doc_id BIGINT")
+      .parquet(s"$dir/docs")
+      .filter(col("doc_id") >= lo && col("doc_id") < hi
+        && expr(s"doc_id div ${base}L").isInCollection(docIds))
+      .select("doc_id").distinct()
+  }
+
   /** A store a [[takedown]] must reach. `dir` is the store directory;
     * the subtype says which lifecycle family owns it. */
   sealed trait StoreRef { def dir: String }
@@ -188,23 +210,7 @@ object Stores {
           require(base > 0, s"takedown: chunkIdBase $base must be positive")
           docIds.foreach(id => require(id >= 0 && id < Long.MaxValue / base,
             s"takedown: doc_id $id not packable under chunkIdBase $base"))
-          // each doc's chunks occupy the contiguous packed-id range
-          // [docId·base, (docId+1)·base): resolve the LIVE ids of the
-          // whole batch from the docs sidecar in one scan (bounded by
-          // |batch|·chunks-per-doc, a driver-side list the delete API
-          // takes anyway); `div` keeps the unpack exact-integer. The
-          // membership test is on a COMPUTED column, which parquet
-          // cannot push down — the leading RAW-column range conjunct
-          // restores row-group pruning (chunk writes land ~doc_id-
-          // ordered, so min/max stats bite), turning a full sidecar
-          // decode at corpus scale into a batch-bounded one.
-          val lo = docIds.min * base
-          val hi = (docIds.max + 1) * base
-          val ids = s.read.schema("doc_id BIGINT")
-            .parquet(s"$dir/docs")
-            .filter(col("doc_id") >= lo && col("doc_id") < hi
-              && expr(s"doc_id div ${base}L").isInCollection(docIds))
-            .select("doc_id").distinct()
+          val ids = chunkIdsPlan(s, dir, base, docIds)
             .collect().map(_.getLong(0)).toSeq
           if (ids.nonEmpty) Search.searchIndexDelete(s, dir, ids)
       }

@@ -282,6 +282,33 @@ class StoreCoordinationSpec extends SparkTestBase {
       "the replay still re-stamps — alignment is preserved")
   }
 
+  test("the chunk-resolution scan pushes its packed-id range into " +
+      "parquet (row-group pruning at corpus scale) and resolves " +
+      "exactly the batch's chunks") {
+    val chunk = tmp()
+    Search.searchIndexWrite(Search.chunkCorpus(docsDf), chunk,
+      idCol = "chunk_id", textCol = "chunk_text")
+    val plan = Stores.chunkIdsPlan(spark, chunk, 1000000L, Seq(2L, 4L))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the raw-column range conjunct must reach the scan — the computed
+    // div-membership alone cannot push down, and without the range the
+    // takedown would decode the whole sidecar at corpus scale
+    assert(plan.contains("PushedFilters")
+        && plan.contains("GreaterThanOrEqual(doc_id,2000000)")
+        && plan.contains("LessThan(doc_id,5000000)"),
+      s"the packed-id bounds must push into the parquet scan:\n$plan")
+    val ids = Stores.chunkIdsPlan(spark, chunk, 1000000L, Seq(2L, 4L))
+      .as[Long].collect().toSet
+    assert(ids.nonEmpty
+        && ids.forall(id => id / 1000000L == 2L || id / 1000000L == 4L),
+      s"resolution must return exactly the batch docs' chunk ids: $ids")
+    // doc 3 sits INSIDE the [2,4] bound — the membership conjunct must
+    // exclude its chunks even though the range admits them
+    assert(!ids.exists(id => id / 1000000L == 3L),
+      s"an in-range non-member doc must not resolve: $ids")
+  }
+
   test("takedown of an id absent everywhere still bumps every store — " +
       "alignment is preserved for the composed serve") {
     val search = tmp(); val chunk = tmp()
