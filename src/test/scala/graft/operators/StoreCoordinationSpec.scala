@@ -282,6 +282,33 @@ class StoreCoordinationSpec extends SparkTestBase {
       "the replay still re-stamps — alignment is preserved")
   }
 
+  test("coordination capstone: appendAll feeds the composed RAG serve, " +
+      "takedownAll removes from it, and the serve stays aligned " +
+      "through the whole mutation cycle") {
+    val ann = tmp(); val search = tmp()
+    val (seed, delta) = corpus.splitAt(4)
+    val seedDf = seed.toDF("doc_id", "text", "emb")
+    Graft.annIndexWrite(seedDf, "doc_id", "emb", ann,
+      kIvf = 2, m = 2, subDim = 2, k = 3)
+    Graft.searchIndexWrite(seedDf.select("doc_id", "text"), search)
+    val both = Seq(Graft.AnnStore(ann), Graft.SearchStore(search))
+    def serve() = Graft.ragServeDisk(full, "doc_id", "emb", ann, search,
+        terms, queryId = 0L, nprobe = 2, m = 2, subDim = 2,
+        coarseK = 50).select("doc_id").as[Long].collect().toSet
+    assert(!serve().contains(4L), "doc 4 not yet appended")
+    // coordinated append: doc 4 ('alpha beta beta theta', +8 halo)
+    // must fuse on both legs afterward — and the serve never saw a
+    // mixed-version window because both stores land on the same stamp
+    Graft.appendAll(delta.toDF("doc_id", "text", "emb"), "cap-1", both)
+    assert(serve().contains(4L),
+      "the appended doc must fuse into the composed serve")
+    // coordinated takedown: gone from the same serve, still aligned
+    Graft.takedownAll(spark, Seq(4L), both)
+    val after = serve()
+    assert(after.nonEmpty && !after.contains(4L),
+      s"the taken-down doc must never fuse again: $after")
+  }
+
   test("the chunk-resolution scan pushes its packed-id range into " +
       "parquet (row-group pruning at corpus scale) and resolves " +
       "exactly the batch's chunks") {
