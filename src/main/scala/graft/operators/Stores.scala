@@ -412,10 +412,15 @@ object Stores {
     }
   }
 
-  private def report(s: SparkSession,
+  private def report(s: SparkSession, indexDir: String,
       rows: Seq[(String, String, String)]): DataFrame = {
     import s.implicits._
-    rows.toDF("check", "state", "action")
+    // lead with the store's coordination stamp: an operator running
+    // fsck mid-incident is about to re-run a mutation, and the stamp
+    // is what tells them which peers that mutation must also reach
+    // (report-only — fsck repairs physical state, never stamps)
+    (("corpus-version", s"v${storeVersion(s, indexDir)}", "none")
+      +: rows).toDF("check", "state", "action")
   }
 
   /** fsck for a [[Search.searchIndexWrite]] store: classifies and
@@ -446,7 +451,7 @@ object Stores {
       // (execute=true restores the datasets above before this point)
       rows += (("datasets", "incomplete — swap repair pending",
         "data checks skipped; run with execute=true"))
-      return report(s, rows.toSeq)
+      return report(s, indexDir, rows.toSeq)
     }
     val docs = s.read.schema("doc_id BIGINT, dl INT")
       .parquet(s"$indexDir/docs")
@@ -491,7 +496,7 @@ object Stores {
       if (dups == 0) "none"
       else "report-only: searchIndexDelete the ids + compact, then " +
         "re-append from source (or rebuild)"))
-    report(s, rows.toSeq)
+    report(s, indexDir, rows.toSeq)
   }
 
   private def rewriteSearchStats(s: SparkSession, indexDir: String): Unit =
@@ -516,7 +521,7 @@ object Stores {
     if (!fs.exists(new Path(s"$indexDir/bands"))) {
       rows += (("datasets", "incomplete — swap repair pending",
         "data checks skipped; run with execute=true"))
-      return report(s, rows.toSeq)
+      return report(s, indexDir, rows.toSeq)
     }
     val dups = s.read.schema("doc_id BIGINT, bv STRING, band INT")
       .parquet(s"$indexDir/bands")
@@ -528,7 +533,7 @@ object Stores {
       if (dups == 0) "none"
       else "report-only: dedupIndexDelete the ids + compact, then " +
         "re-append from source (or rebuild)"))
-    report(s, rows.toSeq)
+    report(s, indexDir, rows.toSeq)
   }
 
   /** fsck for a [[Similarity.ivfPqIndexWrite]] store: compaction crash
@@ -547,7 +552,7 @@ object Stores {
     if (!fs.exists(new Path(s"$indexDir/enc"))) {
       rows += (("datasets", "incomplete — swap repair pending",
         "data checks skipped; run with execute=true"))
-      return report(s, rows.toSeq)
+      return report(s, indexDir, rows.toSeq)
     }
     val dups = s.read
       .schema("vec_id BIGINT, s INT, code BIGINT, cell BIGINT")
@@ -560,7 +565,7 @@ object Stores {
       if (dups == 0) "none"
       else "report-only: ivfPqIndexDelete the ids + compact, then " +
         "re-append from source (or rebuild)"))
-    report(s, rows.toSeq)
+    report(s, indexDir, rows.toSeq)
   }
 
   /** Auto-detecting fsck: dispatch on the store's own layout (which
