@@ -546,14 +546,47 @@ object TextDedup {
     * linearly with rounds. At 100 TB, additionally switch to large-star /
     * small-star if components with long chains dominate.
     *
+    * The loop's shuffles are sized from the graph's PLAN STATISTICS,
+    * not the session default: every round's frames are bounded by the
+    * dup graph (|V| ≤ 2|E| rows of two longs), which on a dedup corpus
+    * is orders of magnitude smaller than the corpus the session's
+    * shuffle.partitions is tuned for — at sf0.1 the rounds over a
+    * 256-edge graph spent their entire ~1.5-2.5 s on near-empty
+    * 32-task stages plus one planning/codegen round-trip PER ACTION
+    * (the r17 probe decomposition: ~0.2-0.45 s per action floor), the
+    * whole cost of the operator. Sizing from
+    * `optimizedPlan.stats.sizeInBytes` costs ZERO extra actions —
+    * exact for the materialized cached frame the dup-cc caller passes,
+    * a conservative Catalyst estimate otherwise (an overestimate only
+    * means more, smaller tasks; MEMORY_AND_DISK persists make an
+    * underestimate spill, not fail). One partition per 64 MB keeps a
+    * billion-edge graph at full session parallelism and a small one at
+    * one task per stage. The shuffle-partitions override is set around
+    * the loop and restored in a finally; the operator is
+    * driver-coordinated (eager by design), and Bench/Verify run
+    * queries sequentially, so the session-scoped setting cannot leak
+    * into a concurrent query's plan.
+    *
     * Input: undirected edges (src, dst), one row per pair.
     * Output: (id, lbl) — lbl = min vertex id of the component. */
   def connectedComponents(
       edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges
+    val s = edges.sparkSession
+    val symPlan = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(lvl)
+    val estBytes = symPlan.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sessionParts = s.sessionState.conf.numShufflePartitions
+    val np = (BigInt(1).max(BigInt(sessionParts)
+      .min(estBytes / CcBytesPerPartition + 1))).toInt
+    // the coalesce folds into the first materializing action — sizing
+    // the loop costs zero extra jobs
+    val sym = (if (np < symPlan.rdd.getNumPartitions)
+      symPlan.coalesce(np) else symPlan).persist(lvl)
+    val confKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(confKey)
+    s.conf.set(confKey, np.toString)
+    try {
     // `cached` is the persisted frame backing the current `labels` view;
     // each round fully materializes the new frame (the changed-count scan
     // touches every partition) BEFORE the previous one is unpersisted, so
@@ -597,7 +630,12 @@ object TextDedup {
     sym.unpersist()
     cached.unpersist()
     out
+    } finally s.conf.set(confKey, prevParts)
   }
+
+  /** Loop-shuffle sizing for [[connectedComponents]]: one partition per
+    * 64 MB of estimated symmetric-edge bytes. */
+  private val CcBytesPerPartition = BigInt(64L * 1024 * 1024)
 
   val defs: Seq[QueryDef] = Seq(
 
