@@ -663,17 +663,16 @@ object Search {
       val fs = p.getFileSystem(hc)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    import s.implicits._
-    Seq((nBuckets, SearchTokenizer)).toDF("n_buckets", "tokenizer")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    Stores.writeMetaSidecar(s, s"$outDir/manifest",
+      Seq("n_buckets" -> nBuckets.toString, "tokenizer" -> SearchTokenizer))
     val ws = split(col(textCol), " ")
     docs.select(col(idCol).cast("long").as("doc_id"),
         size(ws).as("dl"))
       .write.mode("overwrite").parquet(s"$outDir/docs")
-    s.read.schema(SearchDocsSchema).parquet(s"$outDir/docs")
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
+    val st = s.read.schema(SearchDocsSchema).parquet(s"$outDir/docs")
+      .agg(count(lit(1)).cast("long"),
+        coalesce(sum(col("dl").cast("long")), lit(0L))).head()
+    writeSearchStats(s, outDir, st.getLong(0), st.getLong(1))
     docs.select(col(idCol).cast("long").as("doc_id"),
         explode(ws).as("term"))
       .groupBy("doc_id", "term")
@@ -737,9 +736,7 @@ object Search {
     // one-row reads BEFORE the appends, so a crash mid-append can only
     // leave stats BEHIND the data (under-counting the delta — the
     // documented repair window), never double-counting it
-    val old = s.read.parquet(s"$indexDir/stats")
-      .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
-      .head()
+    val old = readSearchStats(s, indexDir)
     val delta = pinned
       .agg(count(lit(1)).cast("long"),
         coalesce(sum(size(ws).cast("long")), lit(0L)))
@@ -761,11 +758,8 @@ object Search {
     pinned.select(col(idCol).cast("long").as("doc_id"),
         size(ws).as("dl"))
       .write.mode("append").parquet(s"$indexDir/docs")
-    import s.implicits._
-    Seq((old.getLong(0) + delta.getLong(0),
-        old.getLong(1) + delta.getLong(1)))
-      .toDF("n_docs", "sum_dl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+    writeSearchStats(s, indexDir,
+      old._1 + delta.getLong(0), old._2 + delta.getLong(1))
     Stores.bumpStoreVersion(s, indexDir)
   }
 
@@ -867,10 +861,10 @@ object Search {
     // stats re-derive BEFORE the tombstones clear: at every rest point
     // either (stats ≡ agg(docs/) and tombstones subtract cleanly) or
     // (stats stale but tombstones still present to re-run the compact)
-    s.read.schema(SearchDocsSchema).parquet(s"$indexDir/docs")
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+    val st = s.read.schema(SearchDocsSchema).parquet(s"$indexDir/docs")
+      .agg(count(lit(1)).cast("long"),
+        coalesce(sum(col("dl").cast("long")), lit(0L))).head()
+    writeSearchStats(s, indexDir, st.getLong(0), st.getLong(1))
     fs.delete(path("tombstones"), true)
     for (retired <- Seq("postings-retired", "docs-retired"))
       fs.delete(path(retired), true)
@@ -1007,15 +1001,41 @@ object Search {
   /** Validate a store's manifest (tokenizer match) and return its
     * frozen bucket count — every lifecycle op routes through this so a
     * store written under a different tokenizer or bucketing can never
-    * be silently served/appended in the wrong term space. */
+    * be silently served/appended in the wrong term space. The manifest
+    * is a raw [[Stores.writeMetaSidecar]] file: it is read at every
+    * serve construction, and as a one-row parquet dataset each read
+    * was a full Spark job. */
   private def checkSearchManifest(s: SparkSession,
       indexDir: String): Int = {
-    val man = s.read.parquet(s"$indexDir/manifest")
-      .select("n_buckets", "tokenizer").head()
-    require(man.getString(1) == SearchTokenizer,
+    val man = Stores.readMetaSidecar(s, s"$indexDir/manifest")
+      .getOrElse(throw new IllegalStateException(
+        s"no manifest sidecar under $indexDir — not a search store " +
+          "(searchIndexWrite creates it)"))
+    require(man("tokenizer") == SearchTokenizer,
       s"index at $indexDir was written with tokenizer " +
-        s"'${man.getString(1)}' — this library serves '$SearchTokenizer'")
-    man.getInt(0)
+        s"'${man("tokenizer")}' — this library serves '$SearchTokenizer'")
+    man("n_buckets").toInt
+  }
+
+  /** The corpus-global (n_docs, sum_dl) stats sidecar — one raw
+    * metadata file (see [[Stores.writeMetaSidecar]]): appends read and
+    * rewrite it per batch (the incremental reconcile) and every serve
+    * reads it at construction, so keeping it a driver-side FS op
+    * instead of a one-row parquet dataset removes a Spark job from
+    * each of those paths. */
+  private[graft] def writeSearchStats(s: SparkSession, indexDir: String,
+      nDocs: Long, sumDl: Long): Unit =
+    Stores.writeMetaSidecar(s, s"$indexDir/stats",
+      Seq("n_docs" -> nDocs.toString, "sum_dl" -> sumDl.toString))
+
+  /** Read the (n_docs, sum_dl) stats sidecar; loud when absent. */
+  private[graft] def readSearchStats(s: SparkSession,
+      indexDir: String): (Long, Long) = {
+    val m = Stores.readMetaSidecar(s, s"$indexDir/stats")
+      .getOrElse(throw new IllegalStateException(
+        s"no stats sidecar under $indexDir — not a search store, or a " +
+          "crashed write; run Stores.searchIndexFsck"))
+    (m("n_docs").toLong, m("sum_dl").toLong)
   }
 
   /** Serve a BM25 top-`topK` for `queryTerms` OFF the on-disk index:
@@ -1070,8 +1090,8 @@ object Search {
     // row exists iff tf > 0, so the count IS the doc frequency) plus
     // the corpus-wide (n, sdl) the write recorded, minus the deleted
     // docs' own one-row aggregate
-    val rawStats = s.read.parquet(s"$indexDir/stats")
-      .select(col("n_docs").as("n"), col("sum_dl").as("sdl"))
+    val (nAll, sdlAll) = readSearchStats(s, indexDir)
+    val rawStats = Seq((nAll, sdlAll)).toDF("n", "sdl")
     val corrected = tombs.fold(rawStats)(t =>
       rawStats.crossJoin(broadcast(
           t.agg(count(lit(1)).as("tn"),

@@ -733,10 +733,12 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$outDir/cents")
     // the index records its own geometry: serve/append/ingest validate
     // caller knobs against this row instead of silently ranking in the
-    // wrong code space on a mismatch
-    import s.implicits._
-    Seq((m, subDim, kIvf, k)).toDF("m", "subDim", "kIvf", "k")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    // wrong code space on a mismatch. Raw sidecar file, not parquet:
+    // every serve construction reads it, and as a one-row dataset each
+    // read was a full Spark job (Stores.writeMetaSidecar rationale)
+    Stores.writeMetaSidecar(s, s"$outDir/manifest", Seq(
+      "m" -> m.toString, "subDim" -> subDim.toString,
+      "kIvf" -> kIvf.toString, "k" -> k.toString))
     val books = s.read.parquet(s"$outDir/books")
     val cents = s.read.parquet(s"$outDir/cents")
     pqEncode(codes, m, subDim, k, Some(books))
@@ -1034,13 +1036,10 @@ object Similarity {
     * One tiny one-row read per construction — the serve paths are
     * construction-eager already, by design. */
   private def checkIndexManifest(s: SparkSession, indexDir: String,
-      m: Int, subDim: Int, nprobe: Int = Int.MinValue): Unit = {
-    val p = new Path(s"$indexDir/manifest")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val r = s.read.parquet(p.toString)
-        .select("m", "subDim", "kIvf").head()
-      val (im, isd, ik) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      m: Int, subDim: Int, nprobe: Int = Int.MinValue): Unit =
+    Stores.readMetaSidecar(s, s"$indexDir/manifest").foreach { man =>
+      val (im, isd, ik) =
+        (man("m").toInt, man("subDim").toInt, man("kIvf").toInt)
       require(m == im && subDim == isd,
         s"index at $indexDir was written with m=$im subDim=$isd — " +
           s"got m=$m subDim=$subDim; a mismatched geometry would rank " +
@@ -1048,7 +1047,6 @@ object Similarity {
       require(nprobe == Int.MinValue || nprobe <= ik,
         s"nprobe=$nprobe exceeds the index's kIvf=$ik cells")
     }
-  }
 
   /** LOGICAL delete from an on-disk index: append the ids to the
     * index's `tombstones/` parquet set. Serving subtracts tombstones

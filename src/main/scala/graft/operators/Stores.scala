@@ -95,6 +95,56 @@ object Stores {
   private[graft] def bumpStoreVersion(s: SparkSession, dir: String): Unit =
     writeStoreVersion(s, dir, storeVersion(s, dir) + 1)
 
+  /** Write a tiny metadata sidecar (a store's manifest / stats row) as
+    * ONE raw text file of `k=v` lines — the corpus-version rationale
+    * extended to every one-row sidecar: manifests are read at every
+    * serve CONSTRUCTION and the search stats row is read+rewritten by
+    * every append, and as one-row parquet datasets each access is a
+    * full Spark job (~0.2–0.4 s of scheduler/planning per round-trip,
+    * measured when the version stamp made the same move in r17); as a
+    * raw file each is a driver-side FS op. Temp-write + rename keeps
+    * the swap atomic on any Hadoop filesystem; an existing entry is
+    * replaced. Keys must not contain '='; no newlines anywhere. */
+  private[graft] def writeMetaSidecar(s: SparkSession, path: String,
+      kvs: Seq[(String, String)]): Unit = {
+    require(kvs.forall { case (k, v) =>
+      !k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r') },
+      s"writeMetaSidecar: keys must not contain '=' and no field may " +
+        s"contain a newline — got $kvs")
+    val p = new Path(path)
+    val tmp = new Path(s"$path-tmp")
+    val fs = fsOf(s, p)
+    val out = fs.create(tmp, true)
+    try out.write(kvs.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, true)
+    require(fs.rename(tmp, p),
+      s"writeMetaSidecar: rename failed for $path")
+  }
+
+  /** Read a [[writeMetaSidecar]] file as a key→value map; None when
+    * absent (store families that allow pre-manifest stores skip
+    * validation on None). */
+  private[graft] def readMetaSidecar(s: SparkSession,
+      path: String): Option[Map[String, String]] = {
+    val p = new Path(path)
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some(raw.split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('=')
+        require(i > 0, s"malformed sidecar line '$line' in $path")
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap)
+    }
+  }
+
   /** (store_dir, corpus_version) for an audit view over many stores. */
   private[graft] def storeVersions(s: SparkSession,
       dirs: Seq[String]): DataFrame = {
@@ -283,15 +333,14 @@ object Stores {
           case DedupStore(dir) =>
             TextDedup.dedupIndexAppend(pinned, dir, idCol, textCol)
           case AnnStore(dir) =>
-            val mp = new Path(s"$dir/manifest")
-            require(fsOf(s, mp).exists(mp),
-              s"appendAll: ANN store $dir has no manifest — cannot " +
-                "recover its frozen (m, subDim) geometry; append " +
-                "directly with ivfPqIndexAppend or rebuild")
-            val g = s.read.parquet(mp.toString).select("m", "subDim").head()
+            val g = readMetaSidecar(s, s"$dir/manifest").getOrElse(
+              throw new IllegalStateException(
+                s"appendAll: ANN store $dir has no manifest — cannot " +
+                  "recover its frozen (m, subDim) geometry; append " +
+                  "directly with ivfPqIndexAppend or rebuild"))
             Similarity.ivfPqIndexAppend(
               Similarity.int8CodedVectors(pinned, idCol, vecCol),
-              dir, g.getInt(0), g.getInt(1))
+              dir, g("m").toInt, g("subDim").toInt)
         }
         // a silently-false mkdirs would leave the marker missing and
         // a re-run would double-append this store — fail loudly
@@ -458,12 +507,10 @@ object Stores {
     // stats ≡ agg(docs/) — the append's crash-after-docs window
     val agg = docs.agg(count(lit(1)).cast("long"),
       coalesce(sum(col("dl").cast("long")), lit(0L))).head()
-    val statsP = new Path(s"$indexDir/stats")
-    val stale = !fs.exists(statsP) || {
-      val st = s.read.parquet(statsP.toString)
-        .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
-        .head()
-      st.getLong(0) != agg.getLong(0) || st.getLong(1) != agg.getLong(1)
+    val stale = readMetaSidecar(s, s"$indexDir/stats") match {
+      case None => true
+      case Some(st) => st("n_docs").toLong != agg.getLong(0) ||
+        st("sum_dl").toLong != agg.getLong(1)
     }
     if (stale) {
       if (execute) rewriteSearchStats(s, indexDir)
@@ -499,11 +546,13 @@ object Stores {
     report(s, indexDir, rows.toSeq)
   }
 
-  private def rewriteSearchStats(s: SparkSession, indexDir: String): Unit =
-    s.read.schema("doc_id BIGINT, dl INT").parquet(s"$indexDir/docs")
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+  private def rewriteSearchStats(s: SparkSession, indexDir: String): Unit = {
+    val a = s.read.schema("doc_id BIGINT, dl INT")
+      .parquet(s"$indexDir/docs")
+      .agg(count(lit(1)).cast("long"),
+        coalesce(sum(col("dl").cast("long")), lit(0L))).head()
+    Search.writeSearchStats(s, indexDir, a.getLong(0), a.getLong(1))
+  }
 
   /** fsck for a [[TextDedup.dedupIndexWrite]] store: compaction crash
     * windows + stray dirs, plus a report-only duplicate-(doc, band)

@@ -1299,10 +1299,14 @@ object TextDedup {
       val fs = p.getFileSystem(hc)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    import s.implicits._
-    Seq((DedupShingleK, DedupNumHashes, DedupNumBands, DedupRowsPerBand))
-      .toDF("shingle_k", "n_hashes", "bands", "rows_per_band")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    // the manifest is a raw sidecar file (Stores.writeMetaSidecar):
+    // every lifecycle op reads it at construction, and as a one-row
+    // parquet dataset each read was a full Spark job
+    Stores.writeMetaSidecar(s, s"$outDir/manifest", Seq(
+      "shingle_k" -> DedupShingleK.toString,
+      "n_hashes" -> DedupNumHashes.toString,
+      "bands" -> DedupNumBands.toString,
+      "rows_per_band" -> DedupRowsPerBand.toString))
     bands.select(col("doc_id"), col("bv"), col("band"))
       // one write task per band: each partition directory gets a
       // single file instead of (shuffle.partitions × bands) shards
@@ -1538,13 +1542,10 @@ object TextDedup {
     * almost nothing and admit near-duplicates with full confidence,
     * the silent-wrong failure mode the ANN manifest guard exists for.
     * A pre-manifest store (no `manifest/`) skips validation. */
-  private def checkDedupManifest(s: SparkSession, indexDir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/manifest")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val r = s.read.parquet(p.toString)
-        .select("shingle_k", "n_hashes", "bands", "rows_per_band").head()
-      val got = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  private def checkDedupManifest(s: SparkSession, indexDir: String): Unit =
+    Stores.readMetaSidecar(s, s"$indexDir/manifest").foreach { m =>
+      val got = (m("shingle_k").toInt, m("n_hashes").toInt,
+        m("bands").toInt, m("rows_per_band").toInt)
       val want = (DedupShingleK, DedupNumHashes, DedupNumBands,
         DedupRowsPerBand)
       require(got == want,
@@ -1552,7 +1553,6 @@ object TextDedup {
           s"bands, rows_per_band)=$got — this library bands with " +
           s"$want; a mismatched geometry would silently admit dups")
     }
-  }
 
   /** The on-disk store behind q184 for the bench inventory — built
     * once per corpus dir into a process-temp directory from the SAME

@@ -83,6 +83,13 @@ class PlanConstructionSpec extends SparkTestBase {
       }
     }
     sc.addSparkListener(listener)
+    // replay against COLD disk-index memos (the deriveReleasePlan
+    // discipline): a store built by an earlier suite in the same
+    // session would memo-hit here and skip its build jobs, flipping
+    // the eager set's exact-equality pin on suite order
+    graft.operators.Similarity.resetDiskIndexMemo()
+    graft.operators.TextDedup.resetDiskDedupMemo()
+    graft.operators.Search.resetDiskSearchMemo()
     val bc = graft.operators.TextDedup.BranchConf
     spark.conf.set(bc, "count")
     // pin the LM broadcast branch the same way: auto's one-time doc

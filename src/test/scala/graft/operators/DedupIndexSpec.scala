@@ -162,8 +162,9 @@ class DedupIndexSpec extends SparkTestBase {
     TextDedup.dedupIndexWrite(docsDf(corpus.take(3)), idx)
     // simulate a store from a future library version: overwrite the
     // manifest with a different geometry row
-    Seq((4, 16, 8, 2)).toDF("shingle_k", "n_hashes", "bands", "rows_per_band")
-      .coalesce(1).write.mode("overwrite").parquet(s"$idx/manifest")
+    Stores.writeMetaSidecar(spark, s"$idx/manifest", Seq(
+      "shingle_k" -> "4", "n_hashes" -> "16",
+      "bands" -> "8", "rows_per_band" -> "2"))
     def geometryError(body: => Any): Unit = {
       val e = intercept[IllegalArgumentException](body)
       assert(e.getMessage.contains("(4,16,8,2)"),

@@ -79,8 +79,8 @@ class SearchIndexSpec extends SparkTestBase {
     Search.searchIndexWrite(docs, idx, nBuckets = 16)
     // serving works at whatever bucket count the index was written with
     assert(Search.searchIndexServe(spark, idx, Seq("beta")).count() == 2)
-    Seq((16, "bpe")).toDF("n_buckets", "tokenizer")
-      .coalesce(1).write.mode("overwrite").parquet(s"$idx/manifest")
+    Stores.writeMetaSidecar(spark, s"$idx/manifest",
+      Seq("n_buckets" -> "16", "tokenizer" -> "bpe"))
     val e = intercept[IllegalArgumentException](
       Search.searchIndexServe(spark, idx, Seq("beta")))
     assert(e.getMessage.contains("bpe"),
@@ -123,8 +123,7 @@ class SearchIndexSpec extends SparkTestBase {
     assert(got.nonEmpty && got == serveAll(rebuilt),
       s"append must serve like the rebuild:\n$got\nvs\n${serveAll(rebuilt)}")
     // the invariant the append doc promises: stats ≡ agg(docs/)
-    val st = spark.read.parquet(s"$appended/stats")
-      .as[(Long, Long)].collect().head
+    val st = Search.readSearchStats(spark, appended)
     assert(st == ((corpus.size.toLong,
       corpus.map(_._2.split(" ").length.toLong).sum)),
       s"stats sidecar must equal the docs aggregate: $st")
@@ -259,8 +258,7 @@ class SearchIndexSpec extends SparkTestBase {
     val idx = tmp()
     Search.searchIndexWrite(spark.emptyDataFrame
       .select(lit(0L).as("doc_id"), lit("").as("text")).limit(0), idx)
-    val st0 = spark.read.parquet(s"$idx/stats")
-      .as[(Long, Long)].collect().head
+    val st0 = Search.readSearchStats(spark, idx)
     assert(st0 == ((0L, 0L)),
       s"empty-corpus stats must be (0, 0) — a NULL sum would NPE the " +
         s"first incremental append: $st0")

@@ -32,6 +32,31 @@ class StoreCoordinationSpec extends SparkTestBase {
   private def docsDf = full.select("doc_id", "text")
   private val terms = Seq("alpha", "beta")
 
+  test("meta sidecars: k=v round-trip, atomic replace, absent reads " +
+      "None, malformed fields rejected at write time") {
+    val dir = tmp()
+    val p = s"$dir/manifest"
+    assert(Stores.readMetaSidecar(spark, p).isEmpty,
+      "an absent sidecar must read None (the pre-manifest skip path)")
+    Stores.writeMetaSidecar(spark, p,
+      Seq("n_buckets" -> "8", "tokenizer" -> "ws-split"))
+    assert(Stores.readMetaSidecar(spark, p)
+      == Some(Map("n_buckets" -> "8", "tokenizer" -> "ws-split")))
+    // overwrite replaces the whole entry (no stale keys survive)
+    Stores.writeMetaSidecar(spark, p, Seq("n_buckets" -> "32"))
+    assert(Stores.readMetaSidecar(spark, p)
+      == Some(Map("n_buckets" -> "32")))
+    // '=' in a key or a newline anywhere would corrupt the line format
+    // silently on a later read — both die at write time instead
+    intercept[IllegalArgumentException](
+      Stores.writeMetaSidecar(spark, p, Seq("a=b" -> "1")))
+    intercept[IllegalArgumentException](
+      Stores.writeMetaSidecar(spark, p, Seq("a" -> "1\n2")))
+    assert(Stores.readMetaSidecar(spark, p)
+      == Some(Map("n_buckets" -> "32")),
+      "a rejected write must leave the stored sidecar untouched")
+  }
+
   test("version stamps: write is epoch 0; append and delete bump by " +
       "one; compact never bumps; a rebuild resets") {
     val idx = tmp()

@@ -101,8 +101,7 @@ class StoreFsckSpec extends SparkTestBase {
           "postings-retired", "docs-retired", "tombstones"))
         assert(!exists(idx, d), s"$d must be reclaimed after fsck")
       // the compact applied the tombstones physically — stats agree
-      val st = spark.read.parquet(s"$idx/stats")
-        .select(col("n_docs").cast("long")).head().getLong(0)
+      val st = Search.readSearchStats(spark, idx)._1
       assert(st == corpus.size - deleted.size,
         s"stats must reflect the compacted live corpus: $st")
       // and a second fsck is a clean no-op
@@ -151,8 +150,7 @@ class StoreFsckSpec extends SparkTestBase {
       .write.mode("append").partitionBy("bkt").parquet(s"$idx/postings")
     // window 2: stats overwritten behind docs/ (the crash-after-docs
     // shape: stats no longer equals the docs aggregate)
-    Seq((1L, 1L)).toDF("n_docs", "sum_dl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    Search.writeSearchStats(spark, idx, 1L, 1L)
     val report = Graft.storeFsck(spark, idx)
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
     assert(report("stats").startsWith("re-derived"),

@@ -66,8 +66,7 @@ class SearchIngestSpec extends SparkTestBase {
     val all = resident ++ wave1 ++ wave2
     // the stats sidecar is reconciled after every committed batch —
     // the corpus-global invariant appends force on this store
-    val st = spark.read.parquet(s"$idx/stats")
-      .as[(Long, Long)].collect().head
+    val st = graft.operators.Search.readSearchStats(spark, idx)
     assert(st == ((all.size.toLong,
       all.map(_._2.split(" ").length.toLong).sum)),
       s"stats must equal the ingested docs aggregate: $st")
