@@ -773,8 +773,13 @@ object Similarity {
     // the write's one-file-per-cell discipline (r16 verdict on the
     // search append, applied to all three stores): repartitioning into
     // the index's own cell count lands at most one file per touched
-    // cell per append, bounding small-file accretion between compacts
-    val nCells = cents.count().toInt
+    // cell per append, bounding small-file accretion between compacts.
+    // The cell count comes from the manifest sidecar (a driver-side FS
+    // read) — counting cents/ here would bill every append a Spark job
+    // for one int the write already recorded; the count() fallback only
+    // runs for a pre-manifest store
+    val nCells = Stores.readMetaSidecar(s, s"$indexDir/manifest")
+      .map(_("kIvf").toInt).getOrElse(cents.count().toInt)
     pqEncode(delta, m, subDim, k = 1, Some(books))
       .join(ivfAssign(delta, kIvf = 1, Some(cents)), "vec_id")
       .repartition(nCells, col("cell"))
