@@ -1172,7 +1172,7 @@ object Search {
     * [[searchIndexWrite]]'s whitespace tokenizer reproduces the
     * original token sequence exactly (split/concat_ws round-trips on
     * single-space joins, empties included). */
-  private[operators] def chunkCorpus(docs: DataFrame): DataFrame =
+  private[graft] def chunkCorpus(docs: DataFrame): DataFrame =
     docs
       // per-row packability guard: a doc_id at or beyond MaxChunkDocId
       // would overflow the packed chunk_id silently (wrong ids, wrong
