@@ -880,6 +880,23 @@ object Graft {
       execute: Boolean = true): DataFrame =
     operators.Stores.storeFsck(spark, indexDir, execute)
 
+  /** EXECUTABLE repair for the ONE crash window [[appendAll]] leaves:
+    * a crash between a store's physical append and its ledger marker,
+    * where a bare re-run would double-append (the dup-id state
+    * [[storeFsck]] reports but cannot repair without the source).
+    * Given the SAME batch, this re-lands it exactly once per store:
+    * marker-present stores are untouched; marker-absent stores get
+    * delete(batch ids) + compact + re-append + marker. All stores land
+    * on the common max+1 stamp; re-running the repair is a stamp-only
+    * no-op. One compact per repaired store — the incident-response
+    * price ([[appendAll]] itself stays O(|delta|)). See
+    * [[operators.Stores.replayRepair]]. */
+  def replayRepair(docs: DataFrame, batchId: String,
+      stores: Seq[StoreRef], idCol: String = "doc_id",
+      textCol: String = "text", vecCol: String = "emb"): Unit =
+    operators.Stores.replayRepair(docs, batchId, stores, idCol,
+      textCol, vecCol)
+
   /** [[storeFsck]] pinned to a search store. */
   def searchIndexFsck(spark: SparkSession, indexDir: String,
       execute: Boolean = true): DataFrame =

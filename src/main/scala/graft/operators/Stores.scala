@@ -249,26 +249,32 @@ object Stores {
     require(docIds.nonEmpty, "takedown: no doc ids given")
     val target = stores.map(r => storeVersion(s, r.dir)).max + 1
     stores.foreach { ref =>
-      ref match {
-        case SearchStore(dir) =>
-          Search.searchIndexDelete(s, dir, docIds)
-        case DedupStore(dir) =>
-          TextDedup.dedupIndexDelete(s, dir, docIds)
-        case AnnStore(dir) =>
-          Similarity.ivfPqIndexDelete(s, dir, docIds)
-        case ChunkSearchStore(dir, base) =>
-          require(base > 0, s"takedown: chunkIdBase $base must be positive")
-          docIds.foreach(id => require(id >= 0 && id < Long.MaxValue / base,
-            s"takedown: doc_id $id not packable under chunkIdBase $base"))
-          val ids = chunkIdsPlan(s, dir, base, docIds)
-            .collect().map(_.getLong(0)).toSeq
-          if (ids.nonEmpty) Search.searchIndexDelete(s, dir, ids)
-      }
+      deleteOne(s, ref, docIds)
       // convergent stamp: SET to the pre-computed target (overwriting
       // the delete's internal +1), so a crashed run's re-run aligns
       // every store instead of chasing an ever-moving increment
       writeStoreVersion(s, ref.dir, target)
     }
+  }
+
+  /** One store's doc-level delete — the [[takedownAll]] dispatch, also
+    * the first repair step of [[replayRepair]]. Deleting ids a store
+    * never held is a no-op in every family. */
+  private def deleteOne(s: SparkSession, ref: StoreRef,
+      docIds: Seq[Long]): Unit = ref match {
+    case SearchStore(dir) =>
+      Search.searchIndexDelete(s, dir, docIds)
+    case DedupStore(dir) =>
+      TextDedup.dedupIndexDelete(s, dir, docIds)
+    case AnnStore(dir) =>
+      Similarity.ivfPqIndexDelete(s, dir, docIds)
+    case ChunkSearchStore(dir, base) =>
+      require(base > 0, s"takedown: chunkIdBase $base must be positive")
+      docIds.foreach(id => require(id >= 0 && id < Long.MaxValue / base,
+        s"takedown: doc_id $id not packable under chunkIdBase $base"))
+      val ids = chunkIdsPlan(s, dir, base, docIds)
+        .collect().map(_.getLong(0)).toSeq
+      if (ids.nonEmpty) Search.searchIndexDelete(s, dir, ids)
   }
 
   /** Coordinated IDEMPOTENT append — the mutation-side twin of
@@ -289,8 +295,9 @@ object Stores {
     *
     * Honest window, same as streaming ingest's: a crash BETWEEN a
     * store's append and its marker replays that store's append
-    * at-least-once — the repair is the documented dup-id recovery
-    * (delete the batch's ids on that store + compact, then re-run).
+    * at-least-once — the repair is [[replayRepair]] with the same
+    * batch (EXECUTABLE since r17; [[storeFsck]] reports the dup-id
+    * state and names it).
     *
     * `docs` must carry `idCol`/`textCol`; an [[AnnStore]] in the list
     * additionally needs `vecCol` (the embedding array) and reads its
@@ -304,10 +311,7 @@ object Stores {
       textCol: String = "text", vecCol: String = "emb"): Unit = {
     val s = docs.sparkSession
     require(stores.nonEmpty, "appendAll: no stores given")
-    require(batchId.nonEmpty && batchId.forall(c =>
-        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
-      s"appendAll: batch id '$batchId' must be a filesystem-safe token " +
-        "([A-Za-z0-9._-]) — it names the per-store ledger marker")
+    requireBatchId(batchId, "appendAll")
     // pin the delta once, LAZILY (a fully-replayed batch must not pay
     // a materialization): four store kinds derive different frames
     // from it, and a non-deterministic input could diverge them — the
@@ -318,30 +322,7 @@ object Stores {
       val marker = new Path(s"${ref.dir}/ingested/named-$batchId")
       val fs = fsOf(s, marker)
       if (!fs.exists(marker)) {
-        ref match {
-          case SearchStore(dir) =>
-            Search.searchIndexAppend(pinned, dir, idCol, textCol)
-          case ChunkSearchStore(dir, base) =>
-            require(base == Search.ChunkIdBase,
-              s"appendAll: chunk store base $base != the packer's " +
-                s"${Search.ChunkIdBase} — serve-side unpacking would " +
-                "resolve the wrong documents")
-            Search.searchIndexAppend(
-              Search.chunkCorpus(pinned.select(
-                col(idCol).as("doc_id"), col(textCol).as("text"))),
-              dir, "chunk_id", "chunk_text")
-          case DedupStore(dir) =>
-            TextDedup.dedupIndexAppend(pinned, dir, idCol, textCol)
-          case AnnStore(dir) =>
-            val g = readMetaSidecar(s, s"$dir/manifest").getOrElse(
-              throw new IllegalStateException(
-                s"appendAll: ANN store $dir has no manifest — cannot " +
-                  "recover its frozen (m, subDim) geometry; append " +
-                  "directly with ivfPqIndexAppend or rebuild"))
-            Similarity.ivfPqIndexAppend(
-              Similarity.int8CodedVectors(pinned, idCol, vecCol),
-              dir, g("m").toInt, g("subDim").toInt)
-        }
+        appendOne(s, ref, pinned, idCol, textCol, vecCol)
         // a silently-false mkdirs would leave the marker missing and
         // a re-run would double-append this store — fail loudly
         require(fs.mkdirs(marker),
@@ -349,6 +330,103 @@ object Stores {
       }
       // convergent stamp, same rule as takedownAll: SET to the
       // pre-computed target so a crashed run's re-run aligns the list
+      writeStoreVersion(s, ref.dir, target)
+    }
+  }
+
+  private def requireBatchId(batchId: String, op: String): Unit =
+    require(batchId.nonEmpty && batchId.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"$op: batch id '$batchId' must be a filesystem-safe token " +
+        "([A-Za-z0-9._-]) — it names the per-store ledger marker")
+
+  /** One store's delta append — the [[appendAll]] dispatch, shared
+    * with [[replayRepair]]'s re-append step. */
+  private def appendOne(s: SparkSession, ref: StoreRef, pinned: DataFrame,
+      idCol: String, textCol: String, vecCol: String): Unit = ref match {
+    case SearchStore(dir) =>
+      Search.searchIndexAppend(pinned, dir, idCol, textCol)
+    case ChunkSearchStore(dir, base) =>
+      require(base == Search.ChunkIdBase,
+        s"appendAll: chunk store base $base != the packer's " +
+          s"${Search.ChunkIdBase} — serve-side unpacking would " +
+          "resolve the wrong documents")
+      Search.searchIndexAppend(
+        Search.chunkCorpus(pinned.select(
+          col(idCol).as("doc_id"), col(textCol).as("text"))),
+        dir, "chunk_id", "chunk_text")
+    case DedupStore(dir) =>
+      TextDedup.dedupIndexAppend(pinned, dir, idCol, textCol)
+    case AnnStore(dir) =>
+      val g = readMetaSidecar(s, s"$dir/manifest").getOrElse(
+        throw new IllegalStateException(
+          s"appendAll: ANN store $dir has no manifest — cannot " +
+            "recover its frozen (m, subDim) geometry; append " +
+            "directly with ivfPqIndexAppend or rebuild"))
+      Similarity.ivfPqIndexAppend(
+        Similarity.int8CodedVectors(pinned, idCol, vecCol),
+        dir, g("m").toInt, g("subDim").toInt)
+  }
+
+  /** One store's full compact — the repair step that physically
+    * removes tombstoned rows, duplicated append rows' tombstone-marked
+    * copies, and (search family) orphaned postings. */
+  private def compactOne(s: SparkSession, ref: StoreRef): Unit =
+    ref match {
+      case SearchStore(dir) => Search.searchIndexCompact(s, dir)
+      case ChunkSearchStore(dir, _) => Search.searchIndexCompact(s, dir)
+      case DedupStore(dir) => TextDedup.dedupIndexCompact(s, dir)
+      case AnnStore(dir) => Similarity.ivfPqIndexCompact(s, dir)
+    }
+
+  /** EXECUTABLE repair for the ONE residual crash window the
+    * coordinated/streaming append path leaves: a crash BETWEEN a
+    * store's physical append and its ledger marker means the ledger
+    * cannot tell whether the batch landed, so the next [[appendAll]]
+    * re-run replays it — at-least-once, leaving duplicate ids that
+    * [[storeFsck]] can only REPORT (fsck has no source rows to rebuild
+    * from). Given the source batch, this op executes the documented
+    * recovery per store:
+    *
+    *  - marker present → the ledger proves the batch landed exactly
+    *    once; the store is untouched (stamp-only).
+    *  - marker absent → delete the batch's ids (a no-op for ids that
+    *    never landed), compact (physically removes the partial,
+    *    duplicated, or orphaned rows — and applies any OTHER pending
+    *    tombstones, which were due anyway), re-append the batch, then
+    *    create the marker. The store now holds the batch exactly once
+    *    regardless of where in the append the crash hit (docs-only,
+    *    postings-only, double-append, or never-started).
+    *
+    * Every store lands on the common max+1 target stamp (the
+    * [[takedownAll]] convergence rule), and a re-run of the repair is
+    * a stamp-only no-op. Cost: one compact per store repaired —
+    * O(store), the incident-response price, NOT the ingest path
+    * ([[appendAll]] deliberately stays O(|delta|) and does not pay a
+    * membership probe per batch). Caller contract: `docs` is the same
+    * batch the crashed run appended (same ids, same content) — ids are
+    * collected driver-side, bounded by the delta contract. */
+  private[graft] def replayRepair(docs: DataFrame, batchId: String,
+      stores: Seq[StoreRef], idCol: String = "doc_id",
+      textCol: String = "text", vecCol: String = "emb"): Unit = {
+    val s = docs.sparkSession
+    require(stores.nonEmpty, "replayRepair: no stores given")
+    requireBatchId(batchId, "replayRepair")
+    lazy val pinned = docs.localCheckpoint()
+    lazy val batchIds = pinned.select(col(idCol).cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val target = stores.map(r => storeVersion(s, r.dir)).max + 1
+    stores.foreach { ref =>
+      val marker = new Path(s"${ref.dir}/ingested/named-$batchId")
+      val fs = fsOf(s, marker)
+      if (!fs.exists(marker)) {
+        require(batchIds.nonEmpty, "replayRepair: empty source batch")
+        deleteOne(s, ref, batchIds)
+        compactOne(s, ref)
+        appendOne(s, ref, pinned, idCol, textCol, vecCol)
+        require(fs.mkdirs(marker),
+          s"replayRepair: ledger marker create failed: $marker")
+      }
       writeStoreVersion(s, ref.dir, target)
     }
   }
@@ -541,8 +619,8 @@ object Stores {
     rows += (("dup-ids",
       if (dups == 0) "none" else s"$dups ids appended more than once",
       if (dups == 0) "none"
-      else "report-only: searchIndexDelete the ids + compact, then " +
-        "re-append from source (or rebuild)"))
+      else "report-only: re-run the batch through Stores.replayRepair " +
+        "(delete + compact + re-append, given the source batch), or rebuild"))
     report(s, indexDir, rows.toSeq)
   }
 
@@ -580,8 +658,8 @@ object Stores {
     rows += (("dup-ids",
       if (dups == 0) "none" else s"$dups ids appended more than once",
       if (dups == 0) "none"
-      else "report-only: dedupIndexDelete the ids + compact, then " +
-        "re-append from source (or rebuild)"))
+      else "report-only: re-run the batch through Stores.replayRepair " +
+        "(delete + compact + re-append, given the source batch), or rebuild"))
     report(s, indexDir, rows.toSeq)
   }
 
@@ -612,8 +690,8 @@ object Stores {
     rows += (("dup-ids",
       if (dups == 0) "none" else s"$dups ids appended more than once",
       if (dups == 0) "none"
-      else "report-only: ivfPqIndexDelete the ids + compact, then " +
-        "re-append from source (or rebuild)"))
+      else "report-only: re-run the batch through Stores.replayRepair " +
+        "(delete + compact + re-append, given the source batch), or rebuild"))
     report(s, indexDir, rows.toSeq)
   }
 

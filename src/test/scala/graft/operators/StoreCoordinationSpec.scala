@@ -334,6 +334,71 @@ class StoreCoordinationSpec extends SparkTestBase {
       s"the taken-down doc must never fuse again: $after")
   }
 
+  test("replayRepair re-lands a half-landed batch exactly once: the " +
+      "double-appended store is repaired to clean-twin serving, the " +
+      "never-started store gets the batch, marker-present stores are " +
+      "untouched, and the stamps align") {
+    val search = tmp(); val dedup = tmp(); val ann = tmp()
+    val (seed, delta) = corpus.splitAt(4)
+    val seedDf = seed.toDF("doc_id", "text", "emb")
+    val deltaDf = delta.toDF("doc_id", "text", "emb")
+    Search.searchIndexWrite(seedDf.select("doc_id", "text"), search)
+    TextDedup.dedupIndexWrite(seedDf.select("doc_id", "text"), dedup)
+    Graft.annIndexWrite(seedDf, "doc_id", "emb", ann,
+      kIvf = 2, m = 2, subDim = 2, k = 3)
+    val all = Seq(Graft.SearchStore(search), Graft.DedupStore(dedup),
+      Graft.AnnStore(ann))
+    // the crash states fsck can only REPORT: the search store took the
+    // batch TWICE with no marker (crashed append + one blind re-run
+    // that crashed again pre-marker), the dedup store never started,
+    // the ANN store completed (append + marker via appendAll)
+    Search.searchIndexAppend(deltaDf.select("doc_id", "text"), search)
+    Search.searchIndexAppend(deltaDf.select("doc_id", "text"), search)
+    Graft.appendAll(deltaDf, "r1", Seq(Graft.AnnStore(ann)))
+    val fsckDup = Graft.storeFsck(spark, search, execute = false)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fsckDup("dup-ids").contains("appended more than once"),
+      s"precondition — the window fsck reports: $fsckDup")
+    val annDocsBefore = spark.read
+      .parquet(s"$ann/enc").count()
+
+    Graft.replayRepair(deltaDf, "r1", all)
+
+    // search store: serving is byte-identical to a clean twin built
+    // over seed ∪ delta in one write
+    val twin = tmp()
+    Search.searchIndexWrite(full.select("doc_id", "text"), twin)
+    val served = Search.searchIndexServe(spark, search, terms,
+      topK = 100).select("doc_id", "score")
+      .as[(Long, Double)].collect().toSet
+    val twinServed = Search.searchIndexServe(spark, twin, terms,
+      topK = 100).select("doc_id", "score")
+      .as[(Long, Double)].collect().toSet
+    assert(served == twinServed,
+      s"repaired serving must equal the clean twin: $served vs $twinServed")
+    val dups = spark.read.schema("doc_id BIGINT, dl INT")
+      .parquet(s"$search/docs")
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dups == 0, "the duplicate rows must be physically gone")
+    // dedup store: the batch landed (a clone of the repaired doc rejects)
+    val verdicts = TextDedup.dedupIndexServe(
+        Seq((200L, corpus(4)._2)).toDF("doc_id", "text"), dedup)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(verdicts(200L) == "reject",
+      s"the never-started store must receive the batch: $verdicts")
+    // ANN store (marker present): untouched — same encodings rows
+    assert(spark.read.parquet(s"$ann/enc").count() == annDocsBefore,
+      "a marker-present store must not be re-appended or compacted")
+    // stamps aligned; a repair re-run is a stamp-only no-op
+    val v = Stores.requireAlignedVersions(spark, all.map(_.dir))
+    val searchDocsRows = spark.read.parquet(s"$search/docs").count()
+    Graft.replayRepair(deltaDf, "r1", all)
+    assert(spark.read.parquet(s"$search/docs").count() == searchDocsRows,
+      "re-running the repair must change no data")
+    assert(Stores.requireAlignedVersions(spark, all.map(_.dir)) == v + 1,
+      "the re-run re-stamps to a new common target — still aligned")
+  }
+
   test("the chunk-resolution scan pushes its packed-id range into " +
       "parquet (row-group pruning at corpus scale) and resolves " +
       "exactly the batch's chunks") {
