@@ -613,7 +613,7 @@ object Search {
   // |query terms|/nBuckets of it per query — independent of corpus
   // size — is the difference between a search index and a table scan.
 
-  private val SearchTokenizer = "whitespace"
+  private[operators] val SearchTokenizer = "whitespace"
 
   /** Declared read schemas — `bkt` is the partition directory key
     * (the cell/band discipline). */
@@ -655,6 +655,7 @@ object Search {
       nBuckets: Int = 8): Unit = {
     require(nBuckets >= 1, "searchIndexWrite: nBuckets must be >= 1")
     val s = docs.sparkSession
+    Stores.withStoreLock(s, outDir, "searchIndexWrite") {
     val hc = s.sparkContext.hadoopConfiguration
     for (side <- Seq("tombstones", "ingested", "postings-retired",
         "docs-retired", "postings-compact", "docs-compact",
@@ -687,6 +688,7 @@ object Search {
     // fresh corpus-version stamp (see [[Stores]]): a rebuild starts a
     // new coordination epoch at 0
     Stores.writeStoreVersion(s, outDir, 0L)
+    }
   }
 
   /** Append a DELTA of docs to an existing index under its frozen
@@ -722,6 +724,7 @@ object Search {
   private[graft] def searchIndexAppend(docs: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val s = docs.sparkSession
+    Stores.withStoreLock(s, indexDir, "searchIndexAppend") {
     val nBuckets = checkSearchManifest(s, indexDir)
     val ws = split(col(textCol), " ")
     // Pin the delta ONCE (r16 advice): the three derivations below
@@ -761,6 +764,7 @@ object Search {
     writeSearchStats(s, indexDir,
       old._1 + delta.getLong(0), old._2 + delta.getLong(1))
     Stores.bumpStoreVersion(s, indexDir)
+    }
   }
 
   /** LOGICAL delete (takedowns): record (doc_id, dl) tombstones —
@@ -777,6 +781,7 @@ object Search {
       ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "searchIndexDelete: ids must be non-empty")
     import s.implicits._
+    Stores.withStoreLock(s, indexDir, "searchIndexDelete") {
     val tombP = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
     val fs = tombP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val fresh = ids.distinct.toDF("doc_id")
@@ -790,6 +795,7 @@ object Search {
       .join(broadcast(novel), Seq("doc_id"), "left_semi")
       .coalesce(1).write.mode("append").parquet(tombP.toString)
     Stores.bumpStoreVersion(s, indexDir)
+    }
   }
 
   /** The live tombstone set (doc_id, dl) — empty frame when none. */
@@ -827,7 +833,8 @@ object Search {
     * documented append-crash repair (delete the landed delta ids +
     * compact) reclaims BOTH halves of the wreckage (spec-pinned). */
   private[graft] def searchIndexCompact(s: SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String): Unit =
+      Stores.withStoreLock(s, indexDir, "searchIndexCompact") {
     val nBuckets = checkSearchManifest(s, indexDir)
     val hc = s.sparkContext.hadoopConfiguration
     def path(p: String) = new org.apache.hadoop.fs.Path(s"$indexDir/$p")

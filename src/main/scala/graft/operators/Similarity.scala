@@ -709,6 +709,7 @@ object Similarity {
     require(kIvf >= 1 && m >= 1 && subDim >= 1 && k >= 1,
       "ivfPqIndexWrite: kIvf, m, subDim, k must all be >= 1")
     val s = codes.sparkSession
+    Stores.withStoreLock(s, outDir, "ivfPqIndexWrite") {
     // A rebuild over a dir that held a PRIOR index life must not
     // inherit its sidecar state: a stale tombstones/ set would mask
     // freshly written rows whose ids were reused (silent row loss —
@@ -751,6 +752,7 @@ object Similarity {
     // fresh corpus-version stamp (see [[Stores]]): a rebuild starts a
     // new coordination epoch at 0
     Stores.writeStoreVersion(s, outDir, 0L)
+    }
   }
 
   /** Append a DELTA of vectors to an existing on-disk index — the
@@ -765,6 +767,7 @@ object Similarity {
   private[graft] def ivfPqIndexAppend(delta: DataFrame, indexDir: String,
       m: Int, subDim: Int): Unit = {
     val s = delta.sparkSession
+    Stores.withStoreLock(s, indexDir, "ivfPqIndexAppend") {
     checkIndexManifest(s, indexDir, m, subDim)
     val books = s.read.parquet(s"$indexDir/books")
     val cents = s.read.parquet(s"$indexDir/cents")
@@ -786,6 +789,7 @@ object Similarity {
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/enc")
     Stores.bumpStoreVersion(s, indexDir)
+    }
   }
 
   /** Serve one ANN query from the ON-DISK index: probe the `nprobe`
@@ -1069,10 +1073,12 @@ object Similarity {
       ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "ivfPqIndexDelete: ids must be non-empty")
     import s.implicits._
+    Stores.withStoreLock(s, indexDir, "ivfPqIndexDelete") {
     // ids-frame is caller-side tiny; one file per delete batch
     ids.toDF("vec_id").coalesce(1)
       .write.mode("append").parquet(s"$indexDir/tombstones")
     Stores.bumpStoreVersion(s, indexDir)
+    }
   }
 
   /** Compact an on-disk index in place: rewrite `enc/` to ONE file per
@@ -1098,7 +1104,8 @@ object Similarity {
     * DETECT the half-swapped state without reading exception text
     * (r15 advice, applied to all three stores). */
   private[graft] def ivfPqIndexCompact(s: SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String): Unit =
+      Stores.withStoreLock(s, indexDir, "ivfPqIndexCompact") {
     val enc = new Path(s"$indexDir/enc")
     val fs = enc.getFileSystem(s.sparkContext.hadoopConfiguration)
     val kIvf = s.read.parquet(s"$indexDir/cents").count().toInt

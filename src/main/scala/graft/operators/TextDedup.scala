@@ -1292,6 +1292,7 @@ object TextDedup {
   private[operators] def dedupIndexWriteBands(bands: DataFrame,
       outDir: String): Unit = {
     val s = bands.sparkSession
+    Stores.withStoreLock(s, outDir, "dedupIndexWrite") {
     val hc = s.sparkContext.hadoopConfiguration
     for (side <- Seq("tombstones", "ingested", "bands-retired",
         "bands-compact", "compact-inflight")) {
@@ -1316,6 +1317,7 @@ object TextDedup {
     // fresh corpus-version stamp (see [[Stores]]): a rebuild starts a
     // new coordination epoch at 0
     Stores.writeStoreVersion(s, outDir, 0L)
+    }
   }
 
   /** Append a DELTA of docs to an existing store under the frozen
@@ -1329,6 +1331,7 @@ object TextDedup {
   private[graft] def dedupIndexAppend(docs: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val s = docs.sparkSession
+    Stores.withStoreLock(s, indexDir, "dedupIndexAppend") {
     checkDedupManifest(s, indexDir)
     bandsOfSignatures(docs, idCol, textCol)
       .select(col("doc_id"), col("bv"), col("band"))
@@ -1340,6 +1343,7 @@ object TextDedup {
       .write.mode("append").partitionBy("band")
       .parquet(s"$indexDir/bands")
     Stores.bumpStoreVersion(s, indexDir)
+    }
   }
 
   /** Serve admit/reject verdicts for a NEW batch against the on-disk
@@ -1384,9 +1388,11 @@ object TextDedup {
       ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "dedupIndexDelete: ids must be non-empty")
     import s.implicits._
+    Stores.withStoreLock(s, indexDir, "dedupIndexDelete") {
     ids.toDF("doc_id").coalesce(1)
       .write.mode("append").parquet(s"$indexDir/tombstones")
     Stores.bumpStoreVersion(s, indexDir)
+    }
   }
 
   /** Compact in place: rewrite `bands/` to one file per band with
@@ -1400,7 +1406,8 @@ object TextDedup {
     * can DETECT a half-swapped store instead of relying on an
     * operator reading exception text (r15 advice). */
   private[graft] def dedupIndexCompact(s: SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String): Unit =
+      Stores.withStoreLock(s, indexDir, "dedupIndexCompact") {
     val enc = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
     val fs = enc.getFileSystem(s.sparkContext.hadoopConfiguration)
     val live = residentBands(s, indexDir)
