@@ -137,7 +137,11 @@ object Stores {
     val p = new Path(s"$dir/mutation-lock")
     val fs = fsOf(s, p)
     val out = try fs.create(p, false)
-      catch { case _: java.io.IOException =>
+      catch { case e: java.io.IOException =>
+        // only an EXISTING lock reads as "held" — any other create
+        // failure (permissions, disk) propagates as itself, not as a
+        // misleading lock-conflict message
+        if (!fs.exists(p)) throw e
         throw new IllegalStateException(
           s"store $dir is locked by another mutation (" +
             readMetaSidecar(s, p.toString).fold("unreadable lock")(m =>
