@@ -27,7 +27,7 @@ object Bench {
     "q171_phash_pairs" -> Seq("phash"),
     "q172_kl_drift" -> Seq("unigram-tf"),
     "q181_ann_recall" -> Seq("ivf-cell", "pq-enc"),
-    "q182_ivfpq_disk" -> Seq("ivf-cent", "pq-book"),
+    "q187_coord_takedown" -> Seq("ivf-cent", "pq-book"),
     "q42_jaccard_pairs" -> Seq("jaccard-pairs"),
     "q43_simhash_pairs" -> Seq("simhash"),
     "q44_lsh_candidates" -> Seq("lsh-cand", "minhash-sig"),
@@ -39,9 +39,9 @@ object Bench {
   /** Derive each cache key-prefix's LAST consumer by replaying plan
     * construction of every query in Bench's sorted order with the
     * registry's access hook armed. Plan construction launches no Spark
-    * jobs outside the six eager-by-design constructors pinned in
+    * jobs outside the eager-by-design constructors pinned (exactly) in
     * PlanConstructionSpec (connector write, ANALYZE, the three
-    * iterative materializers, the q182 on-disk index build+probe): the
+    * iterative materializers, the on-disk store builds+probes): the
     * one data-adaptive constructor — the
     * jaccard-pairs branch probe — is pinned to its `count` branch here
     * via [[graft.operators.TextDedup.BranchConf]], which is

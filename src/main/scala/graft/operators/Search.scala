@@ -230,14 +230,19 @@ object Search {
       "\nSELECT doc_id, dl, tf1, tf2, tf3, score FROM sc " +
       "ORDER BY score DESC, doc_id LIMIT 10"
 
-  /** The RAG-fusion oracle (chunk → chunk-BM25 ⊕ doc-embedding cosine
-    * → RRF → top-10), shared VERBATIM by q170 (all stages in-memory)
-    * and q186 (lexical leg served from the on-disk chunk search index,
-    * semantic leg served from the on-disk IVF-PQ index at exhaustive
-    * settings) — the splice discipline's fourth instance: one replay
-    * of the math gates the composed END-TO-END disk serving path. */
-  private val ragFuseOracle: String =
-    """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+  /** The RAG-fusion oracle pipeline (chunk → chunk-BM25 ⊕ doc-embedding
+    * cosine → RRF → top-10) over a corpus slice: `docsWhere`/`embWhere`
+    * restrict the two base tables (empty = the full corpus). The
+    * restricted form backs q187, whose Spark side serves the SAME
+    * top-10 off stores that ABSORBED the restriction as mutations
+    * (a coordinated append completing the corpus, then a coordinated
+    * takedown of the excluded slice) — the oracle states the
+    * destination corpus declaratively, the engine reaches it through
+    * the lifecycle ops, and the hash gate proves they agree. */
+  private def ragFuseOracleOver(docsWhere: String,
+      embWhere: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS ws
+      |  FROM documents$docsWhere),
       |p AS (SELECT doc_id, ws, len(ws) AS n,
       |  CAST(ceil(greatest(n - 64, 0) / 64.0) AS INTEGER) AS kmax FROM t),
       |x AS (SELECT doc_id, ws, unnest(range(0, kmax + 1)) AS k FROM p),
@@ -263,7 +268,8 @@ object Search {
       |rb AS (SELECT doc_id, chunk_idx, lex_rank FROM (SELECT doc_id,
       |  chunk_idx, CAST(row_number() OVER (ORDER BY score DESC, doc_id,
       |    chunk_idx) AS INTEGER) AS lex_rank FROM sc) WHERE lex_rank <= 100),
-      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings$embWhere),
       |nn AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
       |q AS (SELECT v AS qv, nrm AS qnrm FROM nn WHERE vec_id = 0),
       |cs AS (SELECT vec_id,
@@ -277,6 +283,20 @@ object Search {
       |  round(1.0 / (60 + lex_rank) + 1.0 / (60 + sem_rank), 6) AS rrf
       |FROM rb JOIN rc ON rb.doc_id = rc.vec_id
       |ORDER BY rrf DESC, doc_id, chunk_idx LIMIT 10""".stripMargin
+
+  /** The full-corpus RAG-fusion oracle, shared VERBATIM by q170 (all
+    * stages in-memory) and q186 (lexical leg served from the on-disk
+    * chunk search index, semantic leg served from the on-disk IVF-PQ
+    * index at exhaustive settings) — the splice discipline's fourth
+    * instance: one replay of the math gates the composed END-TO-END
+    * disk serving path. */
+  private val ragFuseOracle: String = ragFuseOracleOver("", "")
+
+  /** q187's oracle: the same fusion over the corpus MINUS the
+    * `doc_id % 7 == 3` takedown slice (the modulus avoids the query
+    * vector: 0 % 7 == 0, so vec 0 always survives in `q`). */
+  private val ragTakedownOracle: String = ragFuseOracleOver(
+    " WHERE doc_id % 7 <> 3", " WHERE vec_id % 7 <> 3")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -535,32 +555,39 @@ object Search {
     QueryDef(
       "q186_rag_fuse_disk",
       ragFuseOracle) { (s, dir) =>
-      val lexServe = searchIndexServe(s, diskChunkSearchDir(s, dir),
-        terms, topK = 100)
-      val wb = Window.orderBy(col("score").desc, col("doc_id"))
-      val lex = lexServe
-        .select(col("doc_id").as("cid"),
-          row_number().over(wb).as("lex_rank"))
-        // exact INTEGER unpack (r16 advice): `/` on longs is double
-        // division, and past 2^53 the truncating cast could yield
-        // doc_id−1 and silently join the wrong vector id — `div` is
-        // integral on both engines (pmod is already exact)
-        .select(expr(s"cid div ${ChunkIdBase}L").as("doc_id"),
-          pmod(col("cid"), lit(ChunkIdBase)).cast("int").as("chunk_idx"),
-          col("lex_rank"))
-      val wc = Window.orderBy(col("cos_sim").desc, col("vec_id"))
-      val sem = Similarity.ivfPqIndexServe(
-          Similarity.int8Codes(s, dir), Similarity.diskIndexDir(s, dir),
-          queryId = 0L, nprobe = 4, m = 4, subDim = 16,
-          coarseK = 100000, topK = 100)
-        .select(col("vec_id"), row_number().over(wc).as("sem_rank"))
-      lex.join(sem, col("doc_id") === col("vec_id"))
-        .select(col("doc_id"), col("chunk_idx"), col("lex_rank"),
-          col("sem_rank"),
-          round(lit(1.0) / (lit(60) + col("lex_rank"))
-            + lit(1.0) / (lit(60) + col("sem_rank")), 6).as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id"), col("chunk_idx"))
-        .limit(10)
+      ragFuseDiskServe(s, dir, diskChunkSearchDir(s, dir),
+        Similarity.diskIndexDir(s, dir))
+    },
+
+    // ── the composed serve AFTER a coordinated mutation cycle — the
+    //    cross-store coordination surface under the external oracle
+    //    gate: q187's stores are built by the LIFECYCLE OPS themselves
+    //    (an initial write of the doc_id % 3 != 0 corpus slice, a
+    //    coordinated ledgered `appendAll` of the remainder as one
+    //    named batch, then a coordinated `takedownAll` of the
+    //    doc_id % 7 == 3 slice), the serve first asserts the
+    //    cross-store snapshot guard (`requireAlignedVersions` — the
+    //    r16 verdict's missing #1, here on the oracled path), and the
+    //    oracle states the DESTINATION corpus declaratively (q170's
+    //    fusion over documents/embeddings minus the takedown slice).
+    //    The hash gate therefore proves write ∘ append ∘ takedown ∘
+    //    tombstone-corrected serve ≡ a fresh pipeline on the final
+    //    corpus — the maintained-≡-fresh contract, externally judged.
+    //    Exactness argument is q186's unchanged: exhaustive ANN
+    //    settings make the semantic leg brute-force over the LIVE
+    //    (non-tombstoned) vectors; the lexical leg's tombstone-
+    //    corrected (n_docs, sum_dl, df) stats equal a fresh index on
+    //    the surviving chunks by construction. Store builds + the two
+    //    mutations are absorbed in this query's timed section on first
+    //    touch (the q182/q184/q185/q186 absorption discipline); the
+    //    takedown slice is ~1/7 of the corpus, so the mutation is
+    //    OBSERVABLE in the top-10, not a no-op rubber stamp.
+    QueryDef(
+      "q187_coord_takedown",
+      ragTakedownOracle) { (s, dir) =>
+      val (csDir, annDir) = coordStoreDirs(s, dir)
+      Stores.requireAlignedVersions(s, Seq(annDir, csDir))
+      ragFuseDiskServe(s, dir, csDir, annDir)
     },
 
     // ── fuzzy blocked join (entity resolution): canonicalize part names
@@ -1150,6 +1177,7 @@ object Search {
   private[graft] def resetDiskSearchMemo(): Unit = {
     diskSearchDirs.clear()
     diskChunkSearchDirs.clear()
+    coordDirs.clear()
   }
 
   private[graft] def diskSearchDir(s: SparkSession, dir: String): String =
@@ -1219,5 +1247,88 @@ object Search {
       searchIndexWrite(chunkCorpus(T(s, dir, "documents")), out,
         idCol = "chunk_id", textCol = "chunk_text")
       out
+    })
+
+  /** The q170/q186 fusion served off an arbitrary (chunk search index,
+    * ANN index) pair — q186 reads the pristine builds, q187 the
+    * coordinated-mutation survivors; one body, so the two queries can
+    * only diverge through the stores they read. Semantic leg at the
+    * exhaustive settings that make the disk serve brute-force-exact
+    * (nprobe = kIvf, uncapped ADC shortlist); chunk ids unpacked with
+    * exact integer arithmetic (r16 advice — see q186's history). */
+  private def ragFuseDiskServe(s: SparkSession, dir: String,
+      chunkSearchDir: String, annDir: String): DataFrame = {
+    val lexServe = searchIndexServe(s, chunkSearchDir, terms, topK = 100)
+    val wb = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = lexServe
+      .select(col("doc_id").as("cid"),
+        row_number().over(wb).as("lex_rank"))
+      .select(expr(s"cid div ${ChunkIdBase}L").as("doc_id"),
+        pmod(col("cid"), lit(ChunkIdBase)).cast("int").as("chunk_idx"),
+        col("lex_rank"))
+    val wc = Window.orderBy(col("cos_sim").desc, col("vec_id"))
+    val sem = Similarity.ivfPqIndexServe(
+        Similarity.int8Codes(s, dir), annDir,
+        queryId = 0L, nprobe = 4, m = 4, subDim = 16,
+        coarseK = 100000, topK = 100)
+      .select(col("vec_id"), row_number().over(wc).as("sem_rank"))
+    lex.join(sem, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("chunk_idx"), col("lex_rank"),
+        col("sem_rank"),
+        round(lit(1.0) / (lit(60) + col("lex_rank"))
+          + lit(1.0) / (lit(60) + col("sem_rank")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"), col("chunk_idx"))
+      .limit(10)
+  }
+
+  /** The mutated two-store layout behind q187, built ONCE per corpus
+    * dir by the COORDINATION OPS themselves (the memo contract of
+    * [[diskSearchDir]]; q187's timed section absorbs it):
+    *
+    *   1. initial writes over the `doc_id % 3 != 0` corpus slice —
+    *      the chunk-level search index and the IVF-PQ index (frozen
+    *      trained model frames; what the codebooks saw is irrelevant
+    *      under q187's exhaustive serve settings);
+    *   2. [[Stores.appendAll]] of the remaining `% 3 == 0` docs+
+    *      vectors as ONE named ledgered batch — both stores absorb
+    *      the same delta and land stamp-aligned;
+    *   3. [[Stores.takedownAll]] of the `doc_id % 7 == 3` slice —
+    *      doc-level ANN tombstones, packed-range chunk tombstones,
+    *      both stores SET to the common target stamp.
+    *
+    * Net corpus = documents minus the takedown slice, which is what
+    * q187's oracle states directly. The takedown-id collect is
+    * driver-side and |corpus|/7-bounded at the TEST scales the memo
+    * runs at; a production takedown list arrives as data, not a
+    * collect (see [[Stores.takedownAll]]). */
+  private val coordDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def coordStoreDirs(s: SparkSession,
+      dir: String): (String, String) =
+    coordDirs.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-coord-q187").toString
+      val cs = s"$root/chunksearch"
+      val ann = s"$root/ann"
+      val docs = T(s, dir, "documents")
+      searchIndexWrite(
+        chunkCorpus(docs.filter(col("doc_id") % 3 =!= 0)), cs,
+        idCol = "chunk_id", textCol = "chunk_text")
+      Similarity.ivfPqIndexWrite(
+        Similarity.int8Codes(s, dir).filter(col("vec_id") % 3 =!= 0),
+        ann, kIvf = 4, m = 4, subDim = 16, k = 8,
+        codebooks = Some(Similarity.pqBooks(s, dir)),
+        centroids = Some(Similarity.ivfCentroidIdx(s, dir)))
+      val stores = Seq(Stores.ChunkSearchStore(cs, ChunkIdBase),
+        Stores.AnnStore(ann))
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+        .join(T(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding").as("emb"))
+      Stores.appendAll(delta, "q187-bootstrap", stores)
+      val ids = docs.filter(col("doc_id") % 7 === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      Stores.takedownAll(s, ids, stores)
+      (cs, ann)
     })
 }

@@ -57,7 +57,10 @@ object ScaleProbe {
     * frames the build-inclusive pq rows must RELEASE before timing so
     * they stay comparable with the r12/r13 tables that re-derived
     * everything inline. This is exactly the set whose last bench
-    * consumer is q181 ([[graft.Bench.releaseAfter]]); ScaleProbeSpec
+    * consumers are the final ANN queries in sorted order — q181 for
+    * pq-enc/ivf-cell, q187 for the pq-book/ivf-cent model frames its
+    * coordinated ANN write reads ([[graft.Bench.releaseAfter]]);
+    * ScaleProbeSpec
     * pins the equality so a future ANN cache cannot silently shrink
     * the "build" these rows measure (the gap the r14 pq-book/ivf-cent
     * additions opened until reviewed). */

@@ -42,7 +42,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   *    serving contracts — first touch writes the chunk-level search
   *    index (diskChunkSearchDir) and rides q182's ANN index memo, and
   *    the serve runs both manifest checks plus both driver-side
-  *    probe/bucket lists.
+  *    probe/bucket lists;
+  *  - q187_coord_takedown: the coordinated-lifecycle twin — first
+  *    touch builds its OWN two-store layout through the mutation ops
+  *    (partial writes, a ledgered appendAll, a takedownAll whose id
+  *    slice is a driver collect), and the serve adds the cross-store
+  *    version-alignment read on top of q186's eager set.
   * Table RESOLUTION (parquet footer/schema read on a table's first
   * touch) also runs small jobs; it is the memoized metastore role, not
   * a query cost, and the spec pre-resolves every table so those jobs
@@ -62,7 +67,7 @@ class PlanConstructionSpec extends SparkTestBase {
     "q173_cluster_rep", "q121_pagerank_neardup", "q135_kmeans",
     "q182_ivfpq_disk", "q183_ivfpq_filtered",
     "q184_disk_incremental_dedup", "q185_bm25_disk",
-    "q186_rag_fuse_disk")
+    "q186_rag_fuse_disk", "q187_coord_takedown")
 
   private val TagProp = "graft.construct.query"
 

@@ -80,14 +80,15 @@ class ScaleProbeSpec extends SparkTestBase {
     // reviewed. That set is, by the release-ledger's own derivation,
     // the prefixes whose LAST bench consumers are the final ANN
     // queries in sorted run order — q181 (recall audit: pq-enc,
-    // ivf-cell) and q182 (disk serve, which still reads the pq-book/
-    // ivf-cent model frames to build its index); BenchReleaseSpec
-    // drift-gates releaseAfter against the real query definitions, so
-    // a future ANN cache lands there first and this equality then
-    // forces the probe to follow.
+    // ivf-cell) and q187 (whose coordinated store build reads the
+    // pq-book/ivf-cent model frames for its initial ANN write, making
+    // it the model frames' last consumer since it sorts after q182);
+    // BenchReleaseSpec drift-gates releaseAfter against the real query
+    // definitions, so a future ANN cache lands there first and this
+    // equality then forces the probe to follow.
     assert(ScaleProbe.AnnIndexPrefixes.toSet ==
       (graft.Bench.releaseAfter("q181_ann_recall") ++
-        graft.Bench.releaseAfter("q182_ivfpq_disk")).toSet,
+        graft.Bench.releaseAfter("q187_coord_takedown")).toSet,
       "ScaleProbe.AnnIndexPrefixes must track the ANN release set")
   }
 }
