@@ -719,11 +719,12 @@ object Graft {
       ids: Seq[Long]): Unit =
     operators.Search.searchIndexDelete(spark, indexDir, ids)
 
-  /** Compact the index in place: one file per bucket directory,
-    * tombstones applied physically to postings AND docs, stats
-    * re-derived, rankings unchanged (spec-pinned). Writes a
-    * `compact-inflight` marker before the directory swaps so tooling
-    * can detect a half-swapped store. Single-maintainer op. See
+  /** Compact the index into its next GENERATION: one file per bucket
+    * directory, tombstones applied physically to postings AND docs,
+    * stats re-derived, rankings unchanged (spec-pinned) — all
+    * committed by one atomic generation-pointer flip, with the prior
+    * generation kept one compact cycle as the serve grace (snapshot
+    * isolation for in-flight serves). Single-maintainer op. See
     * [[operators.Search.searchIndexCompact]]. */
   def searchIndexCompact(spark: SparkSession, indexDir: String): Unit =
     operators.Search.searchIndexCompact(spark, indexDir)
@@ -869,13 +870,14 @@ object Graft {
       vecCol)
 
   /** EXECUTABLE crash repair for any graft store directory: reads the
-    * `compact-inflight` / scratch / retired / sidecar state, classifies
-    * the crash window (half-swapped compact, marker-present-but-intact,
-    * torn scratch, append orphans, stale stats, replayed ingest
-    * batches), and RUNS the documented recovery — the scaladoc repairs,
-    * as code. Dispatches on the store's own layout; returns a
-    * (check, state, action) report. `execute = false` classifies
-    * without touching the store. See [[operators.Stores.storeFsck]]. */
+    * generation-pointer / dataset / sidecar state, classifies the
+    * crash window (torn compact scratch above the pointer, expired
+    * generations below the grace, append orphans, stale stats,
+    * replayed ingest batches), and RUNS the documented recovery — the
+    * scaladoc repairs, as code. Dispatches on the store's own layout;
+    * returns a (check, state, action) report. `execute = false`
+    * classifies without touching the store. See
+    * [[operators.Stores.storeFsck]]. */
   def storeFsck(spark: SparkSession, indexDir: String,
       execute: Boolean = true): DataFrame =
     operators.Stores.storeFsck(spark, indexDir, execute)

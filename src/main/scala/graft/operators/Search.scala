@@ -657,6 +657,15 @@ object Search {
     * state to reconcile them. */
   private val SearchTombSchema = "doc_id BIGINT, dl INT"
 
+  /** The search store's per-GENERATION artifacts (see
+    * [[Stores.currentGen]]): everything a compact republishes
+    * atomically under the next generation — the two datasets, the
+    * stats sidecar they must agree with, and the tombstone set the
+    * compact folds in. The manifest, ingest ledger and corpus-version
+    * stamp are store-life state and stay unversioned. */
+  private[graft] val SearchGenKinds =
+    Seq("postings", "docs", "stats", "tombstones")
+
   /** Write the search index: postings (doc_id, term, tf) bucketed by
     * term hash under `postings/bkt=<b>/…`, per-doc lengths under
     * `docs/`, the (n_docs, sum_dl) corpus stats under `stats/` (derived
@@ -673,10 +682,10 @@ object Search {
     * rows in docs/ and postings/, inflating n_docs, sum_dl and its own
     * tf with no error — exact-dedup the frame first (q40) if unsure.
     *
-    * Rebuild-safe: stale sidecar state from a prior store life under
-    * the same dir (tombstones, ingest ledger, a crashed compaction's
-    * retired/inflight artifacts) is cleared — the
-    * [[Similarity.ivfPqIndexWrite]] rebuild rule, third instance. */
+    * Rebuild-safe: stale state from a prior store life under the same
+    * dir (every dataset generation + the gen pointer, tombstones, the
+    * ingest ledger) is cleared — the [[Similarity.ivfPqIndexWrite]]
+    * rebuild rule, third instance. */
   private[graft] def searchIndexWrite(docs: DataFrame, outDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       nBuckets: Int = 8): Unit = {
@@ -684,10 +693,9 @@ object Search {
     val s = docs.sparkSession
     Stores.withStoreLock(s, outDir, "searchIndexWrite") {
     val hc = s.sparkContext.hadoopConfiguration
-    for (side <- Seq("tombstones", "ingested", "postings-retired",
-        "docs-retired", "postings-compact", "docs-compact",
-        "compact-inflight")) {
-      val p = new org.apache.hadoop.fs.Path(s"$outDir/$side")
+    Stores.clearGens(s, outDir, SearchGenKinds)
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/ingested")
       val fs = p.getFileSystem(hc)
       if (fs.exists(p)) fs.delete(p, true)
     }
@@ -700,7 +708,7 @@ object Search {
     val st = s.read.schema(SearchDocsSchema).parquet(s"$outDir/docs")
       .agg(count(lit(1)).cast("long"),
         coalesce(sum(col("dl").cast("long")), lit(0L))).head()
-    writeSearchStats(s, outDir, st.getLong(0), st.getLong(1))
+    writeSearchStats(s, outDir, 0L, st.getLong(0), st.getLong(1))
     docs.select(col(idCol).cast("long").as("doc_id"),
         explode(ws).as("term"))
       .groupBy("doc_id", "term")
@@ -753,6 +761,7 @@ object Search {
     val s = docs.sparkSession
     Stores.withStoreLock(s, indexDir, "searchIndexAppend") {
     val nBuckets = checkSearchManifest(s, indexDir)
+    val g = Stores.currentGen(s, indexDir)
     val ws = split(col(textCol), " ")
     // Pin the delta ONCE (r16 advice): the three derivations below
     // (stats delta, postings, docs) would otherwise re-evaluate the
@@ -766,7 +775,7 @@ object Search {
     // one-row reads BEFORE the appends, so a crash mid-append can only
     // leave stats BEHIND the data (under-counting the delta — the
     // documented repair window), never double-counting it
-    val old = readSearchStats(s, indexDir)
+    val old = readSearchStats(s, indexDir, g)
     val delta = pinned
       .agg(count(lit(1)).cast("long"),
         coalesce(sum(size(ws).cast("long")), lit(0L)))
@@ -784,11 +793,12 @@ object Search {
       // still reclaims, but the leak between compacts is bounded
       .repartition(nBuckets, col("bkt"))
       .write.mode("append").partitionBy("bkt")
-      .parquet(s"$indexDir/postings")
+      .parquet(s"$indexDir/${Stores.genName("postings", g)}")
     pinned.select(col(idCol).cast("long").as("doc_id"),
         size(ws).as("dl"))
-      .write.mode("append").parquet(s"$indexDir/docs")
-    writeSearchStats(s, indexDir,
+      .write.mode("append")
+      .parquet(s"$indexDir/${Stores.genName("docs", g)}")
+    writeSearchStats(s, indexDir, g,
       old._1 + delta.getLong(0), old._2 + delta.getLong(1))
     Stores.bumpStoreVersion(s, indexDir)
     }
@@ -809,7 +819,9 @@ object Search {
     require(ids.nonEmpty, "searchIndexDelete: ids must be non-empty")
     import s.implicits._
     Stores.withStoreLock(s, indexDir, "searchIndexDelete") {
-    val tombP = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val g = Stores.currentGen(s, indexDir)
+    val tombP = new org.apache.hadoop.fs.Path(
+      s"$indexDir/${Stores.genName("tombstones", g)}")
     val fs = tombP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val fresh = ids.distinct.toDF("doc_id")
     val novel =
@@ -818,37 +830,43 @@ object Search {
         s.read.schema(SearchTombSchema).parquet(tombP.toString)
           .select("doc_id"),
         Seq("doc_id"), "left_anti")
-    s.read.schema(SearchDocsSchema).parquet(s"$indexDir/docs")
+    s.read.schema(SearchDocsSchema)
+      .parquet(s"$indexDir/${Stores.genName("docs", g)}")
       .join(broadcast(novel), Seq("doc_id"), "left_semi")
       .coalesce(1).write.mode("append").parquet(tombP.toString)
     Stores.bumpStoreVersion(s, indexDir)
     }
   }
 
-  /** The live tombstone set (doc_id, dl) — empty frame when none. */
-  private def searchTombstones(s: SparkSession,
-      indexDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+  /** The live tombstone set (doc_id, dl) at generation `g` — empty
+    * frame when none. Tombstones are GENERATIONAL: a compact folds the
+    * current set into the next generation's datasets and the fresh
+    * generation starts with no tombstone dir at all, while the old
+    * set stays with its (grace) generation for serves pinned to it. */
+  private def searchTombstones(s: SparkSession, indexDir: String,
+      g: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$indexDir/${Stores.genName("tombstones", g)}")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else Some(s.read.schema(SearchTombSchema).parquet(p.toString))
   }
 
-  /** Compact in place: rewrite `postings/` (one file per bucket) and
-    * `docs/` with tombstones applied physically, re-derive the stats
-    * sidecar from the new docs read back, swap via renames, clear the
-    * tombstone set. A `compact-inflight` marker file is created before
-    * the first rename and removed after the last cleanup, so tooling
-    * can DETECT a half-swapped store instead of relying on an operator
-    * reading exception text (r15 advice on the dedup compact, applied
-    * here from birth); between the renames the `*-retired/` dirs hold
-    * the complete prior data and the require names the recovery.
-    * Marker-present does NOT by itself mean half-swapped (r16 advice):
-    * a crash between marker creation and the first rename leaves the
-    * store fully intact with marker + scratch present. Which dirs
-    * exist disambiguates the window, and [[Stores.searchIndexFsck]]
-    * reads them and EXECUTES the right repair — operators should run
-    * fsck, not pattern-match this scaladoc mid-incident.
+  /** Compact into the NEXT GENERATION: rewrite postings (one file per
+    * bucket) and docs with tombstones applied physically at fresh
+    * `<kind>-g<N+1>` paths, derive the new stats sidecar from the new
+    * docs read back, then COMMIT everything with one atomic `gen`
+    * pointer flip (see [[Stores.currentGen]]) — postings, docs, stats
+    * and the now-empty tombstone set change together or not at all, so
+    * the half-swapped crash window of the old rename-swap layout does
+    * not exist. The pre-compact generation is NOT deleted: it stays as
+    * the serve grace (a serve constructed before the flip keeps
+    * reading its pinned generation's files — snapshot isolation one
+    * generation deep); this compact's vacuum removes the generations
+    * BEFORE it. Crash anywhere pre-flip leaves the store intact plus
+    * torn `-g<N+1>` scratch (fsck deletes it; a re-run overwrites it);
+    * crash post-flip before the vacuum leaves expired generations the
+    * next compact (or fsck) removes.
     *
     * Compaction also restores the `postings ⊆ docs` invariant: a
     * crash inside [[searchIndexAppend]]'s window can leave ORPHANED
@@ -863,47 +881,33 @@ object Search {
       indexDir: String): Unit =
       Stores.withStoreLock(s, indexDir, "searchIndexCompact") {
     val nBuckets = checkSearchManifest(s, indexDir)
-    val hc = s.sparkContext.hadoopConfiguration
-    def path(p: String) = new org.apache.hadoop.fs.Path(s"$indexDir/$p")
-    val fs = path("postings").getFileSystem(hc)
-    val tombIds = searchTombstones(s, indexDir)
+    val g = Stores.currentGen(s, indexDir)
+    val ng = g + 1
+    val tombIds = searchTombstones(s, indexDir, g)
       .map(t => broadcast(t.select("doc_id")))
     def minusTombs(df: DataFrame): DataFrame =
       tombIds.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
-    val liveDocs =
-      minusTombs(s.read.schema(SearchDocsSchema).parquet(s"$indexDir/docs"))
+    val liveDocs = minusTombs(s.read.schema(SearchDocsSchema)
+      .parquet(s"$indexDir/${Stores.genName("docs", g)}"))
     minusTombs(s.read.schema(SearchPostingsSchema)
-        .parquet(s"$indexDir/postings"))
+        .parquet(s"$indexDir/${Stores.genName("postings", g)}"))
       .join(liveDocs.select("doc_id"), Seq("doc_id"), "left_semi")
       .select("doc_id", "term", "tf", "bkt")
       .repartition(nBuckets, col("bkt"))
       .write.mode("overwrite").partitionBy("bkt")
-      .parquet(s"$indexDir/postings-compact")
-    liveDocs
-      .write.mode("overwrite").parquet(s"$indexDir/docs-compact")
-    for (retired <- Seq("postings-retired", "docs-retired"))
-      if (fs.exists(path(retired))) fs.delete(path(retired), true)
-    fs.create(path("compact-inflight"), true).close()
-    require(fs.rename(path("postings"), path("postings-retired"))
-        && fs.rename(path("postings-compact"), path("postings")),
-      s"searchIndexCompact: postings swap failed under $indexDir — if " +
-        "postings/ is missing, rename postings-retired/ back to postings/")
-    require(fs.rename(path("docs"), path("docs-retired"))
-        && fs.rename(path("docs-compact"), path("docs")),
-      s"searchIndexCompact: docs swap failed under $indexDir — if " +
-        "docs/ is missing, rename docs-retired/ back to docs/")
-    // stats re-derive BEFORE the tombstones clear: at every rest point
-    // either (stats ≡ agg(docs/) and tombstones subtract cleanly) or
-    // (stats stale but tombstones still present to re-run the compact)
-    val st = s.read.schema(SearchDocsSchema).parquet(s"$indexDir/docs")
+      .parquet(s"$indexDir/${Stores.genName("postings", ng)}")
+    liveDocs.write.mode("overwrite")
+      .parquet(s"$indexDir/${Stores.genName("docs", ng)}")
+    val st = s.read.schema(SearchDocsSchema)
+      .parquet(s"$indexDir/${Stores.genName("docs", ng)}")
       .agg(count(lit(1)).cast("long"),
         coalesce(sum(col("dl").cast("long")), lit(0L))).head()
-    writeSearchStats(s, indexDir, st.getLong(0), st.getLong(1))
-    fs.delete(path("tombstones"), true)
-    for (retired <- Seq("postings-retired", "docs-retired"))
-      fs.delete(path(retired), true)
-    fs.delete(path("compact-inflight"), false)
-    ()
+    writeSearchStats(s, indexDir, ng, st.getLong(0), st.getLong(1))
+    // THE commit point: generation ng (with its re-derived stats and
+    // empty tombstone set) becomes current atomically
+    Stores.writeGen(s, indexDir, ng)
+    // vacuum everything OLDER than the grace generation g
+    Stores.vacuumGens(s, indexDir, SearchGenKinds, keepFrom = g)
   }
 
   /** Per-bucket health report: (bkt, n_postings, n_terms, files) —
@@ -916,12 +920,14 @@ object Search {
     * higher bucket count, and this report is where that shows. */
   private[graft] def searchIndexStats(s: SparkSession,
       indexDir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    val g = Stores.currentGen(s, indexDir)
+    val root = new org.apache.hadoop.fs.Path(
+      s"$indexDir/${Stores.genName("postings", g)}")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
       s"searchIndexStats: no postings dataset under $indexDir — " +
         "not a store directory (searchIndexWrite creates postings/)")
-    val tombIds = searchTombstones(s, indexDir)
+    val tombIds = searchTombstones(s, indexDir, g)
       .map(t => broadcast(t.select("doc_id")))
     val live = tombIds.fold(
         s.read.schema(SearchPostingsSchema).parquet(root.toString))(t =>
@@ -1002,9 +1008,10 @@ object Search {
       execute: Boolean = false): DataFrame = {
     require(maxFiles >= 1 && maxTombBp >= 0,
       "searchIndexMaintain: maxFiles >= 1, maxTombBp >= 0")
+    val g = Stores.currentGen(s, indexDir)
     val raw = s.read.schema(SearchPostingsSchema)
-      .parquet(s"$indexDir/postings")
-    val dead = searchTombstones(s, indexDir) match {
+      .parquet(s"$indexDir/${Stores.genName("postings", g)}")
+    val dead = searchTombstones(s, indexDir, g) match {
       case None => raw.filter(lit(false))
       case Some(t) =>
         raw.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_semi")
@@ -1058,14 +1065,17 @@ object Search {
     * instead of a one-row parquet dataset removes a Spark job from
     * each of those paths. */
   private[graft] def writeSearchStats(s: SparkSession, indexDir: String,
-      nDocs: Long, sumDl: Long): Unit =
-    Stores.writeMetaSidecar(s, s"$indexDir/stats",
+      g: Long, nDocs: Long, sumDl: Long): Unit =
+    Stores.writeMetaSidecar(s, s"$indexDir/${Stores.genName("stats", g)}",
       Seq("n_docs" -> nDocs.toString, "sum_dl" -> sumDl.toString))
 
-  /** Read the (n_docs, sum_dl) stats sidecar; loud when absent. */
+  /** Read generation `g`'s (n_docs, sum_dl) stats sidecar; loud when
+    * absent. Stats are generational so a compact can publish the
+    * re-derived row atomically with the datasets it describes. */
   private[graft] def readSearchStats(s: SparkSession,
-      indexDir: String): (Long, Long) = {
-    val m = Stores.readMetaSidecar(s, s"$indexDir/stats")
+      indexDir: String, g: Long): (Long, Long) = {
+    val m = Stores.readMetaSidecar(s,
+        s"$indexDir/${Stores.genName("stats", g)}")
       .getOrElse(throw new IllegalStateException(
         s"no stats sidecar under $indexDir — not a search store, or a " +
           "crashed write; run Stores.searchIndexFsck"))
@@ -1107,24 +1117,29 @@ object Search {
       "duplicate query terms — dedup the bag first")
     require(topK >= 1, "searchIndexServe: topK must be >= 1")
     val nBuckets = checkSearchManifest(s, indexDir)
+    // pin the generation ONCE at construction: every dataset this plan
+    // reads (postings, docs, stats, tombstones) comes from the same
+    // generation, and that generation's files survive one further
+    // compact (the vacuum grace) — the snapshot-isolation contract
+    val g = Stores.currentGen(s, indexDir)
     import s.implicits._
     val bkts = queryTerms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong))
         .cast("int").as("bkt"))
       .distinct().as[Int].collect().toSeq
-    val tombs = searchTombstones(s, indexDir)
+    val tombs = searchTombstones(s, indexDir, g)
     val tombIds = tombs.map(t => broadcast(t.select("doc_id")))
     def minusTombs(df: DataFrame): DataFrame =
       tombIds.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
     val post = minusTombs(s.read.schema(SearchPostingsSchema)
-      .parquet(s"$indexDir/postings")
+      .parquet(s"$indexDir/${Stores.genName("postings", g)}")
       .filter(col("bkt").isin(bkts.map(Int.box): _*)
         && col("term").isin(queryTerms: _*)))
     // one-row stats: df per term from the pruned postings (a postings
     // row exists iff tf > 0, so the count IS the doc frequency) plus
     // the corpus-wide (n, sdl) the write recorded, minus the deleted
     // docs' own one-row aggregate
-    val (nAll, sdlAll) = readSearchStats(s, indexDir)
+    val (nAll, sdlAll) = readSearchStats(s, indexDir, g)
     val rawStats = Seq((nAll, sdlAll)).toDF("n", "sdl")
     val corrected = tombs.fold(rawStats)(t =>
       rawStats.crossJoin(broadcast(
@@ -1150,7 +1165,7 @@ object Search {
       if (!includeZeroMatches) matched
       else matched.unionByName(
         minusTombs(s.read.schema(SearchDocsSchema)
-            .parquet(s"$indexDir/docs"))
+            .parquet(s"$indexDir/${Stores.genName("docs", g)}"))
           .join(matched.select("doc_id"), Seq("doc_id"), "left_anti")
           .select(col("doc_id") +: queryTerms.indices.map(i =>
             lit(0L).as(s"tf${i + 1}")): _*))
@@ -1159,7 +1174,8 @@ object Search {
       // keyed join, deliberately unhinted — AQE broadcasts the matched
       // side when it is small, shuffles when a stopword query makes it
       // corpus-sized (the allow-list non-hint rule of the ANN serve)
-      .join(s.read.schema(SearchDocsSchema).parquet(s"$indexDir/docs"),
+      .join(s.read.schema(SearchDocsSchema)
+          .parquet(s"$indexDir/${Stores.genName("docs", g)}"),
         "doc_id")
       .crossJoin(broadcast(st))
       .select(bm25ScoreCols("doc_id", queryTerms.size, k1, b): _*)

@@ -681,6 +681,14 @@ object Similarity {
     * static `isin(Long)` partition filter) with corpus size. */
   private val IvfPqEncSchema = "vec_id BIGINT, s INT, code BIGINT, cell BIGINT"
 
+  /** The ANN store's per-GENERATION artifacts (see
+    * [[Stores.currentGen]]): the cell-partitioned encodings and the
+    * tombstone set a compact folds into the next generation. The
+    * model frames (books/cents), manifest, ingest ledger and
+    * corpus-version stamp are store-life state — compaction never
+    * retrains, so they stay unversioned. */
+  private[graft] val AnnGenKinds = Seq("enc", "tombstones")
+
   /** Write the IVF-PQ serving index as an ON-DISK parquet dataset
     * PARTITIONED BY CELL — the physical layout every "at 100 TB the
     * cell is the partition key" note in this file describes, made
@@ -716,15 +724,15 @@ object Similarity {
     // the exact failure the manifest guard exists to prevent), a
     // stale ingested/ batch ledger would make a NEW stream started
     // with a fresh checkpoint skip its first batches (batch ids
-    // restart at 0), and a stale enc-retired/ is a crashed compaction
-    // of data this write is about to supersede. The model/enc
-    // overwrites below replace their own dirs; the sidecars are
-    // append-side artifacts overwrite mode never touches, so they are
-    // cleared here explicitly (DiskIndexSpec pins rebuild-over-used-dir).
+    // restart at 0), and stale generations (with their gen pointer)
+    // would shadow the fresh generation-0 write entirely. The
+    // model/enc overwrites below replace their own dirs; everything
+    // else is cleared here explicitly (DiskIndexSpec pins
+    // rebuild-over-used-dir).
     val hc = s.sparkContext.hadoopConfiguration
-    for (side <- Seq("tombstones", "ingested", "enc-retired",
-        "enc-compact", "compact-inflight")) {
-      val p = new Path(s"$outDir/$side")
+    Stores.clearGens(s, outDir, AnnGenKinds)
+    locally {
+      val p = new Path(s"$outDir/ingested")
       val fs = p.getFileSystem(hc)
       if (fs.exists(p)) fs.delete(p, true)
     }
@@ -783,11 +791,12 @@ object Similarity {
     // runs for a pre-manifest store
     val nCells = Stores.readMetaSidecar(s, s"$indexDir/manifest")
       .map(_("kIvf").toInt).getOrElse(cents.count().toInt)
+    val g = Stores.currentGen(s, indexDir)
     pqEncode(delta, m, subDim, k = 1, Some(books))
       .join(ivfAssign(delta, kIvf = 1, Some(cents)), "vec_id")
       .repartition(nCells, col("cell"))
       .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexDir/enc")
+      .parquet(s"$indexDir/${Stores.genName("enc", g)}")
     Stores.bumpStoreVersion(s, indexDir)
     }
   }
@@ -842,8 +851,13 @@ object Similarity {
         graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv0")).as("d"))
       .orderBy(col("d").asc, col("cl")).limit(nprobe)
       .select("cl").collect().toSeq.map(_.getLong(0))
-    val live = minusTombstones(s, indexDir,
-      s.read.schema(IvfPqEncSchema).parquet(s"$indexDir/enc")
+    // generation pinned ONCE at construction — the snapshot contract
+    // ([[Stores.currentGen]]): this plan's files survive one further
+    // compact (the vacuum grace)
+    val gServe = Stores.currentGen(s, indexDir)
+    val live = minusTombstones(s, indexDir, gServe,
+      s.read.schema(IvfPqEncSchema)
+        .parquet(s"$indexDir/${Stores.genName("enc", gServe)}")
         .filter(col("cell").isin(probedCells: _*)))
     val enc = allowed.fold(live)(a =>
       live.join(a.select(col("vec_id")), Seq("vec_id"), "leftsemi"))
@@ -1001,8 +1015,10 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select("cl").distinct().collect().map(_.getLong(0)).toSeq
-    val live = minusTombstones(s, indexDir,
-      s.read.schema(IvfPqEncSchema).parquet(s"$indexDir/enc")
+    val gServe = Stores.currentGen(s, indexDir)
+    val live = minusTombstones(s, indexDir, gServe,
+      s.read.schema(IvfPqEncSchema)
+        .parquet(s"$indexDir/${Stores.genName("enc", gServe)}")
         .filter(col("cell").isin(cellsNeeded: _*)))
     val encDisk = allowed.fold(live)(a =>
       live.join(a.select(col("vec_id")), Seq("vec_id"), "leftsemi"))
@@ -1023,8 +1039,8 @@ object Similarity {
     * directory means no deletes: the scan is returned untouched (the
     * common case — zero cost until the first delete). */
   private def minusTombstones(s: SparkSession, indexDir: String,
-      enc: DataFrame): DataFrame = {
-    val p = new Path(s"$indexDir/tombstones")
+      g: Long, enc: DataFrame): DataFrame = {
+    val p = new Path(s"$indexDir/${Stores.genName("tombstones", g)}")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) enc
     else enc.join(
@@ -1074,57 +1090,50 @@ object Similarity {
     require(ids.nonEmpty, "ivfPqIndexDelete: ids must be non-empty")
     import s.implicits._
     Stores.withStoreLock(s, indexDir, "ivfPqIndexDelete") {
+    val g = Stores.currentGen(s, indexDir)
     // ids-frame is caller-side tiny; one file per delete batch
     ids.toDF("vec_id").coalesce(1)
-      .write.mode("append").parquet(s"$indexDir/tombstones")
+      .write.mode("append")
+      .parquet(s"$indexDir/${Stores.genName("tombstones", g)}")
     Stores.bumpStoreVersion(s, indexDir)
     }
   }
 
-  /** Compact an on-disk index in place: rewrite `enc/` to ONE file per
-    * cell directory and apply outstanding tombstones physically. Every
+  /** Compact into the NEXT GENERATION: rewrite the encodings to ONE
+    * file per cell directory with outstanding tombstones applied
+    * physically, at a fresh `enc-g<N+1>` path, then COMMIT with the
+    * atomic `gen` pointer flip (see [[Stores.currentGen]]) — the
+    * encodings and the now-empty tombstone set change together. Every
     * [[ivfPqIndexAppend]] (and each streaming micro-batch of
     * [[ivfPqIndexIngest]]) adds a file per touched cell, so a
     * long-lived index accretes small fragments whose per-file open/
     * footer cost eventually dominates the pruned serve scan — the
-    * classic small-files decay every append-only layout meets.
-    * Compaction is the repair: read the live rows (fragments minus
-    * tombstones), `repartition(kIvf, cell)` so each cell directory
-    * gets exactly one write task, write to a sibling `enc-compact/`,
-    * then swap via two renames and drop the retired data and the
-    * tombstone set. Serve-equality across compaction is spec-pinned.
-    *
-    * Single-maintainer op by contract (like every `overwrite` in this
-    * file): do not compact while another writer appends. Crash between
-    * the two renames leaves `enc/` absent and `enc-retired/` complete —
-    * recovery is renaming `enc-retired/` back, and the require below
-    * names the state loudly rather than half-serving; a
-    * `compact-inflight` marker file brackets the swap (created before
-    * the first rename, removed after the last cleanup) so tooling can
-    * DETECT the half-swapped state without reading exception text
-    * (r15 advice, applied to all three stores). */
+    * classic small-files decay every append-only layout meets;
+    * compaction is the repair, and serve-equality across it is
+    * spec-pinned. The pre-compact generation survives as the serve
+    * grace (a serve constructed before the flip keeps reading its
+    * pinned generation); this compact vacuums the generations before
+    * it. Crash pre-flip leaves the store intact plus torn scratch;
+    * crash post-flip leaves expired generations — both directory
+    * hygiene, classified and repaired by [[Stores.annIndexFsck]].
+    * The model frames (books/cents) and manifest are store-life
+    * state: compaction never retrains, so they stay unversioned. */
   private[graft] def ivfPqIndexCompact(s: SparkSession,
       indexDir: String): Unit =
       Stores.withStoreLock(s, indexDir, "ivfPqIndexCompact") {
-    val enc = new Path(s"$indexDir/enc")
-    val fs = enc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val kIvf = s.read.parquet(s"$indexDir/cents").count().toInt
-    val live = minusTombstones(s, indexDir,
-      s.read.schema(IvfPqEncSchema).parquet(enc.toString))
-    val fresh = new Path(s"$indexDir/enc-compact")
+    val g = Stores.currentGen(s, indexDir)
+    val ng = g + 1
+    val kIvf = Stores.readMetaSidecar(s, s"$indexDir/manifest")
+      .map(_("kIvf").toInt)
+      .getOrElse(s.read.parquet(s"$indexDir/cents").count().toInt)
+    val live = minusTombstones(s, indexDir, g,
+      s.read.schema(IvfPqEncSchema)
+        .parquet(s"$indexDir/${Stores.genName("enc", g)}"))
     live.repartition(kIvf, col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(fresh.toString)
-    val retired = new Path(s"$indexDir/enc-retired")
-    if (fs.exists(retired)) fs.delete(retired, true)
-    val marker = new Path(s"$indexDir/compact-inflight")
-    fs.create(marker, true).close()
-    require(fs.rename(enc, retired) && fs.rename(fresh, enc),
-      s"ivfPqIndexCompact: enc swap failed under $indexDir — " +
-        "if enc/ is missing, rename enc-retired/ back to enc/")
-    fs.delete(retired, true)
-    fs.delete(new Path(s"$indexDir/tombstones"), true)
-    fs.delete(marker, false)
-    ()
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/${Stores.genName("enc", ng)}")
+    Stores.writeGen(s, indexDir, ng)
+    Stores.vacuumGens(s, indexDir, AnnGenKinds, keepFrom = g)
   }
 
   /** CONTINUOUS ingestion into an on-disk index: each micro-batch of
@@ -1290,12 +1299,13 @@ object Similarity {
     // write/serve/append/compact support must not be the one place the
     // OPS REPORT fails — the report exists for exactly that at-scale
     // operator.
-    val encRoot = new Path(s"$indexDir/enc")
+    val g = Stores.currentGen(s, indexDir)
+    val encRoot = new Path(s"$indexDir/${Stores.genName("enc", g)}")
     val fs = encRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(encRoot) && fs.getFileStatus(encRoot).isDirectory,
       s"ivfPqIndexStats: no encodings dataset under $indexDir — " +
         "not an index directory (ivfPqIndexWrite creates enc/)")
-    val live = minusTombstones(s, indexDir,
+    val live = minusTombstones(s, indexDir, g,
       s.read.schema(IvfPqEncSchema).parquet(encRoot.toString)
         .filter(col("s") === 0))
     val counts = live.groupBy("cell")
@@ -1366,9 +1376,11 @@ object Similarity {
     // per-cell tombstoned-row counts: the stats report deliberately
     // hides dead rows (it reports the LIVE view); the policy needs
     // them, so re-derive from the raw scan minus the live view
+    val gM = Stores.currentGen(s, indexDir)
     val raw = s.read.schema(IvfPqEncSchema)
-      .parquet(s"$indexDir/enc").filter(col("s") === 0)
-    val tombP = new Path(s"$indexDir/tombstones")
+      .parquet(s"$indexDir/${Stores.genName("enc", gM)}")
+      .filter(col("s") === 0)
+    val tombP = new Path(s"$indexDir/${Stores.genName("tombstones", gM)}")
     val tombFs = tombP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val dead =
       if (!tombFs.exists(tombP)) raw.filter(lit(false))

@@ -32,15 +32,16 @@ import org.apache.spark.sql.functions._
   *
   *  2. '''Executable crash repair''' ([[storeFsck]] and the per-store
   *     fscks): every crash window in the three stores' lifecycle
-  *     scaladoc — half-swapped compaction, marker-present-but-intact,
-  *     torn compact scratch, the search append's orphaned-postings
-  *     and stale-stats windows — is detectable from the directory
-  *     state alone, and the repairs were previously DOCUMENTED but
-  *     executed by a human reading scaladoc mid-incident (r16 verdict
-  *     missing #2). fsck reads the state, classifies the window, and
-  *     runs the documented repair; `execute = false` classifies
-  *     without touching the store. [[replayRepair]] executes the one
-  *     recovery fsck cannot (it needs the source batch).
+  *     scaladoc — torn compact scratch above the generation pointer,
+  *     expired generations below the grace, the search append's
+  *     orphaned-postings and stale-stats windows — is detectable from
+  *     the directory state alone, and the repairs were previously
+  *     DOCUMENTED but executed by a human reading scaladoc
+  *     mid-incident (r16 verdict missing #2). fsck reads the state,
+  *     classifies the window, and runs the documented repair;
+  *     `execute = false` classifies without touching the store.
+  *     [[replayRepair]] executes the one recovery fsck cannot (it
+  *     needs the source batch).
   *
   *  3. '''The single-writer contract, made loud'''
   *     ([[withStoreLock]]): every physical mutation in the three
@@ -64,18 +65,20 @@ object Stores {
     * round-trips for one long — a pure driver-side metadata op stays a
     * filesystem op (measured: the parquet form added ~0.2–0.4 s per
     * mutation to the metered disk-store queries). */
-  private[graft] def storeVersion(s: SparkSession, dir: String): Long = {
-    val p = new Path(s"$dir/corpus-version")
+  private[graft] def storeVersion(s: SparkSession, dir: String): Long =
+    readRawLong(s, s"$dir/corpus-version").getOrElse(0L)
+
+  /** Read a one-line numeric sidecar; None when absent. */
+  private def readRawLong(s: SparkSession, path: String): Option[Long] = {
+    val p = new Path(path)
     val fs = fsOf(s, p)
-    if (!fs.exists(p)) 0L
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try {
-        val raw = new String(
+      try Some(new String(
           org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        raw.toLong
-      } finally in.close()
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
     }
   }
 
@@ -88,22 +91,105 @@ object Stores {
     * peer store crashed inside the same instant (the re-run of the
     * interrupted mutation restores all stamps either way). */
   private[graft] def writeStoreVersion(s: SparkSession, dir: String,
+      v: Long): Unit = writeRawLong(s, s"$dir/corpus-version", v)
+
+  /** Write a one-line numeric sidecar via temp-write + rename. */
+  private def writeRawLong(s: SparkSession, path: String,
       v: Long): Unit = {
-    val p = new Path(s"$dir/corpus-version")
-    val tmp = new Path(s"$dir/corpus-version-tmp")
+    val p = new Path(path)
+    val tmp = new Path(s"$path-tmp")
     val fs = fsOf(s, p)
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p),
-      s"writeStoreVersion: rename failed for $dir/corpus-version")
+    require(fs.rename(tmp, p), s"writeRawLong: rename failed for $path")
   }
 
   /** version := version + 1 — every corpus MUTATION (append, ingested
     * batch via append, delete) bumps exactly once. */
   private[graft] def bumpStoreVersion(s: SparkSession, dir: String): Unit =
     writeStoreVersion(s, dir, storeVersion(s, dir) + 1)
+
+  // ───────────────── generational datasets ─────────────────
+  //
+  // Compaction used to REPLACE each dataset in place (write scratch,
+  // rename current→retired, rename scratch→current) — which made every
+  // compact non-atomic across a store's datasets (the half-swapped
+  // crash windows the old fsck classified) and broke any serve
+  // constructed before the swap (its planned file paths vanished under
+  // the rename — the documented "retry the serve" read-side contract).
+  // Generations remove both: a compact writes the NEXT generation's
+  // datasets at fresh `<kind>-g<N>` paths, then COMMITS everything with
+  // one atomic pointer flip (the `gen` sidecar), and the PRIOR
+  // generation survives until the NEXT compact vacuums it — so
+  //   - compaction is atomic at the STORE level (postings+docs+stats+
+  //     tombstone-set flip together; there is no half-swapped state),
+  //   - a serve constructed before the flip keeps reading its pinned
+  //     generation's files (snapshot isolation with ONE generation of
+  //     grace — only a serve that outlives a FULL further compact
+  //     cycle can break, the standard snapshot/vacuum tradeoff),
+  //   - crash repair degenerates to directory hygiene: artifacts ABOVE
+  //     the pointer are a torn scratch (compact died pre-flip; the
+  //     store is intact), artifacts below pointer-1 are expired
+  //     generations (compact died mid-vacuum) — both safe deletes,
+  //     executed by fsck or by the next compact's own vacuum.
+  // Disk cost: ≤ 2× live data between compacts (the grace generation).
+  // Frozen store-life state (manifest, model frames, the `ingested/`
+  // batch ledger, corpus-version) is NOT generational — batch ids and
+  // geometry survive compaction by design.
+
+  /** A store's current dataset generation: the `gen` pointer sidecar;
+    * absent reads 0, and generation-0 artifacts live at their PLAIN
+    * legacy names (`postings/`, not `postings-g0/`), so a store that
+    * has never compacted keeps the flat layout byte-for-byte. */
+  private[graft] def currentGen(s: SparkSession, dir: String): Long =
+    readRawLong(s, s"$dir/gen").getOrElse(0L)
+
+  /** Flip the generation pointer — THE commit point of a compact. */
+  private[graft] def writeGen(s: SparkSession, dir: String,
+      g: Long): Unit = writeRawLong(s, s"$dir/gen", g)
+
+  /** A per-generation artifact's directory/file name. */
+  private[graft] def genName(kind: String, g: Long): String =
+    if (g == 0L) kind else s"$kind-g$g"
+
+  /** Generations of `kind` present under `dir` (plain name = 0). */
+  private[graft] def gensOf(s: SparkSession, dir: String,
+      kind: String): Seq[Long] = {
+    val root = new Path(dir)
+    val fs = fsOf(s, root)
+    if (!fs.exists(root)) Nil
+    else {
+      val pat = s"^${java.util.regex.Pattern.quote(kind)}-g(\\d+)$$".r
+      fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+        case n if n == kind => 0L
+        case pat(g) => g.toLong
+      }
+    }
+  }
+
+  /** Delete every per-generation artifact of `kinds` with generation
+    * BELOW `keepFrom` — the vacuum tail of a compact (keepFrom = the
+    * pre-compact generation, which stays as the serve grace) and the
+    * expired-generation repair of fsck. Idempotent. */
+  private[graft] def vacuumGens(s: SparkSession, dir: String,
+      kinds: Seq[String], keepFrom: Long): Unit = {
+    val fs = fsOf(s, new Path(dir))
+    for (kind <- kinds; g <- gensOf(s, dir, kind) if g < keepFrom)
+      fs.delete(new Path(s"$dir/${genName(kind, g)}"), true)
+  }
+
+  /** Clear EVERY generation of `kinds` plus the pointer itself — the
+    * rebuild guard of the three writes (a fresh store life must not
+    * inherit a prior life's generations). */
+  private[graft] def clearGens(s: SparkSession, dir: String,
+      kinds: Seq[String]): Unit = {
+    val fs = fsOf(s, new Path(dir))
+    for (kind <- kinds; g <- gensOf(s, dir, kind))
+      fs.delete(new Path(s"$dir/${genName(kind, g)}"), true)
+    fs.delete(new Path(s"$dir/gen"), false)
+  }
 
   /** Run one PHYSICAL store mutation under the store's advisory
     * single-writer lock — an exclusive `mutation-lock` sidecar created
@@ -128,10 +214,12 @@ object Stores {
     * mutations until [[storeFsck]] (whose `execute = true` clears the
     * lock as part of classifying the store — running fsck asserts the
     * operator has quiesced it) or a manual delete after the holder is
-    * confirmed dead. Serves never take the lock: reads are
-    * lock-free by design, and a serve CONSTRUCTED while a compact
-    * swaps directories underneath it can fail mid-flight and must be
-    * retried — the read-side contract every rename-swap layout has. */
+    * confirmed dead. Serves never take the lock: reads are lock-free
+    * by design, and under the generational layout they are SNAPSHOT
+    * reads — a serve constructed before a compact keeps reading its
+    * pinned generation (one compact cycle of grace); only a serve
+    * that outlives a FULL further compact can fail and need a retry
+    * (see [[currentGen]]). */
   private[graft] def withStoreLock[A](s: SparkSession, dir: String,
       op: String)(body: => A): A = {
     val p = new Path(s"$dir/mutation-lock")
@@ -270,7 +358,7 @@ object Stores {
     val lo = docIds.min * base
     val hi = (docIds.max + 1) * base
     s.read.schema("doc_id BIGINT")
-      .parquet(s"$dir/docs")
+      .parquet(s"$dir/${genName("docs", currentGen(s, dir))}")
       .filter(col("doc_id") >= lo && col("doc_id") < hi
         && expr(s"doc_id div ${base}L").isInCollection(docIds))
       .select("doc_id").distinct()
@@ -514,110 +602,44 @@ object Stores {
 
   // ───────────────── executable crash repair (fsck) ─────────────────
 
-  /** Bring one dataset (`name/` + its `-compact`/`-retired` siblings)
-    * to a consistent state, given the store's `compact-inflight`
-    * marker is present. The compact sequence (scratch fully written →
-    * marker → rename name→name-retired → rename name-compact→name →
-    * tail cleanup) means which dirs exist pinpoints the crash:
-    * scratch-present states roll FORWARD (the compacted data was
-    * complete before the marker existed); only the defensive
-    * nothing-but-retired state rolls back. */
-  private def completeSwap(fs: FileSystem, dir: String, name: String,
-      execute: Boolean): String = {
-    val main = new Path(s"$dir/$name")
-    val comp = new Path(s"$dir/$name-compact")
-    val ret = new Path(s"$dir/$name-retired")
-    (fs.exists(main), fs.exists(comp), fs.exists(ret)) match {
-      case (true, true, false) => // crash before this pair's renames
-        if (execute)
-          require(fs.rename(main, ret) && fs.rename(comp, main),
-            s"fsck: $name forward swap failed under $dir")
-        "forward-completed"
-      case (false, true, _) => // crash between the two renames
-        if (execute)
-          require(fs.rename(comp, main),
-            s"fsck: $name scratch rename failed under $dir")
-        "forward-completed"
-      case (true, false, _) => // pair already swapped before the crash
-        "already-compacted"
-      case (false, false, true) => // defensive: only the retired copy
-        if (execute)
-          require(fs.rename(ret, main),
-            s"fsck: $name retired restore failed under $dir")
-        "restored-retired"
-      case (false, false, false) =>
-        throw new IllegalStateException(
-          s"fsck: no copy of $name exists under $dir — " +
-            "unrecoverable without a rebuild")
-      case (true, true, true) => // impossible by the sequence; stale
-        if (execute) fs.delete(comp, true)
-        "dropped-stale-scratch"
-    }
-  }
-
-  /** Shared marker-window handling: complete every dataset's swap,
-    * then either finish the compact tail (all forward — tombstones
-    * were applied physically in the scratch, so clear them) or, if
-    * any dataset had to fall back to its retired (pre-compact) copy,
-    * keep the tombstones and re-run the store's full compact.
-    * `finishTail` runs store-specific tail work (the search store
-    * re-derives its stats sidecar) before the sidecars clear. */
-  private def fsckMarkerWindow(s: SparkSession, indexDir: String,
-      datasets: Seq[String], execute: Boolean,
-      recompact: () => Unit, finishTail: () => Unit)
-      : Seq[(String, String, String)] = {
-    val marker = new Path(s"$indexDir/compact-inflight")
-    val fs = fsOf(s, marker)
-    if (!fs.exists(marker))
-      return Seq(("compact-inflight", "absent", "none"))
-    val outcomes =
-      datasets.map(n => n -> completeSwap(fs, indexDir, n, execute))
-    val state = outcomes.map { case (n, o) => s"$n:$o" }.mkString(" ")
-    if (outcomes.exists(_._2 == "restored-retired")) {
-      if (execute) {
-        fs.delete(marker, false)
-        for (n <- datasets) {
-          val p = new Path(s"$indexDir/$n-compact")
-          if (fs.exists(p)) fs.delete(p, true)
-        }
-        recompact() // tombstones still present — the compact applies them
-      }
-      Seq(("compact-inflight", state,
-        if (execute) "recompacted" else "would recompact"))
-    } else {
-      if (execute) {
-        finishTail()
-        for (n <- datasets; sfx <- Seq("-retired", "-compact")) {
-          val p = new Path(s"$indexDir/$n$sfx")
-          if (fs.exists(p)) fs.delete(p, true)
-        }
-        fs.delete(new Path(s"$indexDir/tombstones"), true)
-        fs.delete(marker, false)
-      }
-      Seq(("compact-inflight", state,
-        if (execute) "forward-completed" else "would complete forward"))
-    }
-  }
-
-  /** Shared no-marker cleanup: a `-compact` scratch without the marker
-    * is a torn pre-marker write (possibly incomplete — drop it); a
-    * `-retired` dir without the marker is completed-compact garbage. */
-  private def fsckStrayDirs(s: SparkSession, indexDir: String,
-      datasets: Seq[String], execute: Boolean)
+  /** Generation-layout hygiene — the WHOLE compact-crash surface under
+    * the generational layout (see the section note above
+    * [[currentGen]]): artifacts with generation ABOVE the pointer are
+    * a torn compact scratch (the compact died before its commit flip —
+    * the store is fully intact; a re-run overwrites them anyway);
+    * artifacts BELOW pointer-1 are expired generations (a compact died
+    * mid-vacuum; the next compact would also reclaim them). Both are
+    * pure deletes — no state here can require a data repair, because
+    * the pointer flip is atomic and everything it publishes was fully
+    * written first. Generation pointer-1, when present, is the serve
+    * GRACE (what keeps pre-flip serves alive) and is reported, never
+    * touched. */
+  private def fsckGenerations(s: SparkSession, indexDir: String,
+      kinds: Seq[String], execute: Boolean)
       : Seq[(String, String, String)] = {
     val fs = fsOf(s, new Path(indexDir))
-    datasets.flatMap { n =>
-      Seq("-compact" -> "torn scratch", "-retired" -> "stale retired")
-        .flatMap { case (sfx, what) =>
-          val p = new Path(s"$indexDir/$n$sfx")
-          if (!fs.exists(p)) Nil
-          else {
-            if (execute) fs.delete(p, true)
-            Seq((s"stray $n$sfx", what,
-              if (execute) "deleted" else "would delete"))
-          }
-        }
+    val cur = currentGen(s, indexDir)
+    val rows = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    var grace = false
+    for (kind <- kinds; g <- gensOf(s, indexDir, kind).sorted) {
+      if (g > cur) {
+        if (execute) fs.delete(new Path(s"$indexDir/${genName(kind, g)}"), true)
+        rows += ((s"torn scratch ${genName(kind, g)}",
+          s"generation $g above the pointer (g$cur) — compact died " +
+            "before its commit flip; store intact",
+          if (execute) "deleted" else "would delete"))
+      } else if (g < cur - 1) {
+        if (execute) fs.delete(new Path(s"$indexDir/${genName(kind, g)}"), true)
+        rows += ((s"expired ${genName(kind, g)}",
+          s"generation $g below the grace (g${cur - 1}) — compact died " +
+            "mid-vacuum",
+          if (execute) "deleted" else "would delete"))
+      } else if (g == cur - 1) grace = true
     }
+    rows += (("generation", s"g$cur" +
+      (if (grace) s" (grace g${cur - 1} present — pre-flip serves may " +
+        "still read it)" else ""), "none"))
+    rows.toSeq
   }
 
   private def report(s: SparkSession, indexDir: String,
@@ -633,54 +655,51 @@ object Stores {
 
   /** fsck for a [[Search.searchIndexWrite]] store: classifies and
     * (with `execute`) repairs every documented crash window —
-    * half-swapped / marker-present-intact compaction, torn scratch,
-    * the append windows (stats behind docs/; orphaned postings whose
-    * doc never landed), and reports duplicate doc ids (an ingest
-    * replay — repair needs the source batch: delete the ids and
-    * re-append, or rebuild; fsck cannot conjure the lost rows, so
-    * this row is report-only). Returns (check, state, action);
-    * `execute = false` classifies without touching the store. */
+    * generation hygiene (torn compact scratch above the pointer,
+    * expired generations below the grace), the append windows (stats
+    * behind docs/; orphaned postings whose doc never landed), and
+    * reports duplicate doc ids (an ingest replay — repair needs the
+    * source batch: delete the ids and re-append, or rebuild; fsck
+    * cannot conjure the lost rows, so this row is report-only).
+    * Returns (check, state, action); `execute = false` classifies
+    * without touching the store. */
   private[graft] def searchIndexFsck(s: SparkSession, indexDir: String,
       execute: Boolean = true): DataFrame = {
     val fs = fsOf(s, new Path(indexDir))
     val rows = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
     rows ++= fsckMutationLock(s, indexDir, execute)
-    val hadMarker = fs.exists(new Path(s"$indexDir/compact-inflight"))
-    rows ++= fsckMarkerWindow(s, indexDir, Seq("postings", "docs"),
-      execute,
-      recompact = () => Search.searchIndexCompact(s, indexDir),
-      finishTail = () => rewriteSearchStats(s, indexDir))
-    // marker-present scratch/retired dirs belong to the in-flight
-    // window above, not to the stray check
-    if (!hadMarker)
-      rows ++= fsckStrayDirs(s, indexDir, Seq("postings", "docs"), execute)
-    if (!fs.exists(new Path(s"$indexDir/postings"))
-        || !fs.exists(new Path(s"$indexDir/docs"))) {
-      // reachable only in classify-only mode on a half-swapped store
-      // (execute=true restores the datasets above before this point)
-      rows += (("datasets", "incomplete — swap repair pending",
-        "data checks skipped; run with execute=true"))
+    rows ++= fsckGenerations(s, indexDir, Search.SearchGenKinds, execute)
+    val g = currentGen(s, indexDir)
+    def at(kind: String) = s"$indexDir/${genName(kind, g)}"
+    if (!fs.exists(new Path(at("postings")))
+        || !fs.exists(new Path(at("docs")))) {
+      // unreachable through any graft crash window (the pointer flip
+      // only publishes fully-written generations) — external damage
+      rows += (("datasets", s"current generation g$g incomplete",
+        "unrecoverable without a rebuild"))
       return report(s, indexDir, rows.toSeq)
     }
     val docs = s.read.schema("doc_id BIGINT, dl INT")
-      .parquet(s"$indexDir/docs")
+      .parquet(at("docs"))
     // stats ≡ agg(docs/) — the append's crash-after-docs window
     val agg = docs.agg(count(lit(1)).cast("long"),
       coalesce(sum(col("dl").cast("long")), lit(0L))).head()
-    val stale = readMetaSidecar(s, s"$indexDir/stats") match {
+    val stale = readMetaSidecar(s, at("stats")) match {
       case None => true
       case Some(st) => st("n_docs").toLong != agg.getLong(0) ||
         st("sum_dl").toLong != agg.getLong(1)
     }
     if (stale) {
-      if (execute) rewriteSearchStats(s, indexDir)
+      if (execute)
+        Search.writeSearchStats(s, indexDir, g,
+          agg.getLong(0), agg.getLong(1))
       rows += (("stats", "stale (≠ agg over docs/)",
         if (execute) "re-derived from docs/" else "would re-derive"))
     } else rows += (("stats", "consistent", "none"))
     // orphaned postings — the append's crash-before-docs window
     val orphans = s.read
       .schema("doc_id BIGINT, term STRING, tf INT, bkt INT")
-      .parquet(s"$indexDir/postings")
+      .parquet(at("postings"))
       .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
       .count()
     val compacted = orphans > 0 && execute
@@ -691,11 +710,11 @@ object Stores {
         else "would compact"))
     } else rows += (("orphan-postings", "none", "none"))
     // duplicate ids — ingest at-least-once replay; needs the source.
-    // Re-read after a compact: the compact swaps docs/ by RENAME, so
-    // the pre-compact frame's file listing is stale (a DataFrameWriter
-    // commit refreshes the listing cache; a raw fs.rename cannot)
+    // Re-resolve after a compact: the repair above flipped the store
+    // to a NEW generation, so the pre-compact frame reads retired data
     val docsNow = if (!compacted) docs
-      else s.read.schema("doc_id BIGINT, dl INT").parquet(s"$indexDir/docs")
+      else s.read.schema("doc_id BIGINT, dl INT").parquet(
+        s"$indexDir/${genName("docs", currentGen(s, indexDir))}")
     val dups = docsNow.groupBy("doc_id").count()
       .filter(col("count") > 1).count()
     rows += (("dup-ids",
@@ -706,35 +725,24 @@ object Stores {
     report(s, indexDir, rows.toSeq)
   }
 
-  private def rewriteSearchStats(s: SparkSession, indexDir: String): Unit = {
-    val a = s.read.schema("doc_id BIGINT, dl INT")
-      .parquet(s"$indexDir/docs")
-      .agg(count(lit(1)).cast("long"),
-        coalesce(sum(col("dl").cast("long")), lit(0L))).head()
-    Search.writeSearchStats(s, indexDir, a.getLong(0), a.getLong(1))
-  }
-
-  /** fsck for a [[TextDedup.dedupIndexWrite]] store: compaction crash
-    * windows + stray dirs, plus a report-only duplicate-(doc, band)
-    * check (ingest replay — repair needs the source batch). */
+  /** fsck for a [[TextDedup.dedupIndexWrite]] store: generation
+    * hygiene plus a report-only duplicate-(doc, band) check (ingest
+    * replay — repair needs the source batch). */
   private[graft] def dedupIndexFsck(s: SparkSession, indexDir: String,
       execute: Boolean = true): DataFrame = {
     val fs = fsOf(s, new Path(indexDir))
     val rows = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
     rows ++= fsckMutationLock(s, indexDir, execute)
-    val hadMarker = fs.exists(new Path(s"$indexDir/compact-inflight"))
-    rows ++= fsckMarkerWindow(s, indexDir, Seq("bands"), execute,
-      recompact = () => TextDedup.dedupIndexCompact(s, indexDir),
-      finishTail = () => ())
-    if (!hadMarker)
-      rows ++= fsckStrayDirs(s, indexDir, Seq("bands"), execute)
-    if (!fs.exists(new Path(s"$indexDir/bands"))) {
-      rows += (("datasets", "incomplete — swap repair pending",
-        "data checks skipped; run with execute=true"))
+    rows ++= fsckGenerations(s, indexDir, TextDedup.DedupGenKinds, execute)
+    val g = currentGen(s, indexDir)
+    val bands = s"$indexDir/${genName("bands", g)}"
+    if (!fs.exists(new Path(bands))) {
+      rows += (("datasets", s"current generation g$g incomplete",
+        "unrecoverable without a rebuild"))
       return report(s, indexDir, rows.toSeq)
     }
     val dups = s.read.schema("doc_id BIGINT, bv STRING, band INT")
-      .parquet(s"$indexDir/bands")
+      .parquet(bands)
       .groupBy("doc_id", "band").count()
       .filter(col("count") > 1)
       .select("doc_id").distinct().count()
@@ -746,28 +754,25 @@ object Stores {
     report(s, indexDir, rows.toSeq)
   }
 
-  /** fsck for a [[Similarity.ivfPqIndexWrite]] store: compaction crash
-    * windows + stray dirs, plus a report-only duplicate-(vec, s)
-    * check (ingest replay — repair needs the source vectors). */
+  /** fsck for a [[Similarity.ivfPqIndexWrite]] store: generation
+    * hygiene plus a report-only duplicate-(vec, s) check (ingest
+    * replay — repair needs the source vectors). */
   private[graft] def annIndexFsck(s: SparkSession, indexDir: String,
       execute: Boolean = true): DataFrame = {
     val fs = fsOf(s, new Path(indexDir))
     val rows = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
     rows ++= fsckMutationLock(s, indexDir, execute)
-    val hadMarker = fs.exists(new Path(s"$indexDir/compact-inflight"))
-    rows ++= fsckMarkerWindow(s, indexDir, Seq("enc"), execute,
-      recompact = () => Similarity.ivfPqIndexCompact(s, indexDir),
-      finishTail = () => ())
-    if (!hadMarker)
-      rows ++= fsckStrayDirs(s, indexDir, Seq("enc"), execute)
-    if (!fs.exists(new Path(s"$indexDir/enc"))) {
-      rows += (("datasets", "incomplete — swap repair pending",
-        "data checks skipped; run with execute=true"))
+    rows ++= fsckGenerations(s, indexDir, Similarity.AnnGenKinds, execute)
+    val g = currentGen(s, indexDir)
+    val enc = s"$indexDir/${genName("enc", g)}"
+    if (!fs.exists(new Path(enc))) {
+      rows += (("datasets", s"current generation g$g incomplete",
+        "unrecoverable without a rebuild"))
       return report(s, indexDir, rows.toSeq)
     }
     val dups = s.read
       .schema("vec_id BIGINT, s INT, code BIGINT, cell BIGINT")
-      .parquet(s"$indexDir/enc")
+      .parquet(enc)
       .groupBy("vec_id", "s").count()
       .filter(col("count") > 1)
       .select("vec_id").distinct().count()
@@ -780,15 +785,12 @@ object Stores {
   }
 
   /** Auto-detecting fsck: dispatch on the store's own layout (which
-    * main dataset — or any of its crash-window siblings — exists), so
-    * an operator can point fsck at ANY graft store directory without
-    * knowing which family wrote it. */
+    * main dataset — at any generation — exists), so an operator can
+    * point fsck at ANY graft store directory without knowing which
+    * family wrote it. */
   private[graft] def storeFsck(s: SparkSession, dir: String,
       execute: Boolean = true): DataFrame = {
-    val fs = fsOf(s, new Path(dir))
-    def anyOf(name: String): Boolean =
-      Seq(name, s"$name-retired", s"$name-compact")
-        .exists(n => fs.exists(new Path(s"$dir/$n")))
+    def anyOf(name: String): Boolean = gensOf(s, dir, name).nonEmpty
     if (anyOf("postings")) searchIndexFsck(s, dir, execute)
     else if (anyOf("bands")) dedupIndexFsck(s, dir, execute)
     else if (anyOf("enc")) annIndexFsck(s, dir, execute)

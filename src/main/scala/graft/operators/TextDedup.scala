@@ -1268,6 +1268,13 @@ object TextDedup {
     * [[graft.operators.Similarity]]'s IvfPqEncSchema). */
   private val DedupBandSchema = "doc_id BIGINT, bv STRING, band INT"
 
+  /** The dedup store's per-GENERATION artifacts (see
+    * [[Stores.currentGen]]): the band-partitioned signatures and the
+    * tombstone set a compact folds into the next generation. The
+    * geometry manifest, ingest ledger and corpus-version stamp are
+    * store-life state and stay unversioned. */
+  private[graft] val DedupGenKinds = Seq("bands", "tombstones")
+
   /** The (doc_id, band, bv) band view of any (`idCol`, `textCol`)
     * frame — [[bandsOf]] over [[signaturesOf]], the shared derivation
     * every store entry point and its parity spec run. */
@@ -1294,9 +1301,9 @@ object TextDedup {
     val s = bands.sparkSession
     Stores.withStoreLock(s, outDir, "dedupIndexWrite") {
     val hc = s.sparkContext.hadoopConfiguration
-    for (side <- Seq("tombstones", "ingested", "bands-retired",
-        "bands-compact", "compact-inflight")) {
-      val p = new org.apache.hadoop.fs.Path(s"$outDir/$side")
+    Stores.clearGens(s, outDir, DedupGenKinds)
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/ingested")
       val fs = p.getFileSystem(hc)
       if (fs.exists(p)) fs.delete(p, true)
     }
@@ -1341,7 +1348,8 @@ object TextDedup {
       // between compacts
       .repartition(DedupNumBands, col("band"))
       .write.mode("append").partitionBy("band")
-      .parquet(s"$indexDir/bands")
+      .parquet(s"$indexDir/${Stores.genName("bands",
+        Stores.currentGen(s, indexDir))}")
     Stores.bumpStoreVersion(s, indexDir)
     }
   }
@@ -1369,11 +1377,19 @@ object TextDedup {
     * logical-delete set — broadcast anti-join, the
     * [[Similarity.ivfPqIndexDelete]] contract (tombstones stay small
     * between compactions; zero cost until the first delete). */
-  private def residentBands(s: SparkSession, indexDir: String): DataFrame = {
+  private def residentBands(s: SparkSession, indexDir: String): DataFrame =
+    residentBandsAt(s, indexDir, Stores.currentGen(s, indexDir))
+
+  /** [[residentBands]] pinned to generation `g` — the snapshot a serve
+    * constructs against ([[Stores.currentGen]]); compact reads the
+    * pre-flip generation through this explicitly. */
+  private def residentBandsAt(s: SparkSession, indexDir: String,
+      g: Long): DataFrame = {
     val enc = s.read.schema(DedupBandSchema)
-      .parquet(s"$indexDir/bands")
+      .parquet(s"$indexDir/${Stores.genName("bands", g)}")
       .select(col("doc_id"), col("band"), col("bv"))
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val p = new org.apache.hadoop.fs.Path(
+      s"$indexDir/${Stores.genName("tombstones", g)}")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) enc
     else enc.join(
@@ -1390,42 +1406,35 @@ object TextDedup {
     import s.implicits._
     Stores.withStoreLock(s, indexDir, "dedupIndexDelete") {
     ids.toDF("doc_id").coalesce(1)
-      .write.mode("append").parquet(s"$indexDir/tombstones")
+      .write.mode("append").parquet(s"$indexDir/${Stores.genName(
+        "tombstones", Stores.currentGen(s, indexDir))}")
     Stores.bumpStoreVersion(s, indexDir)
     }
   }
 
-  /** Compact in place: rewrite `bands/` to one file per band with
-    * tombstones applied physically, swap via two renames, clear the
-    * tombstone set — [[Similarity.ivfPqIndexCompact]]'s repair for the
-    * small-files decay appends cause, on the text store. Same crash
-    * contract: between the renames, `bands-retired/` holds the
-    * complete prior data and the require names the recovery — and a
-    * `compact-inflight` marker file brackets the swap (created before
-    * the first rename, removed after the last cleanup), so tooling
-    * can DETECT a half-swapped store instead of relying on an
-    * operator reading exception text (r15 advice). */
+  /** Compact into the NEXT GENERATION: rewrite the bands to one file
+    * per band directory with tombstones applied physically at a fresh
+    * `bands-g<N+1>` path, then COMMIT with the atomic `gen` pointer
+    * flip (see [[Stores.currentGen]]) — bands and the now-empty
+    * tombstone set change together; the pre-compact generation stays
+    * as the serve grace and this compact vacuums the generations
+    * before it. [[Similarity.ivfPqIndexCompact]]'s repair for the
+    * small-files decay appends cause, on the text store; crash
+    * windows (torn scratch above the pointer / expired generations
+    * below the grace) are classified and repaired by
+    * [[Stores.dedupIndexFsck]]. */
   private[graft] def dedupIndexCompact(s: SparkSession,
       indexDir: String): Unit =
       Stores.withStoreLock(s, indexDir, "dedupIndexCompact") {
-    val enc = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
-    val fs = enc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val live = residentBands(s, indexDir)
+    val g = Stores.currentGen(s, indexDir)
+    val ng = g + 1
+    residentBandsAt(s, indexDir, g)
       .select(col("doc_id"), col("bv"), col("band"))
-    val fresh = new org.apache.hadoop.fs.Path(s"$indexDir/bands-compact")
-    live.repartition(DedupNumBands, col("band"))
-      .write.mode("overwrite").partitionBy("band").parquet(fresh.toString)
-    val retired = new org.apache.hadoop.fs.Path(s"$indexDir/bands-retired")
-    if (fs.exists(retired)) fs.delete(retired, true)
-    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/compact-inflight")
-    fs.create(marker, true).close()
-    require(fs.rename(enc, retired) && fs.rename(fresh, enc),
-      s"dedupIndexCompact: bands swap failed under $indexDir — " +
-        "if bands/ is missing, rename bands-retired/ back to bands/")
-    fs.delete(retired, true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
-    fs.delete(marker, false)
-    ()
+      .repartition(DedupNumBands, col("band"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$indexDir/${Stores.genName("bands", ng)}")
+    Stores.writeGen(s, indexDir, ng)
+    Stores.vacuumGens(s, indexDir, DedupGenKinds, keepFrom = g)
   }
 
   /** Per-band health report: (band, n_docs, files) — live resident
@@ -1435,12 +1444,14 @@ object TextDedup {
     * set: an all-tombstoned band still reports (0 docs, >0 files). */
   private[graft] def dedupIndexStats(s: SparkSession,
       indexDir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+    val g = Stores.currentGen(s, indexDir)
+    val root = new org.apache.hadoop.fs.Path(
+      s"$indexDir/${Stores.genName("bands", g)}")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
       s"dedupIndexStats: no band dataset under $indexDir — " +
         "not a store directory (dedupIndexWrite creates bands/)")
-    val counts = residentBands(s, indexDir)
+    val counts = residentBandsAt(s, indexDir, g)
       .groupBy("band").agg(count(lit(1)).as("rows"))
     val files = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("band="))
@@ -1512,8 +1523,11 @@ object TextDedup {
       execute: Boolean = false): DataFrame = {
     require(maxFiles >= 1 && maxTombBp >= 0,
       "dedupIndexMaintain: maxFiles >= 1, maxTombBp >= 0")
-    val raw = s.read.schema(DedupBandSchema).parquet(s"$indexDir/bands")
-    val tombP = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val gM = Stores.currentGen(s, indexDir)
+    val raw = s.read.schema(DedupBandSchema)
+      .parquet(s"$indexDir/${Stores.genName("bands", gM)}")
+    val tombP = new org.apache.hadoop.fs.Path(
+      s"$indexDir/${Stores.genName("tombstones", gM)}")
     val tombFs = tombP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val dead =
       if (!tombFs.exists(tombP)) raw.filter(lit(false))

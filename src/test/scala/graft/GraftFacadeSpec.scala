@@ -648,8 +648,8 @@ class GraftFacadeSpec extends SparkTestBase {
     Graft.annIndexCompact(spark, idx)
     assert(serve() == afterDelete,
       "compaction must not change the served neighbor set")
-    assert(!new java.io.File(s"$idx/tombstones").exists,
-      "compaction clears the tombstone set")
+    assert(!new java.io.File(s"$idx/tombstones-g1").exists,
+      "the compacted generation starts with an empty tombstone set")
   }
 
   test("ragServeDisk fuses the two disk legs exactly as rrfFuse of " +
@@ -732,8 +732,8 @@ class GraftFacadeSpec extends SparkTestBase {
       Seq("bkt", "n_postings", "files", "tomb", "action"))
     assert(serve() == afterDelete,
       "policy-driven compaction must not change the ranking")
-    assert(!new java.io.File(s"$idx/tombstones").exists,
-      "the executed compaction clears the tombstone set")
+    assert(!new java.io.File(s"$idx/tombstones-g1").exists,
+      "the compacted generation starts with an empty tombstone set")
     assert(Graft.searchIndexStats(spark, idx)
       .select("files").as[Int].collect().forall(_ == 1),
       "the compacted store holds one file per bucket")

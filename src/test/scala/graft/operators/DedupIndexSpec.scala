@@ -112,10 +112,15 @@ class DedupIndexSpec extends SparkTestBase {
     // 5 residents + 1 appended - 1 tombstoned = 5 live docs per band
     assert(stats.forall(_._2 == 5L),
       s"each band holds one row per live doc: $stats")
-    // tombstone set is cleared — a re-appended id would serve again
+    // the compact committed generation 1 with an EMPTY tombstone set;
+    // generation 0 (bands + tombstones) survives as the serve grace
     val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    assert(graft.operators.Stores.currentGen(spark, idx) == 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones-g1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/bands"))
+      && fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")),
+      "the pre-compact generation survives one compact as the grace")
   }
 
   test("maintenance policy: compact decisions on fragmentation and " +
@@ -186,10 +191,12 @@ class DedupIndexSpec extends SparkTestBase {
     val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/ingested/batch-0"))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/bands-retired"))
-    // second life, same ids: the stale tombstone must not mask doc 1
+    TextDedup.dedupIndexCompact(spark, idx) // gen 1 + grace gen 0
+    // second life, same ids: the stale tombstone must not mask doc 1,
+    // and the stale generations/pointer must not shadow the fresh write
     TextDedup.dedupIndexWrite(docsDf(corpus), idx)
-    for (side <- Seq("tombstones", "ingested", "bands-retired"))
+    for (side <- Seq("tombstones", "ingested", "gen", "bands-g1",
+        "tombstones-g1"))
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$side")),
         s"stale $side/ must not survive a rebuild")
     val verdict = serveSeq(

@@ -185,11 +185,14 @@ class DiskIndexSpec extends SparkTestBase {
       s"the appended near-origin row must surface for query 1: $nearDelta")
   }
 
-  private def encFileCounts(idx: String): Map[String, Int] =
-    new java.io.File(s"$idx/enc").listFiles()
+  private def encFileCounts(idx: String): Map[String, Int] = {
+    val g = graft.operators.Stores.currentGen(spark, idx)
+    val name = graft.operators.Stores.genName("enc", g)
+    new java.io.File(s"$idx/$name").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
       .map(d => d.getName ->
         d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+  }
 
   test("appends fragment cell directories; compaction restores one " +
       "file per cell, serve-identical") {
@@ -218,9 +221,11 @@ class DiskIndexSpec extends SparkTestBase {
     val after = encFileCounts(idx)
     assert(after.nonEmpty && after.values.forall(_ == 1),
       s"every cell directory must hold exactly one file: $after")
-    // the swap leaves no scratch directories behind
-    assert(!new java.io.File(s"$idx/enc-compact").exists)
-    assert(!new java.io.File(s"$idx/enc-retired").exists)
+    // the compact committed generation 1; generation 0 survives as
+    // the serve grace until the NEXT compact vacuums it
+    assert(graft.operators.Stores.currentGen(spark, idx) == 1L)
+    assert(new java.io.File(s"$idx/enc").exists,
+      "the pre-compact generation survives one compact as the grace")
     assert(serve() == before,
       "compaction must not change a single served row")
   }
@@ -259,13 +264,15 @@ class DiskIndexSpec extends SparkTestBase {
       .select("vec_id").as[Long].collect().toSet
     assert(batch.nonEmpty && !batch.contains(9L) && !batch.contains(10L),
       s"batch serve must honor tombstones: $batch")
-    // compaction applies the tombstones physically and clears the set
+    // compaction applies the tombstones physically: generation 1
+    // starts with an empty tombstone set (generation 0 keeps its own
+    // as part of the serve grace)
     Similarity.ivfPqIndexCompact(spark, idx)
-    assert(!new java.io.File(s"$idx/tombstones").exists,
-      "compaction must clear the tombstone set")
+    assert(!new java.io.File(s"$idx/tombstones-g1").exists,
+      "the new generation must start with an empty tombstone set")
     val remaining = spark.read
       .schema("vec_id BIGINT, s INT, code BIGINT, cell BIGINT")
-      .parquet(s"$idx/enc")
+      .parquet(s"$idx/enc-g1")
       .filter(col("vec_id").isin(9L, 10L)).count()
     assert(remaining == 0, "compaction must drop tombstoned rows")
     assert(serve() == after,
@@ -311,7 +318,7 @@ class DiskIndexSpec extends SparkTestBase {
     // report exists to surface)
     val byCell = spark.read
       .schema("vec_id BIGINT, s INT, code BIGINT, cell BIGINT")
-      .parquet(s"$idx/enc").filter(col("s") === 0)
+      .parquet(s"$idx/enc-g1").filter(col("s") === 0)
       .select("cell", "vec_id").as[(Long, Long)].collect()
       .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSeq }
     val (emptied, victims) = byCell.minBy(_._1)
@@ -545,24 +552,26 @@ class DiskIndexSpec extends SparkTestBase {
     // set would MASK freshly written rows whose ids were reused
     // (silent row loss), a stale ingested/ ledger would make a new
     // stream with a fresh checkpoint SKIP its first batches (batch ids
-    // restart at 0), and a stale enc-retired/ is a crashed compaction
-    // of superseded data. ivfPqIndexWrite must clear all three.
+    // restart at 0), and stale generations (with their pointer) would
+    // shadow the fresh generation-0 write. ivfPqIndexWrite must clear
+    // them all.
     val idx = tmp()
     val df = codesDf(corpus)
     Similarity.ivfPqIndexWrite(df, idx, kIvf = 2, m = 2, subDim = 2,
       k = 3)
     // first life: delete an id (tombstones/), simulate an applied
-    // ingest batch (ingested/batch-0) and a crashed compaction
-    // (enc-retired/)
+    // ingest batch (ingested/batch-0), and compact so the store sits
+    // at generation 1 with a grace generation 0 on disk
     Similarity.ivfPqIndexDelete(spark, idx, Seq(8L))
     val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/ingested/batch-0"))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/enc-retired"))
+    Similarity.ivfPqIndexCompact(spark, idx)
     // second life: REBUILD in place with the same ids
     Similarity.ivfPqIndexWrite(df, idx, kIvf = 2, m = 2, subDim = 2,
       k = 3)
-    for (side <- Seq("tombstones", "ingested", "enc-retired"))
+    for (side <- Seq("tombstones", "ingested", "gen", "enc-g1",
+        "tombstones-g1"))
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$side")),
         s"stale $side/ must not survive a rebuild")
     // the reused id must surface again for its halo-mate (the serve

@@ -123,7 +123,8 @@ class SearchIndexSpec extends SparkTestBase {
     assert(got.nonEmpty && got == serveAll(rebuilt),
       s"append must serve like the rebuild:\n$got\nvs\n${serveAll(rebuilt)}")
     // the invariant the append doc promises: stats ≡ agg(docs/)
-    val st = Search.readSearchStats(spark, appended)
+    val st = Search.readSearchStats(spark, appended,
+      graft.operators.Stores.currentGen(spark, appended))
     assert(st == ((corpus.size.toLong,
       corpus.map(_._2.split(" ").length.toLong).sum)),
       s"stats sidecar must equal the docs aggregate: $st")
@@ -146,7 +147,8 @@ class SearchIndexSpec extends SparkTestBase {
       "delete must be idempotent (tombstone dedup guards the correction)")
   }
 
-  test("compact: serve-identical, space reclaimed, marker cleared") {
+  test("compact: serve-identical, next generation committed, prior " +
+      "generation kept as the serve grace") {
     val idx = tmp()
     Search.searchIndexWrite(df(corpus.take(8)), idx, nBuckets = 4)
     Search.searchIndexAppend(df(corpus.drop(8)), idx)
@@ -154,20 +156,48 @@ class SearchIndexSpec extends SparkTestBase {
     val before = serveAll(idx)
     Search.searchIndexCompact(spark, idx)
     assert(serveAll(idx) == before, "compaction must not change serving")
-    assert(!new java.io.File(s"$idx/tombstones").exists,
-      "compaction clears the tombstone set")
-    assert(!new java.io.File(s"$idx/compact-inflight").exists,
-      "a completed compaction removes its inflight marker")
-    for (retired <- Seq("postings-retired", "docs-retired"))
-      assert(!new java.io.File(s"$idx/$retired").exists,
-        s"$retired must be reclaimed")
-    // physically gone, not just masked: no tombstoned doc in either set
+    assert(graft.operators.Stores.currentGen(spark, idx) == 1L,
+      "compaction commits by flipping the generation pointer")
+    assert(!new java.io.File(s"$idx/tombstones-g1").exists,
+      "the new generation starts with an empty tombstone set")
+    // the pre-compact generation survives as the serve grace — its
+    // datasets (including the folded tombstones) stay on disk until
+    // the NEXT compact vacuums them
+    for (kept <- Seq("postings", "docs", "tombstones"))
+      assert(new java.io.File(s"$idx/$kept").exists,
+        s"grace generation artifact $kept must survive one compact")
+    // physically gone in the NEW generation: no tombstoned doc
     val ids = spark.read.schema("doc_id BIGINT, term STRING, tf INT, bkt INT")
-      .parquet(s"$idx/postings").select("doc_id")
+      .parquet(s"$idx/postings-g1").select("doc_id")
       .union(spark.read.schema("doc_id BIGINT, dl INT")
-        .parquet(s"$idx/docs").select("doc_id"))
+        .parquet(s"$idx/docs-g1").select("doc_id"))
       .distinct().as[Long].collect().toSet
     assert(!ids.contains(0L) && !ids.contains(8L), s"dead rows remain: $ids")
+    // a SECOND compact vacuums generation 0 entirely
+    Search.searchIndexCompact(spark, idx)
+    assert(graft.operators.Stores.currentGen(spark, idx) == 2L)
+    for (gone <- Seq("postings", "docs", "stats", "tombstones"))
+      assert(!new java.io.File(s"$idx/$gone").exists,
+        s"generation 0 artifact $gone must be vacuumed by the 2nd compact")
+    assert(serveAll(idx) == before, "serving unchanged across two compacts")
+  }
+
+  test("snapshot isolation: a serve constructed BEFORE a compact still " +
+      "actions correctly after it (one generation of grace)") {
+    val idx = tmp()
+    Search.searchIndexWrite(df(corpus), idx, nBuckets = 4)
+    Search.searchIndexDelete(spark, idx, Seq(2L))
+    // construct the plan against generation 0, then compact underneath
+    val pinned = Search.searchIndexServe(spark, idx,
+      Seq("alpha", "beta"), topK = 100)
+    val expect = serveAll(idx)
+    Search.searchIndexCompact(spark, idx)
+    // the old rename-swap layout broke here (planned paths vanished);
+    // the generational layout keeps g0 on disk as the grace
+    assert(pinned.collect().map(_.toString).toSeq == expect,
+      "a pre-compact serve must keep reading its pinned generation")
+    // and a serve constructed AFTER the flip reads the new generation
+    assert(serveAll(idx) == expect, "post-compact serve unchanged")
   }
 
   test("stats report: live rows per bucket, fragmentation visible, " +
@@ -258,7 +288,8 @@ class SearchIndexSpec extends SparkTestBase {
     val idx = tmp()
     Search.searchIndexWrite(spark.emptyDataFrame
       .select(lit(0L).as("doc_id"), lit("").as("text")).limit(0), idx)
-    val st0 = Search.readSearchStats(spark, idx)
+    val st0 = Search.readSearchStats(spark, idx,
+      graft.operators.Stores.currentGen(spark, idx))
     assert(st0 == ((0L, 0L)),
       s"empty-corpus stats must be (0, 0) — a NULL sum would NPE the " +
         s"first incremental append: $st0")
@@ -310,47 +341,46 @@ class SearchIndexSpec extends SparkTestBase {
     assert(serveAll(idx) == serveAll(fresh),
       "compaction must reclaim the orphan and restore clean-store scores")
     val ids = spark.read.schema("doc_id BIGINT, term STRING, tf INT, bkt INT")
-      .parquet(s"$idx/postings").select("doc_id")
+      .parquet(s"$idx/postings-g1").select("doc_id")
       .distinct().as[Long].collect().toSet
     assert(!ids.contains(999999L), "the orphan row must be physically gone")
   }
 
-  test("a half-swapped compact is DETECTABLE and the documented " +
-      "recovery restores serving (the compact-inflight contract)") {
-    // simulate the crash window the marker exists for: postings/
-    // renamed away, marker still present — exactly the state a crash
-    // between searchIndexCompact's renames leaves behind
+  test("a compact crashed pre-flip leaves the store INTACT plus torn " +
+      "scratch above the pointer (the generational crash contract)") {
+    // simulate the only pre-commit crash window the generational
+    // compact has: next-generation scratch fully or partially written,
+    // pointer never flipped — the store must serve exactly as before,
+    // and the torn state must be visible from the directory alone
     val idx = tmp()
     Search.searchIndexWrite(df(corpus.take(6)), idx, nBuckets = 2)
     val before = serveAll(idx)
-    val root = new java.io.File(idx)
-    assert(new java.io.File(root, "postings")
-      .renameTo(new java.io.File(root, "postings-retired")))
-    new java.io.File(root, "compact-inflight").createNewFile()
-    // detection: tooling checks the marker, not exception text
-    assert(new java.io.File(root, "compact-inflight").exists &&
-      !new java.io.File(root, "postings").exists,
-      "the half-swapped state is visible from the directory alone")
-    // recovery per the require message: rename *-retired back, drop
-    // the marker — serving must be exactly what it was
-    assert(new java.io.File(root, "postings-retired")
-      .renameTo(new java.io.File(root, "postings")))
-    new java.io.File(root, "compact-inflight").delete()
+    new java.io.File(s"$idx/postings-g1/bkt=0").mkdirs()
+    new java.io.File(s"$idx/docs-g1").mkdirs()
+    assert(graft.operators.Stores.currentGen(spark, idx) == 0L,
+      "the pointer is the commit — a crash before it leaves gen 0")
     assert(serveAll(idx) == before,
-      "the recovered store must serve exactly its pre-crash results")
+      "torn scratch above the pointer must not affect serving")
+    // a compact RE-RUN overwrites the torn scratch and converges
+    Search.searchIndexCompact(spark, idx)
+    assert(graft.operators.Stores.currentGen(spark, idx) == 1L)
+    assert(serveAll(idx) == before,
+      "the re-run compact must serve identically")
   }
 
   test("rebuild over a used dir clears stale sidecar state") {
     val idx = tmp()
     Search.searchIndexWrite(df(corpus.take(4)), idx)
     Search.searchIndexDelete(spark, idx, Seq(0L))
+    Search.searchIndexCompact(spark, idx) // leaves gen=1 + grace gen 0
     new java.io.File(s"$idx/ingested/batch-0").mkdirs()
-    new java.io.File(s"$idx/compact-inflight").createNewFile()
     Search.searchIndexWrite(df(corpus.take(4)), idx)
-    for (side <- Seq("tombstones", "ingested", "compact-inflight"))
+    for (side <- Seq("tombstones", "ingested", "gen", "postings-g1",
+        "docs-g1", "stats-g1", "tombstones-g1"))
       assert(!new java.io.File(s"$idx/$side").exists,
         s"a rebuild must clear stale $side")
-    // the reused id 0 serves (a stale tombstone would mask it silently)
+    // the reused id 0 serves (a stale tombstone — or a stale gen
+    // pointer shadowing the fresh write — would mask it silently)
     assert(Search.searchIndexServe(spark, idx, Seq("alpha"))
       .filter(col("doc_id") === 0L).count() == 1)
   }

@@ -376,8 +376,12 @@ class StoreCoordinationSpec extends SparkTestBase {
       .as[(Long, Double)].collect().toSet
     assert(served == twinServed,
       s"repaired serving must equal the clean twin: $served vs $twinServed")
-    val dups = spark.read.schema("doc_id BIGINT, dl INT")
-      .parquet(s"$search/docs")
+    // the repair's compact committed a NEW generation — read it (the
+    // grace generation deliberately still holds the pre-repair bytes)
+    def searchDocsNow() = spark.read.schema("doc_id BIGINT, dl INT")
+      .parquet(s"$search/${Stores.genName("docs",
+        Stores.currentGen(spark, search))}")
+    val dups = searchDocsNow()
       .groupBy("doc_id").count().filter(col("count") > 1).count()
     assert(dups == 0, "the duplicate rows must be physically gone")
     // dedup store: the batch landed (a clone of the repaired doc rejects)
@@ -391,9 +395,9 @@ class StoreCoordinationSpec extends SparkTestBase {
       "a marker-present store must not be re-appended or compacted")
     // stamps aligned; a repair re-run is a stamp-only no-op
     val v = Stores.requireAlignedVersions(spark, all.map(_.dir))
-    val searchDocsRows = spark.read.parquet(s"$search/docs").count()
+    val searchDocsRows = searchDocsNow().count()
     Graft.replayRepair(deltaDf, "r1", all)
-    assert(spark.read.parquet(s"$search/docs").count() == searchDocsRows,
+    assert(searchDocsNow().count() == searchDocsRows,
       "re-running the repair must change no data")
     assert(Stores.requireAlignedVersions(spark, all.map(_.dir)) == v + 1,
       "the re-run re-stamps to a new common target — still aligned")

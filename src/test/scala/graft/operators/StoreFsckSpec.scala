@@ -4,18 +4,30 @@ import org.apache.spark.sql.functions._
 
 import graft.{Graft, SparkTestBase}
 
-/** Pins the EXECUTABLE crash repair (r16 verdict ask #3): every crash
-  * window the stores' lifecycle scaladoc documents is reconstructed on
-  * disk, [[Stores.storeFsck]] classifies and repairs it, and the
-  * repaired store serves byte-identically to a clean rebuild over the
-  * live corpus — the scaladoc recovery, as code, on all three stores.
+/** Pins the EXECUTABLE crash repair (r16 verdict ask #3) under the
+  * GENERATIONAL store layout: every crash window the lifecycle
+  * scaladoc documents is reconstructed on disk, [[Stores.storeFsck]]
+  * classifies and repairs it, and the repaired store serves
+  * byte-identically to its pre-crash results.
   *
-  * Crash states are constructed the honest way: a TWIN store built
-  * from the same frozen derivation supplies REAL compacted scratch
-  * (`searchIndexWrite`/`dedupIndexWrite` are deterministic over the
-  * fixture), and `java.io.File` renames reproduce each interruption
-  * point of the compact sequence exactly (the SearchIndexSpec crash-leg
-  * technique). */
+  * The generational compact has exactly TWO crash windows, both pure
+  * directory hygiene (the pointer flip is atomic and only publishes
+  * fully-written generations):
+  *
+  *  - '''torn scratch''' — the compact died BEFORE its commit flip:
+  *    next-generation artifacts sit above the pointer, the store is
+  *    fully intact. Repair: delete the scratch (a compact re-run
+  *    overwrites it anyway).
+  *  - '''expired generations''' — the compact died AFTER the flip,
+  *    mid-vacuum: artifacts below the grace generation linger.
+  *    Repair: delete them (the next compact's vacuum would too).
+  *
+  * Crash states are constructed the honest way: torn scratch is REAL
+  * compacted data harvested from a twin store built from the same
+  * frozen derivation; the mid-vacuum state is the store's own
+  * generation-0 artifacts moved aside before the second compact (which
+  * would have vacuumed them) and restored after — exactly the bytes a
+  * crashed vacuum leaves. */
 class StoreFsckSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -31,8 +43,6 @@ class StoreFsckSpec extends SparkTestBase {
     (5L, "rare alpha beta gamma iota"))
   private val deleted = Seq(2L, 5L)
   private def docsDf = corpus.toDF("doc_id", "text")
-  private def liveDf =
-    corpus.filterNot(d => deleted.contains(d._1)).toDF("doc_id", "text")
 
   private def mv(dir: String, from: String, to: String): Unit =
     assert(new java.io.File(dir, from)
@@ -42,9 +52,6 @@ class StoreFsckSpec extends SparkTestBase {
     assert(new java.io.File(fromDir, name)
       .renameTo(new java.io.File(toDir, toName)),
       s"rename $fromDir/$name -> $toDir/$toName")
-  private def touch(dir: String, name: String): Unit = {
-    new java.io.File(dir, name).createNewFile(); ()
-  }
   private def exists(dir: String, name: String): Boolean =
     new java.io.File(dir, name).exists
 
@@ -52,88 +59,81 @@ class StoreFsckSpec extends SparkTestBase {
     Search.searchIndexServe(spark, idx, Seq("alpha", "beta"), topK = 100)
       .collect().map(_.toString).toSeq
 
-  /** A search store with `deleted` tombstoned, plus REAL compacted
-    * postings/docs scratch (harvested from an identically-derived twin
-    * that ran the full compact), frozen at the given crash point. */
-  private def searchCrashState(stage: String): (String, Seq[String]) = {
+  private def fsckMap(idx: String,
+      execute: Boolean = true): Map[String, (String, String)] =
+    Graft.storeFsck(spark, idx, execute).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+
+  test("search fsck deletes a torn compact scratch (crash pre-flip); " +
+      "the store never stopped serving and a re-run compact converges") {
     val idx = tmp(); val twin = tmp()
     for (d <- Seq(idx, twin)) {
       Search.searchIndexWrite(docsDf, d)
       Search.searchIndexDelete(spark, d, deleted)
     }
-    val expected = serveAll(idx) // tombstone-subtracted, pre-crash
+    val expected = serveAll(idx)
+    // REAL next-generation scratch: the twin ran the full compact; its
+    // committed g1 artifacts become idx's torn pre-flip scratch
     Search.searchIndexCompact(spark, twin)
-    mvAcross(twin, "postings", idx, "postings-compact")
-    mvAcross(twin, "docs", idx, "docs-compact")
-    touch(idx, "compact-inflight")
-    stage match {
-      case "pre-rename" => // marker + scratch, store fully intact
-      case "between-renames" =>
-        mv(idx, "postings", "postings-retired")
-      case "postings-swapped" =>
-        mv(idx, "postings", "postings-retired")
-        mv(idx, "postings-compact", "postings")
-      case "retired-only" =>
-        // defensive window: scratch lost, only the retired copy left
-        mv(idx, "postings", "postings-retired")
-        rmrf(new java.io.File(idx, "postings-compact"))
-        rmrf(new java.io.File(idx, "docs-compact"))
-    }
-    (idx, expected)
-  }
-
-  private def rmrf(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmrf)
-    f.delete(); ()
-  }
-
-  for (stage <- Seq("pre-rename", "between-renames", "postings-swapped"))
-    test(s"search fsck completes a compact crashed at '$stage' forward; " +
-        "serving is unchanged and the sidecars are clean") {
-      val (idx, expected) = searchCrashState(stage)
-      val report = Graft.storeFsck(spark, idx)
-        .collect().map(r => r.getString(0) -> r.getString(2)).toMap
-      assert(report("compact-inflight") == "forward-completed",
-        s"fsck must roll the compact forward: $report")
-      assert(serveAll(idx) == expected,
-        "the repaired store must serve its pre-crash results")
-      for (d <- Seq("compact-inflight", "postings-compact", "docs-compact",
-          "postings-retired", "docs-retired", "tombstones"))
-        assert(!exists(idx, d), s"$d must be reclaimed after fsck")
-      // the compact applied the tombstones physically — stats agree
-      val st = Search.readSearchStats(spark, idx)._1
-      assert(st == corpus.size - deleted.size,
-        s"stats must reflect the compacted live corpus: $st")
-      // and a second fsck is a clean no-op
-      val again = Graft.storeFsck(spark, idx)
-        .collect().map(r => r.getString(0) -> r.getString(2)).toMap
-      assert(again.values.forall(a => a == "none"),
-        s"fsck must be idempotent on a healthy store: $again")
-    }
-
-  test("search fsck falls back to the retired copy when the scratch " +
-      "is lost, then recompacts — tombstones still apply") {
-    val (idx, expected) = searchCrashState("retired-only")
-    val report = Graft.storeFsck(spark, idx)
-      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
-    assert(report("compact-inflight") == "recompacted",
-      s"the defensive window re-runs the full compact: $report")
+    for (k <- Seq("postings-g1", "docs-g1", "stats-g1"))
+      mvAcross(twin, k, idx, k)
+    assert(graft.operators.Stores.currentGen(spark, idx) == 0L,
+      "fixture: the pointer never flipped")
     assert(serveAll(idx) == expected,
-      "the recompacted store must serve its pre-crash results")
-    assert(!exists(idx, "compact-inflight") && !exists(idx, "tombstones"),
-      "the recompact clears the marker and applies the tombstones")
+      "torn scratch must not affect serving — the store is intact")
+    val report = fsckMap(idx)
+    assert(report.keys.count(_.startsWith("torn scratch")) == 3,
+      s"fsck must name each torn artifact: $report")
+    for (k <- Seq("postings-g1", "docs-g1", "stats-g1"))
+      assert(!exists(idx, k), s"torn $k must be deleted")
+    assert(serveAll(idx) == expected, "serving unchanged after fsck")
+    // the interrupted compact re-runs cleanly on the repaired store
+    Search.searchIndexCompact(spark, idx)
+    assert(serveAll(idx) == expected, "the re-run compact converges")
+    // and a second fsck is a clean no-op
+    assert(fsckMap(idx).values.forall(_._2 == "none"),
+      s"fsck must be idempotent on a healthy store: ${fsckMap(idx)}")
   }
 
-  test("classify-only mode reports the window without touching the " +
+  test("search fsck vacuums expired generations (crash mid-vacuum " +
+      "after the second compact's flip); the grace generation stays") {
+    val idx = tmp()
+    Search.searchIndexWrite(docsDf, idx)
+    Search.searchIndexDelete(spark, idx, deleted)
+    Search.searchIndexCompact(spark, idx) // gen 1, grace gen 0
+    val expected = serveAll(idx)
+    // move the gen-0 artifacts aside so the second compact cannot
+    // vacuum them, then restore — the exact bytes a vacuum crash leaves
+    val aside = tmp()
+    for (k <- Seq("postings", "docs", "stats", "tombstones"))
+      mvAcross(idx, k, aside, k)
+    Search.searchIndexCompact(spark, idx) // gen 2, grace gen 1
+    for (k <- Seq("postings", "docs", "stats", "tombstones"))
+      mvAcross(aside, k, idx, k)
+    val report = fsckMap(idx)
+    assert(report.keys.count(_.startsWith("expired")) == 4,
+      s"fsck must name each expired artifact: $report")
+    for (k <- Seq("postings", "docs", "stats", "tombstones"))
+      assert(!exists(idx, k), s"expired gen-0 $k must be vacuumed")
+    // the grace generation (g1) is reported present and left alone
+    assert(report("generation")._1.contains("grace g1 present"),
+      s"the grace generation must be reported, not touched: $report")
+    assert(exists(idx, "postings-g1"), "grace artifacts must survive fsck")
+    assert(serveAll(idx) == expected, "serving unchanged throughout")
+  }
+
+  test("classify-only mode reports the windows without touching the " +
       "store") {
-    val (idx, _) = searchCrashState("between-renames")
-    val report = Graft.storeFsck(spark, idx, execute = false)
-      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
-    assert(report("compact-inflight") == "would complete forward",
+    val idx = tmp(); val twin = tmp()
+    for (d <- Seq(idx, twin)) Search.searchIndexWrite(docsDf, d)
+    Search.searchIndexCompact(spark, twin)
+    mvAcross(twin, "postings-g1", idx, "postings-g1")
+    val report = fsckMap(idx, execute = false)
+    val torn = report.collect {
+      case (k, v) if k.startsWith("torn scratch") => v._2 }
+    assert(torn == Seq("would delete"),
       s"classification must name the pending repair: $report")
-    assert(exists(idx, "compact-inflight")
-        && exists(idx, "postings-retired")
-        && !exists(idx, "postings"),
+    assert(exists(idx, "postings-g1"),
       "execute=false must leave the crash state untouched")
   }
 
@@ -150,18 +150,19 @@ class StoreFsckSpec extends SparkTestBase {
       .write.mode("append").partitionBy("bkt").parquet(s"$idx/postings")
     // window 2: stats overwritten behind docs/ (the crash-after-docs
     // shape: stats no longer equals the docs aggregate)
-    Search.writeSearchStats(spark, idx, 1L, 1L)
-    val report = Graft.storeFsck(spark, idx)
-      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
-    assert(report("stats").startsWith("re-derived"),
+    Search.writeSearchStats(spark, idx,
+      graft.operators.Stores.currentGen(spark, idx), 1L, 1L)
+    val report = fsckMap(idx)
+    assert(report("stats")._2.startsWith("re-derived"),
       s"stale stats must be re-derived from docs/: $report")
-    assert(report("orphan-postings").startsWith("compacted"),
+    assert(report("orphan-postings")._2.startsWith("compacted"),
       s"orphans must be reclaimed by compaction: $report")
     assert(serveAll(idx) == expected,
       "the repaired store must serve exactly the clean-store results")
+    // the repair compacted into generation 1 — the orphan is gone there
     val orphan = spark.read
       .schema("doc_id BIGINT, term STRING, tf INT, bkt INT")
-      .parquet(s"$idx/postings")
+      .parquet(s"$idx/postings-g1")
       .filter(col("doc_id") === 999999L).count()
     assert(orphan == 0, "the orphan row must be physically gone")
   }
@@ -175,8 +176,7 @@ class StoreFsckSpec extends SparkTestBase {
     // violate the unique-id contract: replay the append (the ingest
     // at-least-once window)
     Search.searchIndexAppend(b.toDF("doc_id", "text"), idx)
-    val rows = Graft.storeFsck(spark, idx).collect()
-      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    val rows = fsckMap(idx)
     assert(rows("dup-ids")._1.contains(s"${b.size} ids"),
       s"fsck must count the replayed ids: ${rows("dup-ids")}")
     assert(rows("dup-ids")._2.startsWith("report-only"),
@@ -188,8 +188,7 @@ class StoreFsckSpec extends SparkTestBase {
       "report-only: the duplicate rows must still be present")
   }
 
-  test("dedup fsck completes a half-swapped compact; serving verdicts " +
-      "are unchanged") {
+  test("dedup fsck deletes a torn compact scratch; verdicts unchanged") {
     val idx = tmp(); val twin = tmp()
     for (d <- Seq(idx, twin)) {
       TextDedup.dedupIndexWrite(docsDf, d)
@@ -202,21 +201,17 @@ class StoreFsckSpec extends SparkTestBase {
         .collect().map(_.toString).toSeq
     val expected = verdicts(idx)
     TextDedup.dedupIndexCompact(spark, twin)
-    mvAcross(twin, "bands", idx, "bands-compact")
-    touch(idx, "compact-inflight")
-    mv(idx, "bands", "bands-retired") // crash between the renames
-    val report = Graft.storeFsck(spark, idx)
-      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
-    assert(report("compact-inflight") == "forward-completed", s"$report")
+    mvAcross(twin, "bands-g1", idx, "bands-g1") // torn pre-flip scratch
+    val report = fsckMap(idx)
+    assert(report.keys.exists(_.startsWith("torn scratch bands-g1")),
+      s"fsck must name the torn scratch: $report")
+    assert(!exists(idx, "bands-g1"), "torn scratch must be deleted")
     assert(verdicts(idx) == expected,
-      "the repaired dedup store must serve its pre-crash verdicts")
-    for (d <- Seq("compact-inflight", "bands-compact", "bands-retired",
-        "tombstones"))
-      assert(!exists(idx, d), s"$d must be reclaimed after fsck")
+      "the dedup store must serve its pre-crash verdicts throughout")
   }
 
-  test("ANN fsck completes a half-swapped compact; the served top-k " +
-      "is unchanged") {
+  test("ANN fsck deletes a torn compact scratch; the served top-k is " +
+      "unchanged") {
     def codesDf =
       ((0L to 1L).map(i => (i, Seq(0.0, 0.0, 0.0, 1.0 + i))) ++
         (2L to 6L).map(i => (i, Seq(-90.0, -90.0, -90.0, -90.0 - i % 3))) ++
@@ -236,17 +231,13 @@ class StoreFsckSpec extends SparkTestBase {
     assert(!expected.exists(_.startsWith("[9,")),
       "fixture: vec 9 must be tombstoned out pre-crash")
     Graft.annIndexCompact(spark, twin)
-    mvAcross(twin, "enc", idx, "enc-compact")
-    touch(idx, "compact-inflight")
-    mv(idx, "enc", "enc-retired") // crash between the renames
-    val report = Graft.storeFsck(spark, idx)
-      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
-    assert(report("compact-inflight") == "forward-completed", s"$report")
+    mvAcross(twin, "enc-g1", idx, "enc-g1") // torn pre-flip scratch
+    val report = fsckMap(idx)
+    assert(report.keys.exists(_.startsWith("torn scratch enc-g1")),
+      s"fsck must name the torn scratch: $report")
+    assert(!exists(idx, "enc-g1"), "torn scratch must be deleted")
     assert(serve(idx) == expected,
-      "the repaired ANN store must serve its pre-crash top-k")
-    for (d <- Seq("compact-inflight", "enc-compact", "enc-retired",
-        "tombstones"))
-      assert(!exists(idx, d), s"$d must be reclaimed after fsck")
+      "the ANN store must serve its pre-crash top-k throughout")
   }
 
   test("storeFsck refuses a directory that is not a graft store") {

@@ -66,7 +66,8 @@ class SearchIngestSpec extends SparkTestBase {
     val all = resident ++ wave1 ++ wave2
     // the stats sidecar is reconciled after every committed batch —
     // the corpus-global invariant appends force on this store
-    val st = graft.operators.Search.readSearchStats(spark, idx)
+    val st = graft.operators.Search.readSearchStats(spark, idx,
+      graft.operators.Stores.currentGen(spark, idx))
     assert(st == ((all.size.toLong,
       all.map(_._2.split(" ").length.toLong).sum)),
       s"stats must equal the ingested docs aggregate: $st")
