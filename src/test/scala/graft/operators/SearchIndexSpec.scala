@@ -187,8 +187,13 @@ class SearchIndexSpec extends SparkTestBase {
     val idx = tmp()
     Search.searchIndexWrite(df(corpus), idx, nBuckets = 4)
     Search.searchIndexDelete(spark, idx, Seq(2L))
-    // construct the plan against generation 0, then compact underneath
+    // construct the plans against generation 0, then compact underneath
+    // (two instances: a collected Dataset's materialized stages are
+    // AQE-reused on re-collect, so the limit case below needs a plan
+    // whose FIRST action happens after the second compact)
     val pinned = Search.searchIndexServe(spark, idx,
+      Seq("alpha", "beta"), topK = 100)
+    val pinnedLate = Search.searchIndexServe(spark, idx,
       Seq("alpha", "beta"), topK = 100)
     val expect = serveAll(idx)
     Search.searchIndexCompact(spark, idx)
@@ -198,6 +203,16 @@ class SearchIndexSpec extends SparkTestBase {
       "a pre-compact serve must keep reading its pinned generation")
     // and a serve constructed AFTER the flip reads the new generation
     assert(serveAll(idx) == expect, "post-compact serve unchanged")
+    // the HONEST LIMIT, pinned: the grace is exactly ONE generation
+    // deep — a second compact vacuums g0, and a g0-pinned plan whose
+    // first action comes after it finds its files gone (the documented
+    // retry case, now the only one left)
+    Search.searchIndexCompact(spark, idx)
+    assert(!new java.io.File(s"$idx/postings").exists,
+      "the second compact vacuums the pinned generation")
+    intercept[Exception](pinnedLate.collect())
+    assert(serveAll(idx) == expect,
+      "a freshly constructed serve is unaffected")
   }
 
   test("stats report: live rows per bucket, fragmentation visible, " +
