@@ -868,6 +868,13 @@ object Search {
     * crash post-flip before the vacuum leaves expired generations the
     * next compact (or fsck) removes.
     *
+    * PURGE NOTE (takedown compliance): the grace generation still
+    * carries the tombstoned rows' bytes, so the PHYSICAL purge of a
+    * delete completes at the SECOND compact after it — run two
+    * compacts back-to-back when a takedown must leave no bytes behind
+    * (the first folds the tombstones in, the second vacuums the
+    * generation that still holds them).
+    *
     * Compaction also restores the `postings ⊆ docs` invariant: a
     * crash inside [[searchIndexAppend]]'s window can leave ORPHANED
     * postings (rows whose doc never reached docs/) — they cannot rank

@@ -1116,6 +1116,9 @@ object Similarity {
     * it. Crash pre-flip leaves the store intact plus torn scratch;
     * crash post-flip leaves expired generations — both directory
     * hygiene, classified and repaired by [[Stores.annIndexFsck]].
+    * Purge note: the grace generation still carries the tombstoned
+    * bytes — two back-to-back compacts give a takedown its physical
+    * purge (see [[Search.searchIndexCompact]]).
     * The model frames (books/cents) and manifest are store-life
     * state: compaction never retrains, so they stay unversioned. */
   private[graft] def ivfPqIndexCompact(s: SparkSession,

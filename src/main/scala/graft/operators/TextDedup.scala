@@ -1422,7 +1422,10 @@ object TextDedup {
     * small-files decay appends cause, on the text store; crash
     * windows (torn scratch above the pointer / expired generations
     * below the grace) are classified and repaired by
-    * [[Stores.dedupIndexFsck]]. */
+    * [[Stores.dedupIndexFsck]]. Purge note: the grace generation
+    * still carries the tombstoned bytes — two back-to-back compacts
+    * give a takedown its physical purge (see
+    * [[Search.searchIndexCompact]]). */
   private[graft] def dedupIndexCompact(s: SparkSession,
       indexDir: String): Unit =
       Stores.withStoreLock(s, indexDir, "dedupIndexCompact") {
