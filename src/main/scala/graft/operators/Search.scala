@@ -564,15 +564,18 @@ object Search {
     //    gate: q187's stores are built by the LIFECYCLE OPS themselves
     //    (an initial write of the doc_id % 3 != 0 corpus slice, a
     //    coordinated ledgered `appendAll` of the remainder as one
-    //    named batch, then a coordinated `takedownAll` of the
-    //    doc_id % 7 == 3 slice), the serve first asserts the
+    //    named batch, a coordinated `takedownAll` of the
+    //    doc_id % 7 == 3 slice, then a COMPACT of both stores — the
+    //    generational pointer-flip commit, tombstones folded, grace
+    //    retained), the serve first asserts the
     //    cross-store snapshot guard (`requireAlignedVersions` — the
     //    r16 verdict's missing #1, here on the oracled path), and the
     //    oracle states the DESTINATION corpus declaratively (q170's
     //    fusion over documents/embeddings minus the takedown slice).
     //    The hash gate therefore proves write ∘ append ∘ takedown ∘
-    //    tombstone-corrected serve ≡ a fresh pipeline on the final
-    //    corpus — the maintained-≡-fresh contract, externally judged.
+    //    compact ∘ serve ≡ a fresh pipeline on the final corpus — the
+    //    maintained-≡-fresh contract, externally judged, compaction
+    //    included.
     //    Exactness argument is q186's unchanged: exhaustive ANN
     //    settings make the semantic leg brute-force over the LIVE
     //    (non-tombstoned) vectors; the lexical leg's tombstone-
@@ -1319,6 +1322,11 @@ object Search {
     *      doc-level ANN tombstones, packed-range chunk tombstones,
     *      both stores SET to the common target stamp.
     *
+    *   4. [[searchIndexCompact]]/[[Similarity.ivfPqIndexCompact]] on
+    *      both stores — the generational commit (tombstones folded
+    *      into generation 1, stats re-derived, grace retained), so
+    *      the oracle-replayed serve reads a post-compact store.
+    *
     * Net corpus = documents minus the takedown slice, which is what
     * q187's oracle states directly. The takedown-id collect is
     * driver-side and |corpus|/7-bounded at the TEST scales the memo
@@ -1352,6 +1360,14 @@ object Search {
       val ids = docs.filter(col("doc_id") % 7 === 3)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
       Stores.takedownAll(s, ids, stores)
+      // and COMPACT both stores, so the serve q187's oracle replays
+      // reads generation 1 through the atomic pointer flip — the
+      // generational compact itself (tombstones folded, stats
+      // re-derived, grace retained) sits under the external gate, not
+      // just the spec pin. Compaction is corpus-neutral, so the
+      // oracle is untouched; stamps don't bump, so alignment holds.
+      searchIndexCompact(s, cs)
+      Similarity.ivfPqIndexCompact(s, ann)
       (cs, ann)
     })
 }
