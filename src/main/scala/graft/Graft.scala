@@ -899,6 +899,17 @@ object Graft {
     operators.Stores.replayRepair(docs, batchId, stores, idCol,
       textCol, vecCol)
 
+  /** PHYSICAL purge of every outstanding tombstone across the given
+    * stores: two compacts per store — the first folds the tombstones
+    * into a fresh generation, the second vacuums the grace generation
+    * that still carried the deleted bytes. [[takedownAll]] followed by
+    * `purgeAll` is the takedown-compliance pair (no byte of the
+    * documents remains in ANY generation); compaction never bumps the
+    * version stamp, so purged stores stay aligned. See
+    * [[operators.Stores.purgeAll]]. */
+  def purgeAll(spark: SparkSession, stores: Seq[StoreRef]): Unit =
+    operators.Stores.purgeAll(spark, stores)
+
   /** [[storeFsck]] pinned to a search store. */
   def searchIndexFsck(spark: SparkSession, indexDir: String,
       execute: Boolean = true): DataFrame =

@@ -548,6 +548,23 @@ object Stores {
       case AnnStore(dir) => Similarity.ivfPqIndexCompact(s, dir)
     }
 
+  /** PHYSICAL purge — the executable form of the compacts' purge
+    * note: run the store's compact TWICE, so the first folds the
+    * outstanding tombstones into a fresh generation and the second
+    * vacuums the generation that still carried the deleted bytes (the
+    * serve grace). After this, no generation under the store holds a
+    * tombstoned row — the takedown-compliance guarantee one compact
+    * alone deliberately does not give (the grace exists to keep
+    * in-flight serves alive). Batch form on the facade:
+    * [[graft.Graft.purgeAll]] after a [[takedownAll]] makes the whole
+    * coordinated takedown physical. Compaction never bumps the
+    * corpus-version stamp, so purging keeps stores aligned. */
+  private[graft] def purgeAll(s: SparkSession,
+      stores: Seq[StoreRef]): Unit = {
+    require(stores.nonEmpty, "purgeAll: no stores given")
+    stores.foreach { ref => compactOne(s, ref); compactOne(s, ref) }
+  }
+
   /** EXECUTABLE repair for the ONE residual crash window the
     * coordinated/streaming append path leaves: a crash BETWEEN a
     * store's physical append and its ledger marker means the ledger

@@ -245,4 +245,40 @@ class StoreFsckSpec extends SparkTestBase {
       Graft.storeFsck(spark, tmp()))
     assert(e.getMessage.contains("not a graft store"), e.getMessage)
   }
+
+  test("takedownAll + purgeAll leaves NO byte of the document in ANY " +
+      "generation (the takedown-compliance pair, executable)") {
+    val search = tmp(); val dedup = tmp()
+    Search.searchIndexWrite(docsDf, search)
+    TextDedup.dedupIndexWrite(docsDf, dedup)
+    val stores = Seq(Stores.SearchStore(search), Stores.DedupStore(dedup))
+    Graft.takedownAll(spark, Seq(2L), stores)
+    // one compact alone is NOT a purge: the grace generation still
+    // holds the bytes (the purge-note state, pinned from the unsafe
+    // side before the safe one)
+    Search.searchIndexCompact(spark, search)
+    def idInAnyParquet(dir: String): Boolean = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir)).exists { f =>
+        val cols = spark.read.parquet(f.toString).columns
+        val idCol = if (cols.contains("doc_id")) "doc_id" else cols.head
+        spark.read.parquet(f.toString)
+          .filter(col(idCol) === 2L).count() > 0
+      }
+    }
+    assert(idInAnyParquet(search),
+      "fixture: after ONE compact the grace generation still holds the " +
+        "deleted doc's bytes — the state purgeAll exists to clear")
+    Graft.purgeAll(spark, stores)
+    assert(!idInAnyParquet(search) && !idInAnyParquet(dedup),
+      "after purgeAll no parquet file under either store may carry the " +
+        "taken-down doc id, in any generation")
+    // serving is unchanged and the stores stay aligned
+    assert(!serveAll(search).exists(_.startsWith("[2,")),
+      "the purged store serves without the doc")
+    Stores.requireAlignedVersions(spark, stores.map(_.dir))
+    ()
+  }
 }
