@@ -695,13 +695,7 @@ object Search {
     require(nBuckets >= 1, "searchIndexWrite: nBuckets must be >= 1")
     val s = docs.sparkSession
     Stores.withStoreLock(s, outDir, "searchIndexWrite") {
-    val hc = s.sparkContext.hadoopConfiguration
-    Stores.clearGens(s, outDir, SearchGenKinds)
-    locally {
-      val p = new org.apache.hadoop.fs.Path(s"$outDir/ingested")
-      val fs = p.getFileSystem(hc)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    Stores.clearStoreLife(s, outDir, SearchGenKinds)
     Stores.writeMetaSidecar(s, s"$outDir/manifest",
       Seq("n_buckets" -> nBuckets.toString, "tokenizer" -> SearchTokenizer))
     val ws = split(col(textCol), " ")

@@ -729,13 +729,7 @@ object Similarity {
     // model/enc overwrites below replace their own dirs; everything
     // else is cleared here explicitly (DiskIndexSpec pins
     // rebuild-over-used-dir).
-    val hc = s.sparkContext.hadoopConfiguration
-    Stores.clearGens(s, outDir, AnnGenKinds)
-    locally {
-      val p = new Path(s"$outDir/ingested")
-      val fs = p.getFileSystem(hc)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    Stores.clearStoreLife(s, outDir, AnnGenKinds)
     codebooks.getOrElse(pqSeedCodebooks(codes, m, subDim, k))
       .write.mode("overwrite").parquet(s"$outDir/books")
     centroids.getOrElse(ivfCentroids(codes, kIvf))

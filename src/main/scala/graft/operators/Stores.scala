@@ -138,17 +138,66 @@ object Stores {
   // Frozen store-life state (manifest, model frames, the `ingested/`
   // batch ledger, corpus-version) is NOT generational — batch ids and
   // geometry survive compaction by design.
+  //
+  // FORMAT SUPPORT, stated not implied: the generational layout is the
+  // only on-disk store format this library reads, repairs, or rebuilds
+  // over. A directory from the pre-generational rename-swap layout
+  // (`*-retired`/`*-compact`/`compact-inflight` siblings) is not
+  // recognized — fsck refuses it as "not a graft store" if its main
+  // dataset was mid-swap — and needs a one-time rebuild (write from
+  // the source corpus). We carry no dead legacy-repair code for a
+  // format no released artifact ever wrote.
 
-  /** A store's current dataset generation: the `gen` pointer sidecar;
-    * absent reads 0, and generation-0 artifacts live at their PLAIN
-    * legacy names (`postings/`, not `postings-g0/`), so a store that
-    * has never compacted keeps the flat layout byte-for-byte. */
-  private[graft] def currentGen(s: SparkSession, dir: String): Long =
-    readRawLong(s, s"$dir/gen").getOrElse(0L)
+  /** A store's current dataset generation: the MAX `gen-<N>` commit
+    * marker present (no markers reads 0), and generation-0 artifacts
+    * live at their PLAIN legacy names (`postings/`, not
+    * `postings-g0/`), so a store that has never compacted keeps the
+    * flat layout byte-for-byte.
+    *
+    * Why max-of-markers instead of one mutable pointer file: a single
+    * `gen` file updated by delete-then-rename has a window where the
+    * pointer is ABSENT, and absent reads 0 — a crash (or a concurrent
+    * lock-free serve construction) in that instant would silently
+    * roll the store back to generation 0, after which fsck's
+    * torn-scratch rule would DELETE every live generation as scratch
+    * (r17 review). Under-stating is benign for the corpus-version
+    * stamp (a divergence fails loudly) but destructive for the
+    * generation pointer, so the pointer must never be observable in a
+    * rolled-back state. A commit marker is one atomic create: readers
+    * list `gen-*` and take the max, so every observable state is
+    * either the old maximum (compact not yet committed) or the new
+    * one — nothing in between. */
+  private[graft] def currentGen(s: SparkSession, dir: String): Long = {
+    val root = new Path(dir)
+    val fs = fsOf(s, root)
+    if (!fs.exists(root)) 0L
+    else {
+      val ns = genMarkers(fs, root)
+      if (ns.isEmpty) 0L else ns.max
+    }
+  }
 
-  /** Flip the generation pointer — THE commit point of a compact. */
+  private val GenMarkerPat = "^gen-(\\d+)$".r
+
+  private def genMarkers(fs: FileSystem, root: Path): Seq[Long] =
+    fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case GenMarkerPat(n) => n.toLong
+    }
+
+  /** Commit generation `g` — THE commit point of a compact: one
+    * atomic marker create (see [[currentGen]]'s rationale), then
+    * retire the older markers. Retiring can only remove NON-max
+    * markers, so a crash mid-retire leaves harmless extras the next
+    * commit (or fsck's healthy pass) retires again; a re-run over an
+    * existing marker is a no-op. */
   private[graft] def writeGen(s: SparkSession, dir: String,
-      g: Long): Unit = writeRawLong(s, s"$dir/gen", g)
+      g: Long): Unit = {
+    val p = new Path(s"$dir/gen-$g")
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) fs.create(p, false).close()
+    for (old <- genMarkers(fs, new Path(dir)) if old < g)
+      fs.delete(new Path(s"$dir/gen-$old"), false)
+  }
 
   /** A per-generation artifact's directory/file name. */
   private[graft] def genName(kind: String, g: Long): String =
@@ -180,15 +229,21 @@ object Stores {
       fs.delete(new Path(s"$dir/${genName(kind, g)}"), true)
   }
 
-  /** Clear EVERY generation of `kinds` plus the pointer itself — the
-    * rebuild guard of the three writes (a fresh store life must not
-    * inherit a prior life's generations). */
-  private[graft] def clearGens(s: SparkSession, dir: String,
+  /** Clear EVERY generation of `kinds`, the commit markers, and the
+    * ingest batch ledger — the rebuild guard of the three writes (a
+    * fresh store life must not inherit a prior life's generations,
+    * pointer, or applied-batch ids; one shared implementation so the
+    * three families' rebuild semantics cannot drift). */
+  private[graft] def clearStoreLife(s: SparkSession, dir: String,
       kinds: Seq[String]): Unit = {
-    val fs = fsOf(s, new Path(dir))
+    val root = new Path(dir)
+    val fs = fsOf(s, root)
     for (kind <- kinds; g <- gensOf(s, dir, kind))
       fs.delete(new Path(s"$dir/${genName(kind, g)}"), true)
-    fs.delete(new Path(s"$dir/gen"), false)
+    if (fs.exists(root))
+      for (g <- genMarkers(fs, root))
+        fs.delete(new Path(s"$dir/gen-$g"), false)
+    fs.delete(new Path(s"$dir/ingested"), true)
   }
 
   /** Run one PHYSICAL store mutation under the store's advisory

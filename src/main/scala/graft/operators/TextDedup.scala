@@ -1300,13 +1300,7 @@ object TextDedup {
       outDir: String): Unit = {
     val s = bands.sparkSession
     Stores.withStoreLock(s, outDir, "dedupIndexWrite") {
-    val hc = s.sparkContext.hadoopConfiguration
-    Stores.clearGens(s, outDir, DedupGenKinds)
-    locally {
-      val p = new org.apache.hadoop.fs.Path(s"$outDir/ingested")
-      val fs = p.getFileSystem(hc)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    Stores.clearStoreLife(s, outDir, DedupGenKinds)
     // the manifest is a raw sidecar file (Stores.writeMetaSidecar):
     // every lifecycle op reads it at construction, and as a one-row
     // parquet dataset each read was a full Spark job

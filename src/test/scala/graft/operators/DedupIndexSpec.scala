@@ -195,7 +195,7 @@ class DedupIndexSpec extends SparkTestBase {
     // second life, same ids: the stale tombstone must not mask doc 1,
     // and the stale generations/pointer must not shadow the fresh write
     TextDedup.dedupIndexWrite(docsDf(corpus), idx)
-    for (side <- Seq("tombstones", "ingested", "gen", "bands-g1",
+    for (side <- Seq("tombstones", "ingested", "gen-1", "bands-g1",
         "tombstones-g1"))
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$side")),
         s"stale $side/ must not survive a rebuild")

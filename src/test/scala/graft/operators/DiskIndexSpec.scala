@@ -570,7 +570,7 @@ class DiskIndexSpec extends SparkTestBase {
     // second life: REBUILD in place with the same ids
     Similarity.ivfPqIndexWrite(df, idx, kIvf = 2, m = 2, subDim = 2,
       k = 3)
-    for (side <- Seq("tombstones", "ingested", "gen", "enc-g1",
+    for (side <- Seq("tombstones", "ingested", "gen-1", "enc-g1",
         "tombstones-g1"))
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$side")),
         s"stale $side/ must not survive a rebuild")

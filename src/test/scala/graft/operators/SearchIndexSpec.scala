@@ -390,7 +390,7 @@ class SearchIndexSpec extends SparkTestBase {
     Search.searchIndexCompact(spark, idx) // leaves gen=1 + grace gen 0
     new java.io.File(s"$idx/ingested/batch-0").mkdirs()
     Search.searchIndexWrite(df(corpus.take(4)), idx)
-    for (side <- Seq("tombstones", "ingested", "gen", "postings-g1",
+    for (side <- Seq("tombstones", "ingested", "gen-1", "postings-g1",
         "docs-g1", "stats-g1", "tombstones-g1"))
       assert(!new java.io.File(s"$idx/$side").exists,
         s"a rebuild must clear stale $side")
