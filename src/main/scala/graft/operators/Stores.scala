@@ -708,6 +708,19 @@ object Stores {
           if (execute) "deleted" else "would delete"))
       } else if (g == cur - 1) grace = true
     }
+    // stale commit markers — a crash mid-retire in [[writeGen]] leaves
+    // non-max markers behind; they can never roll the pointer back
+    // (readers take the max) but fsck tidies them like the next commit
+    // would
+    val root = new Path(indexDir)
+    if (fs.exists(root))
+      for (m <- genMarkers(fs, root) if m < cur) {
+        if (execute) fs.delete(new Path(s"$indexDir/gen-$m"), false)
+        rows += ((s"stale marker gen-$m",
+          s"non-max commit marker (crashed retire) — pointer reads g$cur " +
+            "regardless",
+          if (execute) "deleted" else "would delete"))
+      }
     rows += (("generation", s"g$cur" +
       (if (grace) s" (grace g${cur - 1} present — pre-flip serves may " +
         "still read it)" else ""), "none"))

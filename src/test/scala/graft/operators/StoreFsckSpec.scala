@@ -240,6 +240,29 @@ class StoreFsckSpec extends SparkTestBase {
       "the ANN store must serve its pre-crash top-k throughout")
   }
 
+  test("the generation commit is max-of-markers: a crashed retire's " +
+      "stale marker never rolls the pointer back, and fsck tidies it") {
+    val idx = tmp()
+    Search.searchIndexWrite(docsDf, idx)
+    Search.searchIndexCompact(spark, idx) // commits gen-1
+    Search.searchIndexCompact(spark, idx) // commits gen-2, retires gen-1
+    assert(graft.operators.Stores.currentGen(spark, idx) == 2L)
+    val expected = serveAll(idx)
+    // simulate a crash mid-retire: the non-max marker survives
+    new java.io.File(idx, "gen-1").createNewFile()
+    assert(graft.operators.Stores.currentGen(spark, idx) == 2L,
+      "readers take the MAX marker — a stale extra can never roll the " +
+        "pointer back (the atomicity the single-pointer-file lacked)")
+    assert(serveAll(idx) == expected, "serving unaffected")
+    val report = fsckMap(idx)
+    assert(report.contains("stale marker gen-1")
+        && report("stale marker gen-1")._2 == "deleted",
+      s"fsck must tidy the crashed retire's marker: $report")
+    assert(!exists(idx, "gen-1") && exists(idx, "gen-2"))
+    assert(fsckMap(idx).values.forall(_._2 == "none"),
+      "fsck idempotent after the tidy")
+  }
+
   test("storeFsck refuses a directory that is not a graft store") {
     val e = intercept[IllegalArgumentException](
       Graft.storeFsck(spark, tmp()))
