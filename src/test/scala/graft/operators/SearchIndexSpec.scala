@@ -400,6 +400,27 @@ class SearchIndexSpec extends SparkTestBase {
       .filter(col("doc_id") === 0L).count() == 1)
   }
 
+  test("q187's composed serve keeps BOTH partition prunings on the " +
+      "MUTATED, COMPACTED stores (bkt IN on postings, cell on enc)") {
+    // the lifecycle must not cost the serving plan its shape: after
+    // write -> appendAll -> takedownAll -> compact, the generation-1
+    // scans still carry the same plan-time PartitionFilters the
+    // pristine q186 stores do
+    Search.resetDiskSearchMemo()
+    val plan = SparkEntry.queries("q187_coord_takedown")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pfs = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .toSeq
+    assert(pfs.exists(l => l.contains("bkt#")
+        && l.toLowerCase.contains("in")),
+      s"the lexical leg must keep its bucket pruning:\n${pfs.mkString("\n")}")
+    assert(pfs.exists(l => l.contains("cell#")),
+      s"the semantic leg must keep its cell pruning:\n${pfs.mkString("\n")}")
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      "the term IN-list must still push into the postings scan")
+  }
+
   test("q186 equals q170 row for row (three-store disk serve == " +
       "in-memory RAG pipeline)") {
     Search.resetDiskSearchMemo()
