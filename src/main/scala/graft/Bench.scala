@@ -346,8 +346,18 @@ object Bench {
     // reached the segment's position first.
     var wum = -1.0
     var wiom = -1.0
+    // Late marker pair (r17 verdict ask #1c): the "sixth sighting"
+    // documented a tide that rose in the run's TAIL, exactly where the
+    // sorted order puts the disk-store queries (q182–q187) — the
+    // pre/mid/post probes all read quiet on that run. Re-probe right
+    // before the disk tail's first timed section so a tail swell is
+    // instrumented on the judged line itself. Outside any timed
+    // section; ~26 chars on the line (the BenchJsonSpec budget).
+    var wul = -1.0
+    var wiol = -1.0
     val results = ordered.map { case (name, fn) =>
       if (name == MidMarkerQuery) { wum = wuProbe(); wiom = wioProbe() }
+      if (name == LateMarkerQuery) { wul = wuProbe(); wiol = wioProbe() }
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
@@ -369,6 +379,7 @@ object Bench {
       new java.io.File(sfDir).getName,
       compact = compactFromEnv(sys.env),
       mid = if (wum >= 0) Some((wum, wiom)) else None,
+      late = if (wul >= 0) Some((wul, wiol)) else None,
       orderTag = orderTag))
     spark.stop()
   }
@@ -377,6 +388,12 @@ object Bench {
     * immediately before — the head of the driver-inflated q134–q138
     * segment (r15 verdict weak mark #1). */
   private[graft] val MidMarkerQuery = "q134_session_cooccurrence"
+
+  /** The query whose timed section the LATE marker pair runs
+    * immediately before — the head of the sorted disk-store tail
+    * (q182–q187), the stretch the r17 "sixth sighting" tail swell hit
+    * between the mid and post probes. */
+  private[graft] val LateMarkerQuery = "q182_ivfpq_disk"
 
   /** Render the single bench JSON line. Factored out of `main` so
     * `BenchJsonSpec` can render it at worst-case per-query widths and
@@ -436,14 +453,16 @@ object Bench {
 
   /** `mid` is the optional mid-inventory marker pair (wum, wiom) —
     * the same two probes re-run right before [[MidMarkerQuery]]'s timed
-    * section; `orderTag` != "sorted" renders an explicit "order" key so
-    * a diagnostic reordered run can never be mistaken for a judged
-    * (sorted, anchor-comparable) line. */
+    * section; `late` the pair (wul, wiol) before [[LateMarkerQuery]]'s
+    * (the disk-tail bracket); `orderTag` != "sorted" renders an
+    * explicit "order" key so a diagnostic reordered run can never be
+    * mistaken for a judged (sorted, anchor-comparable) line. */
   private[graft] def renderJson(
       results: Seq[(String, Double, Boolean)], wu: Double, wio: Double,
       wu2: Double, wio2: Double, sfBasename: String,
       compact: Boolean = false,
       mid: Option[(Double, Double)] = None,
+      late: Option[(Double, Double)] = None,
       orderTag: String = "sorted"): String = {
     // Locale.ROOT: a default locale with decimal COMMAS would render
     // {"value":12,34,...} — invalid JSON, the r01–r03 dead-bench mode
@@ -476,7 +495,9 @@ object Bench {
         else s""","failed":${failedList.mkString("[", ",", "]")}"""
       val unit = if (ds) ""","u":"ds"""" else ""
       val midKeys = mid.fold("") { case (wum, wiom) =>
-        s""","wum":${f(wum)},"wiom":${f(wiom)}""" }
+        s""","wum":${f(wum)},"wiom":${f(wiom)}""" } +
+        late.fold("") { case (wul, wiol) =>
+          s""","wul":${f(wul)},"wiol":${f(wiol)}""" }
       val orderKey =
         if (orderTag == "sorted") "" else s""","order":"$orderTag""""
       s"""{"metric":"total","value":${f(total)},"wu":${f(wu)},"wio":${f(wio)},"wu2":${f(wu2)},"wio2":${f(wio2)}$midKeys$orderKey$unit,"queries":$qs$failed,"sf":$sfJson}"""

@@ -851,6 +851,19 @@ object Graft {
       stores: Seq[StoreRef]): Unit =
     operators.Stores.takedownAll(spark, docIds, stores)
 
+  /** FRAME-shaped [[takedownAll]] — the production form: a compliance
+    * batch of ids is DATA (`docIds` carries one `doc_id`-castable
+    * column), and it stays a DataFrame end to end — tombstones are
+    * written via semi-joins, chunk-id resolution is a join on the
+    * computed unpack key, and nothing about the batch crosses the
+    * driver except a two-long bounds aggregate. Use this whenever the
+    * takedown list comes from a query or a feed; the Seq form is
+    * operator-sized sugar. Same convergent-stamp crash contract.
+    * See [[operators.Stores.takedownAll]]. */
+  def takedownAll(spark: SparkSession, docIds: DataFrame,
+      stores: Seq[StoreRef]): Unit =
+    operators.Stores.takedownAll(spark, docIds, stores)
+
   /** Coordinated IDEMPOTENT append: apply one named delta batch of
     * documents across every store serving the corpus — doc-level
     * search, chunk-level search (chunked + packed here), dedup bands,

@@ -8,13 +8,16 @@ import graft.{CacheRegistry, QueryDef, Tables}
 /** Multimodal-column operators (SURVEY.md §2C): opaque binary payloads
   * with typed metadata, decode / feature-extract / frame-sample plumbing.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC STUB: payloads are the documents' utf-8 bytes and
-  * "decoding" computes a byte histogram instead of pixels. Everything
-  * around the stub — binary column handling, schema, partition-preserving
-  * batch iteration, frame chunking, metadata structs — is real and is
-  * exactly what a production pipeline would keep when swapping the stub
-  * for an actual codec.
+  * The decode step sniffs the payload's magic bytes: a real PNG decodes
+  * through a REAL codec (the JDK's ImageIO — [[decodePayload]], r18;
+  * spec-driven end to end over a rendered image), while the synthetic
+  * corpus's text-byte payloads take the DETERMINISTIC STUB path (byte
+  * histogram instead of pixels — the testdata carries no real media, so
+  * the stub keeps q56–q59 oracled). Everything around the codec —
+  * binary column handling, schema, partition-preserving batch
+  * iteration, frame chunking, metadata structs — is shared by both
+  * paths and is exactly what a production pipeline keeps when swapping
+  * in an FFI codec for formats the JDK lacks.
   *
   * Scale notes (100 TB posture):
   *  - binary payloads stay opaque to the shuffle: every query here either
@@ -38,6 +41,30 @@ object Multimodal {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         encode(col("text"), "UTF-8").as("payload"))
 
+  /** q58's decode pipeline over ANY (doc_id, payload BINARY) frame —
+    * the mapInPandas-shaped batch decode: typed Dataset#mapPartitions
+    * (codec init amortizes per partition), [[decodePayload]] per row
+    * (PNG sniff → real ImageIO decode; text bytes → the stub), typed
+    * output schema with the histogram serialized to a scalar
+    * (array-valued result columns don't survive the driver's pandas
+    * row compare — the TopKAggregate contract). Factored off q58 so
+    * the real-codec spec drives the SAME query path over a rendered
+    * PNG payload. */
+  private[operators] def decodeFeatures(payloads: DataFrame): DataFrame = {
+    val s = payloads.sparkSession
+    import s.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // codec init would happen once per partition here
+        it.map { case (id, bytes) => decodePayload(id, bytes) }
+      }.toDF()
+      .select(col("doc_id"), col("n_bytes"), col("sum_bytes"),
+        array_join(col("histogram").cast("array<string>"), ",")
+          .as("histogram"),
+        col("resized_bytes"), col("resized_md5"))
+  }
+
   /** Decoded "features" for one payload — THE STUB: a real pipeline would
     * decode pixels/samples here; we compute a 16-bin byte histogram and
     * byte stats, deterministically, so tests stay meaningful. */
@@ -49,35 +76,94 @@ object Multimodal {
       resized_bytes: Int,
       resized_md5: String)
 
-  private def decodeStub(docId: Long, payload: Array[Byte]): PayloadFeatures = {
-    // ??? <- the real codec call that goes here:
-    // `javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))`
-    // → BufferedImage (JDK JPEG/PNG), histogram over raster luma and
-    // "resize" via getScaledInstance — or `javax.sound.sampled
-    // .AudioSystem.getAudioInputStream(...)` for audio frames. The
-    // synthetic corpus carries TEXT bytes in the payload column (no
-    // real image/audio payloads exist in the testdata), so a real
-    // decode has nothing to decode; derive the same-shaped features
-    // from the raw bytes instead, deterministically and oracled.
-    // sum_bytes (not mean) keeps the output integer-exact for the oracle
-    // — AVG of ints lands on round-half boundaries (oracle discipline).
+  /** The payload decoder the multimodal queries run: a MAGIC-BYTE
+    * SNIFF routes a real PNG payload through a real JDK codec
+    * ([[decodePng]] — ImageIO decode, features over the raster's luma
+    * signal) and everything else through the deterministic text-bytes
+    * fallback ([[decodeStub]] — the synthetic corpus carries utf-8
+    * text in the payload column, so its oracle is byte math over
+    * characters). Both paths produce the SAME feature shape from the
+    * same [[featuresOf]] math; only the SIGNAL differs (decoded luma
+    * vs raw bytes) — exactly the boundary a production pipeline keeps
+    * when it swaps codecs. Spec-gated: MultimodalSpec renders a real
+    * PNG with ImageIO, pushes it through the same mapPartitions query
+    * path as q58, and checks the luma features against an
+    * independently computed reference. */
+  private[operators] def decodePayload(docId: Long,
+      payload: Array[Byte]): PayloadFeatures =
+    if (isPng(payload)) decodePng(docId, payload)
+    else decodeStub(docId, payload)
+
+  /** The 8-byte PNG signature (public PNG spec, ISO/IEC 15948 §5.2). */
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private[operators] def isPng(payload: Array[Byte]): Boolean =
+    payload.length >= PngMagic.length &&
+      java.util.Arrays.equals(payload, 0, PngMagic.length,
+        PngMagic, 0, PngMagic.length)
+
+  /** REAL codec path: decode the PNG with the JDK's ImageIO and run
+    * the shared feature math over the raster's integer luma signal
+    * (BT.601 in exact integer thousandths — no float, so the features
+    * are deterministic across JVMs). n_bytes counts luma SAMPLES
+    * (w·h) and "resize" is the same 4× stride decimation the stub
+    * applies, now over pixels — the downstream schema and batch shape
+    * are identical to the fallback's, which is the point. */
+  private def decodePng(docId: Long, payload: Array[Byte]): PayloadFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null,
+      s"decodePayload: PNG-tagged payload of doc $docId failed to decode")
+    val w = img.getWidth
+    val h = img.getHeight
+    val luma = new Array[Byte](w * h)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        luma(i) = ((((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587
+          + (rgb & 0xFF) * 114) / 1000).toByte
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    featuresOf(docId, luma)
+  }
+
+  private def decodeStub(docId: Long, payload: Array[Byte]): PayloadFeatures =
+    // the non-PNG fallback: the synthetic corpus carries TEXT bytes in
+    // the payload column (no real image/audio payloads exist in the
+    // testdata), so there is nothing to decode; the features run over
+    // the raw bytes instead, deterministically and oracled.
+    featuresOf(docId, payload)
+
+  /** The shared feature math over a byte SIGNAL (decoded luma for a
+    * real image, raw bytes for the text fallback): 16-bin histogram,
+    * byte sum, 4× stride "resize" + md5. sum (not mean) keeps the
+    * output integer-exact for the oracle — AVG of ints lands on
+    * round-half boundaries (oracle discipline). */
+  private def featuresOf(docId: Long, signal: Array[Byte]): PayloadFeatures = {
     val hist = new Array[Long](16)
     var sum = 0L
     var i = 0
-    while (i < payload.length) {
-      val b = payload(i) & 0xFF
+    while (i < signal.length) {
+      val b = signal(i) & 0xFF
       hist(b % 16) += 1
       sum += b
       i += 1
     }
-    // "resize": 4× byte-stride downsample — stands in for image resize /
-    // audio decimation; deterministic, keeps the batch shape real
-    val resized = new Array[Byte]((payload.length + 3) / 4)
+    // "resize": 4× stride downsample — image resize / audio decimation
+    // shape; deterministic, keeps the batch shape real
+    val resized = new Array[Byte]((signal.length + 3) / 4)
     var j = 0
-    while (j < resized.length) { resized(j) = payload(j * 4); j += 1 }
+    while (j < resized.length) { resized(j) = signal(j * 4); j += 1 }
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(resized).map("%02x".format(_)).mkString
-    PayloadFeatures(docId, payload.length, sum, hist, resized.length, md5)
+    PayloadFeatures(docId, signal.length, sum, hist, resized.length, md5)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -151,21 +237,7 @@ object Multimodal {
         |  s.resized_bytes, s.resized_md5
         |FROM s JOIN hs ON s.doc_id = hs.doc_id
         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val ds = withPayload(s, dir)
-        .select(col("doc_id"), col("payload"))
-        .as[(Long, Array[Byte])]
-      ds.mapPartitions { it =>
-        // codec init would happen once per partition here
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
-      }.toDF()
-        // histogram serialized to a scalar: array-valued result columns
-        // don't survive the driver's pandas row compare (TopKAggregate
-        // scaladoc documents the same contract)
-        .select(col("doc_id"), col("n_bytes"), col("sum_bytes"),
-          array_join(col("histogram").cast("array<string>"), ",")
-            .as("histogram"),
-          col("resized_bytes"), col("resized_md5"))
+      decodeFeatures(withPayload(s, dir).select("doc_id", "payload"))
         .orderBy("doc_id")
     },
 

@@ -755,12 +755,7 @@ object Search {
     * at-least-once window and repair as [[searchIndexIngest]]. */
   private[graft] def searchIndexAppend(docs: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val s = docs.sparkSession
-    Stores.withStoreLock(s, indexDir, "searchIndexAppend") {
-    val nBuckets = checkSearchManifest(s, indexDir)
-    val g = Stores.currentGen(s, indexDir)
-    val ws = split(col(textCol), " ")
-    // Pin the delta ONCE (r16 advice): the three derivations below
+    // Pin the delta ONCE (r16 advice): the three derivations inside
     // (stats delta, postings, docs) would otherwise re-evaluate the
     // caller's frame, and a non-deterministic input (sample/limit, a
     // re-read mutating source, rand-derived ids) could make the
@@ -768,7 +763,28 @@ object Search {
     // the stats ≡ agg(docs/) invariant the serve depends on.
     // localCheckpoint is eager and O(|delta|), within the append's
     // cost contract (and it spares the delta plan two re-executions).
+    // The pin is RELEASED once the append's writes have materialized
+    // — checkpoint blocks are invisible to the release ledger and
+    // before r18 stayed resident for the session (r17 footprint tail).
     val pinned = docs.localCheckpoint()
+    try searchIndexAppendPinned(pinned, indexDir, idCol, textCol)
+    finally
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(pinned)
+  }
+
+  /** [[searchIndexAppend]] for a delta the CALLER already pinned (or a
+    * pure derivation of a pinned frame — [[Stores.appendAll]]'s
+    * chunked dispatch): skips the internal checkpoint, since the input
+    * is already deterministic and a second pin would only
+    * re-materialize the delta and add another resident block set. */
+  private[operators] def searchIndexAppendPinned(pinned: DataFrame,
+      indexDir: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val s = pinned.sparkSession
+    Stores.withStoreLock(s, indexDir, "searchIndexAppend") {
+    val nBuckets = checkSearchManifest(s, indexDir)
+    val g = Stores.currentGen(s, indexDir)
+    val ws = split(col(textCol), " ")
     // one-row reads BEFORE the appends, so a crash mid-append can only
     // leave stats BEHIND the data (under-counting the delta — the
     // documented repair window), never double-counting it
@@ -815,22 +831,51 @@ object Search {
       ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "searchIndexDelete: ids must be non-empty")
     import s.implicits._
+    searchIndexDeleteBody(s, indexDir, ids.distinct.toDF("doc_id"),
+      operatorSized = true)
+  }
+
+  /** FRAME-shaped [[searchIndexDelete]] — the no-collect takedown
+    * path ([[Stores.takedownAll]]'s DataFrame form): `ids` carries one
+    * `doc_id`-castable column and never crosses the driver; the
+    * novelty anti-join and the docs semi-join are keyed joins left to
+    * AQE (a compliance batch can be corpus-scale — the Seq form's
+    * broadcast hint would be wrong there), and the tombstone write
+    * repartitions to one file AFTER the join instead of collapsing the
+    * scan onto one task. Identical semantics to the Seq form
+    * (spec-pinned): already-tombstoned and absent ids are skipped, so
+    * a retry cannot double-subtract the stats correction. An empty
+    * frame writes an empty (possibly zero-row) tombstone append —
+    * a no-op for every serve. */
+  private[graft] def searchIndexDelete(s: SparkSession, indexDir: String,
+      ids: DataFrame): Unit =
+    searchIndexDeleteBody(s, indexDir,
+      ids.select(col("doc_id").cast("long").as("doc_id")).distinct(),
+      operatorSized = false)
+
+  private def searchIndexDeleteBody(s: SparkSession, indexDir: String,
+      fresh: DataFrame, operatorSized: Boolean): Unit = {
     Stores.withStoreLock(s, indexDir, "searchIndexDelete") {
     val g = Stores.currentGen(s, indexDir)
     val tombP = new org.apache.hadoop.fs.Path(
       s"$indexDir/${Stores.genName("tombstones", g)}")
     val fs = tombP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val fresh = ids.distinct.toDF("doc_id")
-    val novel =
+    val novel0 =
       if (!fs.exists(tombP)) fresh
       else fresh.join(
         s.read.schema(SearchTombSchema).parquet(tombP.toString)
           .select("doc_id"),
         Seq("doc_id"), "left_anti")
-    s.read.schema(SearchDocsSchema)
+    // operator-sized (Seq) deletes broadcast the id set and collapse
+    // the whole lookup onto one task (the batch is tiny by contract);
+    // frame-shaped deletes keep the docs scan parallel and funnel to
+    // one tombstone file only at the write
+    val novel = if (operatorSized) broadcast(novel0) else novel0
+    val looked = s.read.schema(SearchDocsSchema)
       .parquet(s"$indexDir/${Stores.genName("docs", g)}")
-      .join(broadcast(novel), Seq("doc_id"), "left_semi")
-      .coalesce(1).write.mode("append").parquet(tombP.toString)
+      .join(novel, Seq("doc_id"), "left_semi")
+    (if (operatorSized) looked.coalesce(1) else looked.repartition(1))
+      .write.mode("append").parquet(tombP.toString)
     Stores.bumpStoreVersion(s, indexDir)
     }
   }
@@ -1204,7 +1249,14 @@ object Search {
     diskSearchDirs.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files
         .createTempDirectory("graft-searchidx-q185").toString
-      searchIndexWrite(T(s, dir, "documents"), out)
+      // bootstrap shuffles sized from the corpus being indexed (the
+      // CC-loop discipline — see Stores.withBootstrapShuffle): the
+      // build is a chain of small actions whose 32-task stages over
+      // bench-scale data were most of q185's absorbed cost
+      val docs = T(s, dir, "documents")
+      Stores.withBootstrapShuffle(s, Seq(docs)) {
+        searchIndexWrite(docs, out)
+      }
       out
     })
 
@@ -1264,8 +1316,11 @@ object Search {
     diskChunkSearchDirs.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files
         .createTempDirectory("graft-searchidx-q186").toString
-      searchIndexWrite(chunkCorpus(T(s, dir, "documents")), out,
-        idCol = "chunk_id", textCol = "chunk_text")
+      val docs = T(s, dir, "documents")
+      Stores.withBootstrapShuffle(s, Seq(docs)) {
+        searchIndexWrite(chunkCorpus(docs), out,
+          idCol = "chunk_id", textCol = "chunk_text")
+      }
       out
     })
 
@@ -1322,10 +1377,13 @@ object Search {
     *      the oracle-replayed serve reads a post-compact store.
     *
     * Net corpus = documents minus the takedown slice, which is what
-    * q187's oracle states directly. The takedown-id collect is
-    * driver-side and |corpus|/7-bounded at the TEST scales the memo
-    * runs at; a production takedown list arrives as data, not a
-    * collect (see [[Stores.takedownAll]]). */
+    * q187's oracle states directly. The takedown arrives as DATA (the
+    * frame-shaped [[Stores.takedownAll]], r18): the id slice never
+    * crosses the driver, so the same bootstrap runs unchanged when the
+    * takedown batch is compliance-feed-sized. The whole bootstrap runs
+    * under [[Stores.withBootstrapShuffle]] sized from the corpus —
+    * ~25 small actions whose 32-task stages over bench-scale slices
+    * were most of q187's absorbed cost (the CC-loop discipline). */
   private val coordDirs =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
@@ -1337,31 +1395,35 @@ object Search {
       val cs = s"$root/chunksearch"
       val ann = s"$root/ann"
       val docs = T(s, dir, "documents")
-      searchIndexWrite(
-        chunkCorpus(docs.filter(col("doc_id") % 3 =!= 0)), cs,
-        idCol = "chunk_id", textCol = "chunk_text")
-      Similarity.ivfPqIndexWrite(
-        Similarity.int8Codes(s, dir).filter(col("vec_id") % 3 =!= 0),
-        ann, kIvf = 4, m = 4, subDim = 16, k = 8,
-        codebooks = Some(Similarity.pqBooks(s, dir)),
-        centroids = Some(Similarity.ivfCentroidIdx(s, dir)))
-      val stores = Seq(Stores.ChunkSearchStore(cs, ChunkIdBase),
-        Stores.AnnStore(ann))
-      val delta = docs.filter(col("doc_id") % 3 === 0)
-        .join(T(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
-        .select(col("doc_id"), col("text"), col("embedding").as("emb"))
-      Stores.appendAll(delta, "q187-bootstrap", stores)
-      val ids = docs.filter(col("doc_id") % 7 === 3)
-        .select("doc_id").collect().map(_.getLong(0)).toSeq
-      Stores.takedownAll(s, ids, stores)
-      // and COMPACT both stores, so the serve q187's oracle replays
-      // reads generation 1 through the atomic pointer flip — the
-      // generational compact itself (tombstones folded, stats
-      // re-derived, grace retained) sits under the external gate, not
-      // just the spec pin. Compaction is corpus-neutral, so the
-      // oracle is untouched; stamps don't bump, so alignment holds.
-      searchIndexCompact(s, cs)
-      Similarity.ivfPqIndexCompact(s, ann)
+      Stores.withBootstrapShuffle(s,
+          Seq(docs, T(s, dir, "embeddings"))) {
+        searchIndexWrite(
+          chunkCorpus(docs.filter(col("doc_id") % 3 =!= 0)), cs,
+          idCol = "chunk_id", textCol = "chunk_text")
+        Similarity.ivfPqIndexWrite(
+          Similarity.int8Codes(s, dir).filter(col("vec_id") % 3 =!= 0),
+          ann, kIvf = 4, m = 4, subDim = 16, k = 8,
+          codebooks = Some(Similarity.pqBooks(s, dir)),
+          centroids = Some(Similarity.ivfCentroidIdx(s, dir)))
+        val stores = Seq(Stores.ChunkSearchStore(cs, ChunkIdBase),
+          Stores.AnnStore(ann))
+        val delta = docs.filter(col("doc_id") % 3 === 0)
+          .join(T(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("text"), col("embedding").as("emb"))
+        Stores.appendAll(delta, "q187-bootstrap", stores)
+        // takedown as DATA — the frame-shaped form: the id slice is a
+        // plan, never a driver-side literal list (r17 missing #1)
+        Stores.takedownAll(s,
+          docs.filter(col("doc_id") % 7 === 3).select("doc_id"), stores)
+        // and COMPACT both stores, so the serve q187's oracle replays
+        // reads generation 1 through the atomic pointer flip — the
+        // generational compact itself (tombstones folded, stats
+        // re-derived, grace retained) sits under the external gate, not
+        // just the spec pin. Compaction is corpus-neutral, so the
+        // oracle is untouched; stamps don't bump, so alignment holds.
+        searchIndexCompact(s, cs)
+        Similarity.ivfPqIndexCompact(s, ann)
+      }
       (cs, ann)
     })
 }

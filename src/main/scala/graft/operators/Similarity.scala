@@ -668,9 +668,14 @@ object Similarity {
     diskIdxDirs.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files
         .createTempDirectory("graft-annidx-q182").toString
-      ivfPqIndexWrite(int8Codes(s, dir), out, kIvf = 4, m = 4,
-        subDim = 16, k = 8, codebooks = Some(pqBooks(s, dir)),
-        centroids = Some(ivfCentroidIdx(s, dir)))
+      val codes = int8Codes(s, dir)
+      // bootstrap shuffles sized from the vectors being indexed
+      // (Stores.withBootstrapShuffle — the CC-loop discipline)
+      Stores.withBootstrapShuffle(s, Seq(codes)) {
+        ivfPqIndexWrite(codes, out, kIvf = 4, m = 4,
+          subDim = 16, k = 8, codebooks = Some(pqBooks(s, dir)),
+          centroids = Some(ivfCentroidIdx(s, dir)))
+      }
       out
     })
 
@@ -1083,10 +1088,27 @@ object Similarity {
       ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "ivfPqIndexDelete: ids must be non-empty")
     import s.implicits._
+    // ids-frame is caller-side tiny; one file per delete batch
+    ivfPqIndexDeleteBody(s, indexDir, ids.toDF("vec_id").coalesce(1))
+  }
+
+  /** FRAME-shaped [[ivfPqIndexDelete]] (the no-collect takedown path,
+    * [[Stores.takedownAll]]'s DataFrame form): `ids` carries one
+    * `vec_id`-castable column that never crosses the driver; the
+    * tombstone write funnels to one file only AFTER whatever plan
+    * computes the ids. Absent ids are forgiven by the serve's
+    * anti-join exactly as in the Seq form; an empty frame appends
+    * zero rows (a no-op for every serve). */
+  private[graft] def ivfPqIndexDelete(s: SparkSession, indexDir: String,
+      ids: DataFrame): Unit =
+    ivfPqIndexDeleteBody(s, indexDir,
+      ids.select(col("vec_id").cast("long").as("vec_id")).repartition(1))
+
+  private def ivfPqIndexDeleteBody(s: SparkSession, indexDir: String,
+      tombRows: DataFrame): Unit = {
     Stores.withStoreLock(s, indexDir, "ivfPqIndexDelete") {
     val g = Stores.currentGen(s, indexDir)
-    // ids-frame is caller-side tiny; one file per delete batch
-    ids.toDF("vec_id").coalesce(1)
+    tombRows
       .write.mode("append")
       .parquet(s"$indexDir/${Stores.genName("tombstones", g)}")
     Stores.bumpStoreVersion(s, indexDir)

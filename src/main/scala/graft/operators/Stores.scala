@@ -57,6 +57,63 @@ object Stores {
   private def fsOf(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Run a driver-coordinated store-bootstrap section with
+    * `spark.sql.shuffle.partitions` sized from the section's INPUT
+    * frames' optimizer statistics — the connected-components loop's
+    * shuffle-sizing discipline (r17, `TextDedup.connectedComponents`)
+    * applied to the other eager multi-action sections in the repo: a
+    * store build/append/compact chain is ~10–30 small Spark actions
+    * whose shuffles are bounded by the corpus slice being indexed, and
+    * at test scale each action otherwise pays a 32-task stage over
+    * kilobytes (the r17 probe decomposition: ~0.2–0.45 s per action of
+    * scheduler floor, THE cost of the q182/q184–q187 absorbed builds).
+    * One partition per 64 MB of estimated input bytes keeps a 100 TB
+    * build at full session parallelism (the clamp is the session
+    * setting — this can only shrink below it, never grow a small
+    * session) and a bench-scale build at one task per stage.
+    * Correctness-invariant: partition count changes physical
+    * parallelism and output file counts only — every store artifact's
+    * CONTENT is integer-exact aggregates/joins, so serves hash
+    * identically (spec-pinned per store). The override is
+    * session-scoped and restored in a finally; bootstrap sections are
+    * eager by design and Bench/Verify run queries sequentially, so it
+    * cannot leak into a concurrent query's plan (the CC-loop
+    * argument). Explicit `repartition(n, col)` calls inside the
+    * section (the one-file-per-bucket/cell writes) are unaffected. */
+  private[graft] def withBootstrapShuffle[A](s: SparkSession,
+      inputs: Seq[DataFrame])(body: => A): A = {
+    val est = inputs.map(
+      _.queryExecution.optimizedPlan.stats.sizeInBytes).sum
+    val sessionParts = s.sessionState.conf.numShufflePartitions
+    val np = (BigInt(1).max(BigInt(sessionParts)
+      .min(est / BootstrapBytesPerPartition + 1))).toInt
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, np.toString)
+    // When the whole bootstrap input fits ONE partition, adaptive
+    // execution has nothing to adapt — no skew to split, no partitions
+    // to coalesce — but it still materializes every shuffle stage as
+    // its own Spark JOB, and on a multi-action bootstrap that job
+    // floor IS the cost (measured on q187: 74 jobs with AQE, 48
+    // without, identical results — the scheduler round-trips the r17
+    // probe decomposition priced at ~0.2–0.45 s each under load).
+    // At scale np = the session setting and AQE stays on (skew joins,
+    // runtime coalescing — the reasons it exists). Scoped to the
+    // bootstrap body and restored in the finally, like the partition
+    // override; serves constructed outside keep their session AQE.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = s.conf.get(aqeKey)
+    if (np == 1) s.conf.set(aqeKey, "false")
+    try body finally {
+      s.conf.set(key, prev)
+      s.conf.set(aqeKey, prevAqe)
+    }
+  }
+
+  /** One shuffle partition per 64 MB of estimated bootstrap input —
+    * the CC loop's constant, shared. */
+  private val BootstrapBytesPerPartition = BigInt(64L * 1024 * 1024)
+
   /** A store's corpus-version stamp; 0 for a pre-stamp store. The
     * stamp is a RAW one-line text sidecar file (`corpus-version`),
     * deliberately not a parquet dataset: every mutation reads and
@@ -179,6 +236,12 @@ object Stores {
 
   private val GenMarkerPat = "^gen-(\\d+)$".r
 
+  /** Torn sidecar temp files a crash inside writeMetaSidecar /
+    * writeRawLong can leave — every raw-sidecar name the three store
+    * families write, with the generational stats variants. */
+  private val SidecarTmpPat =
+    "^(corpus-version|manifest|stats(-g\\d+)?)-tmp$".r
+
   private def genMarkers(fs: FileSystem, root: Path): Seq[Long] =
     fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
       case GenMarkerPat(n) => n.toLong
@@ -244,6 +307,17 @@ object Stores {
       for (g <- genMarkers(fs, root))
         fs.delete(new Path(s"$dir/gen-$g"), false)
     fs.delete(new Path(s"$dir/ingested"), true)
+    // one-time sweep of PRE-GENERATIONAL leftovers (r17 advice): the
+    // old rename-swap layout's `<kind>-retired`/`<kind>-compact`
+    // scratch and `compact-inflight` marker match no generation
+    // pattern, so without this a rebuild over such a dir silently
+    // kept them forever (the documented "one-time rebuild" migration
+    // path must actually leave a clean directory). Cheap existence
+    // checks; no released artifact ever wrote these names, so this is
+    // hygiene for hand-migrated dirs, not legacy-format support.
+    for (kind <- kinds; suffix <- Seq("retired", "compact"))
+      fs.delete(new Path(s"$dir/$kind-$suffix"), true)
+    fs.delete(new Path(s"$dir/compact-inflight"), true)
   }
 
   /** Run one PHYSICAL store mutation under the store's advisory
@@ -419,6 +493,36 @@ object Stores {
       .select("doc_id").distinct()
   }
 
+  /** [[chunkIdsPlan]] for a FRAME of doc ids (the no-collect takedown
+    * path): same packed-range pruning — the batch's (min, max) bounds
+    * are read with ONE two-long aggregate over the ids frame (bounded
+    * driver data at any batch size; the id LIST never leaves the
+    * executors) — and the membership test is a semi-join on the
+    * computed `doc_id div base` key instead of an `isInCollection`
+    * literal list. Packability is guarded PER ROW inside the plan
+    * (raise_error), since a frame's ids can't be range-checked
+    * driver-side like the Seq form's. Empty batch → empty plan. */
+  private[graft] def chunkIdsFramePlan(s: SparkSession, dir: String,
+      base: Long, docIds: DataFrame): DataFrame = {
+    val guarded = docIds.select(
+      when(col("doc_id") >= 0 && col("doc_id") < Long.MaxValue / base,
+        col("doc_id"))
+        .otherwise(raise_error(concat(
+          lit("takedown: doc_id "), col("doc_id").cast("string"),
+          lit(s" not packable under chunkIdBase $base"))))
+        .as("doc_id"))
+    val b = guarded.agg(min("doc_id"), max("doc_id")).head()
+    val docsPath = s"$dir/${genName("docs", currentGen(s, dir))}"
+    val chunks = s.read.schema("doc_id BIGINT").parquet(docsPath)
+    if (b.isNullAt(0)) return chunks.select("doc_id").filter(lit(false))
+    chunks
+      .filter(col("doc_id") >= b.getLong(0) * base
+        && col("doc_id") < (b.getLong(1) + 1) * base)
+      .join(guarded.select(col("doc_id").as("__td_doc")),
+        expr(s"doc_id div ${base}L") === col("__td_doc"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** A store a [[takedown]] must reach. `dir` is the store directory;
     * the subtype says which lifecycle family owns it. */
   sealed trait StoreRef { def dir: String }
@@ -481,6 +585,60 @@ object Stores {
     }
   }
 
+  /** FRAME-shaped [[takedownAll]] — the form a compliance batch
+    * actually arrives in at scale: a takedown list of millions of ids
+    * is DATA, and the Seq form would collect it to the driver and
+    * inline it into every store's plan as an `isInCollection` literal
+    * list (the r17 verdict's missing #1). Here the ids stay a
+    * DataFrame end to end: tombstones are written via semi-joins
+    * against the ids frame, chunk-id resolution is a join on the
+    * computed unpack key ([[chunkIdsFramePlan]]), and nothing about
+    * the batch ever crosses the driver except a two-long bounds
+    * aggregate. The Seq form stays as operator-sized sugar with its
+    * original literal-list plans (spec-pinned frame ≡ seq on all
+    * store families).
+    *
+    * The ids frame is pinned ONCE (eager localCheckpoint, released in
+    * a finally after every store's delete has materialized): every
+    * store must see the SAME id set, and a non-deterministic input
+    * frame (sample/limit, a re-read mutating source) would otherwise
+    * diverge the stores — the [[appendAll]] determinism discipline on
+    * the delete side. Same convergent-stamp crash contract as the Seq
+    * form: re-running the same takedown re-aligns every store. An
+    * EMPTY ids frame is allowed (a compliance feed can produce zero
+    * ids for a window): deletes are no-ops and the stores still land
+    * on the common target stamp. */
+  private[graft] def takedownAll(s: SparkSession, docIds: DataFrame,
+      stores: Seq[StoreRef]): Unit = {
+    require(stores.nonEmpty, "takedown: no stores given")
+    val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    try {
+      val target = stores.map(r => storeVersion(s, r.dir)).max + 1
+      stores.foreach { ref =>
+        deleteOneFrame(s, ref, ids)
+        writeStoreVersion(s, ref.dir, target)
+      }
+    } finally
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(ids)
+  }
+
+  /** One store's FRAME-shaped doc-level delete — [[takedownAll]]'s
+    * DataFrame dispatch. `ids` carries one `doc_id` long column. */
+  private def deleteOneFrame(s: SparkSession, ref: StoreRef,
+      ids: DataFrame): Unit = ref match {
+    case SearchStore(dir) =>
+      Search.searchIndexDelete(s, dir, ids)
+    case DedupStore(dir) =>
+      TextDedup.dedupIndexDelete(s, dir, ids)
+    case AnnStore(dir) =>
+      Similarity.ivfPqIndexDelete(s, dir,
+        ids.select(col("doc_id").as("vec_id")))
+    case ChunkSearchStore(dir, base) =>
+      require(base > 0, s"takedown: chunkIdBase $base must be positive")
+      Search.searchIndexDelete(s, dir, chunkIdsFramePlan(s, dir, base, ids))
+  }
+
   /** One store's doc-level delete — the [[takedownAll]] dispatch, also
     * the first repair step of [[replayRepair]]. Deleting ids a store
     * never held is a no-op in every family. */
@@ -539,23 +697,31 @@ object Stores {
     // pin the delta once, LAZILY (a fully-replayed batch must not pay
     // a materialization): four store kinds derive different frames
     // from it, and a non-deterministic input could diverge them — the
-    // same discipline searchIndexAppend applies internally
-    lazy val pinned = docs.localCheckpoint()
-    val target = stores.map(r => storeVersion(s, r.dir)).max + 1
-    stores.foreach { ref =>
-      val marker = new Path(s"${ref.dir}/ingested/named-$batchId")
-      val fs = fsOf(s, marker)
-      if (!fs.exists(marker)) {
-        appendOne(s, ref, pinned, idCol, textCol, vecCol)
-        // a silently-false mkdirs would leave the marker missing and
-        // a re-run would double-append this store — fail loudly
-        require(fs.mkdirs(marker),
-          s"appendAll: ledger marker create failed: $marker")
+    // same discipline searchIndexAppend applies internally. The pin is
+    // RELEASED in the finally once every store's append has
+    // materialized (Bridge.unpersistLocalCheckpoint) — checkpoint
+    // blocks are invisible to the release ledger, and before r18 they
+    // stayed resident for the session (the r17 footprint tail).
+    var forced = false
+    lazy val pinned = { forced = true; docs.localCheckpoint() }
+    try {
+      val target = stores.map(r => storeVersion(s, r.dir)).max + 1
+      stores.foreach { ref =>
+        val marker = new Path(s"${ref.dir}/ingested/named-$batchId")
+        val fs = fsOf(s, marker)
+        if (!fs.exists(marker)) {
+          appendOne(s, ref, pinned, idCol, textCol, vecCol)
+          // a silently-false mkdirs would leave the marker missing and
+          // a re-run would double-append this store — fail loudly
+          require(fs.mkdirs(marker),
+            s"appendAll: ledger marker create failed: $marker")
+        }
+        // convergent stamp, same rule as takedownAll: SET to the
+        // pre-computed target so a crashed run's re-run aligns the list
+        writeStoreVersion(s, ref.dir, target)
       }
-      // convergent stamp, same rule as takedownAll: SET to the
-      // pre-computed target so a crashed run's re-run aligns the list
-      writeStoreVersion(s, ref.dir, target)
-    }
+    } finally if (forced)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(pinned)
   }
 
   private def requireBatchId(batchId: String, op: String): Unit =
@@ -568,14 +734,19 @@ object Stores {
     * with [[replayRepair]]'s re-append step. */
   private def appendOne(s: SparkSession, ref: StoreRef, pinned: DataFrame,
       idCol: String, textCol: String, vecCol: String): Unit = ref match {
+    // the search appends take the PINNED entry point: the caller's
+    // checkpoint (or a pure derivation of it) already guarantees the
+    // determinism the append's internal pin exists for — a second
+    // checkpoint would only re-materialize the delta and add another
+    // resident pin
     case SearchStore(dir) =>
-      Search.searchIndexAppend(pinned, dir, idCol, textCol)
+      Search.searchIndexAppendPinned(pinned, dir, idCol, textCol)
     case ChunkSearchStore(dir, base) =>
       require(base == Search.ChunkIdBase,
         s"appendAll: chunk store base $base != the packer's " +
           s"${Search.ChunkIdBase} — serve-side unpacking would " +
           "resolve the wrong documents")
-      Search.searchIndexAppend(
+      Search.searchIndexAppendPinned(
         Search.chunkCorpus(pinned.select(
           col(idCol).as("doc_id"), col(textCol).as("text"))),
         dir, "chunk_id", "chunk_text")
@@ -653,23 +824,27 @@ object Stores {
     val s = docs.sparkSession
     require(stores.nonEmpty, "replayRepair: no stores given")
     requireBatchId(batchId, "replayRepair")
-    lazy val pinned = docs.localCheckpoint()
+    var forced = false
+    lazy val pinned = { forced = true; docs.localCheckpoint() }
     lazy val batchIds = pinned.select(col(idCol).cast("long"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val target = stores.map(r => storeVersion(s, r.dir)).max + 1
-    stores.foreach { ref =>
-      val marker = new Path(s"${ref.dir}/ingested/named-$batchId")
-      val fs = fsOf(s, marker)
-      if (!fs.exists(marker)) {
-        require(batchIds.nonEmpty, "replayRepair: empty source batch")
-        deleteOne(s, ref, batchIds)
-        compactOne(s, ref)
-        appendOne(s, ref, pinned, idCol, textCol, vecCol)
-        require(fs.mkdirs(marker),
-          s"replayRepair: ledger marker create failed: $marker")
+    try {
+      val target = stores.map(r => storeVersion(s, r.dir)).max + 1
+      stores.foreach { ref =>
+        val marker = new Path(s"${ref.dir}/ingested/named-$batchId")
+        val fs = fsOf(s, marker)
+        if (!fs.exists(marker)) {
+          require(batchIds.nonEmpty, "replayRepair: empty source batch")
+          deleteOne(s, ref, batchIds)
+          compactOne(s, ref)
+          appendOne(s, ref, pinned, idCol, textCol, vecCol)
+          require(fs.mkdirs(marker),
+            s"replayRepair: ledger marker create failed: $marker")
+        }
+        writeStoreVersion(s, ref.dir, target)
       }
-      writeStoreVersion(s, ref.dir, target)
-    }
+    } finally if (forced)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(pinned)
   }
 
   // ───────────────── executable crash repair (fsck) ─────────────────
@@ -719,6 +894,21 @@ object Stores {
         rows += ((s"stale marker gen-$m",
           s"non-max commit marker (crashed retire) — pointer reads g$cur " +
             "regardless",
+          if (execute) "deleted" else "would delete"))
+      }
+    // torn sidecar temps (r17 advice): writeMetaSidecar/writeRawLong
+    // are temp-write + rename, so a crash INSIDE one leaves a
+    // `<sidecar>-tmp` file matching neither the generation nor the
+    // marker patterns — harmless (the re-run write overwrites it) but
+    // previously invisible to fsck, lingering forever. Deleting is
+    // always safe: a -tmp is never read by anything.
+    if (fs.exists(root))
+      for (n <- fs.listStatus(root).toSeq.map(_.getPath.getName)
+          if SidecarTmpPat.matches(n)) {
+        if (execute) fs.delete(new Path(s"$indexDir/$n"), false)
+        rows += ((s"torn sidecar temp $n",
+          "crash inside a sidecar temp-write — never read; the re-run " +
+            "write overwrites it",
           if (execute) "deleted" else "would delete"))
       }
     rows += (("generation", s"g$cur" +

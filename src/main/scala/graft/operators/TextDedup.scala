@@ -1398,8 +1398,24 @@ object TextDedup {
       ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "dedupIndexDelete: ids must be non-empty")
     import s.implicits._
+    dedupIndexDeleteBody(s, indexDir, ids.toDF("doc_id").coalesce(1))
+  }
+
+  /** FRAME-shaped [[dedupIndexDelete]] (the no-collect takedown path,
+    * [[Stores.takedownAll]]'s DataFrame form): the ids never cross the
+    * driver; the tombstone write funnels to one file AFTER whatever
+    * plan computes the ids. Duplicate and absent ids are forgiven by
+    * the serve's anti-join semantics exactly as in the Seq form; an
+    * empty frame appends zero rows (a no-op for every serve). */
+  private[graft] def dedupIndexDelete(s: SparkSession, indexDir: String,
+      ids: DataFrame): Unit =
+    dedupIndexDeleteBody(s, indexDir,
+      ids.select(col("doc_id").cast("long").as("doc_id")).repartition(1))
+
+  private def dedupIndexDeleteBody(s: SparkSession, indexDir: String,
+      tombRows: DataFrame): Unit = {
     Stores.withStoreLock(s, indexDir, "dedupIndexDelete") {
-    ids.toDF("doc_id").coalesce(1)
+    tombRows
       .write.mode("append").parquet(s"$indexDir/${Stores.genName(
         "tombstones", Stores.currentGen(s, indexDir))}")
     Stores.bumpStoreVersion(s, indexDir)
@@ -1591,8 +1607,12 @@ object TextDedup {
       val out = java.nio.file.Files
         .createTempDirectory("graft-dedupidx-q184").toString
       val gate = graft.plans.HexWindowToLong.md5Bucket(col("doc_id"), 100)
-      dedupIndexWriteBands(
-        bandsOf(signatures(s, dir).filter(gate < 95)), out)
+      val bands = bandsOf(signatures(s, dir).filter(gate < 95))
+      // bootstrap shuffles sized from the band frame being written
+      // (Stores.withBootstrapShuffle — the CC-loop discipline)
+      Stores.withBootstrapShuffle(s, Seq(bands)) {
+        dedupIndexWriteBands(bands, out)
+      }
       out
     })
 }

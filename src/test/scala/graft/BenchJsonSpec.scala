@@ -19,10 +19,11 @@ class BenchJsonSpec extends AnyFunSuite {
     val results = names.zipWithIndex.map { case (n, i) =>
       (n, sec, i >= names.size - nFailed)
     }.map { case (n, s, failTail) => (n, s, !failTail) }
-    // mid markers always render on a real run (q134 is in the
-    // inventory), so the width pin includes them at worst-case width
+    // mid AND late markers always render on a real run (q134 and q182
+    // are in the inventory), so the width pin includes both pairs at
+    // worst-case width
     Bench.renderJson(results, wu, wio, wu, wio, "sf0.1",
-      mid = Some((wu, wio)))
+      mid = Some((wu, wio)), late = Some((wu, wio)))
   }
 
   test("worst-case line width stays under the driver's 2000-char tail") {
@@ -167,12 +168,14 @@ class BenchJsonSpec extends AnyFunSuite {
     // judged (sorted) line
     val r = Seq(("q01_a", 0.2, true))
     val withMid = Bench.renderJson(r, 0.5, 0.5, 0.5, 0.5, "sf0.1",
-      mid = Some((1.87, 6.42)))
+      mid = Some((1.87, 6.42)), late = Some((1.11, 4.22)))
     assert(withMid.contains("\"wum\":1.87") && withMid.contains("\"wiom\":6.42"))
+    assert(withMid.contains("\"wul\":1.11") && withMid.contains("\"wiol\":4.22"))
     assert(!withMid.contains("\"order\""),
       "a sorted run must not carry an order tag")
     val noMid = Bench.renderJson(r, 0.5, 0.5, 0.5, 0.5, "sf0.1")
     assert(!noMid.contains("\"wum\"") && !noMid.contains("\"wiom\""))
+    assert(!noMid.contains("\"wul\"") && !noMid.contains("\"wiol\""))
     val rev = Bench.renderJson(r, 0.5, 0.5, 0.5, 0.5, "sf0.1",
       mid = Some((1.0, 2.0)), orderTag = "reverse", compact = true)
     assert(rev.contains("\"order\":\"reverse\""))
@@ -182,6 +185,9 @@ class BenchJsonSpec extends AnyFunSuite {
       assert(l.count(_ == '"') % 2 == 0)
     }
     assert(Bench.MidMarkerQuery == "q134_session_cooccurrence")
+    // the late pair brackets the disk tail: q182 heads q182–q187 in
+    // sorted order (the r17 "sixth sighting" tail-swell stretch)
+    assert(Bench.LateMarkerQuery == "q182_ivfpq_disk")
   }
 
   test("failed queries are listed by ordinal") {

@@ -430,6 +430,102 @@ class StoreCoordinationSpec extends SparkTestBase {
       s"an in-range non-member doc must not resolve: $ids")
   }
 
+  test("FRAME-shaped takedownAll ≡ the Seq form on all four store " +
+      "kinds — same tombstoned serves, same stamps, zero collects") {
+    // two identical 4-store layouts; one takes the Seq takedown, the
+    // other the same batch AS A DATAFRAME (the r17 missing #1 API —
+    // ids stay a plan: semi-join tombstones, computed-key chunk
+    // resolution, no isInCollection literals)
+    def build(): (String, String, String, String) = {
+      val search = tmp(); val chunk = tmp(); val dedup = tmp(); val ann = tmp()
+      Search.searchIndexWrite(docsDf, search)
+      Search.searchIndexWrite(Search.chunkCorpus(docsDf), chunk,
+        idCol = "chunk_id", textCol = "chunk_text")
+      TextDedup.dedupIndexWrite(docsDf, dedup)
+      Graft.annIndexWrite(full, "doc_id", "emb", ann,
+        kIvf = 2, m = 2, subDim = 2, k = 3)
+      (search, chunk, dedup, ann)
+    }
+    def refs(t: (String, String, String, String)) = Seq(
+      Graft.SearchStore(t._1), Graft.ChunkSearchStore(t._2),
+      Graft.DedupStore(t._3), Graft.AnnStore(t._4))
+    val a = build(); val b = build()
+    Graft.takedownAll(spark, Seq(2L, 4L), refs(a))
+    Graft.takedownAll(spark, Seq(2L, 4L).toDF("doc_id"), refs(b))
+    def state(t: (String, String, String, String)): Seq[Set[Long]] = Seq(
+      Search.searchIndexServe(spark, t._1, terms, topK = 100)
+        .select("doc_id").as[Long].collect().toSet,
+      Search.searchIndexServe(spark, t._2, terms, topK = 100)
+        .select("doc_id").as[Long].collect().toSet,
+      TextDedup.dedupIndexServe(
+          Seq((100L, corpus(2)._2), (101L, corpus(1)._2))
+            .toDF("doc_id", "text"), t._3)
+        .filter(col("status") === "admit")
+        .select("doc_id").as[Long].collect().toSet,
+      Graft.annIndexServe(full, "doc_id", "emb", t._4,
+          queryId = 4L, nprobe = 2, m = 2, subDim = 2, coarseK = 50,
+          topK = 5)
+        .select("vec_id").as[Long].collect().toSet)
+    assert(state(a) == state(b),
+      s"frame and seq takedowns must serve identically:\n" +
+        s"  seq:   ${state(a)}\n  frame: ${state(b)}")
+    assert(!state(b).head.contains(2L) && !state(b).head.contains(4L),
+      "the frame takedown must actually tombstone the batch")
+    val vs = Seq(b._1, b._2, b._3, b._4)
+      .map(d => Graft.storeVersion(spark, d))
+    assert(vs == Seq(1L, 1L, 1L, 1L),
+      s"the frame form bumps each store exactly once: $vs")
+  }
+
+  test("FRAME-shaped takedownAll releases its id pin (before/after " +
+      "persistent-RDD diff)") {
+    val search = tmp()
+    Search.searchIndexWrite(docsDf, search)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Graft.takedownAll(spark, docsDf.select("doc_id")
+      .filter(col("doc_id") === 2L), Seq(Graft.SearchStore(search)))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"takedownAll left persistent RDD ids $leaked resident — the id " +
+        "pin must be unpersisted in the finally")
+  }
+
+  test("FRAME-shaped takedownAll accepts an EMPTY batch: deletes are " +
+      "no-ops, stamps still land on the common target") {
+    val search = tmp(); val chunk = tmp()
+    Search.searchIndexWrite(docsDf, search)
+    Search.searchIndexWrite(Search.chunkCorpus(docsDf), chunk,
+      idCol = "chunk_id", textCol = "chunk_text")
+    // diverge the pair first so the empty takedown has real work to do
+    // on the stamp side (the convergence rule, not just +1 everywhere)
+    Search.searchIndexDelete(spark, search, Seq(5L))
+    val refs = Seq(Graft.SearchStore(search), Graft.ChunkSearchStore(chunk))
+    Graft.takedownAll(spark,
+      docsDf.select("doc_id").filter(lit(false)), refs)
+    assert(Stores.requireAlignedVersions(spark, Seq(search, chunk)) == 2L,
+      "an empty compliance window must still re-align the stores")
+    val hits = Search.searchIndexServe(spark, search, terms, topK = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.nonEmpty, s"an empty takedown must not tombstone: $hits")
+  }
+
+  test("coordinated append releases its delta pins: no resident " +
+      "checkpoint blocks survive appendAll (the r17 footprint tail)") {
+    val search = tmp(); val dedup = tmp()
+    val (head, rest) = corpus.splitAt(4)
+    Search.searchIndexWrite(head.toDF("doc_id", "text", "emb")
+      .select("doc_id", "text"), search)
+    TextDedup.dedupIndexWrite(head.toDF("doc_id", "text", "emb")
+      .select("doc_id", "text"), dedup)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Stores.appendAll(rest.toDF("doc_id", "text", "emb"), "pin-release",
+      Seq(Graft.SearchStore(search), Graft.DedupStore(dedup)))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"appendAll left persistent RDD ids $leaked resident — the " +
+        "delta pins must be unpersisted once every store has appended")
+  }
+
   test("takedown of an id absent everywhere still bumps every store — " +
       "alignment is preserved for the composed serve") {
     val search = tmp(); val chunk = tmp()

@@ -263,6 +263,49 @@ class StoreFsckSpec extends SparkTestBase {
       "fsck idempotent after the tidy")
   }
 
+  test("fsck deletes torn sidecar temps (crash inside a temp-write + " +
+      "rename) — the r17 advice window") {
+    val idx = tmp()
+    Search.searchIndexWrite(docsDf, idx)
+    // a crash between writeMetaSidecar's temp write and its rename
+    // leaves these exact names; none matches the generation or marker
+    // patterns, so pre-r18 fsck never saw them
+    for (n <- Seq("manifest-tmp", "corpus-version-tmp", "stats-tmp"))
+      assert(new java.io.File(idx, n).createNewFile(), n)
+    val report = Stores.searchIndexFsck(spark, idx, execute = false)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    for (n <- Seq("manifest-tmp", "corpus-version-tmp", "stats-tmp"))
+      assert(report.contains((s"torn sidecar temp $n", "would delete")),
+        s"classify-only must report $n: $report")
+    assert(Seq("manifest-tmp", "corpus-version-tmp", "stats-tmp")
+      .forall(exists(idx, _)), "classify-only must not touch the store")
+    Stores.searchIndexFsck(spark, idx)
+    assert(Seq("manifest-tmp", "corpus-version-tmp", "stats-tmp")
+      .forall(!exists(idx, _)), "execute must delete the torn temps")
+    // a generational stats temp (stats-g3-tmp) is also recognized; an
+    // unrelated name is NOT swept (fsck only touches what it can name)
+    assert(new java.io.File(idx, "stats-g3-tmp").createNewFile())
+    assert(new java.io.File(idx, "unrelated-file").createNewFile())
+    Stores.searchIndexFsck(spark, idx)
+    assert(!exists(idx, "stats-g3-tmp") && exists(idx, "unrelated-file"))
+    assert(serveAll(idx).nonEmpty, "the store still serves")
+  }
+
+  test("a rebuild over a dir carrying PRE-GENERATIONAL leftovers " +
+      "sweeps them (the r17 advice one-time-migration hygiene)") {
+    val idx = tmp()
+    Search.searchIndexWrite(docsDf, idx)
+    // plant the old rename-swap layout's scratch names
+    for (n <- Seq("postings-retired", "docs-compact"))
+      assert(new java.io.File(idx, n).mkdir(), n)
+    assert(new java.io.File(idx, "compact-inflight").createNewFile())
+    Search.searchIndexWrite(docsDf, idx)
+    assert(Seq("postings-retired", "docs-compact", "compact-inflight")
+      .forall(!exists(idx, _)),
+      "the rebuild must leave a clean directory — no legacy scratch")
+    assert(serveAll(idx).nonEmpty)
+  }
+
   test("storeFsck refuses a directory that is not a graft store") {
     val e = intercept[IllegalArgumentException](
       Graft.storeFsck(spark, tmp()))
