@@ -114,6 +114,18 @@ object CoordProbe {
       rec("coord_takedown") {
         Stores.takedownAll(spark, (0L until 20L).toSeq, stores)
       }
+      // the FRAME-shaped form (r18): the same batch SIZE arrives as a
+      // DataFrame filtered from the corpus — the no-collect path whose
+      // per-store work is the pinned-ids checkpoint, the two-long
+      // bounds aggregate, and semi-join tombstone writes. The corpus
+      // filter itself scans the docs table, so a mild positive step is
+      // the SCAN's, not the takedown's; the claim under test is that
+      // the exponent stays far below 1 (no corpus-shaped join blowup).
+      rec("coord_takedown_frame") {
+        Stores.takedownAll(spark,
+          docsAll.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+            .select("doc_id"), stores)
+      }
       // fixed 200-doc delta under fresh ids (strictly above every
       // replica id at any m — ScaleProbe's wave-offset rule), with the
       // matching embeddings for the ANN store; MATERIALIZED before the
@@ -132,7 +144,7 @@ object CoordProbe {
       // alignment read: three sidecar FS reads, no Spark job
       rec("coord_verify") {
         val v = Stores.requireAlignedVersions(spark, stores.map(_.dir))
-        require(v == 2L, s"expected both mutations stamped, got v$v")
+        require(v == 3L, s"expected all three mutations stamped, got v$v")
       }
     }
 
