@@ -291,6 +291,12 @@ object Curation {
          |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
          |  md5(string_agg(chunk_text, ' ' ORDER BY chunk_idx)) AS kept_md5
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // NOTE (r18, measured): the chunk+md5 map runs on the scan's one
+      // test-corpus partition, and a "spread" repartition before it was
+      // tried and REVERTED — steady-state A/B at sf0.1 read 0.81–0.95 s
+      // spread vs 0.60–0.95 s serial (the full-text shuffle costs more
+      // than the ~0.5 s of single-core hashing it parallelizes; a real
+      // corpus scans many-partitioned and needs neither).
       val chunks = T(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .withColumn("kmax", ceil(size(col("ws")) / P.toDouble).cast("int"))
