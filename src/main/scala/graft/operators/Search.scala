@@ -849,8 +849,12 @@ object Search {
     * a no-op for every serve. */
   private[graft] def searchIndexDelete(s: SparkSession, indexDir: String,
       ids: DataFrame): Unit =
+    // loud long-cast guard (Stores.requireLongIds); no distinct — the
+    // novelty anti-join and the docs semi-join are both duplicate-safe
+    // (left-semi emits each docs row at most once), so normalizing a
+    // corpus-scale batch would shuffle it for no semantic effect
     searchIndexDeleteBody(s, indexDir,
-      ids.select(col("doc_id").cast("long").as("doc_id")).distinct(),
+      Stores.requireLongIds(ids, "doc_id", "searchIndexDelete"),
       operatorSized = false)
 
   private def searchIndexDeleteBody(s: SparkSession, indexDir: String,

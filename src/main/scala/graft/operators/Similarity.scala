@@ -1102,7 +1102,8 @@ object Similarity {
   private[graft] def ivfPqIndexDelete(s: SparkSession, indexDir: String,
       ids: DataFrame): Unit =
     ivfPqIndexDeleteBody(s, indexDir,
-      ids.select(col("vec_id").cast("long").as("vec_id")).repartition(1))
+      Stores.requireLongIds(ids, "vec_id", "ivfPqIndexDelete")
+        .repartition(1))
 
   private def ivfPqIndexDeleteBody(s: SparkSession, indexDir: String,
       tombRows: DataFrame): Unit = {

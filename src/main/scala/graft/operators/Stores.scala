@@ -523,6 +523,29 @@ object Stores {
       .select("doc_id").distinct()
   }
 
+  /** Normalize a frame-shaped id column to LONG, loudly: a NULL or
+    * non-castable id raise_errors with the op's name instead of
+    * slipping through as a NULL that joins nothing (a malformed feed
+    * would otherwise "delete" nothing and report success — a silent
+    * compliance miss). try_cast, not cast: under Spark 4's default
+    * ANSI mode a plain cast throws its own generic error and under
+    * non-ANSI it NULLs silently — try_cast makes the outcome
+    * setting-independent and routes both failure shapes through the
+    * one named raise_error. Shared by every frame-shaped delete entry
+    * point; [[takedownAll]] applies it once at the pin so the whole
+    * batch fails before any store is touched. */
+  private[graft] def requireLongIds(ids: DataFrame,
+      colName: String, op: String): DataFrame = {
+    val casted = expr(s"try_cast($colName AS LONG)")
+    ids.select(
+      when(casted.isNotNull, casted)
+        .otherwise(raise_error(concat(
+          lit(s"$op: id '"),
+          coalesce(col(colName).cast("string"), lit("NULL")),
+          lit("' is not a long"))))
+        .as(colName))
+  }
+
   /** A store a [[takedown]] must reach. `dir` is the store directory;
     * the subtype says which lifecycle family owns it. */
   sealed trait StoreRef { def dir: String }
@@ -611,12 +634,31 @@ object Stores {
   private[graft] def takedownAll(s: SparkSession, docIds: DataFrame,
       stores: Seq[StoreRef]): Unit = {
     require(stores.nonEmpty, "takedown: no stores given")
-    val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
-      .distinct().localCheckpoint()
+    // LOUD id validation, enforced BEFORE any store is touched: a
+    // NULL or non-castable id would otherwise become a silent NULL
+    // under the non-ANSI cast — a compliance takedown that "succeeds"
+    // while the document keeps serving on three families, and a
+    // raise_error mid-list on the chunk family (diverged stamps a
+    // re-run could never converge, because the re-run fails the same
+    // way). The guard rides the eager pin, so a malformed feed fails
+    // HERE, with zero stores mutated or stamped — re-runnable after
+    // the feed is fixed.
+    val ids = requireLongIds(docIds, "doc_id", "takedown")
+      .localCheckpoint()
+    // duplicates are NOT normalized away (the Seq form doesn't either;
+    // every consumer join is duplicate-safe) — a distinct here would
+    // shuffle the whole batch for no semantic effect
     try {
       val target = stores.map(r => storeVersion(s, r.dir)).max + 1
+      // empty compliance window (explicitly allowed): stamps still
+      // land on the common target, but the per-store deletes are
+      // SKIPPED — without this every empty window committed one
+      // zero-row tombstone file per store, accreting list-and-read
+      // work for every serve until the next compact. isEmpty on the
+      // pinned frame reads one partition, no recompute.
+      val hasIds = !ids.isEmpty
       stores.foreach { ref =>
-        deleteOneFrame(s, ref, ids)
+        if (hasIds) deleteOneFrame(s, ref, ids)
         writeStoreVersion(s, ref.dir, target)
       }
     } finally
@@ -702,8 +744,14 @@ object Stores {
     // materialized (Bridge.unpersistLocalCheckpoint) — checkpoint
     // blocks are invisible to the release ledger, and before r18 they
     // stayed resident for the session (the r17 footprint tail).
+    // forced flips only AFTER the checkpoint succeeds: flipping first
+    // would make a failed materialization re-run the whole delta job
+    // inside the finally (and mask the original exception if the
+    // re-run also throws)
     var forced = false
-    lazy val pinned = { forced = true; docs.localCheckpoint() }
+    lazy val pinned = {
+      val p = docs.localCheckpoint(); forced = true; p
+    }
     try {
       val target = stores.map(r => storeVersion(s, r.dir)).max + 1
       stores.foreach { ref =>
@@ -825,7 +873,9 @@ object Stores {
     require(stores.nonEmpty, "replayRepair: no stores given")
     requireBatchId(batchId, "replayRepair")
     var forced = false
-    lazy val pinned = { forced = true; docs.localCheckpoint() }
+    lazy val pinned = {
+      val p = docs.localCheckpoint(); forced = true; p
+    }
     lazy val batchIds = pinned.select(col(idCol).cast("long"))
       .distinct().collect().map(_.getLong(0)).toSeq
     try {

@@ -1410,7 +1410,8 @@ object TextDedup {
   private[graft] def dedupIndexDelete(s: SparkSession, indexDir: String,
       ids: DataFrame): Unit =
     dedupIndexDeleteBody(s, indexDir,
-      ids.select(col("doc_id").cast("long").as("doc_id")).repartition(1))
+      Stores.requireLongIds(ids, "doc_id", "dedupIndexDelete")
+        .repartition(1))
 
   private def dedupIndexDeleteBody(s: SparkSession, indexDir: String,
       tombRows: DataFrame): Unit = {

@@ -56,9 +56,17 @@ object JobCount {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
-          // listener events drain asynchronously; settle before reading
-          // (the bus's waitUntilEmpty is private[spark])
-          Thread.sleep(1500)
+          // listener events drain asynchronously and the bus's
+          // waitUntilEmpty is private[spark]: poll until the counters
+          // stop moving (1 s of quiet), so a loaded box's stragglers
+          // cannot leak into the NEXT query's "deterministic" counts
+          var settled = 0
+          var last = (0, 0, 0)
+          while (settled < 4) {
+            Thread.sleep(250)
+            val now = (jobs.get, stages.get, tasks.get)
+            if (now == last) settled += 1 else { settled = 0; last = now }
+          }
           println(f"$name: jobs=${jobs.get}%d stages=${stages.get}%d " +
             f"tasks=${tasks.get}%d taskTime=${taskMs.get / 1000.0}%.1fs " +
             f"wall=$dt%.2fs")

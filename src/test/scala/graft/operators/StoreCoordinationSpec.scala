@@ -509,6 +509,35 @@ class StoreCoordinationSpec extends SparkTestBase {
     assert(hits.nonEmpty, s"an empty takedown must not tombstone: $hits")
   }
 
+  test("a malformed takedown feed fails LOUDLY before any store is " +
+      "touched — no silent NULL-cast compliance miss, no diverged tail") {
+    val search = tmp(); val dedup = tmp()
+    Search.searchIndexWrite(docsDf, search)
+    TextDedup.dedupIndexWrite(docsDf, dedup)
+    val refs = Seq(Graft.SearchStore(search), Graft.DedupStore(dedup))
+    // a string id column with one non-numeric entry: the non-ANSI cast
+    // would turn it into NULL (joins nothing — the takedown "succeeds"
+    // while the doc keeps serving); the guard must throw at the pin
+    val feed = Seq("2", "oops-4", "5").toDF("doc_id")
+    val e = intercept[Exception](Graft.takedownAll(spark, feed, refs))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not a long")),
+      s"the guard must name the malformed id: ${msgs(e)}")
+    // zero stores mutated or stamped: the re-run after fixing the feed
+    // starts from an aligned, untouched state
+    assert(Seq(search, dedup).map(Graft.storeVersion(spark, _))
+      == Seq(0L, 0L), "no stamp may move on a failed validation")
+    val hits = Search.searchIndexServe(spark, search, terms, topK = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.contains(2L),
+      "no tombstone may land on a failed validation")
+    // a NULL id fails the same way
+    val e2 = intercept[Exception](Graft.takedownAll(spark,
+      Seq(Some(2L), None).toDF("doc_id"), refs))
+    assert(msgs(e2).exists(_.contains("not a long")))
+  }
+
   test("coordinated append releases its delta pins: no resident " +
       "checkpoint blocks survive appendAll (the r17 footprint tail)") {
     val search = tmp(); val dedup = tmp()
