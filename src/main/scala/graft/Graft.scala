@@ -538,6 +538,14 @@ object Graft {
       ids: Seq[Long]): Unit =
     operators.Similarity.ivfPqIndexDelete(spark, indexDir, ids)
 
+  /** FRAME-shaped [[annIndexDelete]]: `ids` carries one `vec_id`
+    * column and never crosses the driver (the [[takedownAll]]
+    * DataFrame discipline per store) — NULL/non-castable ids fail
+    * loudly. */
+  def annIndexDelete(spark: SparkSession, indexDir: String,
+      ids: DataFrame): Unit =
+    operators.Similarity.ivfPqIndexDelete(spark, indexDir, ids)
+
   /** Compact an on-disk ANN index in place: rewrite the encodings to
     * one file per cell directory (repairing append/ingest small-file
     * accretion) and apply outstanding tombstones physically. Serve
@@ -615,6 +623,13 @@ object Graft {
     * [[operators.TextDedup.dedupIndexDelete]]. */
   def dedupIndexDelete(spark: SparkSession, indexDir: String,
       ids: Seq[Long]): Unit =
+    operators.TextDedup.dedupIndexDelete(spark, indexDir, ids)
+
+  /** FRAME-shaped [[dedupIndexDelete]]: `ids` carries one `doc_id`
+    * column and never crosses the driver — NULL/non-castable ids fail
+    * loudly. */
+  def dedupIndexDelete(spark: SparkSession, indexDir: String,
+      ids: DataFrame): Unit =
     operators.TextDedup.dedupIndexDelete(spark, indexDir, ids)
 
   /** Compact the store in place: one file per band directory,
@@ -717,6 +732,14 @@ object Graft {
     * [[operators.Search.searchIndexDelete]]. */
   def searchIndexDelete(spark: SparkSession, indexDir: String,
       ids: Seq[Long]): Unit =
+    operators.Search.searchIndexDelete(spark, indexDir, ids)
+
+  /** FRAME-shaped [[searchIndexDelete]]: `ids` carries one `doc_id`
+    * column and never crosses the driver; the docs lookup stays a
+    * parallel keyed join instead of a broadcast of a driver list —
+    * NULL/non-castable ids fail loudly. */
+  def searchIndexDelete(spark: SparkSession, indexDir: String,
+      ids: DataFrame): Unit =
     operators.Search.searchIndexDelete(spark, indexDir, ids)
 
   /** Compact the index into its next GENERATION: one file per bucket

@@ -864,8 +864,9 @@ object Stores {
     * O(store), the incident-response price, NOT the ingest path
     * ([[appendAll]] deliberately stays O(|delta|) and does not pay a
     * membership probe per batch). Caller contract: `docs` is the same
-    * batch the crashed run appended (same ids, same content) — ids are
-    * collected driver-side, bounded by the delta contract. */
+    * batch the crashed run appended (same ids, same content). The
+    * delete step is FRAME-shaped (r18): the batch's ids never cross
+    * the driver, so the repair holds for feed-sized batches too. */
   private[graft] def replayRepair(docs: DataFrame, batchId: String,
       stores: Seq[StoreRef], idCol: String = "doc_id",
       textCol: String = "text", vecCol: String = "emb"): Unit = {
@@ -876,16 +877,16 @@ object Stores {
     lazy val pinned = {
       val p = docs.localCheckpoint(); forced = true; p
     }
-    lazy val batchIds = pinned.select(col(idCol).cast("long"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    lazy val batchIds = requireLongIds(
+      pinned.select(col(idCol).as("doc_id")), "doc_id", "replayRepair")
     try {
       val target = stores.map(r => storeVersion(s, r.dir)).max + 1
       stores.foreach { ref =>
         val marker = new Path(s"${ref.dir}/ingested/named-$batchId")
         val fs = fsOf(s, marker)
         if (!fs.exists(marker)) {
-          require(batchIds.nonEmpty, "replayRepair: empty source batch")
-          deleteOne(s, ref, batchIds)
+          require(!pinned.isEmpty, "replayRepair: empty source batch")
+          deleteOneFrame(s, ref, batchIds)
           compactOne(s, ref)
           appendOne(s, ref, pinned, idCol, textCol, vecCol)
           require(fs.mkdirs(marker),
