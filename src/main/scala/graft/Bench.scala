@@ -21,8 +21,7 @@ object Bench {
     "q134_session_cooccurrence" -> Seq("sess-cooc"),
     "q144_lsh_recall_sampled" -> Seq("lsh-audit-sample"),
     "q146_winnow_pairs" -> Seq("winnow-fp"),
-    "q164_nb_source" -> Seq("nb-cst"),
-    "q165_dsir_select" -> Seq("dsir-lm", "dsir-scored"),
+    "q165_dsir_select" -> Seq("dsir-lm", "dsir-scored", "nb-cst"),
     "q167_kmv_overlap" -> Seq("source-vocab"),
     "q171_phash_pairs" -> Seq("phash"),
     "q172_kl_drift" -> Seq("unigram-tf"),

@@ -879,7 +879,9 @@ object Graft {
     * column), and it stays a DataFrame end to end — tombstones are
     * written via semi-joins, chunk-id resolution is a join on the
     * computed unpack key, and nothing about the batch crosses the
-    * driver except a two-long bounds aggregate. Use this whenever the
+    * driver except one (count, min, max) aggregate — which also
+    * validates chunk-family packability at the PIN, before any store
+    * is touched. Use this whenever the
     * takedown list comes from a query or a feed; the Seq form is
     * operator-sized sugar. Same convergent-stamp crash contract.
     * See [[operators.Stores.takedownAll]]. */

@@ -76,6 +76,26 @@ object Curation {
     * they pin "on" (the memo is never consulted there). */
   private[graft] def resetLmDocCountMemo(): Unit = docCounts.clear()
 
+  /** The (lbl, w, c) class-conditional unigram count frame — THE one
+    * corpus-shuffled model build the two corpus-LM classifiers share
+    * (r18 verdict #4): q164's NB scorer consumes it directly and
+    * q165's dsir-lm now DERIVES its (w, ct, ca) two-column model from
+    * it with a vocab×K-sized regroup instead of re-shuffling the
+    * corpus-sized tf⨝labels join a second time. Registry-cached
+    * (r17): tot's old plan re-evaluated cst's full lineage — a SECOND
+    * corpus-sized shuffle of the cached tf frame. NULL sources group
+    * as lbl=NULL rather than drop, so distinct-w(cst) =
+    * distinct-w(tf) — the property q164's vsz and q165's vocab size
+    * both rest on. Same open-vocab caveat as dsir-lm. */
+  private def nbCst(s: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.cached(s, s"nb-cst:$dir") {
+      Search.unigramTf(s, dir)
+        .join(T(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy(col("source").as("lbl"), col("w"))
+        .agg(sum("tf").as("c"))
+    }
+
   /** Apply the [[LmBroadcastConf]] branch to a vocab-sized model
     * frame. The auto probe is one memoized metadata-cheap count of the
     * documents table per (session-lifetime, dir) — never a vocabulary
@@ -762,30 +782,43 @@ object Curation {
         |WHERE a.rn = 1 ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
       val tf = Search.unigramTf(s, dir)
       val lab = T(s, dir, "documents").select(col("doc_id"), col("source"))
-      // The model frame is registry-cached (r17): tot's old plan
-      // re-evaluated cst's full lineage — a SECOND corpus-sized shuffle
-      // of the cached tf frame — and vv re-distincted tf when cst's own
-      // word set is the same set (every tf row inner-joins exactly one
-      // lab row, NULL sources group rather than drop, so
-      // distinct-w(cst) = distinct-w(tf)). One build, and the two
-      // vocab×K-sized reductions read the vocab×K cache instead of the
-      // corpus. Same open-vocab caveat as dsir-lm.
-      val cst = graft.CacheRegistry.cached(s, s"nb-cst:$dir") {
-        tf.join(lab, "doc_id")
-          .groupBy(col("source").as("lbl"), col("w"))
-          .agg(sum("tf").as("c"))
-      }
-      val tot = cst.groupBy("lbl").agg(sum("c").as("tt"))
-      val pri = lab.groupBy(col("source").as("lbl"))
-        .agg(count(lit(1)).as("nd"))
-      val nn = lab.agg(count(lit(1)).as("n"))
-      val vv = cst.agg(countDistinct("w").as("vsz"))
+      val cst = nbCst(s, dir)
+      // Per-lbl totals AND the global vocab size in ONE aggregation
+      // over the cached model frame (r18 verdict #4's "fold tot/vv
+      // into one pass"): the rollup's grand-total row carries
+      // countDistinct(w) — exactly the oracle's vsz, since cst groups
+      // the FULL corpus by (lbl, w) — so the scoring expansion reads
+      // one derived broadcast where the r18 plan ran two separate
+      // scans of the cache (tot + vv). Same trick for pri+nn over the
+      // labels scan. grouping() disambiguates the grand-total row
+      // from a legitimate NULL-source group.
+      // rollup(col(…)), NOT rollup("lbl"): the String form resolves
+      // through Dataset.col and plants a dataset-id tag that Spark 4's
+      // ambiguous-self-join detector cannot place once Expand
+      // duplicates the grouping attribute (cst's plan already contains
+      // the tf⨝documents self-join) — the untagged functions.col form
+      // is the same plan without the tag, and the (lbl, w) scoring
+      // join below analyzes cleanly. The grand-total slice attaches as
+      // a one-row broadcast crossJoin, NOT a window — the q164 plan
+      // pin (PlanAuditSpec) keeps "no Window anywhere" as the argmax
+      // guarantee, and the rollup's exchange is reused across the two
+      // slices.
+      val rolledT = cst.rollup(col("lbl"))
+        .agg(sum("c").as("tt"), countDistinct("w").as("vb"),
+          grouping(col("lbl")).as("g"))
+      val tot = rolledT.filter(col("g") === 0).select(col("lbl"), col("tt"))
+        .crossJoin(broadcast(
+          rolledT.filter(col("g") === 1).select(col("vb").as("vsz"))))
+      val rolledP = lab.rollup(col("source"))
+        .agg(count(lit(1)).as("nd"), grouping(col("source")).as("g"))
+      val pri = rolledP.filter(col("g") === 0)
+        .select(col("source").as("lbl"), col("nd"))
+        .crossJoin(broadcast(
+          rolledP.filter(col("g") === 1).select(col("nd").as("n"))))
       val sc = tf
         .crossJoin(broadcast(tot))
         .join(lmHint(s, dir, cst), Seq("lbl", "w"), "left")
         .join(broadcast(pri), "lbl")
-        .crossJoin(broadcast(nn))
-        .crossJoin(broadcast(vv))
         .groupBy("doc_id", "lbl", "nd", "n")
         .agg(round(log(col("nd") * lit(1.0) / col("n"))
           + sum(col("tf") * log((coalesce(col("c"), lit(0L)) + lit(1.0))
@@ -855,19 +888,22 @@ object Curation {
       val tf = Search.unigramTf(s, dir)
       val lab = T(s, dir, "documents").select(col("doc_id"), col("source"))
       val withSrc = tf.join(lab, "doc_id")
-      // BOTH vocab-sized LM count frames in ONE grouped pass over the
-      // cached tf frame (conditional sums pivot on the source match),
-      // registry-persisted: the r10 form built tgt and bg as two
-      // separately-cached filtered aggregations — two full scans of the
-      // tf frame and two cache builds where one suffices (the r10
-      // verdict's q165 flattening ask). ct is NULL for words absent
-      // from the target (the scoring join coalesces, exactly as the old
-      // left join did); ca is non-NULL for every pool word by
-      // construction, so the inner scoring join is unchanged.
+      // BOTH vocab-sized LM count frames in ONE grouped pass — now
+      // over the SHARED class-conditional count cache (r18 verdict
+      // #4): nb-cst already holds sum(tf) per (source, w) from the one
+      // corpus-sized shuffle q164 absorbed, so deriving (ct, ca) is a
+      // vocab×K→vocab regroup where the r18 build re-shuffled the
+      // corpus-sized tf⨝labels join a second time. Sums of per-source
+      // sums equal the old direct conditional sums exactly (integer
+      // addition is associative); NULL-source rows fall out of both
+      // whens in either form. ct is NULL for words absent from the
+      // target (the scoring join coalesces, exactly as the old left
+      // join did); ca is non-NULL for every pool word by construction,
+      // so the inner scoring join is unchanged.
       val lm = graft.CacheRegistry.cached(s, s"dsir-lm:$dir") {
-        withSrc.groupBy("w").agg(
-          sum(when(col("source") === "src0", col("tf"))).as("ct"),
-          sum(when(col("source") =!= "src0", col("tf"))).as("ca"))
+        nbCst(s, dir).groupBy("w").agg(
+          sum(when(col("lbl") === "src0", col("c"))).as("ct"),
+          sum(when(col("lbl") =!= "src0", col("c"))).as("ca"))
       }
       val pool = withSrc.filter(col("source") =!= "src0")
         .select(col("doc_id"), col("w"), col("tf"))

@@ -9,11 +9,14 @@ import graft.{CacheRegistry, QueryDef, Tables}
   * with typed metadata, decode / feature-extract / frame-sample plumbing.
   *
   * The decode step sniffs the payload's magic bytes: a real PNG decodes
-  * through a REAL codec (the JDK's ImageIO — [[decodePayload]], r18;
-  * spec-driven end to end over a rendered image), while the synthetic
-  * corpus's text-byte payloads take the DETERMINISTIC STUB path (byte
-  * histogram instead of pixels — the testdata carries no real media, so
-  * the stub keeps q56–q59 oracled). Everything around the codec —
+  * through a REAL image codec (the JDK's ImageIO — [[decodePayload]],
+  * r18; spec-driven end to end over a rendered image) and a real
+  * RIFF/WAVE payload through a REAL audio codec (the JDK's
+  * `javax.sound.sampled` — r19; spec-driven over a synthesized PCM
+  * wave), while the synthetic corpus's text-byte payloads take the
+  * DETERMINISTIC STUB path (byte histogram instead of pixels/samples —
+  * the testdata carries no real media, so the stub keeps q56–q59
+  * oracled). Everything around the codec —
   * binary column handling, schema, partition-preserving batch
   * iteration, frame chunking, metadata structs — is shared by both
   * paths and is exactly what a production pipeline keeps when swapping
@@ -77,21 +80,25 @@ object Multimodal {
       resized_md5: String)
 
   /** The payload decoder the multimodal queries run: a MAGIC-BYTE
-    * SNIFF routes a real PNG payload through a real JDK codec
+    * SNIFF routes a real PNG payload through a real JDK image codec
     * ([[decodePng]] — ImageIO decode, features over the raster's luma
-    * signal) and everything else through the deterministic text-bytes
-    * fallback ([[decodeStub]] — the synthetic corpus carries utf-8
-    * text in the payload column, so its oracle is byte math over
-    * characters). Both paths produce the SAME feature shape from the
-    * same [[featuresOf]] math; only the SIGNAL differs (decoded luma
-    * vs raw bytes) — exactly the boundary a production pipeline keeps
-    * when it swaps codecs. Spec-gated: MultimodalSpec renders a real
-    * PNG with ImageIO, pushes it through the same mapPartitions query
-    * path as q58, and checks the luma features against an
-    * independently computed reference. */
+    * signal), a real RIFF/WAVE payload through a real JDK audio codec
+    * ([[decodeWav]] — javax.sound.sampled PCM decode, features over an
+    * 8-bit reduction of channel 0's samples), and everything else
+    * through the deterministic text-bytes fallback ([[decodeStub]] —
+    * the synthetic corpus carries utf-8 text in the payload column, so
+    * its oracle is byte math over characters). All paths produce the
+    * SAME feature shape from the same [[featuresOf]] math; only the
+    * SIGNAL differs (decoded luma vs PCM samples vs raw bytes) —
+    * exactly the boundary a production pipeline keeps when it swaps
+    * codecs. Spec-gated: MultimodalSpec renders a real PNG with
+    * ImageIO and synthesizes a real WAV, pushes both through the same
+    * mapPartitions query path as q58, and checks the decoded features
+    * against independently computed references. */
   private[operators] def decodePayload(docId: Long,
       payload: Array[Byte]): PayloadFeatures =
     if (isPng(payload)) decodePng(docId, payload)
+    else if (isWav(payload)) decodeWav(docId, payload)
     else decodeStub(docId, payload)
 
   /** The 8-byte PNG signature (public PNG spec, ISO/IEC 15948 §5.2). */
@@ -102,6 +109,16 @@ object Multimodal {
     payload.length >= PngMagic.length &&
       java.util.Arrays.equals(payload, 0, PngMagic.length,
         PngMagic, 0, PngMagic.length)
+
+  /** RIFF/WAVE container sniff (public RIFF spec): bytes 0–3 "RIFF",
+    * bytes 8–11 "WAVE" (4–7 are the chunk size — payload-dependent). */
+  private val RiffMagic = "RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private val WaveTag = "WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  private[operators] def isWav(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      java.util.Arrays.equals(payload, 0, 4, RiffMagic, 0, 4) &&
+      java.util.Arrays.equals(payload, 8, 12, WaveTag, 0, 4)
 
   /** REAL codec path: decode the PNG with the JDK's ImageIO and run
     * the shared feature math over the raster's integer luma signal
@@ -132,6 +149,71 @@ object Multimodal {
       y += 1
     }
     featuresOf(docId, luma)
+  }
+
+  /** REAL audio codec path (r18 verdict #5 — the PNG closure recipe on
+    * the RIFF family): decode the WAV with the JDK's
+    * `javax.sound.sampled` and run the shared feature math over an
+    * 8-bit-per-sample reduction of channel 0's PCM signal — the audio
+    * analogue of the PNG path's luma plane. The reduction is exact
+    * integer arithmetic (no float), so features are deterministic
+    * across JVMs: 8-bit unsigned PCM uses the stored byte as-is
+    * (already the 0–255 signal domain); 16-bit signed PCM takes the
+    * sample's high byte re-biased to unsigned ((v >> 8) + 128 ∈
+    * [0, 255]), honoring the container's declared endianness. n_bytes
+    * counts SAMPLES (frames), like the PNG path counts pixels, and
+    * the 4× stride "resize" is audio decimation over samples — schema
+    * and batch shape identical to both other paths, which is the
+    * point. Formats the JDK codec cannot parse (or non-PCM encodings)
+    * fail loudly — a tagged-but-undecodable payload is feed
+    * corruption, not a stub case. */
+  private def decodeWav(docId: Long, payload: Array[Byte]): PayloadFeatures = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in =
+      try AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case e: javax.sound.sampled.UnsupportedAudioFileException =>
+        throw new IllegalArgumentException(
+          s"decodePayload: WAV-tagged payload of doc $docId failed to " +
+            "decode", e)
+      }
+    try {
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      require(enc == AudioFormat.Encoding.PCM_SIGNED
+          || enc == AudioFormat.Encoding.PCM_UNSIGNED,
+        s"decodePayload: doc $docId WAV encoding $enc — this codec " +
+          "decodes PCM only")
+      val bits = fmt.getSampleSizeInBits
+      require(bits == 8 || bits == 16,
+        s"decodePayload: doc $docId WAV has $bits-bit samples — " +
+          "8/16-bit PCM only")
+      val frameSize = fmt.getFrameSize
+      val bytes = in.readAllBytes()
+      val nFrames = bytes.length / frameSize
+      val signal = new Array[Byte](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        val off = f * frameSize
+        signal(f) =
+          if (bits == 8) {
+            // 8-bit WAV PCM is stored unsigned — already 0–255
+            if (enc == AudioFormat.Encoding.PCM_UNSIGNED) bytes(off)
+            else (bytes(off) + 128).toByte
+          } else {
+            val (lo, hi) =
+              if (fmt.isBigEndian) (bytes(off + 1), bytes(off))
+              else (bytes(off), bytes(off + 1))
+            val v = ((hi.toInt << 8) | (lo & 0xFF)).toShort.toInt
+            val u = if (enc == AudioFormat.Encoding.PCM_UNSIGNED)
+              ((hi & 0xFF) << 8 | (lo & 0xFF)) >> 8
+            else (v >> 8) + 128
+            u.toByte
+          }
+        f += 1
+      }
+      featuresOf(docId, signal)
+    } finally in.close()
   }
 
   private def decodeStub(docId: Long, payload: Array[Byte]): PayloadFeatures =

@@ -671,10 +671,12 @@ object Search {
 
   /** Write the search index: postings (doc_id, term, tf) bucketed by
     * term hash under `postings/bkt=<b>/…`, per-doc lengths under
-    * `docs/`, the (n_docs, sum_dl) corpus stats under `stats/` (derived
-    * from the docs file READ BACK, so the stats can never disagree
-    * with the lengths the scorer joins — the model-frames-read-back
-    * discipline of the ANN write), and a manifest (bucket count +
+    * `docs/`, the (n_docs, sum_dl) corpus stats under `stats/`
+    * (OBSERVED on the docs write action itself — the metrics row is
+    * collected from exactly the task set whose files the commit
+    * publishes, so the stats can never disagree with the lengths the
+    * scorer joins; a missed observation falls back to the read-back
+    * aggregate, see [[observedStats]]), and a manifest (bucket count +
     * tokenizer) every serve validates. `nBuckets` sizes the pruning
     * granularity: a serve reads ~|query terms|/nBuckets of the
     * postings, so grow it with the corpus (the default suits the test
@@ -699,13 +701,14 @@ object Search {
     Stores.writeMetaSidecar(s, s"$outDir/manifest",
       Seq("n_buckets" -> nBuckets.toString, "tokenizer" -> SearchTokenizer))
     val ws = split(col(textCol), " ")
+    val obs = org.apache.spark.sql.Observation()
     docs.select(col(idCol).cast("long").as("doc_id"),
         size(ws).as("dl"))
+      .observe(obs, count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("sdl"))
       .write.mode("overwrite").parquet(s"$outDir/docs")
-    val st = s.read.schema(SearchDocsSchema).parquet(s"$outDir/docs")
-      .agg(count(lit(1)).cast("long"),
-        coalesce(sum(col("dl").cast("long")), lit(0L))).head()
-    writeSearchStats(s, outDir, 0L, st.getLong(0), st.getLong(1))
+    val (n0, sdl0) = observedStats(s, obs, s"$outDir/docs")
+    writeSearchStats(s, outDir, 0L, n0, sdl0)
     docs.select(col(idCol).cast("long").as("doc_id"),
         explode(ws).as("term"))
       .groupBy("doc_id", "term")
@@ -789,10 +792,6 @@ object Search {
     // leave stats BEHIND the data (under-counting the delta — the
     // documented repair window), never double-counting it
     val old = readSearchStats(s, indexDir, g)
-    val delta = pinned
-      .agg(count(lit(1)).cast("long"),
-        coalesce(sum(size(ws).cast("long")), lit(0L)))
-      .head()
     pinned.select(col(idCol).cast("long").as("doc_id"),
         explode(ws).as("term"))
       .groupBy("doc_id", "term")
@@ -807,12 +806,31 @@ object Search {
       .repartition(nBuckets, col("bkt"))
       .write.mode("append").partitionBy("bkt")
       .parquet(s"$indexDir/${Stores.genName("postings", g)}")
+    // the delta's (count, Σdl) rides the docs append itself as an
+    // observed metric (one job where the r18 form ran a separate
+    // delta aggregate before the writes — the r18 verdict's shared-
+    // action coalescing): the observation measures exactly the rows
+    // the commit publishes, so `stats ≡ agg(docs/)` still holds at
+    // every rest point, and a crash anywhere before the stats write
+    // still leaves stats BEHIND the data (never ahead)
+    val obs = org.apache.spark.sql.Observation()
     pinned.select(col(idCol).cast("long").as("doc_id"),
         size(ws).as("dl"))
+      .observe(obs, count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("sdl"))
       .write.mode("append")
       .parquet(s"$indexDir/${Stores.genName("docs", g)}")
-    writeSearchStats(s, indexDir, g,
-      old._1 + delta.getLong(0), old._2 + delta.getLong(1))
+    Stores.awaitObserved(obs) match {
+      case Some(r) => writeSearchStats(s, indexDir, g,
+        old._1 + r.getLong(0), old._2 + r.getLong(1))
+      case None =>
+        // observation never fired (a non-SQL execution path would be
+        // the only way) — fall back to the FULL re-derivation, which
+        // is strictly more authoritative than old + delta
+        val (n, sdl) = docsAggStats(s,
+          s"$indexDir/${Stores.genName("docs", g)}")
+        writeSearchStats(s, indexDir, g, n, sdl)
+    }
     Stores.bumpStoreVersion(s, indexDir)
     }
   }
@@ -848,14 +866,32 @@ object Search {
     * frame writes an empty (possibly zero-row) tombstone append —
     * a no-op for every serve. */
   private[graft] def searchIndexDelete(s: SparkSession, indexDir: String,
-      ids: DataFrame): Unit =
+      ids: DataFrame): Unit = {
     // loud long-cast guard (Stores.requireLongIds); no distinct — the
     // novelty anti-join and the docs semi-join are both duplicate-safe
     // (left-semi emits each docs row at most once), so normalizing a
-    // corpus-scale batch would shuffle it for no semantic effect
-    searchIndexDeleteBody(s, indexDir,
-      Stores.requireLongIds(ids, "doc_id", "searchIndexDelete"),
-      operatorSized = false)
+    // corpus-scale batch would shuffle it for no semantic effect.
+    // Pinned (eager localCheckpoint, released once the tombstone write
+    // has materialized — r18 advice): the PUBLIC frame-shaped entry
+    // point must not re-evaluate a non-deterministic caller frame
+    // across its guard and write; internal callers whose ids are
+    // already pinned (takedownAll) take [[searchIndexDeletePinned]].
+    val pinned = Stores.requireLongIds(ids, "doc_id", "searchIndexDelete")
+      .localCheckpoint()
+    try searchIndexDeleteBody(s, indexDir, pinned, operatorSized = false)
+    finally
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(pinned)
+  }
+
+  /** [[searchIndexDelete]] for an ids frame the CALLER already
+    * validated and pinned (or a pure derivation of a pinned frame —
+    * [[Stores.takedownAll]]'s per-store dispatch, including the chunk
+    * family's packed-range resolution plan): skips the public form's
+    * guard+checkpoint, which would re-materialize the batch once per
+    * store. */
+  private[operators] def searchIndexDeletePinned(s: SparkSession,
+      indexDir: String, ids: DataFrame): Unit =
+    searchIndexDeleteBody(s, indexDir, ids, operatorSized = false)
 
   private def searchIndexDeleteBody(s: SparkSession, indexDir: String,
       fresh: DataFrame, operatorSized: Boolean): Unit = {
@@ -937,7 +973,7 @@ object Search {
     val g = Stores.currentGen(s, indexDir)
     val ng = g + 1
     val tombIds = searchTombstones(s, indexDir, g)
-      .map(t => broadcast(t.select("doc_id")))
+      .map(t => Stores.scaleHint(t.select("doc_id")))
     def minusTombs(df: DataFrame): DataFrame =
       tombIds.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
     val liveDocs = minusTombs(s.read.schema(SearchDocsSchema)
@@ -949,13 +985,15 @@ object Search {
       .repartition(nBuckets, col("bkt"))
       .write.mode("overwrite").partitionBy("bkt")
       .parquet(s"$indexDir/${Stores.genName("postings", ng)}")
-    liveDocs.write.mode("overwrite")
+    val obs = org.apache.spark.sql.Observation()
+    liveDocs
+      .observe(obs, count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("sdl"))
+      .write.mode("overwrite")
       .parquet(s"$indexDir/${Stores.genName("docs", ng)}")
-    val st = s.read.schema(SearchDocsSchema)
-      .parquet(s"$indexDir/${Stores.genName("docs", ng)}")
-      .agg(count(lit(1)).cast("long"),
-        coalesce(sum(col("dl").cast("long")), lit(0L))).head()
-    writeSearchStats(s, indexDir, ng, st.getLong(0), st.getLong(1))
+    val (n, sdl) = observedStats(s, obs,
+      s"$indexDir/${Stores.genName("docs", ng)}")
+    writeSearchStats(s, indexDir, ng, n, sdl)
     // THE commit point: generation ng (with its re-derived stats and
     // empty tombstone set) becomes current atomically
     Stores.writeGen(s, indexDir, ng)
@@ -1092,6 +1130,27 @@ object Search {
     } else report
   }
 
+  /** A query term's postings bucket, computed DRIVER-SIDE: the same
+    * `pmod(xxhash64(term), nBuckets)` the write path stamps per row,
+    * evaluated through the identical Catalyst hash kernel
+    * (`XxHash64Function` at Spark's fixed seed 42) on the driver — so
+    * serve construction needs NO Spark job to learn which bucket
+    * directories to prune to (the r18 form ran a |terms|-row collect
+    * per serve; at one job ≈ 0.1–0.4 s of scheduler floor that was
+    * pure overhead on every q185/q186/q187 serve and every per-query
+    * serve at scale). Write-path/serve-path agreement is spec-pinned
+    * (SearchIndexSpec compares this against the column expression). */
+  private[operators] def termBucket(term: String, nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    // evaluate THE Catalyst expression (not a reimplementation of its
+    // hash), so write-path/serve-path agreement holds by construction
+    val h = new XxHash64(Seq(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term),
+      org.apache.spark.sql.types.StringType)))
+      .eval(null).asInstanceOf[Long]
+    (((h % nBuckets) + nBuckets) % nBuckets).toInt
+  }
+
   /** Validate a store's manifest (tokenizer match) and return its
     * frozen bucket count — every lifecycle op routes through this so a
     * store written under a different tokenizer or bucketing can never
@@ -1109,6 +1168,32 @@ object Search {
       s"index at $indexDir was written with tokenizer " +
         s"'${man("tokenizer")}' — this library serves '$SearchTokenizer'")
     man("n_buckets").toInt
+  }
+
+  /** The (n_docs, sum_dl) pair for a freshly WRITTEN docs dataset:
+    * the observed metrics of the write action itself when available
+    * (no extra job — the observation measures exactly the rows the
+    * commit published), else the read-back aggregate the pre-r19 form
+    * always ran. Either way the `stats ≡ agg(docs/)` induction base
+    * holds: the observation is collected from the same task set whose
+    * files the commit protocol publishes, and the fallback re-derives
+    * from those files directly. [[Stores.searchIndexFsck]] keeps the
+    * independent read-back check as the runtime safety net. */
+  private def observedStats(s: SparkSession,
+      obs: org.apache.spark.sql.Observation,
+      docsPath: String): (Long, Long) =
+    Stores.awaitObserved(obs) match {
+      case Some(r) => (r.getLong(0), r.getLong(1))
+      case None => docsAggStats(s, docsPath)
+    }
+
+  /** The read-back (count, Σdl) aggregate over a docs dataset — the
+    * observation fallback and full re-derivation. */
+  private def docsAggStats(s: SparkSession, docsPath: String): (Long, Long) = {
+    val st = s.read.schema(SearchDocsSchema).parquet(docsPath)
+      .agg(count(lit(1)).cast("long"),
+        coalesce(sum(col("dl").cast("long")), lit(0L))).head()
+    (st.getLong(0), st.getLong(1))
   }
 
   /** The corpus-global (n_docs, sum_dl) stats sidecar — one raw
@@ -1136,14 +1221,18 @@ object Search {
   }
 
   /** Serve a BM25 top-`topK` for `queryTerms` OFF the on-disk index:
-    * the terms' hash buckets are computed driver-side into literal
-    * partition-filter values (the eager probed-cells discipline — a
-    * |terms|-row job at plan construction; the guarantee it buys is a
-    * plan-time `PartitionFilters: [bkt IN (…)]` the scan never lists
-    * other bucket directories for), df per term and the matched docs'
-    * tf columns come from that pruned scan, dl joins from the docs
-    * sidecar, and the scoring projection is [[bm25ScoreCols]] — the
-    * byte-identical expression tree the in-memory q115 runs.
+    * the terms' hash buckets are computed DRIVER-SIDE into literal
+    * partition-filter values — via [[termBucket]], the write path's
+    * own Catalyst hash evaluated on the driver, so construction
+    * launches NO Spark job (r19; the r18 form collected a |terms|-row
+    * frame per serve) while keeping the guarantee the eagerness buys:
+    * a plan-time `PartitionFilters: [bkt IN (…)]` the scan never
+    * lists other bucket directories for. df per term and the matched
+    * docs' tf columns come from that pruned scan (one pass — df
+    * derives from the per-doc aggregate, exchange-reused), dl joins
+    * from the docs sidecar, and the scoring projection is
+    * [[bm25ScoreCols]] — the byte-identical expression tree the
+    * in-memory q115 runs.
     * Tombstoned docs are subtracted everywhere they could show: the
     * pruned postings are anti-joined (so deleted docs neither rank nor
     * count toward df), and the corpus stats are corrected by the
@@ -1176,10 +1265,7 @@ object Search {
     // compact (the vacuum grace) — the snapshot-isolation contract
     val g = Stores.currentGen(s, indexDir)
     import s.implicits._
-    val bkts = queryTerms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong))
-        .cast("int").as("bkt"))
-      .distinct().as[Int].collect().toSeq
+    val bkts = queryTerms.map(termBucket(_, nBuckets)).distinct
     val tombs = searchTombstones(s, indexDir, g)
     val tombIds = tombs.map(t => broadcast(t.select("doc_id")))
     def minusTombs(df: DataFrame): DataFrame =
@@ -1200,20 +1286,28 @@ object Search {
             coalesce(sum(col("dl").cast("long")), lit(0L)).as("tdl"))))
         .select((col("n") - col("tn")).as("n"),
           (col("sdl") - col("tdl")).as("sdl")))
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("term") === t, col("tf"))), lit(0))
+        .as(s"tf${i + 1}") }
+    val matched = post.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+    // df per term from the MATCHED per-doc aggregate, not a second
+    // pass over the pruned scan (r19): a doc carries term i iff its
+    // summed tfᵢ > 0 (postings rows exist iff tf > 0 under the
+    // unique-id contract), so counting tfᵢ > 0 docs here equals
+    // counting postings rows per term — and because this aggregate
+    // and the scorer both consume `matched`, the groupBy's exchange
+    // is REUSED and the postings slice is scanned once per serve
+    // instead of twice.
     // coalesce: over an EMPTY pruned scan (every term a vocabulary
     // miss) the sums are NULL, which would null every score — the
     // default mode never surfaces it (matched is empty too), but
     // includeZeroMatches mode would return NULL-scored rows where the
     // global scorer returns exact 0.0
-    val dfCols = queryTerms.zipWithIndex.map { case (t, i) =>
-      coalesce(sum(when(col("term") === t, 1).otherwise(0)), lit(0))
-        .as(s"df${i + 1}") }
-    val st = post.agg(dfCols.head, dfCols.tail: _*)
+    val dfCols = queryTerms.indices.map(i =>
+      coalesce(sum(when(col(s"tf${i + 1}") > 0, 1).otherwise(0)), lit(0))
+        .as(s"df${i + 1}"))
+    val st = matched.agg(dfCols.head, dfCols.tail: _*)
       .crossJoin(broadcast(corrected))
-    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
-      coalesce(sum(when(col("term") === t, col("tf"))), lit(0))
-        .as(s"tf${i + 1}") }
-    val matched = post.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
     val base =
       if (!includeZeroMatches) matched
       else matched.unionByName(

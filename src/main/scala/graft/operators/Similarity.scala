@@ -401,7 +401,11 @@ object Similarity {
       k: Int, codebooks: Option[DataFrame] = None): DataFrame = {
     val sub = pqSubvectors(codes, m, subDim)
     val cb = codebooks.getOrElse(pqSeedCodebooks(codes, m, subDim, k))
-    sub.join(broadcast(cb), col("s") === col("cs"))
+    // scaleHint, not a bare broadcast: inside a one-partition store
+    // bootstrap the hint's BroadcastExchange job is pure scheduler
+    // floor (Stores.TinyBootstrapConf); everywhere else the model
+    // frame broadcasts as before
+    sub.join(Stores.scaleHint(cb), col("s") === col("cs"))
       .groupBy("vec_id", "s")
       .agg(min(struct(pqDist2(col("sc"), col("cbv")).as("d"),
         col("cb_id").as("cb"))).as("m0"))
@@ -578,7 +582,7 @@ object Similarity {
     * index it joins. */
   private[graft] def ivfAssign(codes: DataFrame, kIvf: Int,
       centroids: Option[DataFrame] = None): DataFrame =
-    codes.crossJoin(broadcast(
+    codes.crossJoin(Stores.scaleHint(
         centroids.getOrElse(ivfCentroids(codes, kIvf))))
       .select(col("vec_id"),
         struct(graft.plans.L2DistanceSq.l2DistSq(col("v"), col("c"))
@@ -686,6 +690,19 @@ object Similarity {
     * static `isin(Long)` partition filter) with corpus size. */
   private val IvfPqEncSchema = "vec_id BIGINT, s INT, code BIGINT, cell BIGINT"
 
+  /** Declared read schemas of the two MODEL frames — the
+    * [[IvfPqEncSchema]] rationale extended to books/ and cents/:
+    * every serve/append construction reads both, and an undeclared
+    * parquet read runs a schema-inference Spark job per call (~0.1–
+    * 0.4 s of scheduler floor that was pure overhead on each of the
+    * q182/q186/q187 serve constructions and inside every store
+    * bootstrap — 5 of q187's 47 first-touch jobs, measured by
+    * tools.JobTrace). The WRITE normalizes the frames to these exact
+    * types, so the store format is pinned at the writer and the
+    * declared reads can never mis-type a user-supplied model frame. */
+  private val IvfPqBooksSchema = "cs INT, cb_id BIGINT, cbv ARRAY<BIGINT>"
+  private val IvfPqCentsSchema = "cl BIGINT, c ARRAY<DOUBLE>"
+
   /** The ANN store's per-GENERATION artifacts (see
     * [[Stores.currentGen]]): the cell-partitioned encodings and the
     * tombstone set a compact folds into the next generation. The
@@ -735,9 +752,17 @@ object Similarity {
     // else is cleared here explicitly (DiskIndexSpec pins
     // rebuild-over-used-dir).
     Stores.clearStoreLife(s, outDir, AnnGenKinds)
+    // normalize the model frames to the DECLARED store types at the
+    // writer (IvfPqBooksSchema/IvfPqCentsSchema) — every later read
+    // declares its schema instead of paying an inference job
     codebooks.getOrElse(pqSeedCodebooks(codes, m, subDim, k))
+      .select(col("cs").cast("int").as("cs"),
+        col("cb_id").cast("long").as("cb_id"),
+        col("cbv").cast("array<bigint>").as("cbv"))
       .write.mode("overwrite").parquet(s"$outDir/books")
     centroids.getOrElse(ivfCentroids(codes, kIvf))
+      .select(col("cl").cast("long").as("cl"),
+        col("c").cast("array<double>").as("c"))
       .write.mode("overwrite").parquet(s"$outDir/cents")
     // the index records its own geometry: serve/append/ingest validate
     // caller knobs against this row instead of silently ranking in the
@@ -747,8 +772,8 @@ object Similarity {
     Stores.writeMetaSidecar(s, s"$outDir/manifest", Seq(
       "m" -> m.toString, "subDim" -> subDim.toString,
       "kIvf" -> kIvf.toString, "k" -> k.toString))
-    val books = s.read.parquet(s"$outDir/books")
-    val cents = s.read.parquet(s"$outDir/cents")
+    val books = s.read.schema(IvfPqBooksSchema).parquet(s"$outDir/books")
+    val cents = s.read.schema(IvfPqCentsSchema).parquet(s"$outDir/cents")
     pqEncode(codes, m, subDim, k, Some(books))
       .join(ivfAssign(codes, kIvf, Some(cents)), "vec_id")
       // one write task per cell: each partition directory gets a
@@ -776,8 +801,8 @@ object Similarity {
     val s = delta.sparkSession
     Stores.withStoreLock(s, indexDir, "ivfPqIndexAppend") {
     checkIndexManifest(s, indexDir, m, subDim)
-    val books = s.read.parquet(s"$indexDir/books")
-    val cents = s.read.parquet(s"$indexDir/cents")
+    val books = s.read.schema(IvfPqBooksSchema).parquet(s"$indexDir/books")
+    val cents = s.read.schema(IvfPqCentsSchema).parquet(s"$indexDir/cents")
     // k/kIvf parameters are seed-rule knobs — irrelevant under a
     // provided (frozen) model, which is the whole point here
     // the write's one-file-per-cell discipline (r16 verdict on the
@@ -804,11 +829,13 @@ object Similarity {
     * nearest coarse cells, then run the shared [[adcRerank]] stages
     * over an encodings scan that STATICALLY prunes to the probed
     * cells' directories. The probe list is read driver-side ON
-    * PURPOSE (an eager nprobe-row argmin over the kIvf-row centroid
-    * frame — same class as the pinned eager-by-design constructors):
-    * literal cell values are what turn the filter into a plan-time
-    * `PartitionFilters: [cell IN (…)]` the scan never lists other
-    * directories for — the on-disk analogue of the broadcast
+    * PURPOSE (for a PRUNED serve, an eager nprobe-row argmin over the
+    * kIvf-row centroid frame — same class as the pinned
+    * eager-by-design constructors; an EXHAUSTIVE serve, nprobe ≥ the
+    * manifest's kIvf, skips the job and lists the store's cell
+    * directories instead — r19): literal cell values are what turn
+    * the filter into a plan-time `PartitionFilters: [cell IN (…)]`
+    * the scan never lists other directories for — the on-disk analogue of the broadcast
     * probed-cell join, and the difference between reading nprobe/kIvf
     * of a 100 TB index and reading all of it. (The join-based
     * alternative, dynamic partition pruning, prunes at RUNTIME and is
@@ -841,19 +868,40 @@ object Similarity {
       topK >= 1, "ivfPqIndexServe: all knobs must be >= 1")
     val s = codes.sparkSession
     checkIndexManifest(s, indexDir, m, subDim, nprobe)
-    val books = s.read.parquet(s"$indexDir/books")
+    val books = s.read.schema(IvfPqBooksSchema).parquet(s"$indexDir/books")
     val qv = codes.filter(col("vec_id") === queryId)
       .select(col("v").as("qv0"))
-    val probedCells: Seq[Long] = s.read.parquet(s"$indexDir/cents")
-      .crossJoin(broadcast(qv))
-      .select(col("cl"),
-        graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv0")).as("d"))
-      .orderBy(col("d").asc, col("cl")).limit(nprobe)
-      .select("cl").collect().toSeq.map(_.getLong(0))
     // generation pinned ONCE at construction — the snapshot contract
     // ([[Stores.currentGen]]): this plan's files survive one further
     // compact (the vacuum grace)
     val gServe = Stores.currentGen(s, indexDir)
+    // EXHAUSTIVE serves (nprobe ≥ the manifest's kIvf — the setting
+    // the oracle-exact composed serves q186/q187 run) probe every
+    // cell by definition, so the nprobe-row argmin job has nothing to
+    // decide: the probed-cell list IS the store's partition-directory
+    // listing, read driver-side with no Spark job (one scheduler
+    // round-trip per serve construction saved — the r18 verdict's
+    // absorbed-serve-cost cut). The plan keeps the same literal
+    // `PartitionFilters: [cell IN (…)]` shape either way. Pruned
+    // serves (nprobe < kIvf, the production setting) still run the
+    // eager argmin over the kIvf-row centroid frame — that job is the
+    // pruning guarantee, not overhead.
+    val manifestKIvf = Stores.readMetaSidecar(s, s"$indexDir/manifest")
+      .map(_("kIvf").toInt)
+    val probedCells: Seq[Long] =
+      if (manifestKIvf.exists(nprobe >= _)) {
+        val encRoot = new Path(
+          s"$indexDir/${Stores.genName("enc", gServe)}")
+        val fs = encRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(encRoot).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+          .map(_.getPath.getName.stripPrefix("cell=").toLong).sorted
+      } else s.read.schema(IvfPqCentsSchema).parquet(s"$indexDir/cents")
+        .crossJoin(broadcast(qv))
+        .select(col("cl"),
+          graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv0")).as("d"))
+        .orderBy(col("d").asc, col("cl")).limit(nprobe)
+        .select("cl").collect().toSeq.map(_.getLong(0))
     val live = minusTombstones(s, indexDir, gServe,
       s.read.schema(IvfPqEncSchema)
         .parquet(s"$indexDir/${Stores.genName("enc", gServe)}")
@@ -1001,20 +1049,40 @@ object Similarity {
       "ivfPqIndexServeBatch: all knobs must be >= 1")
     val s = codes.sparkSession
     checkIndexManifest(s, indexDir, m, subDim, nprobe)
-    val books = s.read.parquet(s"$indexDir/books")
-    val cents = s.read.parquet(s"$indexDir/cents")
-    val kIvf = cents.count().toInt
-    val qs = codes.filter(col("vec_id") < qMax)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val wProbe = Window.partitionBy("q_id")
-      .orderBy(col("d").asc, col("cl"))
-    val cellsNeeded: Seq[Long] = qs.crossJoin(broadcast(cents))
-      .select(col("q_id"), col("cl"),
-        graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv")).as("d"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
-      .select("cl").distinct().collect().map(_.getLong(0)).toSeq
+    val books = s.read.schema(IvfPqBooksSchema).parquet(s"$indexDir/books")
+    val cents = s.read.schema(IvfPqCentsSchema).parquet(s"$indexDir/cents")
+    // kIvf from the manifest sidecar (a driver-side FS read — the
+    // ivfPqIndexAppend rationale): counting cents/ here billed every
+    // batch-serve construction a Spark job for one int the write
+    // already recorded. The count() fallback only runs for a
+    // pre-manifest store.
+    val kIvf = Stores.readMetaSidecar(s, s"$indexDir/manifest")
+      .map(_("kIvf").toInt).getOrElse(cents.count().toInt)
     val gServe = Stores.currentGen(s, indexDir)
+    // exhaustive batches (nprobe ≥ kIvf) need every cell — the
+    // partition filter is the store's own directory listing, no
+    // probe job (the ivfPqIndexServe discipline); pruned batches
+    // still run the per-query argmin + distinct-cells collect.
+    val cellsNeeded: Seq[Long] =
+      if (nprobe >= kIvf) {
+        val encRoot = new Path(
+          s"$indexDir/${Stores.genName("enc", gServe)}")
+        val fs = encRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(encRoot).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+          .map(_.getPath.getName.stripPrefix("cell=").toLong).sorted
+      } else {
+        val qs = codes.filter(col("vec_id") < qMax)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val wProbe = Window.partitionBy("q_id")
+          .orderBy(col("d").asc, col("cl"))
+        qs.crossJoin(broadcast(cents))
+          .select(col("q_id"), col("cl"),
+            graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv")).as("d"))
+          .withColumn("prn", row_number().over(wProbe))
+          .filter(col("prn") <= nprobe)
+          .select("cl").distinct().collect().map(_.getLong(0)).toSeq
+      }
     val live = minusTombstones(s, indexDir, gServe,
       s.read.schema(IvfPqEncSchema)
         .parquet(s"$indexDir/${Stores.genName("enc", gServe)}")
@@ -1043,7 +1111,7 @@ object Similarity {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) enc
     else enc.join(
-      broadcast(s.read.schema("vec_id BIGINT").parquet(p.toString)),
+      Stores.scaleHint(s.read.schema("vec_id BIGINT").parquet(p.toString)),
       Seq("vec_id"), "left_anti")
   }
 
@@ -1100,10 +1168,25 @@ object Similarity {
     * anti-join exactly as in the Seq form; an empty frame appends
     * zero rows (a no-op for every serve). */
   private[graft] def ivfPqIndexDelete(s: SparkSession, indexDir: String,
-      ids: DataFrame): Unit =
-    ivfPqIndexDeleteBody(s, indexDir,
-      Stores.requireLongIds(ids, "vec_id", "ivfPqIndexDelete")
-        .repartition(1))
+      ids: DataFrame): Unit = {
+    // pinned (r18 advice): the public frame-shaped entry point pins
+    // the caller's frame so a non-deterministic ids plan cannot
+    // tombstone one id set and report another; released once the
+    // write has materialized. Internal pre-pinned callers
+    // (takedownAll) take the …Pinned form below.
+    val pinned = Stores.requireLongIds(ids, "vec_id", "ivfPqIndexDelete")
+      .localCheckpoint()
+    try ivfPqIndexDeleteBody(s, indexDir, pinned.repartition(1))
+    finally
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(pinned)
+  }
+
+  /** [[ivfPqIndexDelete]] for an ids frame the caller already
+    * validated and pinned ([[Stores.takedownAll]]'s dispatch): skips
+    * the guard+checkpoint the public form pays. */
+  private[operators] def ivfPqIndexDeletePinned(s: SparkSession,
+      indexDir: String, ids: DataFrame): Unit =
+    ivfPqIndexDeleteBody(s, indexDir, ids.repartition(1))
 
   private def ivfPqIndexDeleteBody(s: SparkSession, indexDir: String,
       tombRows: DataFrame): Unit = {
@@ -1145,7 +1228,8 @@ object Similarity {
     val ng = g + 1
     val kIvf = Stores.readMetaSidecar(s, s"$indexDir/manifest")
       .map(_("kIvf").toInt)
-      .getOrElse(s.read.parquet(s"$indexDir/cents").count().toInt)
+      .getOrElse(s.read.schema(IvfPqCentsSchema)
+        .parquet(s"$indexDir/cents").count().toInt)
     val live = minusTombstones(s, indexDir, g,
       s.read.schema(IvfPqEncSchema)
         .parquet(s"$indexDir/${Stores.genName("enc", g)}"))
@@ -1389,7 +1473,8 @@ object Similarity {
       maxShareBp: Long = -1L, execute: Boolean = false): DataFrame = {
     require(maxFiles >= 1 && maxTombBp >= 0,
       "ivfPqIndexMaintain: maxFiles >= 1, maxTombBp >= 0")
-    val kIvf = s.read.parquet(s"$indexDir/cents").count()
+    val kIvf = s.read.schema(IvfPqCentsSchema)
+      .parquet(s"$indexDir/cents").count()
     val shareCap =
       if (maxShareBp > 0) maxShareBp
       else math.min(10000L, 3L * 10000L / math.max(kIvf, 1L))

@@ -79,7 +79,17 @@ object Stores {
     * eager by design and Bench/Verify run queries sequentially, so it
     * cannot leak into a concurrent query's plan (the CC-loop
     * argument). Explicit `repartition(n, col)` calls inside the
-    * section (the one-file-per-bucket/cell writes) are unaffected. */
+    * section (the one-file-per-bucket/cell writes) are unaffected.
+    *
+    * CONCURRENCY CONTRACT (r18 advice, stated not implied): the
+    * override mutates SESSION-global conf for the bootstrap body, and
+    * the store bootstraps sit behind `computeIfAbsent` memos — safe
+    * because Bench/Verify/the metered pipeline run queries
+    * SEQUENTIALLY on one session. A deployment that serves queries
+    * CONCURRENTLY with store bootstraps on the same session must
+    * isolate the bootstrap on a cloned session (`spark.newSession()`
+    * shares the context but not the conf) or a concurrent query could
+    * plan under 1 shuffle partition with AQE off. */
   private[graft] def withBootstrapShuffle[A](s: SparkSession,
       inputs: Seq[DataFrame])(body: => A): A = {
     val est = inputs.map(
@@ -103,16 +113,73 @@ object Stores {
     // override; serves constructed outside keep their session AQE.
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = s.conf.get(aqeKey)
-    if (np == 1) s.conf.set(aqeKey, "false")
+    // Same one-partition reasoning for AUTO-broadcast (r19): an
+    // un-hinted tiny join inside a one-partition bootstrap gets
+    // planned as a broadcast hash join, and every BroadcastExchange
+    // runs as its OWN Spark job — pure scheduler floor when both
+    // sides are one partition of kilobytes (tools.JobTrace attributed
+    // ~4 of q187's first-touch jobs to these). Disabling the
+    // threshold folds those joins into their consuming write jobs as
+    // extra stages of the SAME job. Explicit broadcast() HINTS (the
+    // model-frame joins — tiny at ANY scale) are unaffected: hints
+    // override the threshold, which is exactly the split we want. At
+    // scale np > 1 and the planner keeps its normal economics.
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAbt = s.conf.get(abtKey)
+    if (np == 1) {
+      s.conf.set(aqeKey, "false")
+      s.conf.set(abtKey, "-1")
+      s.conf.set(TinyBootstrapConf, "true")
+    }
     try body finally {
       s.conf.set(key, prev)
       s.conf.set(aqeKey, prevAqe)
+      s.conf.set(abtKey, prevAbt)
+      if (np == 1) s.conf.unset(TinyBootstrapConf)
     }
   }
+
+  /** Conf flag raised while a ONE-PARTITION bootstrap body runs (see
+    * [[withBootstrapShuffle]]). Explicit tiny-side broadcast() hints
+    * consult it through [[scaleHint]]: a hint overrides the disabled
+    * auto-broadcast threshold, so without this gate every model-frame
+    * join inside a bootstrap still spawned its own BroadcastExchange
+    * job — scheduler floor for a join the one-partition shuffle
+    * planner folds into the consuming write job for free. */
+  private[operators] val TinyBootstrapConf = "spark.graft.bootstrap.tiny"
+
+  /** `broadcast(df)` everywhere EXCEPT inside a one-partition
+    * bootstrap section, where the plain frame joins fold into the
+    * consuming action (see [[TinyBootstrapConf]]). The hint is the
+    * 100 TB-correct shape — model frames are K×M rows against a
+    * corpus-sized probe — and stays on for every serve and every
+    * at-scale build (np > 1 never raises the flag). Result-identical
+    * either way: join strategy is physical only. */
+  private[operators] def scaleHint(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(TinyBootstrapConf, "false") == "true") df
+    else broadcast(df)
 
   /** One shuffle partition per 64 MB of estimated bootstrap input —
     * the CC loop's constant, shared. */
   private val BootstrapBytesPerPartition = BigInt(64L * 1024 * 1024)
+
+  /** Await an [[org.apache.spark.sql.Observation]]'s metrics row after
+    * its action has returned — the store writes fold their one-row
+    * stats aggregates into the write action itself (r18 verdict: fewer
+    * absorbed bootstrap jobs) instead of running a separate read-back
+    * job. The observation is delivered through a QueryExecutionListener
+    * that fires ASYNCHRONOUSLY after the action returns, hence the
+    * bounded wait; `None` (the listener never firing) sends callers to
+    * their read-back fallback, so a Spark version that stopped
+    * observing write commands would degrade to the pre-r19 job count,
+    * never to wrong stats. */
+  private[operators] def awaitObserved(
+      obs: org.apache.spark.sql.Observation,
+      timeoutMs: Long = 30000L): Option[org.apache.spark.sql.Row] =
+    try Some(scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(timeoutMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)))
+    catch { case _: java.util.concurrent.TimeoutException => None }
 
   /** A store's corpus-version stamp; 0 for a pre-stamp store. The
     * stamp is a RAW one-line text sidecar file (`corpus-version`),
@@ -499,25 +566,42 @@ object Stores {
     * driver data at any batch size; the id LIST never leaves the
     * executors) — and the membership test is a semi-join on the
     * computed `doc_id div base` key instead of an `isInCollection`
-    * literal list. Packability is guarded PER ROW inside the plan
-    * (raise_error), since a frame's ids can't be range-checked
-    * driver-side like the Seq form's. Empty batch → empty plan. */
+    * literal list. Empty batch → empty plan.
+    *
+    * `knownBounds`: when the caller already holds the batch's
+    * (min, max) — [[takedownAll]]'s one pin-time (count, min, max)
+    * aggregate — pass them to skip this plan's own bounds job AND the
+    * per-row packability guard (min ≥ 0 and max packable covers every
+    * row). Without them, packability is guarded PER ROW inside the
+    * plan (raise_error), since a frame's ids can't be range-checked
+    * driver-side like the Seq form's. */
   private[graft] def chunkIdsFramePlan(s: SparkSession, dir: String,
-      base: Long, docIds: DataFrame): DataFrame = {
-    val guarded = docIds.select(
-      when(col("doc_id") >= 0 && col("doc_id") < Long.MaxValue / base,
-        col("doc_id"))
-        .otherwise(raise_error(concat(
-          lit("takedown: doc_id "), col("doc_id").cast("string"),
-          lit(s" not packable under chunkIdBase $base"))))
-        .as("doc_id"))
-    val b = guarded.agg(min("doc_id"), max("doc_id")).head()
+      base: Long, docIds: DataFrame,
+      knownBounds: Option[(Long, Long)] = None): DataFrame = {
+    val guarded = knownBounds match {
+      case Some((lo, hi)) =>
+        require(lo >= 0 && hi < Long.MaxValue / base,
+          s"takedown: batch bounds [$lo, $hi] not packable under " +
+            s"chunkIdBase $base")
+        docIds
+      case None => docIds.select(
+        when(col("doc_id") >= 0 && col("doc_id") < Long.MaxValue / base,
+          col("doc_id"))
+          .otherwise(raise_error(concat(
+            lit("takedown: doc_id "), col("doc_id").cast("string"),
+            lit(s" not packable under chunkIdBase $base"))))
+          .as("doc_id"))
+    }
+    val b = knownBounds.getOrElse {
+      val r = guarded.agg(min("doc_id"), max("doc_id")).head()
+      if (r.isNullAt(0)) null else (r.getLong(0), r.getLong(1))
+    }
     val docsPath = s"$dir/${genName("docs", currentGen(s, dir))}"
     val chunks = s.read.schema("doc_id BIGINT").parquet(docsPath)
-    if (b.isNullAt(0)) return chunks.select("doc_id").filter(lit(false))
+    if (b == null) return chunks.select("doc_id").filter(lit(false))
     chunks
-      .filter(col("doc_id") >= b.getLong(0) * base
-        && col("doc_id") < (b.getLong(1) + 1) * base)
+      .filter(col("doc_id") >= b._1 * base
+        && col("doc_id") < (b._2 + 1) * base)
       .join(guarded.select(col("doc_id").as("__td_doc")),
         expr(s"doc_id div ${base}L") === col("__td_doc"), "left_semi")
       .select("doc_id").distinct()
@@ -531,14 +615,29 @@ object Stores {
     * ANSI mode a plain cast throws its own generic error and under
     * non-ANSI it NULLs silently — try_cast makes the outcome
     * setting-independent and routes both failure shapes through the
-    * one named raise_error. Shared by every frame-shaped delete entry
-    * point; [[takedownAll]] applies it once at the pin so the whole
-    * batch fails before any store is touched. */
+    * one named raise_error. FRACTIONAL numeric inputs additionally
+    * require the cast to round-trip (r18 advice): a DOUBLE/FLOAT/
+    * DECIMAL id like 2.7 survives a long cast by TRUNCATION — the
+    * feed's malformed row would silently tombstone doc 2 — so the
+    * casted long must re-cast to the source type equal to the
+    * original value (exact for every integral value either type
+    * represents; strings like "2.7" already NULL under try_cast and
+    * integral types cannot carry fractions). Shared by every
+    * frame-shaped delete entry point; [[takedownAll]] applies it once
+    * at the pin so the whole batch fails before any store is
+    * touched. */
   private[graft] def requireLongIds(ids: DataFrame,
       colName: String, op: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    val srcType = ids.schema(colName).dataType
     val casted = expr(s"try_cast($colName AS LONG)")
+    val ok = srcType match {
+      case DoubleType | FloatType | _: DecimalType =>
+        casted.isNotNull && casted.cast(srcType) === col(colName)
+      case _ => casted.isNotNull
+    }
     ids.select(
-      when(casted.isNotNull, casted)
+      when(ok, casted)
         .otherwise(raise_error(concat(
           lit(s"$op: id '"),
           coalesce(col(colName).cast("string"), lit("NULL")),
@@ -616,10 +715,12 @@ object Stores {
     * DataFrame end to end: tombstones are written via semi-joins
     * against the ids frame, chunk-id resolution is a join on the
     * computed unpack key ([[chunkIdsFramePlan]]), and nothing about
-    * the batch ever crosses the driver except a two-long bounds
-    * aggregate. The Seq form stays as operator-sized sugar with its
-    * original literal-list plans (spec-pinned frame ≡ seq on all
-    * store families).
+    * the batch ever crosses the driver except ONE (count, min, max)
+    * aggregate — the empty-window check, the chunk family's packed
+    * bounds, and the pin-time packability guard in a single job. The
+    * Seq form stays as operator-sized sugar with its original
+    * literal-list plans (spec-pinned frame ≡ seq on all store
+    * families).
     *
     * The ids frame is pinned ONCE (eager localCheckpoint, released in
     * a finally after every store's delete has materialized): every
@@ -649,36 +750,81 @@ object Stores {
     // every consumer join is duplicate-safe) — a distinct here would
     // shuffle the whole batch for no semantic effect
     try {
-      val target = stores.map(r => storeVersion(s, r.dir)).max + 1
+      // ONE (count, min, max) aggregate over the pinned batch serves
+      // what used to be three separate jobs (r18 verdict's absorbed-
+      // section cut): the empty-window check (an isEmpty), the chunk
+      // family's packed-range bounds (chunkIdsFramePlan's own
+      // aggregate), and — closing the r18 advice gap — the PIN-TIME
+      // packability guard: a batch whose bounds no chunk store in the
+      // list can pack fails HERE, with zero stores mutated or
+      // stamped, instead of raise_error-ing mid-list after earlier
+      // stores already stamped (diverged stamps until the feed was
+      // fixed, contradicting the pin-time-guard contract).
+      val b = ids.agg(count(lit(1)), min("doc_id"), max("doc_id")).head()
       // empty compliance window (explicitly allowed): stamps still
       // land on the common target, but the per-store deletes are
       // SKIPPED — without this every empty window committed one
       // zero-row tombstone file per store, accreting list-and-read
-      // work for every serve until the next compact. isEmpty on the
-      // pinned frame reads one partition, no recompute.
-      val hasIds = !ids.isEmpty
-      stores.foreach { ref =>
-        if (hasIds) deleteOneFrame(s, ref, ids)
-        writeStoreVersion(s, ref.dir, target)
+      // work for every serve until the next compact.
+      val bounds =
+        if (b.getLong(0) == 0L) None else Some((b.getLong(1), b.getLong(2)))
+      for ((lo, hi) <- bounds; ref <- stores) ref match {
+        case ChunkSearchStore(_, base) =>
+          require(base > 0, s"takedown: chunkIdBase $base must be positive")
+          require(lo >= 0 && hi < Long.MaxValue / base,
+            s"takedown: batch bounds [$lo, $hi] not packable under " +
+              s"chunkIdBase $base — refused with zero stores mutated")
+        case _ => ()
       }
+      val target = stores.map(r => storeVersion(s, r.dir)).max + 1
+      stores.foreach { ref =>
+        bounds.foreach(bd => deleteOneFrame(s, ref, ids, bd))
+      }
+      stampAll(s, stores.map(_.dir), target)
     } finally
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(ids)
   }
 
+  /** Stamp every store to `target` CONCURRENTLY (r18 verdict #6): the
+    * stamps are independent single-file sidecar writes, and the old
+    * per-store serial loop made the takedown tail a driver-side
+    * latency chain at many stores (each write is a create+rename
+    * round-trip — microseconds on a local FS, a network RTT pair on
+    * an object store). Crash semantics are unchanged from the serial
+    * form: any subset of stamps landing leaves the rest behind, the
+    * composed serve fails loudly on the divergence, and a re-run
+    * converges every store to a fresh common target (the documented
+    * takedown/append convergence rule — it never depended on stamp
+    * ORDER, only on the target being computed once up front). */
+  private def stampAll(s: SparkSession, dirs: Seq[String],
+      target: Long): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writes = dirs.map(d => Future(writeStoreVersion(s, d, target)))
+    writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+  }
+
   /** One store's FRAME-shaped doc-level delete — [[takedownAll]]'s
-    * DataFrame dispatch. `ids` carries one `doc_id` long column. */
+    * DataFrame dispatch. `ids` carries one `doc_id` long column,
+    * ALREADY validated and pinned by the caller (so the per-store
+    * deletes take the `…Pinned` entry points — the public frame
+    * deletes' own guard+pin would re-validate and re-materialize the
+    * batch once per store). `bounds` is the caller's pin-time
+    * (min, max), forwarded so the chunk family's packed-range plan
+    * needs no bounds job of its own. */
   private def deleteOneFrame(s: SparkSession, ref: StoreRef,
-      ids: DataFrame): Unit = ref match {
+      ids: DataFrame, bounds: (Long, Long)): Unit = ref match {
     case SearchStore(dir) =>
-      Search.searchIndexDelete(s, dir, ids)
+      Search.searchIndexDeletePinned(s, dir, ids)
     case DedupStore(dir) =>
-      TextDedup.dedupIndexDelete(s, dir, ids)
+      TextDedup.dedupIndexDeletePinned(s, dir, ids)
     case AnnStore(dir) =>
-      Similarity.ivfPqIndexDelete(s, dir,
+      Similarity.ivfPqIndexDeletePinned(s, dir,
         ids.select(col("doc_id").as("vec_id")))
     case ChunkSearchStore(dir, base) =>
       require(base > 0, s"takedown: chunkIdBase $base must be positive")
-      Search.searchIndexDelete(s, dir, chunkIdsFramePlan(s, dir, base, ids))
+      Search.searchIndexDeletePinned(s, dir,
+        chunkIdsFramePlan(s, dir, base, ids, Some(bounds)))
   }
 
   /** One store's doc-level delete — the [[takedownAll]] dispatch, also
@@ -879,14 +1025,24 @@ object Stores {
     }
     lazy val batchIds = requireLongIds(
       pinned.select(col(idCol).as("doc_id")), "doc_id", "replayRepair")
+    // one (count, min, max) aggregate serves the empty-batch guard and
+    // the chunk family's packed-range bounds for EVERY store repaired
+    // (the takedownAll fused-pin-aggregate discipline) — the old form
+    // ran an isEmpty per unmarked store plus a bounds job per chunk
+    // store
+    lazy val batchBounds = {
+      val r = batchIds.agg(count(lit(1)), min("doc_id"), max("doc_id"))
+        .head()
+      require(r.getLong(0) > 0, "replayRepair: empty source batch")
+      (r.getLong(1), r.getLong(2))
+    }
     try {
       val target = stores.map(r => storeVersion(s, r.dir)).max + 1
       stores.foreach { ref =>
         val marker = new Path(s"${ref.dir}/ingested/named-$batchId")
         val fs = fsOf(s, marker)
         if (!fs.exists(marker)) {
-          require(!pinned.isEmpty, "replayRepair: empty source batch")
-          deleteOneFrame(s, ref, batchIds)
+          deleteOneFrame(s, ref, batchIds, batchBounds)
           compactOne(s, ref)
           appendOne(s, ref, pinned, idCol, textCol, vecCol)
           require(fs.mkdirs(marker),

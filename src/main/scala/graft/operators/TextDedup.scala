@@ -1408,10 +1408,25 @@ object TextDedup {
     * the serve's anti-join semantics exactly as in the Seq form; an
     * empty frame appends zero rows (a no-op for every serve). */
   private[graft] def dedupIndexDelete(s: SparkSession, indexDir: String,
-      ids: DataFrame): Unit =
-    dedupIndexDeleteBody(s, indexDir,
-      Stores.requireLongIds(ids, "doc_id", "dedupIndexDelete")
-        .repartition(1))
+      ids: DataFrame): Unit = {
+    // pinned (r18 advice): the public frame-shaped entry point pins
+    // the caller's frame so a non-deterministic ids plan cannot
+    // tombstone one id set and report another; released once the
+    // write has materialized. Internal pre-pinned callers
+    // (takedownAll) take the …Pinned form below.
+    val pinned = Stores.requireLongIds(ids, "doc_id", "dedupIndexDelete")
+      .localCheckpoint()
+    try dedupIndexDeleteBody(s, indexDir, pinned.repartition(1))
+    finally
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(pinned)
+  }
+
+  /** [[dedupIndexDelete]] for an ids frame the caller already
+    * validated and pinned ([[Stores.takedownAll]]'s dispatch): skips
+    * the guard+checkpoint the public form pays. */
+  private[operators] def dedupIndexDeletePinned(s: SparkSession,
+      indexDir: String, ids: DataFrame): Unit =
+    dedupIndexDeleteBody(s, indexDir, ids.repartition(1))
 
   private def dedupIndexDeleteBody(s: SparkSession, indexDir: String,
       tombRows: DataFrame): Unit = {

@@ -96,4 +96,65 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.size == 1,
       s"two renders of the same pixels must decode identically: $f")
   }
+
+  /** A WAV synthesized with the JDK's own writer from explicit PCM
+    * samples — the audio twin of [[renderPng]]: lossless container +
+    * known samples = a bit-stable fixture with no file on disk. */
+  private def renderWav16(samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("a real WAV decodes through javax.sound.sampled on the q58 " +
+      "query path — sniff-routed beside PNG and text in one batch") {
+    // deterministic 16-bit signed samples spanning the range
+    val samples = Array.tabulate[Short](40)(i =>
+      ((i * 3001 - 20000) % 32768).toShort)
+    val wav = renderWav16(samples)
+    assert(Multimodal.isWav(wav), "the JDK's WAV must carry RIFF/WAVE")
+    assert(!Multimodal.isWav("RIFFonly text not wave".getBytes("UTF-8")),
+      "RIFF without the WAVE tag must not route to the audio codec")
+    assert(!Multimodal.isPng(wav) && !Multimodal.isWav(renderPng(8, 4)._1),
+      "the two codecs' sniffs must not overlap")
+    // reference: the documented exact-integer 8-bit reduction of the
+    // signed samples ((v >> 8) + 128), then the shared feature math
+    val signal = samples.map(v => (((v >> 8) + 128) & 0xFF))
+    val hist = new Array[Long](16)
+    signal.foreach(b => hist(b % 16) += 1)
+    val resized = signal.indices.collect {
+      case i if i % 4 == 0 => signal(i).toByte
+    }.toArray
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(resized).map("%02x".format(_)).mkString
+    val rows = Multimodal.decodeFeatures(
+        Seq((3L, wav), (4L, "alpha beta".getBytes("UTF-8")),
+          (5L, renderPng(8, 4)._1))
+          .toDF("doc_id", "payload"))
+      .orderBy("doc_id").collect()
+    val aud = rows(0)
+    assert(aud.getAs[Int]("n_bytes") == samples.length,
+      "n_bytes on the audio path counts SAMPLES (frames)")
+    assert(aud.getAs[Long]("sum_bytes") == signal.map(_.toLong).sum,
+      s"sample sum: got ${aud.getAs[Long]("sum_bytes")}")
+    assert(aud.getAs[String]("histogram") == hist.mkString(","),
+      s"sample histogram mismatch: ${aud.getAs[String]("histogram")}")
+    assert(aud.getAs[Int]("resized_bytes") == resized.length)
+    assert(aud.getAs[String]("resized_md5") == md5,
+      "the 4x-stride decimation must run over decoded samples")
+    // the text row still stubs; the PNG row still decodes as an image
+    val bytes = "alpha beta".getBytes("UTF-8")
+    assert(rows(1).getAs[Long]("sum_bytes")
+      == bytes.map(_ & 0xFF).map(_.toLong).sum)
+    assert(rows(2).getAs[Int]("n_bytes") == 32)
+  }
 }

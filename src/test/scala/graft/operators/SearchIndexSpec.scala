@@ -47,6 +47,27 @@ class SearchIndexSpec extends SparkTestBase {
       "the term IN-list must push into the parquet scan")
   }
 
+  test("driver-side term buckets equal the write path's column " +
+      "expression (the serve's no-job pruning rests on this)") {
+    // the serve computes each term's bucket on the DRIVER (no Spark
+    // job per construction, r19); the write stamps buckets per row
+    // with pmod(xxhash64(term), n). The two must agree for every term
+    // and bucket count or the serve prunes to the WRONG directories —
+    // silently empty results, the worst failure a pruned serve has.
+    val terms = Seq("hash", "scan", "filter", "alpha", "Ω-unicode",
+      "", "a", "supercalifragilistic", "bkt=0")
+    for (n <- Seq(1, 2, 8, 13, 1024)) {
+      val fromExpr = terms.toDF("term")
+        .select(col("term"),
+          pmod(xxhash64(col("term")), lit(n.toLong)).cast("int").as("bkt"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val fromDriver = terms.map(t => t -> Search.termBucket(t, n)).toMap
+      assert(fromDriver == fromExpr,
+        s"driver/expression bucket drift at nBuckets=$n:\n" +
+          s"  driver: $fromDriver\n  expr:   $fromExpr")
+    }
+  }
+
   test("serve reads only matched docs; a query of absent terms is empty") {
     val docs = Seq(
       (0L, "alpha beta gamma"), (1L, "alpha alpha delta"),

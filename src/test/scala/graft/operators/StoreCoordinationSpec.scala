@@ -536,6 +536,46 @@ class StoreCoordinationSpec extends SparkTestBase {
     val e2 = intercept[Exception](Graft.takedownAll(spark,
       Seq(Some(2L), None).toDF("doc_id"), refs))
     assert(msgs(e2).exists(_.contains("not a long")))
+    // a FRACTIONAL numeric id fails too (r18 advice): a plain long
+    // cast would TRUNCATE 2.7 to 2 and tombstone the wrong document —
+    // the round-trip guard must reject it as loudly as a bad string
+    val e3 = intercept[Exception](Graft.takedownAll(spark,
+      Seq(2.0, 2.7).toDF("doc_id"), refs))
+    assert(msgs(e3).exists(_.contains("not a long")),
+      s"fractional ids must fail, not truncate: ${msgs(e3)}")
+    assert(Seq(search, dedup).map(Graft.storeVersion(spark, _))
+      == Seq(0L, 0L), "no stamp may move on a fractional-id feed")
+    // …while INTEGRAL doubles round-trip and take down normally
+    Graft.takedownAll(spark, Seq(2.0, 4.0).toDF("doc_id"), refs)
+    val left = Search.searchIndexServe(spark, search, terms, topK = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!left.contains(2L) && !left.contains(4L),
+      "integral numeric ids must still take down")
+  }
+
+  test("a batch the chunk family cannot pack fails at the PIN, with " +
+      "zero stores mutated or stamped (r18 advice: the guard must not " +
+      "fire mid-list after earlier stores already stamped)") {
+    val search = tmp(); val chunk = tmp()
+    Search.searchIndexWrite(docsDf, search)
+    Search.searchIndexWrite(Search.chunkCorpus(docsDf), chunk,
+      idCol = "chunk_id", textCol = "chunk_text")
+    // search store FIRST in the list — the old form mutated and
+    // stamped it before the chunk family's per-row guard raised
+    val refs = Seq(Graft.SearchStore(search), Graft.ChunkSearchStore(chunk))
+    val e = intercept[Exception](Graft.takedownAll(spark,
+      Seq(2L, -1L).toDF("doc_id"), refs))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not packable")),
+      s"the bounds guard must name the packability failure: ${msgs(e)}")
+    assert(Seq(search, chunk).map(Graft.storeVersion(spark, _))
+      == Seq(0L, 0L),
+      "no stamp may move when the batch fails the pin-time bounds check")
+    val hits = Search.searchIndexServe(spark, search, terms, topK = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.contains(2L),
+      "no tombstone may land when the pin-time bounds check fails")
   }
 
   test("coordinated append releases its delta pins: no resident " +
