@@ -169,13 +169,20 @@ object Multimodal {
     * corruption, not a stub case. */
   private def decodeWav(docId: Long, payload: Array[Byte]): PayloadFeatures = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
+    // IOException too, not just UnsupportedAudioFileException: a
+    // payload truncated mid-header passes the 12-byte sniff but makes
+    // the JDK reader throw EOF/IO — without the wrap it escapes as a
+    // bare executor exception with no doc identification, and the
+    // operator bisects the batch to find the corrupt row
     val in =
       try AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
-      catch { case e: javax.sound.sampled.UnsupportedAudioFileException =>
-        throw new IllegalArgumentException(
-          s"decodePayload: WAV-tagged payload of doc $docId failed to " +
-            "decode", e)
+      catch {
+        case e @ (_: javax.sound.sampled.UnsupportedAudioFileException
+            | _: java.io.IOException) =>
+          throw new IllegalArgumentException(
+            s"decodePayload: WAV-tagged payload of doc $docId failed to " +
+              "decode", e)
       }
     try {
       val fmt = in.getFormat
@@ -213,6 +220,11 @@ object Multimodal {
         f += 1
       }
       featuresOf(docId, signal)
+    } catch { case e: java.io.IOException =>
+      // readAllBytes on a truncated stream — same doc-tagged wrap
+      throw new IllegalArgumentException(
+        s"decodePayload: WAV-tagged payload of doc $docId failed to " +
+          "decode", e)
     } finally in.close()
   }
 

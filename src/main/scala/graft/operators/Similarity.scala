@@ -867,7 +867,7 @@ object Similarity {
     require(nprobe >= 1 && m >= 1 && subDim >= 1 && coarseK >= 1 &&
       topK >= 1, "ivfPqIndexServe: all knobs must be >= 1")
     val s = codes.sparkSession
-    checkIndexManifest(s, indexDir, m, subDim, nprobe)
+    val manifestKIvf = checkIndexManifest(s, indexDir, m, subDim, nprobe)
     val books = s.read.schema(IvfPqBooksSchema).parquet(s"$indexDir/books")
     val qv = codes.filter(col("vec_id") === queryId)
       .select(col("v").as("qv0"))
@@ -886,17 +886,9 @@ object Similarity {
     // serves (nprobe < kIvf, the production setting) still run the
     // eager argmin over the kIvf-row centroid frame — that job is the
     // pruning guarantee, not overhead.
-    val manifestKIvf = Stores.readMetaSidecar(s, s"$indexDir/manifest")
-      .map(_("kIvf").toInt)
     val probedCells: Seq[Long] =
-      if (manifestKIvf.exists(nprobe >= _)) {
-        val encRoot = new Path(
-          s"$indexDir/${Stores.genName("enc", gServe)}")
-        val fs = encRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.listStatus(encRoot).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-          .map(_.getPath.getName.stripPrefix("cell=").toLong).sorted
-      } else s.read.schema(IvfPqCentsSchema).parquet(s"$indexDir/cents")
+      if (manifestKIvf.exists(nprobe >= _)) listCellDirs(s, indexDir, gServe)
+      else s.read.schema(IvfPqCentsSchema).parquet(s"$indexDir/cents")
         .crossJoin(broadcast(qv))
         .select(col("cl"),
           graft.plans.L2DistanceSq.l2DistSq(col("c"), col("qv0")).as("d"))
@@ -1048,30 +1040,23 @@ object Similarity {
       coarseK >= 1 && topK >= 1,
       "ivfPqIndexServeBatch: all knobs must be >= 1")
     val s = codes.sparkSession
-    checkIndexManifest(s, indexDir, m, subDim, nprobe)
+    val manifestKIvf = checkIndexManifest(s, indexDir, m, subDim, nprobe)
     val books = s.read.schema(IvfPqBooksSchema).parquet(s"$indexDir/books")
     val cents = s.read.schema(IvfPqCentsSchema).parquet(s"$indexDir/cents")
-    // kIvf from the manifest sidecar (a driver-side FS read — the
-    // ivfPqIndexAppend rationale): counting cents/ here billed every
-    // batch-serve construction a Spark job for one int the write
-    // already recorded. The count() fallback only runs for a
-    // pre-manifest store.
-    val kIvf = Stores.readMetaSidecar(s, s"$indexDir/manifest")
-      .map(_("kIvf").toInt).getOrElse(cents.count().toInt)
+    // kIvf from the manifest (ONE sidecar round-trip, returned by the
+    // geometry check): counting cents/ here billed every batch-serve
+    // construction a Spark job for one int the write already
+    // recorded. The count() fallback only runs for a pre-manifest
+    // store.
+    val kIvf = manifestKIvf.getOrElse(cents.count().toInt)
     val gServe = Stores.currentGen(s, indexDir)
     // exhaustive batches (nprobe ≥ kIvf) need every cell — the
     // partition filter is the store's own directory listing, no
     // probe job (the ivfPqIndexServe discipline); pruned batches
     // still run the per-query argmin + distinct-cells collect.
     val cellsNeeded: Seq[Long] =
-      if (nprobe >= kIvf) {
-        val encRoot = new Path(
-          s"$indexDir/${Stores.genName("enc", gServe)}")
-        val fs = encRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.listStatus(encRoot).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-          .map(_.getPath.getName.stripPrefix("cell=").toLong).sorted
-      } else {
+      if (manifestKIvf.exists(nprobe >= _)) listCellDirs(s, indexDir, gServe)
+      else {
         val qs = codes.filter(col("vec_id") < qMax)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val wProbe = Window.partitionBy("q_id")
@@ -1095,6 +1080,20 @@ object Similarity {
       qMax, kIvf, nprobe, m, subDim, k = 1, coarseK, topK,
       codebooks = Some(books), centroids = Some(cents),
       allowedPairs = allowedPairs)
+  }
+
+  /** The generation-pinned encodings dataset's cell-directory
+    * listing, driver-side (no Spark job) — THE probed-cell source for
+    * EXHAUSTIVE serves (nprobe >= the manifest's kIvf): one shared
+    * definition so the single and batch serve paths cannot drift on
+    * the path shape or the `cell=` parse. */
+  private def listCellDirs(s: SparkSession, indexDir: String,
+      g: Long): Seq[Long] = {
+    val encRoot = new Path(s"$indexDir/${Stores.genName("enc", g)}")
+    val fs = encRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(encRoot).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(_.getPath.getName.stripPrefix("cell=").toLong).sorted
   }
 
   /** Tombstone-aware view of an on-disk encodings scan: subtract the
@@ -1128,8 +1127,8 @@ object Similarity {
     * One tiny one-row read per construction — the serve paths are
     * construction-eager already, by design. */
   private def checkIndexManifest(s: SparkSession, indexDir: String,
-      m: Int, subDim: Int, nprobe: Int = Int.MinValue): Unit =
-    Stores.readMetaSidecar(s, s"$indexDir/manifest").foreach { man =>
+      m: Int, subDim: Int, nprobe: Int = Int.MinValue): Option[Int] =
+    Stores.readMetaSidecar(s, s"$indexDir/manifest").map { man =>
       val (im, isd, ik) =
         (man("m").toInt, man("subDim").toInt, man("kIvf").toInt)
       require(m == im && subDim == isd,
@@ -1138,6 +1137,10 @@ object Similarity {
           "in the wrong code space")
       require(nprobe == Int.MinValue || nprobe <= ik,
         s"nprobe=$nprobe exceeds the index's kIvf=$ik cells")
+      // returned so serve constructions need ONE manifest round-trip
+      // (r19 review: each serve read the sidecar twice — here and a
+      // second readMetaSidecar for kIvf — two FS RTTs where one does)
+      ik
     }
 
   /** LOGICAL delete from an on-disk index: append the ids to the

@@ -126,6 +126,12 @@ object Stores {
     // scale np > 1 and the planner keeps its normal economics.
     val abtKey = "spark.sql.autoBroadcastJoinThreshold"
     val prevAbt = s.conf.get(abtKey)
+    // save-and-restore like the other keys, NOT a bare unset: a
+    // bootstrap nested inside another one-partition bootstrap would
+    // otherwise clear the outer body's flag on exit and silently
+    // re-broadcast the rest of the outer section (no current nesting
+    // exists; the restore keeps it from mattering if one appears)
+    val prevTiny = s.conf.getOption(TinyBootstrapConf)
     if (np == 1) {
       s.conf.set(aqeKey, "false")
       s.conf.set(abtKey, "-1")
@@ -135,7 +141,10 @@ object Stores {
       s.conf.set(key, prev)
       s.conf.set(aqeKey, prevAqe)
       s.conf.set(abtKey, prevAbt)
-      if (np == 1) s.conf.unset(TinyBootstrapConf)
+      prevTiny match {
+        case Some(v) => s.conf.set(TinyBootstrapConf, v)
+        case None => s.conf.unset(TinyBootstrapConf)
+      }
     }
   }
 
@@ -172,7 +181,18 @@ object Stores {
     * bounded wait; `None` (the listener never firing) sends callers to
     * their read-back fallback, so a Spark version that stopped
     * observing write commands would degrade to the pre-r19 job count,
-    * never to wrong stats. */
+    * never to wrong stats. Retry honesty: observed metrics are SQL
+    * accumulators, which Spark applies once per successful task (a
+    * speculative duplicate's update is dropped with its uncommitted
+    * output), so the row matches the committed files; and if that
+    * guarantee ever bent, [[searchIndexFsck]]'s independent
+    * stats ≡ agg(docs/) check is the standing runtime net. Leak
+    * honesty: a TIMED-OUT Observation cannot be unregistered (the
+    * listener handle is private to Spark) and stays on the session's
+    * listener bus — bounded concern, since the timeout path exists
+    * only for a Spark version that stops observing write commands,
+    * where every append would fall back anyway and the right fix is
+    * reverting to read-back stats. */
   private[operators] def awaitObserved(
       obs: org.apache.spark.sql.Observation,
       timeoutMs: Long = 30000L): Option[org.apache.spark.sql.Row] =
@@ -801,7 +821,15 @@ object Stores {
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ExecutionContext.global
     val writes = dirs.map(d => Future(writeStoreVersion(s, d, target)))
-    writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    // await EVERY future before propagating any failure: throwing on
+    // the first while later writes are still in flight would let a
+    // ghost stamp land AFTER a re-run's fresh stamps (regressing that
+    // store to the old target with no run in flight — a divergence no
+    // re-run is around to converge). Ready-all first, then rethrow
+    // the first failure.
+    writes.foreach(w =>
+      Await.ready(w, scala.concurrent.duration.Duration.Inf))
+    writes.foreach(_.value.get.get)
   }
 
   /** One store's FRAME-shaped doc-level delete — [[takedownAll]]'s
