@@ -19,7 +19,6 @@ object Bench {
     "q126_countmin_audit" -> Seq("cms-hashed"),
     "q130_cosine_rerank" -> Seq("tf-norm"),
     "q134_session_cooccurrence" -> Seq("sess-cooc"),
-    "q144_lsh_recall_sampled" -> Seq("lsh-audit-sample"),
     "q146_winnow_pairs" -> Seq("winnow-fp"),
     "q165_dsir_select" -> Seq("dsir-lm", "dsir-scored", "nb-cst"),
     "q167_kmv_overlap" -> Seq("source-vocab"),
@@ -27,6 +26,7 @@ object Bench {
     "q172_kl_drift" -> Seq("unigram-tf"),
     "q181_ann_recall" -> Seq("ivf-cell", "pq-enc"),
     "q187_coord_takedown" -> Seq("ivf-cent", "pq-book"),
+    "q188_disk_lsh_audit" -> Seq("lsh-audit-sample"),
     "q42_jaccard_pairs" -> Seq("jaccard-pairs"),
     "q43_simhash_pairs" -> Seq("simhash"),
     "q44_lsh_candidates" -> Seq("lsh-cand", "minhash-sig"),
@@ -72,6 +72,7 @@ object Bench {
     // different (wrong) last consumer for pq-book/ivf-cent
     graft.operators.Similarity.resetDiskIndexMemo()
     graft.operators.TextDedup.resetDiskDedupMemo()
+    graft.operators.TextDedup.resetDiskAuditMemo()
     graft.operators.Search.resetDiskSearchMemo()
     try CacheRegistry.withAccessHook(
       (k: String) => last(k.takeWhile(_ != ':')) = current) {
@@ -166,6 +167,7 @@ object Bench {
     // themselves
     graft.operators.Similarity.resetDiskIndexMemo()
     graft.operators.TextDedup.resetDiskDedupMemo()
+    graft.operators.TextDedup.resetDiskAuditMemo()
     graft.operators.Search.resetDiskSearchMemo()
     try CacheRegistry.withAccessHook(
       (k: String) => {
@@ -469,6 +471,14 @@ object Bench {
       String.format(java.util.Locale.ROOT, p, Double.box(v))
     def f(v: Double): String = fmt("%.2f", v)
       .replaceAll("0+$", "").replaceAll("\\.$", "")
+    // marker formatter: 2 decimals under 10 s (the band the regime
+    // tables read at 0.01 resolution), 1 decimal above (a 10 s+ marker
+    // is a dead box — 0.1 s resolution loses nothing, and the 2 chars
+    // × 8 markers keep the worst-case line inside the driver's window
+    // at 186 queries; BenchJsonSpec pins the ceiling)
+    def fm(v: Double): String =
+      if (v >= 10) fmt("%.1f", v).replaceAll("0+$", "").replaceAll("\\.$", "")
+      else f(v)
     def f1(v: Double): String =
       if (v >= 10) Math.round(v).toString
       else fmt("%.1f", v).replaceAll("0+$", "").replaceAll("\\.$", "")
@@ -494,12 +504,12 @@ object Bench {
         else s""","failed":${failedList.mkString("[", ",", "]")}"""
       val unit = if (ds) ""","u":"ds"""" else ""
       val midKeys = mid.fold("") { case (wum, wiom) =>
-        s""","wum":${f(wum)},"wiom":${f(wiom)}""" } +
+        s""","wum":${fm(wum)},"wiom":${fm(wiom)}""" } +
         late.fold("") { case (wul, wiol) =>
-          s""","wul":${f(wul)},"wiol":${f(wiol)}""" }
+          s""","wul":${fm(wul)},"wiol":${fm(wiol)}""" }
       val orderKey =
         if (orderTag == "sorted") "" else s""","order":"$orderTag""""
-      s"""{"metric":"total","value":${f(total)},"wu":${f(wu)},"wio":${f(wio)},"wu2":${f(wu2)},"wio2":${f(wio2)}$midKeys$orderKey$unit,"queries":$qs$failed,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${f(total)},"wu":${fm(wu)},"wio":${fm(wio)},"wu2":${fm(wu2)},"wio2":${fm(wio2)}$midKeys$orderKey$unit,"queries":$qs$failed,"sf":$sfJson}"""
     }
     if (!compact) render(ds = false)
     else {

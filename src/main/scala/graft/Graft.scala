@@ -671,6 +671,59 @@ object Graft {
     operators.TextDedup.dedupIndexIngest(docs, indexDir, checkpointDir,
       idCol, textCol)
 
+  /** Write the ON-DISK LSH AUDIT (PAIR) STORE: the dedup pipeline's
+    * VERIFIED pair set (doc_i, doc_j, n_common, n_i, n_j, jaccard)
+    * and its LSH candidate set (doc_i, doc_j), bucket-partitioned by
+    * doc_i hash — the persisted form of the two artifacts the whole
+    * dedup decision layer consumes (audits, connected components,
+    * cluster verdicts), so a new session reads two pruned scans
+    * instead of rebuilding the shingle → signature → band → candidate
+    * → verify chain. Pair rows must satisfy doc_i < doc_j (the
+    * library's pair normal form). Backs q188. See
+    * [[operators.TextDedup.auditStoreWrite]]. */
+  def auditStoreWrite(pairs: DataFrame, cand: DataFrame,
+      outDir: String): Unit =
+    operators.TextDedup.auditStoreWrite(pairs, cand, outDir)
+
+  /** Append pair/candidate DELTAS (the rows a new doc batch's ingest
+    * verification produces — pairs must be NEW). Append ≡ rebuild is
+    * spec-pinned. See [[operators.TextDedup.auditStoreAppend]]. */
+  def auditStoreAppend(pairsDelta: DataFrame, candDelta: DataFrame,
+      indexDir: String): Unit =
+    operators.TextDedup.auditStoreAppend(pairsDelta, candDelta, indexDir)
+
+  /** DOC-level logical delete: tombstone the ids; serves subtract
+    * every pair touching them on either endpoint,
+    * [[auditStoreCompact]] reclaims. Compose with [[takedownAll]] for
+    * a corpus-wide compliance takedown (the audit store holds derived
+    * PAIR artifacts, so it sits outside the doc-store families that
+    * call covers in one list). See
+    * [[operators.TextDedup.auditStoreDelete]]. */
+  def auditStoreDelete(spark: SparkSession, indexDir: String,
+      ids: Seq[Long]): Unit =
+    operators.TextDedup.auditStoreDelete(spark, indexDir, ids)
+
+  /** FRAME-shaped [[auditStoreDelete]] — ids never cross the driver. */
+  def auditStoreDelete(spark: SparkSession, indexDir: String,
+      ids: DataFrame): Unit =
+    operators.TextDedup.auditStoreDelete(spark, indexDir, ids)
+
+  /** Compact into the next generation (tombstones applied physically,
+    * atomic pointer flip, serve-identical). See
+    * [[operators.TextDedup.auditStoreCompact]]. */
+  def auditStoreCompact(spark: SparkSession, indexDir: String): Unit =
+    operators.TextDedup.auditStoreCompact(spark, indexDir)
+
+  /** The live verified pair set (tombstones subtracted). See
+    * [[operators.TextDedup.residentAuditPairs]]. */
+  def auditStorePairs(spark: SparkSession, indexDir: String): DataFrame =
+    operators.TextDedup.residentAuditPairs(spark, indexDir)
+
+  /** The live LSH candidate set (tombstones subtracted). See
+    * [[operators.TextDedup.residentAuditCands]]. */
+  def auditStoreCands(spark: SparkSession, indexDir: String): DataFrame =
+    operators.TextDedup.residentAuditCands(spark, indexDir)
+
   /** Write the ON-DISK SEARCH INDEX: postings (doc_id, term, tf)
     * partitioned by term-hash bucket, per-doc lengths, corpus stats,
     * and a tokenizer/bucket manifest — the disk-lifecycle template's

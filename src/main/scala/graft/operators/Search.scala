@@ -820,7 +820,7 @@ object Search {
         coalesce(sum(col("dl").cast("long")), lit(0L)).as("sdl"))
       .write.mode("append")
       .parquet(s"$indexDir/${Stores.genName("docs", g)}")
-    Stores.awaitObserved(obs) match {
+    Stores.awaitObserved(s, obs) match {
       case Some(r) => writeSearchStats(s, indexDir, g,
         old._1 + r.getLong(0), old._2 + r.getLong(1))
       case None =>
@@ -1182,7 +1182,7 @@ object Search {
   private def observedStats(s: SparkSession,
       obs: org.apache.spark.sql.Observation,
       docsPath: String): (Long, Long) =
-    Stores.awaitObserved(obs) match {
+    Stores.awaitObserved(s, obs) match {
       case Some(r) => (r.getLong(0), r.getLong(1))
       case None => docsAggStats(s, docsPath)
     }

@@ -187,19 +187,26 @@ object Stores {
     * output), so the row matches the committed files; and if that
     * guarantee ever bent, [[searchIndexFsck]]'s independent
     * stats ≡ agg(docs/) check is the standing runtime net. Leak
-    * honesty: a TIMED-OUT Observation cannot be unregistered (the
-    * listener handle is private to Spark) and stays on the session's
-    * listener bus — bounded concern, since the timeout path exists
-    * only for a Spark version that stops observing write commands,
-    * where every append would fall back anyway and the right fix is
-    * reverting to read-back stats. */
-  private[operators] def awaitObserved(
+    * closure (r19 advice): a timed-out Observation is DROPPED from
+    * the session's ObservationManager map
+    * ([[org.apache.spark.sql.graft.Bridge.dropObservation]]) before
+    * returning None — without that, each timeout pinned one dead
+    * entry (and its Observation) for the session's lifetime, so a
+    * Spark build that stopped observing write commands would leak
+    * one per store write. The drop also guards the stats contract's
+    * edge: a metrics row arriving AFTER the fallback path has
+    * already re-derived stats can no longer complete a stale entry. */
+  private[operators] def awaitObserved(s: SparkSession,
       obs: org.apache.spark.sql.Observation,
       timeoutMs: Long = 30000L): Option[org.apache.spark.sql.Row] =
     try Some(scala.concurrent.Await.result(obs.future,
       scala.concurrent.duration.Duration(timeoutMs,
         java.util.concurrent.TimeUnit.MILLISECONDS)))
-    catch { case _: java.util.concurrent.TimeoutException => None }
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        org.apache.spark.sql.graft.Bridge.dropObservation(s, obs)
+        None
+    }
 
   /** A store's corpus-version stamp; 0 for a pre-stamp store. The
     * stamp is a RAW one-line text sidecar file (`corpus-version`),
@@ -797,10 +804,23 @@ object Stores {
         case _ => ()
       }
       val target = stores.map(r => storeVersion(s, r.dir)).max + 1
-      stores.foreach { ref =>
-        bounds.foreach(bd => deleteOneFrame(s, ref, ids, bd))
+      bounds match {
+        // empty window: no deletes to interleave — the stamps are the
+        // whole mutation and land concurrently ([[stampAll]])
+        case None => stampAll(s, stores.map(_.dir), target)
+        // non-empty batch: stamp each store IMMEDIATELY after its
+        // delete materializes (r19 advice) — a delete-all-then-stamp
+        // phase split left a crash anywhere in the delete phase with
+        // every stamp at the old COMMON value, so the composed serve
+        // saw no divergence while some stores were tombstoned and
+        // others untouched; interleaving restores the Seq form's loud
+        // crash contract (completed stores ahead, alignment check
+        // fails until the converging re-run completes the batch)
+        case Some(bd) => stores.foreach { ref =>
+          deleteOneFrame(s, ref, ids, bd)
+          writeStoreVersion(s, ref.dir, target)
+        }
       }
-      stampAll(s, stores.map(_.dir), target)
     } finally
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(ids)
   }
@@ -815,7 +835,12 @@ object Stores {
     * composed serve fails loudly on the divergence, and a re-run
     * converges every store to a fresh common target (the documented
     * takedown/append convergence rule — it never depended on stamp
-    * ORDER, only on the target being computed once up front). */
+    * ORDER, only on the target being computed once up front).
+    * Since r20 this is the EMPTY-window path only: a non-empty batch
+    * stamps each store right after its delete (r19 advice — a
+    * delete-phase crash must read as a loud divergence, which a
+    * stamps-last phase split silently hid behind the old common
+    * value). */
   private def stampAll(s: SparkSession, dirs: Seq[String],
       target: Long): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}

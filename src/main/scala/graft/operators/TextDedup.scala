@@ -929,38 +929,7 @@ object TextDedup {
     //    truth/candidate set yields NULL rates, not a division blow-up.
     QueryDef(
       "q117_lsh_recall",
-      oracleSig +
-        """,
-          |smp AS (SELECT doc_id FROM (SELECT doc_id,
-          |    row_number() OVER (PARTITION BY source
-          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-          |  FROM documents) WHERE rn <= 50),
-          |ssh AS (SELECT sh.doc_id, sh.s FROM sh JOIN smp USING (doc_id)),
-          |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
-          |  len(list_intersect(a.s, b.s)) AS c, len(a.s) AS na, len(b.s) AS nb
-          |  FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id),
-          |tr AS (SELECT doc_i, doc_j FROM p WHERE 3*c >= na + nb),
-          |cd AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
-          |  FROM m a JOIN m b ON a.doc_id < b.doc_id
-          |  WHERE (a.mh0=b.mh0 AND a.mh1=b.mh1) OR (a.mh2=b.mh2 AND a.mh3=b.mh3)
-          |     OR (a.mh4=b.mh4 AND a.mh5=b.mh5) OR (a.mh6=b.mh6 AND a.mh7=b.mh7)),
-          |cv AS (SELECT cd.doc_i, cd.doc_j,
-          |  len(list_intersect(sa.s, sb.s)) AS c, len(sa.s) AS na, len(sb.s) AS nb
-          |  FROM cd JOIN sh sa ON sa.doc_id = cd.doc_i
-          |          JOIN sh sb ON sb.doc_id = cd.doc_j),
-          |tp AS (SELECT count(*) AS n_true FROM cv WHERE 3*c >= na + nb),
-          |hit AS (SELECT count(*) AS n_hit FROM tr JOIN cd USING (doc_i, doc_j))
-          |SELECT CAST((SELECT count(*) FROM tr) AS INTEGER) AS n_truth,
-          |  CAST((SELECT count(*) FROM cd) AS INTEGER) AS n_cand,
-          |  CAST(hit.n_hit AS INTEGER) AS n_hit,
-          |  CASE WHEN (SELECT count(*) FROM tr) = 0 THEN NULL ELSE
-          |    CAST(floor(hit.n_hit * 10000.0 / (SELECT count(*) FROM tr))
-          |      AS BIGINT) END AS recall_bp,
-          |  CASE WHEN (SELECT count(*) FROM cd) = 0 THEN NULL ELSE
-          |    CAST(floor(tp.n_true * 10000.0 / (SELECT count(*) FROM cd))
-          |      AS BIGINT) END AS precision_bp
-          |FROM hit, tp""".stripMargin) { (s, dir) =>
-      val ids = quotaSample(s, dir, 50)
+      lshRecallOracle) { (s, dir) =>
       // Truth and per-candidate verification both come from the
       // pipeline's OWN exact pair set (the jaccard-pairs cache q42
       // publishes and the cluster chain consumes) instead of being
@@ -973,33 +942,12 @@ object TextDedup {
       // it. The audit this models runs beside the dedup pipeline whose
       // verified edges exist anyway; a STANDALONE audit (no dedup run)
       // would instead verify candidates directly against the shingle
-      // arrays — that form is what [[prefixVerifyPairs]] keeps.
-      val pairs = jaccardPairs(s, dir).select("doc_i", "doc_j")
-      val truth = pairs
-        .join(broadcast(ids.select(col("doc_id").as("doc_i"))),
-          Seq("doc_i"), "left_semi")
-        .join(broadcast(ids.select(col("doc_id").as("doc_j"))),
-          Seq("doc_j"), "left_semi")
-        .select(col("doc_i"), col("doc_j"), lit(1).as("in_t"))
-      val cand = lshCandidatePairs(s, dir)
-        .join(pairs.select(col("doc_i"), col("doc_j"),
-          lit(true).as("verified")), Seq("doc_i", "doc_j"), "left")
-        .select(col("doc_i"), col("doc_j"), lit(1).as("in_c"),
-          coalesce(col("verified"), lit(false)).as("is_true"))
-      truth.join(cand, Seq("doc_i", "doc_j"), "full")
-        .agg(count(col("in_t")).as("n_truth"),
-          count(col("in_c")).as("n_cand"),
-          count(when(col("in_t") === 1 && col("in_c") === 1, 1)).as("n_hit"),
-          count(when(col("is_true"), 1)).as("n_true"))
-        .select(col("n_truth").cast("int").as("n_truth"),
-          col("n_cand").cast("int").as("n_cand"),
-          col("n_hit").cast("int").as("n_hit"),
-          when(col("n_truth") === 0, lit(null).cast("long"))
-            .otherwise(floor(col("n_hit") * 10000.0 / col("n_truth")))
-            .as("recall_bp"),
-          when(col("n_cand") === 0, lit(null).cast("long"))
-            .otherwise(floor(col("n_true") * 10000.0 / col("n_cand")))
-            .as("precision_bp"))
+      // arrays — that form is what [[prefixVerifyPairs]] keeps. The
+      // audit math itself is [[lshAuditPlan]], shared verbatim with
+      // the store-fed q188 (one replay of the math gates both).
+      lshAuditPlan(quotaSample(s, dir, 50),
+        jaccardPairs(s, dir).select("doc_i", "doc_j"),
+        lshCandidatePairs(s, dir))
     },
 
     // ── SAMPLED LSH quality audit, small-budget form: BOTH sides of the
@@ -1168,8 +1116,116 @@ object TextDedup {
       dedupIndexServeBands(
         bandsOf(signatures(s, dir).filter(gate >= 95)),
         diskDedupDir(s, dir))
+    },
+
+    // ── q117's audit served OFF THE ON-DISK PAIR STORE (r19 verdict
+    //    ask #1): the verified pair set and the LSH candidate set are
+    //    the last large resident retrieval state that was rebuilt from
+    //    scratch every session — a 21-job sequential cache chain
+    //    (shingles → signatures → bands → candidates → verified
+    //    jaccard pairs) on every first touch, the repo's largest
+    //    remaining storm exposure after the r19 disk-trio cut. This
+    //    query reads BOTH sets off the bucket-partitioned parquet
+    //    store [[auditStoreWrite]] lays out (built once per corpus —
+    //    the q184 memo discipline; the build itself is a one-partition
+    //    bootstrap over frames the session's dedup pipeline computes
+    //    anyway) and runs the SAME audit math ([[lshAuditPlan]] —
+    //    shared function, not a copy). SAME oracle as q117, verbatim
+    //    (the standing splice discipline): one DuckDB replay of the
+    //    sample/truth/candidate math gates the in-memory chain AND the
+    //    disk path end to end. AuditStoreSpec pins store-fed ≡
+    //    recompute, append ≡ rebuild, takedown and compact semantics.
+    QueryDef(
+      "q188_disk_lsh_audit",
+      lshRecallOracle) { (s, dir) =>
+      val sd = diskAuditDir(s, dir)
+      lshAuditPlan(quotaSample(s, dir, 50),
+        residentAuditPairs(s, sd).select("doc_i", "doc_j"),
+        residentAuditCands(s, sd).select("doc_i", "doc_j"))
     }
   )
+
+  /** The LSH-audit oracle, shared VERBATIM by q117 (both pair sets
+    * from the registry caches) and q188 (both read off the on-disk
+    * audit store): the two paths are spec-pinned result-identical
+    * (AuditStoreSpec), so one DuckDB replay of the math — per-source
+    * quota sample, exact sample truth, OR-of-bands candidates, full
+    * precision/recall rates — gates both. */
+  // lazy: referenced while `defs` initializes, defined after it (the
+  // incrementalDedupOracle rule)
+  private lazy val lshRecallOracle: String =
+    oracleSig +
+      """,
+        |smp AS (SELECT doc_id FROM (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 50),
+        |ssh AS (SELECT sh.doc_id, sh.s FROM sh JOIN smp USING (doc_id)),
+        |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |  len(list_intersect(a.s, b.s)) AS c, len(a.s) AS na, len(b.s) AS nb
+        |  FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id),
+        |tr AS (SELECT doc_i, doc_j FROM p WHERE 3*c >= na + nb),
+        |cd AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+        |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+        |  WHERE (a.mh0=b.mh0 AND a.mh1=b.mh1) OR (a.mh2=b.mh2 AND a.mh3=b.mh3)
+        |     OR (a.mh4=b.mh4 AND a.mh5=b.mh5) OR (a.mh6=b.mh6 AND a.mh7=b.mh7)),
+        |cv AS (SELECT cd.doc_i, cd.doc_j,
+        |  len(list_intersect(sa.s, sb.s)) AS c, len(sa.s) AS na, len(sb.s) AS nb
+        |  FROM cd JOIN sh sa ON sa.doc_id = cd.doc_i
+        |          JOIN sh sb ON sb.doc_id = cd.doc_j),
+        |tp AS (SELECT count(*) AS n_true FROM cv WHERE 3*c >= na + nb),
+        |hit AS (SELECT count(*) AS n_hit FROM tr JOIN cd USING (doc_i, doc_j))
+        |SELECT CAST((SELECT count(*) FROM tr) AS INTEGER) AS n_truth,
+        |  CAST((SELECT count(*) FROM cd) AS INTEGER) AS n_cand,
+        |  CAST(hit.n_hit AS INTEGER) AS n_hit,
+        |  CASE WHEN (SELECT count(*) FROM tr) = 0 THEN NULL ELSE
+        |    CAST(floor(hit.n_hit * 10000.0 / (SELECT count(*) FROM tr))
+        |      AS BIGINT) END AS recall_bp,
+        |  CASE WHEN (SELECT count(*) FROM cd) = 0 THEN NULL ELSE
+        |    CAST(floor(tp.n_true * 10000.0 / (SELECT count(*) FROM cd))
+        |      AS BIGINT) END AS precision_bp
+        |FROM hit, tp""".stripMargin
+
+  /** THE LSH-quality audit: exact precision over the full candidate
+    * set + recall over the in-sample truth restriction, as one
+    * full-outer membership join and one global aggregate. `ids` is the
+    * deterministic quota sample (one `doc_id` column), `pairs` the
+    * VERIFIED pair set (doc_i, doc_j — every true pair, by the
+    * containment argument at q117), `cand` the LSH candidate set
+    * (doc_i, doc_j). Factored so the in-memory chain (q117) and the
+    * on-disk store serve (q188) run ONE set of audit math that cannot
+    * drift — the [[ingestVerdicts]] rule applied to the audit. Scale
+    * shape: two broadcast semi joins restrict truth to the sample, the
+    * membership join keys on (doc_i, doc_j) — the pair sets' natural
+    * key — and the result is one row; nothing here is ever corpus². */
+  private[operators] def lshAuditPlan(ids: DataFrame, pairs: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val truth = pairs
+      .join(broadcast(ids.select(col("doc_id").as("doc_i"))),
+        Seq("doc_i"), "left_semi")
+      .join(broadcast(ids.select(col("doc_id").as("doc_j"))),
+        Seq("doc_j"), "left_semi")
+      .select(col("doc_i"), col("doc_j"), lit(1).as("in_t"))
+    val candM = cand
+      .join(pairs.select(col("doc_i"), col("doc_j"),
+        lit(true).as("verified")), Seq("doc_i", "doc_j"), "left")
+      .select(col("doc_i"), col("doc_j"), lit(1).as("in_c"),
+        coalesce(col("verified"), lit(false)).as("is_true"))
+    truth.join(candM, Seq("doc_i", "doc_j"), "full")
+      .agg(count(col("in_t")).as("n_truth"),
+        count(col("in_c")).as("n_cand"),
+        count(when(col("in_t") === 1 && col("in_c") === 1, 1)).as("n_hit"),
+        count(when(col("is_true"), 1)).as("n_true"))
+      .select(col("n_truth").cast("int").as("n_truth"),
+        col("n_cand").cast("int").as("n_cand"),
+        col("n_hit").cast("int").as("n_hit"),
+        when(col("n_truth") === 0, lit(null).cast("long"))
+          .otherwise(floor(col("n_hit") * 10000.0 / col("n_truth")))
+          .as("recall_bp"),
+        when(col("n_cand") === 0, lit(null).cast("long"))
+          .otherwise(floor(col("n_true") * 10000.0 / col("n_cand")))
+          .as("precision_bp"))
+  }
 
   /** The incremental-dedup oracle, shared VERBATIM by q156 (resident
     * side from the registry signature cache) and q184 (resident side
@@ -1628,6 +1684,258 @@ object TextDedup {
       // (Stores.withBootstrapShuffle — the CC-loop discipline)
       Stores.withBootstrapShuffle(s, Seq(bands)) {
         dedupIndexWriteBands(bands, out)
+      }
+      out
+    })
+
+  // ──────────────── ON-DISK LSH AUDIT (PAIR) STORE ────────────────
+  // The r19 verdict's #1: the verified jaccard pair set and the LSH
+  // candidate set — the artifacts the whole decision layer consumes
+  // (q117/q144's audit, q89's connected components and its q173/q174/
+  // q175/q177 consumers, q121's candidate graph) — were the last large
+  // resident retrieval state with no persisted form: every new session
+  // rebuilt them through the repo's longest sequential cache chain
+  // (21 first-touch jobs). This store persists BOTH sets, bucket-
+  // partitioned by doc_i, so a session (or a downstream audit service)
+  // reads two pruned parquet scans instead of re-deriving the chain.
+  //
+  // Layout and 100 TB posture: pair rows are (doc_i < doc_j) with
+  // doc_i the min endpoint; `bk = xxhash64(doc_i) mod AuditBuckets`
+  // is the partition directory, so a point membership probe ("was
+  // (i, j) verified?") prunes to one bucket, writes land one file per
+  // bucket per mutation (the small-file discipline of the other three
+  // stores), and the sets — |survivors| and |band collisions|, both
+  // orders of magnitude below corpus² by LSH's design — spread evenly
+  // (doc_i is a hash-mixed id). A doc-level takedown tombstones a DOC
+  // id and the serve subtracts pairs on EITHER endpoint: the doc_j
+  // side cannot prune (pairs are stored once, under doc_i's bucket),
+  // which is the documented trade for single-copy storage — compact
+  // applies tombstones physically.
+  //
+  // NOT a [[Stores.StoreRef]] family member, deliberately: the
+  // StoreRef families are DOC stores ([[Stores.appendAll]] derives
+  // each family's delta from the doc batch itself). The audit store
+  // holds DERIVED pair artifacts — a doc batch's pair delta needs the
+  // resident shingle arrays (which live in the dedup pipeline, not
+  // here), so appends take the pair/cand deltas the pipeline's own
+  // ingest verification produces ([[auditStoreAppend]]). A compliance
+  // takedown composes: run [[Stores.takedownAll]] over the doc-store
+  // families, then [[auditStoreDelete]] with the same ids frame.
+
+  /** Per-generation artifacts: the verified pair set, the candidate
+    * set, and the doc-id tombstones a compact folds in. */
+  private[graft] val AuditGenKinds = Seq("pairs", "cand", "tombstones")
+
+  /** Bucket count of the doc_i hash partitioning. Fixed in the
+    * manifest: a future bucket change must rebuild, not mis-prune. */
+  private val AuditBuckets = 8
+
+  /** Declared read schemas (`bk` is the partition directory key) —
+    * the no-schema-inference discipline ([[DedupBandSchema]]). Types
+    * are normalized AT THE WRITER, so both jaccard branches (count
+    * long vs size int) land identically. */
+  private val AuditPairSchema =
+    "doc_i BIGINT, doc_j BIGINT, n_common BIGINT, n_i INT, n_j INT, " +
+      "jaccard DOUBLE, bk INT"
+  private val AuditCandSchema = "doc_i BIGINT, doc_j BIGINT, bk INT"
+
+  private def withAuditBk(df: DataFrame): DataFrame =
+    df.withColumn("bk",
+      pmod(xxhash64(col("doc_i")), lit(AuditBuckets)).cast("int"))
+
+  /** One pair dataset's bucket-partitioned write (shared by write /
+    * append / compact): type-normalize, bucket, one file per bucket. */
+  private def writeAuditSet(rows: DataFrame, path: String,
+      mode: String): Unit =
+    withAuditBk(rows)
+      .repartition(AuditBuckets, col("bk"))
+      .write.mode(mode).partitionBy("bk").parquet(path)
+
+  private def normalizedPairs(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_i").cast("long").as("doc_i"),
+      col("doc_j").cast("long").as("doc_j"),
+      col("n_common").cast("long").as("n_common"),
+      col("n_i").cast("int").as("n_i"), col("n_j").cast("int").as("n_j"),
+      col("jaccard").cast("double").as("jaccard"))
+
+  private def normalizedCands(cand: DataFrame): DataFrame =
+    cand.select(col("doc_i").cast("long").as("doc_i"),
+      col("doc_j").cast("long").as("doc_j"))
+
+  /** Write the audit store: the verified pair set (q42's full rows —
+    * endpoints, intersection stats, jaccard) and the LSH candidate set
+    * under `outDir/{pairs,cand}/bk=<b>/…`, with the banding-geometry
+    * manifest (candidates are only meaningful in the band space that
+    * generated them) and a fresh corpus-version stamp. Rebuild-safe:
+    * prior-life generations/markers/tombstones are cleared first. */
+  private[graft] def auditStoreWrite(pairs: DataFrame, cand: DataFrame,
+      outDir: String): Unit = {
+    val s = pairs.sparkSession
+    Stores.withStoreLock(s, outDir, "auditStoreWrite") {
+      Stores.clearStoreLife(s, outDir, AuditGenKinds)
+      Stores.writeMetaSidecar(s, s"$outDir/manifest", Seq(
+        "shingle_k" -> DedupShingleK.toString,
+        "n_hashes" -> DedupNumHashes.toString,
+        "bands" -> DedupNumBands.toString,
+        "rows_per_band" -> DedupRowsPerBand.toString,
+        "buckets" -> AuditBuckets.toString))
+      writeAuditSet(normalizedPairs(pairs), s"$outDir/pairs", "overwrite")
+      writeAuditSet(normalizedCands(cand), s"$outDir/cand", "overwrite")
+      Stores.writeStoreVersion(s, outDir, 0L)
+    }
+  }
+
+  /** Append PAIR/CANDIDATE DELTAS to an existing store — the deltas a
+    * dedup pipeline's ingest verification produces for a new doc batch
+    * (new-vs-resident and new-vs-new pairs). Caller contract, mirrored
+    * from [[dedupIndexAppend]]: delta PAIRS must be new (an already-
+    * resident pair would double-count in the audit's membership
+    * aggregate — same class as a re-appended doc id there). Either
+    * delta may be empty. Append ≡ rebuild is spec-pinned
+    * (AuditStoreSpec) — exact by construction, there is no trained
+    * state. */
+  private[graft] def auditStoreAppend(pairsDelta: DataFrame,
+      candDelta: DataFrame, indexDir: String): Unit = {
+    val s = pairsDelta.sparkSession
+    Stores.withStoreLock(s, indexDir, "auditStoreAppend") {
+      checkAuditManifest(s, indexDir)
+      val g = Stores.currentGen(s, indexDir)
+      writeAuditSet(normalizedPairs(pairsDelta),
+        s"$indexDir/${Stores.genName("pairs", g)}", "append")
+      writeAuditSet(normalizedCands(candDelta),
+        s"$indexDir/${Stores.genName("cand", g)}", "append")
+      Stores.bumpStoreVersion(s, indexDir)
+    }
+  }
+
+  /** DOC-level logical delete: tombstone the ids; serves subtract
+    * every pair touching a tombstoned doc on EITHER endpoint,
+    * [[auditStoreCompact]] reclaims the rows. Frame-shaped (the
+    * takedown path — ids never cross the driver); guard+pin per the
+    * public frame-delete contract. */
+  private[graft] def auditStoreDelete(s: SparkSession, indexDir: String,
+      ids: DataFrame): Unit = {
+    val pinned = Stores.requireLongIds(ids, "doc_id", "auditStoreDelete")
+      .localCheckpoint()
+    try Stores.withStoreLock(s, indexDir, "auditStoreDelete") {
+      pinned.repartition(1)
+        .write.mode("append").parquet(s"$indexDir/${Stores.genName(
+          "tombstones", Stores.currentGen(s, indexDir))}")
+      Stores.bumpStoreVersion(s, indexDir)
+    } finally
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(pinned)
+  }
+
+  /** Seq sugar over the frame delete (operator-sized lists). */
+  private[graft] def auditStoreDelete(s: SparkSession, indexDir: String,
+      ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "auditStoreDelete: ids must be non-empty")
+    import s.implicits._
+    auditStoreDelete(s, indexDir, ids.toDF("doc_id"))
+  }
+
+  /** Compact into the next generation: rewrite both live sets with
+    * tombstones applied physically, commit with the atomic gen-pointer
+    * flip, vacuum the generations before the grace ([[Stores
+    * .currentGen]] snapshot semantics — identical to the other three
+    * stores; two back-to-back compacts purge physically). */
+  private[graft] def auditStoreCompact(s: SparkSession,
+      indexDir: String): Unit =
+    Stores.withStoreLock(s, indexDir, "auditStoreCompact") {
+      val g = Stores.currentGen(s, indexDir)
+      val ng = g + 1
+      writeAuditSet(residentAuditPairsAt(s, indexDir, g)
+          .select("doc_i", "doc_j", "n_common", "n_i", "n_j", "jaccard"),
+        s"$indexDir/${Stores.genName("pairs", ng)}", "overwrite")
+      writeAuditSet(residentAuditCandsAt(s, indexDir, g)
+          .select("doc_i", "doc_j"),
+        s"$indexDir/${Stores.genName("cand", ng)}", "overwrite")
+      Stores.writeGen(s, indexDir, ng)
+      Stores.vacuumGens(s, indexDir, AuditGenKinds, keepFrom = g)
+    }
+
+  /** The live verified pair set (tombstones subtracted on both
+    * endpoints — broadcast anti-joins, tombstones stay small between
+    * compacts). Declared read schema; `bk` dropped for consumers. */
+  private[graft] def residentAuditPairs(s: SparkSession,
+      indexDir: String): DataFrame = {
+    checkAuditManifest(s, indexDir)
+    residentAuditPairsAt(s, indexDir, Stores.currentGen(s, indexDir))
+  }
+
+  /** The live candidate set (same tombstone semantics). */
+  private[graft] def residentAuditCands(s: SparkSession,
+      indexDir: String): DataFrame = {
+    checkAuditManifest(s, indexDir)
+    residentAuditCandsAt(s, indexDir, Stores.currentGen(s, indexDir))
+  }
+
+  private def residentAuditPairsAt(s: SparkSession, indexDir: String,
+      g: Long): DataFrame =
+    subtractAuditTombstones(s, indexDir, g,
+      s.read.schema(AuditPairSchema)
+        .parquet(s"$indexDir/${Stores.genName("pairs", g)}")
+        .select("doc_i", "doc_j", "n_common", "n_i", "n_j", "jaccard"))
+
+  private def residentAuditCandsAt(s: SparkSession, indexDir: String,
+      g: Long): DataFrame =
+    subtractAuditTombstones(s, indexDir, g,
+      s.read.schema(AuditCandSchema)
+        .parquet(s"$indexDir/${Stores.genName("cand", g)}")
+        .select("doc_i", "doc_j"))
+
+  private def subtractAuditTombstones(s: SparkSession, indexDir: String,
+      g: Long, rows: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$indexDir/${Stores.genName("tombstones", g)}")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) rows
+    else {
+      val tomb = s.read.schema("doc_id BIGINT").parquet(p.toString)
+      rows
+        .join(broadcast(tomb.select(col("doc_id").as("doc_i"))),
+          Seq("doc_i"), "left_anti")
+        .join(broadcast(tomb.select(col("doc_id").as("doc_j"))),
+          Seq("doc_j"), "left_anti")
+    }
+  }
+
+  private def checkAuditManifest(s: SparkSession,
+      indexDir: String): Unit =
+    Stores.readMetaSidecar(s, s"$indexDir/manifest").foreach { m =>
+      val got = (m("shingle_k").toInt, m("n_hashes").toInt,
+        m("bands").toInt, m("rows_per_band").toInt, m("buckets").toInt)
+      val want = (DedupShingleK, DedupNumHashes, DedupNumBands,
+        DedupRowsPerBand, AuditBuckets)
+      require(got == want,
+        s"audit store at $indexDir was written with (shingle_k, " +
+          s"n_hashes, bands, rows_per_band, buckets)=$got — this " +
+          s"library expects $want; a mismatched geometry would audit " +
+          "candidates from a different band space (or mis-prune " +
+          "bucket probes)")
+    }
+
+  /** The on-disk audit store behind q188 — built once per corpus dir
+    * from the SAME registry caches q117 reads (so the two audit paths
+    * are result-identical by construction), under a bootstrap sized
+    * from the documents table (the chain's true input: ~600 KB at
+    * sf0.1 → one-partition bootstrap; at 100 TB → the session's full
+    * parallelism). Same memo contract as [[diskDedupDir]], including
+    * the warm-replay trap — ledger derivations must
+    * [[resetDiskAuditMemo]]. */
+  private val diskAuditDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def resetDiskAuditMemo(): Unit = diskAuditDirs.clear()
+
+  private[graft] def diskAuditDir(s: SparkSession, dir: String): String =
+    diskAuditDirs.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-auditidx-q188").toString
+      Stores.withBootstrapShuffle(s,
+        Seq(T(s, dir, "documents"))) {
+        auditStoreWrite(jaccardPairs(s, dir), lshCandidatePairs(s, dir),
+          out)
       }
       out
     })

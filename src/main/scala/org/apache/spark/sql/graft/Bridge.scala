@@ -34,4 +34,46 @@ object Bridge {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Drop a timed-out [[org.apache.spark.sql.Observation]] from its
+    * session's ObservationManager (the r19 advice leak: Spark 4 tracks
+    * registered observations in a per-session map serviced by ONE
+    * shared listener; an observation whose metrics never arrive stays
+    * in that map forever, pinning the Observation — and on a Spark
+    * build where write commands stopped reporting observed metrics,
+    * every store write would add one dead entry for the session's
+    * lifetime). The map is `private`, so this goes through reflection
+    * — against `getDeclaredField` on a concrete Spark class, stable
+    * per Spark version and verified by ObservationSpec; if a future
+    * Spark renames the field, the reflection failure is swallowed and
+    * the behavior degrades to the documented pre-fix leak (bounded by
+    * the same never-fires pathology), never to a crash on the write
+    * path. */
+  def dropObservation(s: org.apache.spark.sql.SparkSession,
+      obs: org.apache.spark.sql.Observation): Unit =
+    try {
+      val it = observationMap(s).entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue eq obs) it.remove()
+    } catch { case _: ReflectiveOperationException => () }
+
+  /** How many manager entries currently reference `obs` — the
+    * ObservationSpec hook that keeps [[dropObservation]]'s reflection
+    * contract loud (a Spark upgrade renaming the field fails the spec,
+    * not silently re-opens the leak). */
+  def observationEntries(s: org.apache.spark.sql.SparkSession,
+      obs: org.apache.spark.sql.Observation): Int = {
+    var n = 0
+    observationMap(s).values().forEach(v => if (v eq obs) n += 1)
+    n
+  }
+
+  private def observationMap(s: org.apache.spark.sql.SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[_, AnyRef] = {
+    val mgr = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .observationManager
+    val f = mgr.getClass.getDeclaredField("observations")
+    f.setAccessible(true)
+    f.get(mgr)
+      .asInstanceOf[java.util.concurrent.ConcurrentHashMap[_, AnyRef]]
+  }
 }

@@ -738,4 +738,41 @@ class GraftFacadeSpec extends SparkTestBase {
       .select("files").as[Int].collect().forall(_ == 1),
       "the compacted store holds one file per bucket")
   }
+
+  test("auditStore facade lifecycle: write → append → delete → " +
+      "compact — served pair/candidate sets track every step") {
+    // the pair store through the PUBLIC surface only (the fourth
+    // store family's lifecycle test shape; semantics pinned deeper in
+    // AuditStoreSpec)
+    def pairRows(ps: (Long, Long)*) =
+      ps.toSeq.toDF("doc_i", "doc_j")
+        .select(col("doc_i"), col("doc_j"), lit(4L).as("n_common"),
+          lit(6).as("n_i"), lit(6).as("n_j"), lit(0.5).as("jaccard"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-auditidx-life").toString
+    Graft.auditStoreWrite(pairRows((1L, 2L), (3L, 4L)),
+      Seq((1L, 2L), (3L, 4L), (3L, 8L)).toDF("doc_i", "doc_j"), idx)
+    def pairs(): Seq[(Long, Long)] =
+      Graft.auditStorePairs(spark, idx).select("doc_i", "doc_j")
+        .as[(Long, Long)].collect().toSeq.sorted
+    def cands(): Seq[(Long, Long)] =
+      Graft.auditStoreCands(spark, idx).select("doc_i", "doc_j")
+        .as[(Long, Long)].collect().toSeq.sorted
+    assert(pairs() == Seq((1L, 2L), (3L, 4L)))
+    assert(cands() == Seq((1L, 2L), (3L, 4L), (3L, 8L)))
+    Graft.auditStoreAppend(pairRows((5L, 6L)),
+      Seq((5L, 6L)).toDF("doc_i", "doc_j"), idx)
+    assert(pairs() == Seq((1L, 2L), (3L, 4L), (5L, 6L)),
+      "the appended pair delta must serve immediately")
+    Graft.auditStoreDelete(spark, idx, Seq(3L))
+    assert(pairs() == Seq((1L, 2L), (5L, 6L)) &&
+        cands() == Seq((1L, 2L), (5L, 6L)),
+      "doc 3's takedown must drop its pairs AND candidates")
+    Graft.auditStoreCompact(spark, idx)
+    assert(pairs() == Seq((1L, 2L), (5L, 6L)) &&
+        cands() == Seq((1L, 2L), (5L, 6L)),
+      "compaction must not change the served sets")
+    assert(!new java.io.File(s"$idx/tombstones-g1").exists,
+      "the compacted generation starts with an empty tombstone set")
+  }
 }

@@ -4,31 +4,40 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 
-/** Pins the round-19 absorbed-bootstrap JOB-COUNT cut so it cannot
-  * silently rot: q187's first touch (the full two-store coordinated
-  * lifecycle — writes, ledgered append, frame takedown, compacts —
-  * plus the composed serve) went 53 → 29 scheduler jobs at sf0.1 by
-  * removing whole CLASSES of overhead jobs (model-frame
-  * schema-inference reads, un-hinted tiny-join broadcasts inside
-  * one-partition bootstraps, separate stats/bounds/isEmpty
-  * aggregates folded into shared actions). A regression
-  * re-introducing any class adds jobs in steps of ~2–8; the bound
-  * here carries enough headroom for AQE's data-dependent wobble at
-  * fixture scale but not for a class coming back. Job counts are
-  * deterministic for a fixed (data, config) — the JobCount tool's
-  * standing rationale — and this spec runs against cold memos and a
-  * cold registry exactly like the tool's standalone measurement. */
+/** Pins the round-19/20 absorbed-bootstrap JOB-COUNT cuts so they
+  * cannot silently rot: the r19 cut removed whole CLASSES of overhead
+  * jobs (model-frame schema-inference reads, un-hinted tiny-join
+  * broadcasts inside one-partition bootstraps, separate
+  * stats/bounds/isEmpty aggregates folded into shared actions) from
+  * every disk-store first touch — q187 53 → 29 scheduler jobs at
+  * sf0.1, q186 29 → 19, q182 18 → 12, q185 12 → 10, q164 23 → 18 —
+  * and r20 added the pair store whose first touch (q188) replaces the
+  * 21-job LSH chain rebuild for audit consumers. A regression
+  * re-introducing any class adds jobs in steps of ~2–8; each bound
+  * carries headroom for AQE's data-dependent wobble at fixture scale
+  * but not for a class coming back. Job counts are deterministic for
+  * a fixed (data, config) — the JobCount tool's standing rationale —
+  * and every pin here runs against cold memos and a cold registry
+  * exactly like the tool's standalone measurement. Only q187 was
+  * pinned in r19; the r19 verdict's ask #3 extends the pin to every
+  * query the cut touched (a schema-inference read or un-gated
+  * broadcast regressing in ANY of them must fail `sbt test`, not the
+  * round). Bounds are measured at sf0.001 in THIS spec's context
+  * (cold everything, tables pre-resolved) + ~5 headroom.
+  */
 class JobShapeSpec extends SparkTestBase {
 
-  test("q187 first-touch schedules at most 34 jobs (the r19 cut, " +
-      "with wobble headroom — 53 before the cut)") {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** First-touch scheduler-job count of `name` against cold memos and
+    * a cold registry, tables pre-resolved (the PlanConstructionSpec
+    * warm-up discipline), listener drained to quiescence. */
+  private def firstTouchJobs(name: String): Int = {
     CacheRegistry.clear(spark)
     graft.operators.Similarity.resetDiskIndexMemo()
     graft.operators.TextDedup.resetDiskDedupMemo()
+    graft.operators.TextDedup.resetDiskAuditMemo()
     graft.operators.Search.resetDiskSearchMemo()
-    val dir = "/root/testdata/sf0.001"
-    // metastore warm-up outside the counted window (the
-    // PlanConstructionSpec discipline)
     Tables.names.foreach(Tables(spark, dir, _))
     val jobs = new AtomicInteger
     val listener = new SparkListener {
@@ -37,7 +46,7 @@ class JobShapeSpec extends SparkTestBase {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      SparkEntry.queries("q187_coord_takedown")(spark, dir).count()
+      SparkEntry.queries(name)(spark, dir).count()
       // listener events drain asynchronously — poll until quiet
       var settled = 0
       var last = -1
@@ -46,21 +55,37 @@ class JobShapeSpec extends SparkTestBase {
         val now = jobs.get
         if (now == last) settled += 1 else { settled = 0; last = now }
       }
-      val n = jobs.get
-      info(s"q187 first-touch jobs: $n")
-      assert(n <= 34,
-        s"q187 first-touch scheduled $n jobs — the r19 cut bounded " +
-          "this at ~29 (sf0.1) by killing schema-inference reads, " +
-          "tiny-bootstrap broadcasts, and separate stats/bounds " +
-          "aggregates; a count this high means one of those classes " +
-          "regressed (run tools.JobTrace q187_coord_takedown to name " +
-          "the new jobs)")
+      jobs.get
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       CacheRegistry.clear(spark)
       graft.operators.Similarity.resetDiskIndexMemo()
       graft.operators.TextDedup.resetDiskDedupMemo()
+      graft.operators.TextDedup.resetDiskAuditMemo()
       graft.operators.Search.resetDiskSearchMemo()
     }
   }
+
+  private def pin(name: String, bound: Int, rationale: String): Unit =
+    test(s"$name first-touch schedules at most $bound jobs " +
+        s"($rationale)") {
+      val n = firstTouchJobs(name)
+      info(s"$name first-touch jobs: $n")
+      assert(n <= bound,
+        s"$name first-touch scheduled $n jobs (bound $bound) — an " +
+          "overhead-job class (schema-inference read, tiny-bootstrap " +
+          "broadcast, separate stats/bounds aggregate) likely " +
+          s"regressed; run tools.JobTrace $name to name the new jobs")
+    }
+
+  pin("q187_coord_takedown", 34,
+    "the r19 cut: 53 → 29 at sf0.1; 29 measured here")
+  pin("q186_rag_fuse_disk", 24, "r19 cut: 29 → 19 at sf0.1; 18 here")
+  pin("q182_ivfpq_disk", 17, "r19 cut: 18 → 12 at sf0.1; 11 here")
+  pin("q185_bm25_disk", 15, "r19 cut: 12 → 10 at sf0.1; 9 here")
+  pin("q164_nb_source", 28, "r19 cut: 23 → 18 at sf0.1; 23 here — " +
+    "the fixture-scale LM branch schedules more, bound = here + 5")
+  pin("q188_disk_lsh_audit", 18,
+    "the r20 pair store: first touch reads the store instead of " +
+      "rebuilding the 21-job LSH chain; 13 measured here")
 }

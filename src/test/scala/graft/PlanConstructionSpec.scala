@@ -47,7 +47,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   *    touch builds its OWN two-store layout through the mutation ops
   *    (partial writes, a ledgered appendAll, a takedownAll whose id
   *    slice is a driver collect), and the serve adds the cross-store
-  *    version-alignment read on top of q186's eager set.
+  *    version-alignment read on top of q186's eager set;
+  *  - q188_disk_lsh_audit: same contract on the pair store — first
+  *    touch writes the bucket-partitioned verified-pair + candidate
+  *    store once per corpus (diskAuditDir), and every serve runs the
+  *    geometry manifest check.
   * Table RESOLUTION (parquet footer/schema read on a table's first
   * touch) also runs small jobs; it is the memoized metastore role, not
   * a query cost, and the spec pre-resolves every table so those jobs
@@ -67,7 +71,8 @@ class PlanConstructionSpec extends SparkTestBase {
     "q173_cluster_rep", "q121_pagerank_neardup", "q135_kmeans",
     "q182_ivfpq_disk", "q183_ivfpq_filtered",
     "q184_disk_incremental_dedup", "q185_bm25_disk",
-    "q186_rag_fuse_disk", "q187_coord_takedown")
+    "q186_rag_fuse_disk", "q187_coord_takedown",
+    "q188_disk_lsh_audit")
 
   private val TagProp = "graft.construct.query"
 
@@ -94,6 +99,7 @@ class PlanConstructionSpec extends SparkTestBase {
     // the eager set's exact-equality pin on suite order
     graft.operators.Similarity.resetDiskIndexMemo()
     graft.operators.TextDedup.resetDiskDedupMemo()
+    graft.operators.TextDedup.resetDiskAuditMemo()
     graft.operators.Search.resetDiskSearchMemo()
     val bc = graft.operators.TextDedup.BranchConf
     spark.conf.set(bc, "count")

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Pins the ON-DISK LSH AUDIT (PAIR) STORE (`auditStoreWrite` /
+  * `Append` / `Delete` / `Compact` / the resident reads): store-fed ≡
+  * recompute (q188 ≡ q117 — the r19 verdict's #1 "Done" clause), the
+  * round-trip fidelity of both persisted sets against the registry
+  * caches they snapshot, the append ≡ rebuild contract, doc-level
+  * tombstone semantics on EITHER endpoint, the compaction lifecycle,
+  * the geometry manifest, and the bucket layout. The pair-store twin
+  * of DedupIndexSpec. */
+class AuditStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-auditstore").toString
+
+  private def pairRows(ps: (Long, Long)*): DataFrame =
+    ps.toSeq.toDF("doc_i", "doc_j")
+      .select(col("doc_i"), col("doc_j"),
+        lit(5L).as("n_common"), lit(7).as("n_i"), lit(7).as("n_j"),
+        lit(0.5556).as("jaccard"))
+
+  private def candRows(ps: (Long, Long)*): DataFrame =
+    ps.toSeq.toDF("doc_i", "doc_j")
+
+  private def residentPairKeys(idx: String): Seq[(Long, Long)] =
+    TextDedup.residentAuditPairs(spark, idx)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSeq.sorted
+
+  private def residentCandKeys(idx: String): Seq[(Long, Long)] =
+    TextDedup.residentAuditCands(spark, idx)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSeq.sorted
+
+  test("q188 (store-fed) equals q117 (recompute) row for row") {
+    TextDedup.resetDiskAuditMemo()
+    val a = SparkEntry.queries("q188_disk_lsh_audit")(spark, sf)
+      .collect().toSeq
+    val b = SparkEntry.queries("q117_lsh_recall")(spark, sf)
+      .collect().toSeq
+    assert(a == b, s"store-fed audit must equal the recompute:\n$a\nvs\n$b")
+    // the fixture must exercise real candidates or the pin is vacuous
+    assert(a.head.getInt(1) > 0, s"fixture has no LSH candidates: $a")
+  }
+
+  test("both persisted sets round-trip the registry caches exactly") {
+    TextDedup.resetDiskAuditMemo()
+    val idx = TextDedup.diskAuditDir(spark, sf)
+    val gotPairs = TextDedup.residentAuditPairs(spark, idx)
+      .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq.sorted
+    val wantPairs = SparkEntry.queries("q42_jaccard_pairs")(spark, sf)
+      .select(col("doc_i"), col("doc_j"), col("n_common").cast("long"),
+        col("n_i").cast("int"), col("n_j").cast("int"),
+        col("jaccard").cast("double"))
+      .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq.sorted
+    assert(gotPairs.nonEmpty && gotPairs == wantPairs,
+      "the persisted verified pair set must equal the jaccard-pairs " +
+        s"cache content:\n$gotPairs\nvs\n$wantPairs")
+    val gotCands = residentCandKeys(idx)
+    val wantCands = SparkEntry.queries("q44_lsh_candidates")(spark, sf)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSeq.sorted
+    assert(gotCands.nonEmpty && gotCands == wantCands,
+      "the persisted candidate set must equal the lsh-cand cache")
+  }
+
+  test("append serves identically to a full rebuild and bumps the stamp") {
+    val a = Seq((1L, 2L), (3L, 4L))
+    val b = Seq((5L, 6L), (1L, 7L))
+    val incr = tmp(); val full = tmp()
+    TextDedup.auditStoreWrite(pairRows(a: _*), candRows(a: _*), incr)
+    assert(Stores.storeVersion(spark, incr) == 0L)
+    TextDedup.auditStoreAppend(pairRows(b: _*), candRows(b: _*), incr)
+    assert(Stores.storeVersion(spark, incr) == 1L,
+      "append must bump the corpus-version stamp")
+    TextDedup.auditStoreWrite(pairRows((a ++ b): _*),
+      candRows((a ++ b): _*), full)
+    assert(residentPairKeys(incr) == residentPairKeys(full)
+        && residentCandKeys(incr) == residentCandKeys(full),
+      "write+append must serve identically to the full rebuild")
+    assert(residentPairKeys(incr) == (a ++ b).sorted)
+  }
+
+  test("a tombstoned doc drops pairs on EITHER endpoint; compact " +
+      "applies physically and preserves the serve") {
+    val ps = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
+    val idx = tmp()
+    TextDedup.auditStoreWrite(pairRows(ps: _*), candRows(ps: _*), idx)
+    TextDedup.auditStoreDelete(spark, idx, Seq(2L))
+    val after = Seq((3L, 9L), (5L, 6L))
+    assert(residentPairKeys(idx) == after,
+      "doc 2's takedown must drop (1,2) [doc_j side] AND (2,3) " +
+        s"[doc_i side]: ${residentPairKeys(idx)}")
+    assert(residentCandKeys(idx) == after)
+    val vBefore = Stores.storeVersion(spark, idx)
+    TextDedup.auditStoreCompact(spark, idx)
+    assert(residentPairKeys(idx) == after && residentCandKeys(idx) == after,
+      "compact must preserve the resident sets")
+    assert(Stores.currentGen(spark, idx) == 1L,
+      "compact must flip the generation pointer")
+    // physical application: the new generation's raw pairs dataset
+    // (no tombstone subtraction) holds only the live rows
+    val raw = spark.read
+      .schema("doc_i BIGINT, doc_j BIGINT, n_common BIGINT, n_i INT, " +
+        "n_j INT, jaccard DOUBLE, bk INT")
+      .parquet(s"$idx/pairs-g1")
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSeq.sorted
+    assert(raw == after, s"compact must drop tombstoned rows physically: $raw")
+    assert(Stores.storeVersion(spark, idx) == vBefore,
+      "compact is a physical reorganization — it must NOT bump the " +
+        "corpus-version stamp (serves see identical content)")
+  }
+
+  test("the manifest rejects a store written under a different geometry") {
+    val idx = tmp()
+    TextDedup.auditStoreWrite(pairRows((1L, 2L)), candRows((1L, 2L)), idx)
+    Stores.writeMetaSidecar(spark, s"$idx/manifest", Seq(
+      "shingle_k" -> "3", "n_hashes" -> "8", "bands" -> "5",
+      "rows_per_band" -> "2", "buckets" -> "8"))
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.residentAuditPairs(spark, idx)
+    }
+    assert(e.getMessage.contains("band space"),
+      s"geometry mismatch must fail loudly: ${e.getMessage}")
+  }
+
+  test("bucket layout: hash-partitioned dirs, one file per bucket " +
+      "per mutation") {
+    val ps = (0L until 64L).map(i => (i, i + 1000L))
+    val idx = tmp()
+    TextDedup.auditStoreWrite(pairRows(ps: _*), candRows(ps: _*), idx)
+    val root = new java.io.File(s"$idx/pairs")
+    val bks = root.listFiles().filter(_.getName.startsWith("bk="))
+    assert(bks.nonEmpty && bks.length <= 8,
+      s"expected ≤8 bk= partition dirs: ${bks.map(_.getName).toSeq}")
+    assert(bks.forall(
+        _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "the write must land exactly one file per bucket")
+  }
+
+  test("rebuild over a used dir clears stale tombstones") {
+    val idx = tmp()
+    TextDedup.auditStoreWrite(pairRows((1L, 2L)), candRows((1L, 2L)), idx)
+    TextDedup.auditStoreDelete(spark, idx, Seq(1L))
+    assert(residentPairKeys(idx).isEmpty)
+    TextDedup.auditStoreWrite(pairRows((1L, 2L)), candRows((1L, 2L)), idx)
+    assert(residentPairKeys(idx) == Seq((1L, 2L)),
+      "a rebuild must not inherit the prior life's tombstones")
+    assert(Stores.storeVersion(spark, idx) == 0L,
+      "a rebuild starts a fresh coordination epoch")
+  }
+}

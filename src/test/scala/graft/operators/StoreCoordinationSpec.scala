@@ -477,6 +477,37 @@ class StoreCoordinationSpec extends SparkTestBase {
       s"the frame form bumps each store exactly once: $vs")
   }
 
+  test("FRAME-shaped takedown stamps ride each store's delete: a " +
+      "mid-list crash leaves a LOUD divergence (r19 advice — the " +
+      "delete-all-then-stamp split read as falsely aligned)") {
+    val search = tmp(); val dedup = tmp()
+    Search.searchIndexWrite(docsDf, search)
+    TextDedup.dedupIndexWrite(docsDf, dedup)
+    val refs = Seq(Graft.SearchStore(search), Graft.DedupStore(dedup))
+    // hold the SECOND store's mutation lock so its delete throws
+    // mid-list — the crash shape. Under the old phase split (all
+    // deletes, then all stamps) this crash left EVERY stamp at the
+    // old common value: the composed serve read as aligned over
+    // half-applied tombstones. Interleaved, the completed store is
+    // stamped AHEAD and the divergence is loud until the re-run.
+    val lock = new java.io.File(s"$dedup/mutation-lock")
+    assert(lock.createNewFile())
+    intercept[IllegalStateException](
+      Graft.takedownAll(spark, Seq(4L).toDF("doc_id"), refs))
+    assert(Graft.storeVersion(spark, search) == 1L
+        && Graft.storeVersion(spark, dedup) == 0L,
+      "the completed store must be stamped ahead of the crashed one")
+    intercept[IllegalStateException](
+      Stores.requireAlignedVersions(spark, Seq(search, dedup)))
+    // the documented repair: clear the dead holder's lock (the fsck
+    // contract), re-run the SAME takedown — converges on a fresh
+    // common target
+    assert(lock.delete())
+    Graft.takedownAll(spark, Seq(4L).toDF("doc_id"), refs)
+    assert(Stores.requireAlignedVersions(spark, Seq(search, dedup)) == 2L,
+      "one re-run must align both stores on the common target")
+  }
+
   test("FRAME-shaped takedownAll releases its id pin (before/after " +
       "persistent-RDD diff)") {
     val search = tmp()
