@@ -1330,6 +1330,39 @@ object Stores {
     report(s, indexDir, rows.toSeq)
   }
 
+  /** fsck for a [[TextDedup.auditStoreWrite]] pair store: crashed-
+    * mutation lock, generation hygiene, and a report-only
+    * duplicate-pair check (an appended delta replayed twice — repair
+    * needs the source delta, so rebuild from the pipeline's own pair
+    * set or delete + compact the affected docs). */
+  private[graft] def auditStoreFsck(s: SparkSession, indexDir: String,
+      execute: Boolean = true): DataFrame = {
+    val fs = fsOf(s, new Path(indexDir))
+    val rows = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    rows ++= fsckMutationLock(s, indexDir, execute)
+    rows ++= fsckGenerations(s, indexDir, TextDedup.AuditGenKinds, execute)
+    val g = currentGen(s, indexDir)
+    val pairs = s"$indexDir/${genName("pairs", g)}"
+    if (!fs.exists(new Path(pairs))) {
+      rows += (("datasets", s"current generation g$g incomplete",
+        "unrecoverable without a rebuild"))
+      return report(s, indexDir, rows.toSeq)
+    }
+    val dups = s.read
+      .schema("doc_i BIGINT, doc_j BIGINT, n_common BIGINT, n_i INT, " +
+        "n_j INT, jaccard DOUBLE, bk INT")
+      .parquet(pairs)
+      .groupBy("doc_i", "doc_j").count()
+      .filter(col("count") > 1).count()
+    rows += (("dup-pairs",
+      if (dups == 0) "none" else s"$dups pairs appended more than once",
+      if (dups == 0) "none"
+      else "report-only: rebuild from the pipeline's verified pair set " +
+        "(auditStoreWrite), or auditStoreDelete the affected docs and " +
+        "compact"))
+    report(s, indexDir, rows.toSeq)
+  }
+
   /** Auto-detecting fsck: dispatch on the store's own layout (which
     * main dataset — at any generation — exists), so an operator can
     * point fsck at ANY graft store directory without knowing which
@@ -1340,8 +1373,9 @@ object Stores {
     if (anyOf("postings")) searchIndexFsck(s, dir, execute)
     else if (anyOf("bands")) dedupIndexFsck(s, dir, execute)
     else if (anyOf("enc")) annIndexFsck(s, dir, execute)
+    else if (anyOf("pairs")) auditStoreFsck(s, dir, execute)
     else throw new IllegalArgumentException(
       s"storeFsck: $dir is not a graft store directory (no postings/, " +
-        "bands/ or enc/ dataset in any state)")
+        "bands/, enc/ or pairs/ dataset in any state)")
   }
 }

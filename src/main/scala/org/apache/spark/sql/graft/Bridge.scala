@@ -54,7 +54,12 @@ object Bridge {
     try {
       val it = observationMap(s).entrySet().iterator()
       while (it.hasNext) if (it.next().getValue eq obs) it.remove()
-    } catch { case _: ReflectiveOperationException => () }
+    } catch {
+      // a non-classic session (connect) would CCE on the cast — same
+      // degradation contract as a renamed field: fall back to the
+      // documented bounded leak, never crash the write path
+      case _: ReflectiveOperationException | _: ClassCastException => ()
+    }
 
   /** How many manager entries currently reference `obs` — the
     * ObservationSpec hook that keeps [[dropObservation]]'s reflection

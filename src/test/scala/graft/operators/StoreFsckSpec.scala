@@ -210,6 +210,42 @@ class StoreFsckSpec extends SparkTestBase {
       "the dedup store must serve its pre-crash verdicts throughout")
   }
 
+  test("audit fsck dispatches on pairs/, clears a crashed mutation " +
+      "lock, deletes a torn compact scratch, reports dup pairs") {
+    import spark.implicits._
+    def pairRows(ps: (Long, Long)*) =
+      ps.toSeq.toDF("doc_i", "doc_j")
+        .select(col("doc_i"), col("doc_j"), lit(4L).as("n_common"),
+          lit(6).as("n_i"), lit(6).as("n_j"), lit(0.5).as("jaccard"))
+    val idx = tmp(); val twin = tmp()
+    for (d <- Seq(idx, twin)) {
+      TextDedup.auditStoreWrite(pairRows((1L, 2L), (3L, 4L)),
+        Seq((1L, 2L), (3L, 4L)).toDF("doc_i", "doc_j"), d)
+      TextDedup.auditStoreDelete(spark, d, Seq(3L))
+    }
+    TextDedup.auditStoreCompact(spark, twin)
+    mvAcross(twin, "pairs-g1", idx, "pairs-g1") // torn pre-flip scratch
+    assert(new java.io.File(idx, "mutation-lock").createNewFile(),
+      "plant a crashed mutation's lock")
+    val report = fsckMap(idx)
+    assert(report.contains("mutation-lock") &&
+        !exists(idx, "mutation-lock"),
+      s"fsck must report and clear the crashed lock: $report")
+    assert(report.keys.exists(_.startsWith("torn scratch pairs-g1")),
+      s"fsck must name the torn scratch: $report")
+    assert(!exists(idx, "pairs-g1"), "torn scratch must be deleted")
+    assert(TextDedup.residentAuditPairs(spark, idx)
+        .select("doc_i", "doc_j").as[(Long, Long)].collect().toSeq
+      == Seq((1L, 2L)),
+      "the store must serve its pre-crash pair set throughout")
+    // a replayed append doubles a pair: report-only, named
+    TextDedup.auditStoreAppend(pairRows((1L, 2L)),
+      Seq.empty[(Long, Long)].toDF("doc_i", "doc_j"), idx)
+    val dup = fsckMap(idx)
+    assert(dup.get("dup-pairs").exists(_._1.contains("1 pairs")),
+      s"fsck must report the duplicated pair: $dup")
+  }
+
   test("ANN fsck deletes a torn compact scratch; the served top-k is " +
       "unchanged") {
     def codesDf =
