@@ -69,6 +69,46 @@ class AuditStoreSpec extends SparkTestBase {
       "the persisted candidate set must equal the lsh-cand cache")
   }
 
+  test("the decision layer runs OFF THE STORE: connected components " +
+      "over the persisted pair set equal the chain's dup clusters") {
+    // the 100 TB claim made executable: a NEW session (no chain
+    // caches) labels duplicate clusters from the store's pair
+    // endpoints alone — same converged labels as the in-memory
+    // dup-cc cache the q89/q173/q174/q175 consumers read
+    TextDedup.resetDiskAuditMemo()
+    val idx = TextDedup.diskAuditDir(spark, sf)
+    val fromStore = TextDedup.connectedComponents(
+        TextDedup.residentAuditPairs(spark, idx)
+          .select(col("doc_i").as("src"), col("doc_j").as("dst")))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val fromChain = TextDedup.dupClusters(spark, sf)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(fromStore.nonEmpty && fromStore == fromChain,
+      "store-fed connected components must equal the chain's labels")
+  }
+
+  test("a point membership probe prunes to ONE bucket partition") {
+    TextDedup.resetDiskAuditMemo()
+    val idx = TextDedup.diskAuditDir(spark, sf)
+    val some = TextDedup.residentAuditPairs(spark, idx)
+      .select("doc_i", "doc_j").as[(Long, Long)].head()
+    // "was (i, j) verified?" — the bk predicate a point probe derives
+    // from doc_i reaches the scan as a partition filter, so the read
+    // touches one bucket directory regardless of store size
+    val probe = spark.read
+      .schema("doc_i BIGINT, doc_j BIGINT, n_common BIGINT, n_i INT, " +
+        "n_j INT, jaccard DOUBLE, bk INT")
+      .parquet(s"$idx/pairs")
+      .filter(col("bk") === pmod(xxhash64(lit(some._1)), lit(8)).cast("int")
+        && col("doc_i") === some._1 && col("doc_j") === some._2)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+        !plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .trim.isEmpty,
+      s"the bk predicate must reach the scan as a partition filter:\n$plan")
+    assert(probe.count() == 1L, "the probe finds exactly the pair")
+  }
+
   test("append serves identically to a full rebuild and bumps the stamp") {
     val a = Seq((1L, 2L), (3L, 4L))
     val b = Seq((5L, 6L), (1L, 7L))
