@@ -1343,7 +1343,12 @@ object Stores {
     rows ++= fsckGenerations(s, indexDir, TextDedup.AuditGenKinds, execute)
     val g = currentGen(s, indexDir)
     val pairs = s"$indexDir/${genName("pairs", g)}"
-    if (!fs.exists(new Path(pairs))) {
+    val cand = s"$indexDir/${genName("cand", g)}"
+    // BOTH datasets must exist at the current generation: a crash
+    // between auditStoreWrite/Append's two writeAuditSet calls leaves
+    // pairs present and cand missing — before the r20 advice fix this
+    // reported healthy while residentAuditCands threw
+    if (!fs.exists(new Path(pairs)) || !fs.exists(new Path(cand))) {
       rows += (("datasets", s"current generation g$g incomplete",
         "unrecoverable without a rebuild"))
       return report(s, indexDir, rows.toSeq)
@@ -1358,6 +1363,21 @@ object Stores {
       if (dups == 0) "none" else s"$dups pairs appended more than once",
       if (dups == 0) "none"
       else "report-only: rebuild from the pipeline's verified pair set " +
+        "(auditStoreWrite), or auditStoreDelete the affected docs and " +
+        "compact"))
+    // same report-only replay check over the candidate set: duplicate
+    // candidates skew q188's n_cand/precision exactly the way
+    // duplicate pairs skew recall
+    val candDups = s.read
+      .schema("doc_i BIGINT, doc_j BIGINT, bk INT")
+      .parquet(cand)
+      .groupBy("doc_i", "doc_j").count()
+      .filter(col("count") > 1).count()
+    rows += (("dup-cands",
+      if (candDups == 0) "none"
+      else s"$candDups candidates appended more than once",
+      if (candDups == 0) "none"
+      else "report-only: rebuild from the pipeline's candidate set " +
         "(auditStoreWrite), or auditStoreDelete the affected docs and " +
         "compact"))
     report(s, indexDir, rows.toSeq)

@@ -113,8 +113,28 @@ object TextDedup {
 
   private[graft] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cached(s, s"lsh-cand:$dir") {
-      bandedPairsOf(bandsOf(signatures(s, dir)))
+      // r21: read THROUGH the on-disk audit pair store (built once per
+      // corpus dir by [[diskAuditDir]] from [[chainCandidatePairs]] —
+      // the same banded join this cache used to build directly). The
+      // first chain consumer's touch becomes the 14-job store
+      // build+serve instead of the 21-job in-session chain rebuild,
+      // every later consumer (q44/q121/q130/q144) reads the persisted
+      // scan, and the candidate set survives the JVM — the r20
+      // verdict's ask #2/#3 wiring. Store-fed ≡ chain is spec-pinned
+      // (AuditStoreSpec) and both paths stay under the same DuckDB
+      // oracles (q44/q117/q121/q144 verbatim).
+      residentAuditCands(s, diskAuditDir(s, dir))
     }
+
+  /** The CHAIN-computed candidate set — the banded self-join over the
+    * registry signature cache, exactly what [[lshCandidatePairs]]'s
+    * cache body built before the store rewiring. The store build
+    * ([[diskAuditDir]]) and the store-fed ≡ chain specs call this; the
+    * growth probe (tools.ScaleProbe `minhash_banded`) measures it so
+    * the recorded law stays the JOIN's law, not build+write. */
+  private[graft] def chainCandidatePairs(s: SparkSession,
+      dir: String): DataFrame =
+    bandedPairsOf(bandsOf(signatures(s, dir)))
 
   /** Distinct (doc_i < doc_j) pairs sharing ≥1 band — the ONE banded
     * equality join every MinHash consumer (dir-bound cache above,
@@ -367,11 +387,23 @@ object TextDedup {
     }
 
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    // pairs are consumed twice (q42 result, the dup-cc cluster edges)
-    // and are tiny (survivors only) — the canonical thing to keep hot
+    // pairs are consumed repeatedly (q42 result, q117's truth set, the
+    // dup-cc cluster edges) and are tiny (survivors only) — the
+    // canonical thing to keep hot. r21: read THROUGH the audit pair
+    // store (see [[lshCandidatePairs]] — same rewiring, same specs):
+    // the verified pair set is computed once per corpus by the store
+    // build and every consumer reads the persisted bucket scans.
     CacheRegistry.cached(s, s"jaccard-pairs:$dir") {
-      jaccardPairsPlan(docShingles(s, dir))
+      residentAuditPairs(s, diskAuditDir(s, dir))
     }
+
+  /** The CHAIN-computed verified pair set — [[jaccardPairsPlan]] over
+    * the shared shingle cache, exactly what [[jaccardPairs]]'s cache
+    * body built before the store rewiring; the store build and the
+    * store-fed ≡ chain specs run it. */
+  private[graft] def chainJaccardPairs(s: SparkSession,
+      dir: String): DataFrame =
+    jaccardPairsPlan(docShingles(s, dir))
 
   /** Converged duplicate-cluster labels (id, lbl) over the exact-Jaccard
     * near-dup edges — lbl = min doc_id of the component, the canonical
@@ -944,7 +976,10 @@ object TextDedup {
       // would instead verify candidates directly against the shingle
       // arrays — that form is what [[prefixVerifyPairs]] keeps. The
       // audit math itself is [[lshAuditPlan]], shared verbatim with
-      // the store-fed q188 (one replay of the math gates both).
+      // q188 (one replay of the math gates both). Since r21 both pair
+      // caches read THROUGH the on-disk audit store, so this query's
+      // first touch IS the 14-job store build + serve (the r20 chain
+      // rebuild scheduled 21) and q188's serve rides the warm memo.
       lshAuditPlan(quotaSample(s, dir, 50),
         jaccardPairs(s, dir).select("doc_i", "doc_j"),
         lshCandidatePairs(s, dir))
@@ -1127,10 +1162,12 @@ object TextDedup {
     //    remaining storm exposure after the r19 disk-trio cut. This
     //    query reads BOTH sets off the bucket-partitioned parquet
     //    store [[auditStoreWrite]] lays out (built once per corpus —
-    //    the q184 memo discipline; the build itself is a one-partition
-    //    bootstrap over frames the session's dedup pipeline computes
-    //    anyway) and runs the SAME audit math ([[lshAuditPlan]] —
-    //    shared function, not a copy). SAME oracle as q117, verbatim
+    //    the q184 memo discipline; since r21 the pair caches read
+    //    through the store too, so in sorted bench order q117 absorbs
+    //    the build and THIS query is the pure serve: memo hit + two
+    //    pruned bucket scans) and runs the SAME audit math
+    //    ([[lshAuditPlan]] — shared function, not a copy). SAME oracle
+    //    as q117, verbatim
     //    (the standing splice discipline): one DuckDB replay of the
     //    sample/truth/candidate math gates the in-memory chain AND the
     //    disk path end to end. AuditStoreSpec pins store-fed ≡
@@ -1915,14 +1952,18 @@ object TextDedup {
           "bucket probes)")
     }
 
-  /** The on-disk audit store behind q188 — built once per corpus dir
-    * from the SAME registry caches q117 reads (so the two audit paths
-    * are result-identical by construction), under a bootstrap sized
-    * from the documents table (the chain's true input: ~600 KB at
-    * sf0.1 → one-partition bootstrap; at 100 TB → the session's full
-    * parallelism). Same memo contract as [[diskDedupDir]], including
-    * the warm-replay trap — ledger derivations must
-    * [[resetDiskAuditMemo]]. */
+  /** The on-disk audit store behind the whole LSH-audit family — built
+    * once per corpus dir from the chain computations
+    * ([[chainJaccardPairs]]/[[chainCandidatePairs]] over the shared
+    * shingle/signature caches), under a bootstrap sized from the
+    * documents table (the chain's true input: ~600 KB at sf0.1 →
+    * one-partition bootstrap; at 100 TB → the session's full
+    * parallelism). Since r21 the registry pair caches
+    * ([[jaccardPairs]]/[[lshCandidatePairs]]) read THROUGH this store,
+    * so the first chain consumer (q117 in bench order) absorbs the
+    * build and q188 serves off two pruned bucket scans. Same memo
+    * contract as [[diskDedupDir]], including the warm-replay trap —
+    * ledger derivations must [[resetDiskAuditMemo]]. */
   private val diskAuditDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1934,8 +1975,13 @@ object TextDedup {
         .createTempDirectory("graft-auditidx-q188").toString
       Stores.withBootstrapShuffle(s,
         Seq(T(s, dir, "documents"))) {
-        auditStoreWrite(jaccardPairs(s, dir), lshCandidatePairs(s, dir),
-          out)
+        // the build computes from the CHAIN directly (the registry
+        // caches now read through this store — calling them here
+        // would recurse); at bench scale the chain materialization
+        // folds into the first bucket-partitioned write under the
+        // one-partition bootstrap
+        auditStoreWrite(chainJaccardPairs(s, dir),
+          chainCandidatePairs(s, dir), out)
       }
       out
     })

@@ -180,8 +180,12 @@ object ScaleProbe {
         }
       }
 
+      // the CHAIN form, deliberately (r21): the public accessors now
+      // read through the on-disk audit pair store, and the recorded
+      // growth law must stay the banded JOIN's law (and below, the
+      // verify+CC law), not build+parquet-write
       rec("minhash_banded", nDocs) {
-        TextDedup.lshCandidatePairs(spark, dir).count()
+        TextDedup.chainCandidatePairs(spark, dir).count()
       }
       // the one ITERATIVE operator, on its production input: exact
       // Jaccard verify over the candidates (q42's count-join) feeding
@@ -193,7 +197,10 @@ object ScaleProbe {
       // drive it to the 25-round cap; per-round fixed cost, not data,
       // dominates. Verify-then-cluster is the discipline, not a nicety.)
       rec("dup_clusters", nDocs) {
-        TextDedup.dupClusters(spark, dir).count()
+        TextDedup.connectedComponents(
+          TextDedup.chainJaccardPairs(spark, dir)
+            .select(col("doc_i").as("src"), col("doc_j").as("dst")))
+          .count()
       }
       // the ON-DISK text-dedup store lifecycle (r15): build = one
       // signature pass + a 4-way band-partitioned write (expect the

@@ -55,10 +55,14 @@ object Bridge {
       val it = observationMap(s).entrySet().iterator()
       while (it.hasNext) if (it.next().getValue eq obs) it.remove()
     } catch {
-      // a non-classic session (connect) would CCE on the cast — same
-      // degradation contract as a renamed field: fall back to the
-      // documented bounded leak, never crash the write path
-      case _: ReflectiveOperationException | _: ClassCastException => ()
+      // NonFatal, not just ReflectiveOperationException|CCE: a
+      // non-classic session (connect) CCEs on the cast, and under JPMS
+      // strong encapsulation setAccessible throws
+      // InaccessibleObjectException — a RuntimeException the narrower
+      // catch missed (r20 advice). Every reflection failure degrades
+      // to the documented bounded leak, never a crash on the write
+      // path; ObservationSpec keeps the happy path loud.
+      case scala.util.control.NonFatal(_) => ()
     }
 
   /** How many manager entries currently reference `obs` — the

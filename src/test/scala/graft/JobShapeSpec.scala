@@ -88,4 +88,18 @@ class JobShapeSpec extends SparkTestBase {
   pin("q188_disk_lsh_audit", 18,
     "the r20 pair store: first touch reads the store instead of " +
       "rebuilding the 21-job LSH chain; 13 measured here")
+  // the r20 verdict's ask #4: the deep-chain class gets drift pins
+  // too — a schema-inference read or un-gated broadcast creeping into
+  // the chain must fail `sbt test`, not surface as a judged-line
+  // mystery. After the r21 store rewiring q117's first touch IS the
+  // store build + serve and q121's candidate graph reads the store.
+  pin("q117_lsh_recall", 19,
+    "r21 rewiring: first touch = pair-store build + audit serve " +
+      "(was the 21-job chain at sf0.1); 14 measured here")
+  pin("q121_pagerank_neardup", 24,
+    "r21 rewiring: store-fed candidate graph + 2 structure pins + 3 " +
+      "unrolled rounds (was 19 at sf0.1); 19 measured here")
+  pin("q134_session_cooccurrence", 17,
+    "the r20-traced floor: cache build + pair join + top-k, every " +
+      "exchange semantically required; 12 measured here")
 }

@@ -130,11 +130,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("graft_word_shingles"), "native WordShingles not in plan")
   }
 
-  test("q42: count-join shape — shuffle join + partial/final agg, no verify pass") {
+  test("q42: store-fed serve has no join; the chain keeps the " +
+      "count-join shape (shuffle join + partial/final agg, no verify pass)") {
+    // since r21 the jaccard-pairs cache reads through the on-disk
+    // audit store: the SERVED plan is a declared-schema bucket scan
     val p = plan("q42_jaccard_pairs")
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
-      "expected partial+final count aggregation")
     assert(!p.contains("array_intersect"),
+      "the store serve must not re-verify with array_intersect")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the store serve must not re-run the pair join:\n$p")
+    // the CHAIN plan — what the store build executes — keeps the
+    // count-join shape this test always pinned
+    val c = graft.operators.TextDedup.chainJaccardPairs(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("HashAggregate".r.findAllIn(c).size >= 2,
+      "expected partial+final count aggregation in the chain plan")
+    assert(!c.contains("array_intersect"),
       "exact count-join must not re-verify with array_intersect")
   }
 

@@ -48,10 +48,14 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   *    (partial writes, a ledgered appendAll, a takedownAll whose id
   *    slice is a driver collect), and the serve adds the cross-store
   *    version-alignment read on top of q186's eager set;
-  *  - q188_disk_lsh_audit: same contract on the pair store — first
-  *    touch writes the bucket-partitioned verified-pair + candidate
-  *    store once per corpus (diskAuditDir), and every serve runs the
-  *    geometry manifest check.
+  *  - q117_lsh_recall: owns the pair-store build since the r21
+  *    rewiring — the jaccard-pairs/lsh-cand registry caches read
+  *    THROUGH the on-disk audit store (diskAuditDir), and q117 is the
+  *    chain's first consumer in sorted order, so its construction
+  *    writes the bucket-partitioned verified-pair + candidate store
+  *    once per corpus. q188 consequently constructs JOB-FREE here:
+  *    its serve is a memo hit + a driver-side manifest/generation
+  *    read + two declared-schema scans.
   * Table RESOLUTION (parquet footer/schema read on a table's first
   * touch) also runs small jobs; it is the memoized metastore role, not
   * a query cost, and the spec pre-resolves every table so those jobs
@@ -72,7 +76,7 @@ class PlanConstructionSpec extends SparkTestBase {
     "q182_ivfpq_disk", "q183_ivfpq_filtered",
     "q184_disk_incremental_dedup", "q185_bm25_disk",
     "q186_rag_fuse_disk", "q187_coord_takedown",
-    "q188_disk_lsh_audit")
+    "q117_lsh_recall")
 
   private val TagProp = "graft.construct.query"
 
@@ -142,6 +146,11 @@ class PlanConstructionSpec extends SparkTestBase {
     val bc = graft.operators.TextDedup.BranchConf
     def keysUnder(branch: String): Set[String] = {
       CacheRegistry.clear(spark)
+      // cold audit-store memo per branch: the jaccard-pairs cache reads
+      // through the store since r21, so a memo left warm by the other
+      // branch (or another suite) would skip the build's nested
+      // shingles/minhash-sig accesses and fake a key divergence
+      graft.operators.TextDedup.resetDiskAuditMemo()
       val seen = scala.collection.mutable.LinkedHashSet[String]()
       spark.conf.set(bc, branch)
       try CacheRegistry.withAccessHook(

@@ -38,35 +38,46 @@ class AuditStoreSpec extends SparkTestBase {
     TextDedup.residentAuditCands(spark, idx)
       .select("doc_i", "doc_j").as[(Long, Long)].collect().toSeq.sorted
 
-  test("q188 (store-fed) equals q117 (recompute) row for row") {
+  test("q188 and q117 (both store-fed since r21) equal the pure chain " +
+      "recompute row for row") {
     TextDedup.resetDiskAuditMemo()
     val a = SparkEntry.queries("q188_disk_lsh_audit")(spark, sf)
       .collect().toSeq
     val b = SparkEntry.queries("q117_lsh_recall")(spark, sf)
       .collect().toSeq
-    assert(a == b, s"store-fed audit must equal the recompute:\n$a\nvs\n$b")
+    // the recompute reference: the SAME audit math over the chain-
+    // computed pair/candidate sets, bypassing the store entirely —
+    // with the r21 rewiring this is the one comparison that still
+    // pins store-fed ≡ recompute end to end
+    val c = TextDedup.lshAuditPlan(TextDedup.quotaSample(spark, sf, 50),
+      TextDedup.chainJaccardPairs(spark, sf).select("doc_i", "doc_j"),
+      TextDedup.chainCandidatePairs(spark, sf)).collect().toSeq
+    assert(a == c, s"store-fed q188 must equal the chain recompute:\n$a\nvs\n$c")
+    assert(b == c, s"store-fed q117 must equal the chain recompute:\n$b\nvs\n$c")
     // the fixture must exercise real candidates or the pin is vacuous
     assert(a.head.getInt(1) > 0, s"fixture has no LSH candidates: $a")
   }
 
-  test("both persisted sets round-trip the registry caches exactly") {
+  test("both persisted sets round-trip the chain computations exactly") {
     TextDedup.resetDiskAuditMemo()
     val idx = TextDedup.diskAuditDir(spark, sf)
     val gotPairs = TextDedup.residentAuditPairs(spark, idx)
       .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq.sorted
-    val wantPairs = SparkEntry.queries("q42_jaccard_pairs")(spark, sf)
+    // the chain plans, NOT the q42/q44 queries: those read through the
+    // store since r21, so only the raw chain keeps this non-circular
+    val wantPairs = TextDedup.chainJaccardPairs(spark, sf)
       .select(col("doc_i"), col("doc_j"), col("n_common").cast("long"),
         col("n_i").cast("int"), col("n_j").cast("int"),
         col("jaccard").cast("double"))
       .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq.sorted
     assert(gotPairs.nonEmpty && gotPairs == wantPairs,
-      "the persisted verified pair set must equal the jaccard-pairs " +
-        s"cache content:\n$gotPairs\nvs\n$wantPairs")
+      "the persisted verified pair set must equal the chain-computed " +
+        s"pairs:\n$gotPairs\nvs\n$wantPairs")
     val gotCands = residentCandKeys(idx)
-    val wantCands = SparkEntry.queries("q44_lsh_candidates")(spark, sf)
+    val wantCands = TextDedup.chainCandidatePairs(spark, sf)
       .select("doc_i", "doc_j").as[(Long, Long)].collect().toSeq.sorted
     assert(gotCands.nonEmpty && gotCands == wantCands,
-      "the persisted candidate set must equal the lsh-cand cache")
+      "the persisted candidate set must equal the chain-computed candidates")
   }
 
   test("the decision layer runs OFF THE STORE: connected components " +
@@ -81,7 +92,11 @@ class AuditStoreSpec extends SparkTestBase {
         TextDedup.residentAuditPairs(spark, idx)
           .select(col("doc_i").as("src"), col("doc_j").as("dst")))
       .as[(Long, Long)].collect().toSeq.sorted
-    val fromChain = TextDedup.dupClusters(spark, sf)
+    // the chain recompute, not dupClusters: the dup-cc cache reads
+    // through this very store since r21
+    val fromChain = TextDedup.connectedComponents(
+        TextDedup.chainJaccardPairs(spark, sf)
+          .select(col("doc_i").as("src"), col("doc_j").as("dst")))
       .as[(Long, Long)].collect().toSeq.sorted
     assert(fromStore.nonEmpty && fromStore == fromChain,
       "store-fed connected components must equal the chain's labels")

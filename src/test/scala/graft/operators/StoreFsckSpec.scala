@@ -244,6 +244,22 @@ class StoreFsckSpec extends SparkTestBase {
     val dup = fsckMap(idx)
     assert(dup.get("dup-pairs").exists(_._1.contains("1 pairs")),
       s"fsck must report the duplicated pair: $dup")
+    // the r20 advice gaps: (a) a replayed CAND delta is reported too —
+    // duplicate candidates skew n_cand/precision like duplicate pairs
+    // skew recall
+    TextDedup.auditStoreAppend(
+      pairRows(), Seq((1L, 2L)).toDF("doc_i", "doc_j"), idx)
+    val dup2 = fsckMap(idx)
+    assert(dup2.get("dup-cands").exists(_._1.contains("1 candidates")),
+      s"fsck must report the duplicated candidate: $dup2")
+    // (b) a generation with pairs present but cand missing (crash
+    // between the two writeAuditSet calls) reports incomplete instead
+    // of healthy
+    mv(idx, "cand", "cand-hidden")
+    val torn = fsckMap(idx)
+    assert(torn.get("datasets").exists(_._1.contains("incomplete")),
+      s"fsck must flag a missing cand dataset: $torn")
+    mv(idx, "cand-hidden", "cand")
   }
 
   test("ANN fsck deletes a torn compact scratch; the served top-k is " +
