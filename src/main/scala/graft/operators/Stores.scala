@@ -1353,33 +1353,27 @@ object Stores {
         "unrecoverable without a rebuild"))
       return report(s, indexDir, rows.toSeq)
     }
-    val dups = s.read
-      .schema("doc_i BIGINT, doc_j BIGINT, n_common BIGINT, n_i INT, " +
-        "n_j INT, jaccard DOUBLE, bk INT")
-      .parquet(pairs)
-      .groupBy("doc_i", "doc_j").count()
-      .filter(col("count") > 1).count()
-    rows += (("dup-pairs",
-      if (dups == 0) "none" else s"$dups pairs appended more than once",
-      if (dups == 0) "none"
-      else "report-only: rebuild from the pipeline's verified pair set " +
-        "(auditStoreWrite), or auditStoreDelete the affected docs and " +
-        "compact"))
-    // same report-only replay check over the candidate set: duplicate
-    // candidates skew q188's n_cand/precision exactly the way
-    // duplicate pairs skew recall
-    val candDups = s.read
-      .schema("doc_i BIGINT, doc_j BIGINT, bk INT")
-      .parquet(cand)
-      .groupBy("doc_i", "doc_j").count()
-      .filter(col("count") > 1).count()
-    rows += (("dup-cands",
-      if (candDups == 0) "none"
-      else s"$candDups candidates appended more than once",
-      if (candDups == 0) "none"
-      else "report-only: rebuild from the pipeline's candidate set " +
-        "(auditStoreWrite), or auditStoreDelete the affected docs and " +
-        "compact"))
+    // one report-only replay check per dataset (a replayed delta
+    // double-counts): duplicate candidates skew q188's
+    // n_cand/precision exactly the way duplicate pairs skew recall.
+    // Schemas come from TextDedup's declared-read constants so a
+    // store schema change cannot silently diverge from this read.
+    def dupCheck(path: String, schema: String, label: String,
+        noun: String, rebuildFrom: String): (String, String, String) = {
+      val n = s.read.schema(schema).parquet(path)
+        .groupBy("doc_i", "doc_j").count()
+        .filter(col("count") > 1).count()
+      ((label,
+        if (n == 0) "none" else s"$n $noun appended more than once",
+        if (n == 0) "none"
+        else s"report-only: rebuild from the pipeline's $rebuildFrom " +
+          "(auditStoreWrite), or auditStoreDelete the affected docs " +
+          "and compact"))
+    }
+    rows += dupCheck(pairs, TextDedup.AuditPairSchema, "dup-pairs",
+      "pairs", "verified pair set")
+    rows += dupCheck(cand, TextDedup.AuditCandSchema, "dup-cands",
+      "candidates", "candidate set")
     report(s, indexDir, rows.toSeq)
   }
 

@@ -1771,10 +1771,13 @@ object TextDedup {
     * the no-schema-inference discipline ([[DedupBandSchema]]). Types
     * are normalized AT THE WRITER, so both jaccard branches (count
     * long vs size int) land identically. */
-  private val AuditPairSchema =
+  // private[graft]: Stores.auditStoreFsck reads both datasets with
+  // these same declared schemas — one constant per dataset, so a
+  // schema change cannot silently diverge from fsck's read
+  private[graft] val AuditPairSchema =
     "doc_i BIGINT, doc_j BIGINT, n_common BIGINT, n_i INT, n_j INT, " +
       "jaccard DOUBLE, bk INT"
-  private val AuditCandSchema = "doc_i BIGINT, doc_j BIGINT, bk INT"
+  private[graft] val AuditCandSchema = "doc_i BIGINT, doc_j BIGINT, bk INT"
 
   private def withAuditBk(df: DataFrame): DataFrame =
     df.withColumn("bk",

@@ -40,6 +40,13 @@ class AuditStoreSpec extends SparkTestBase {
 
   test("q188 and q117 (both store-fed since r21) equal the pure chain " +
       "recompute row for row") {
+    // clear the REGISTRY too, not just the store memo: an earlier
+    // suite in this shared session may have warmed the
+    // jaccard-pairs/lsh-cand frames against a previous (now-orphaned)
+    // store — without the clear, q117's leg would serve those frames
+    // and never read the store this test builds, making its half of
+    // the pin vacuous
+    graft.CacheRegistry.clear(spark)
     TextDedup.resetDiskAuditMemo()
     val a = SparkEntry.queries("q188_disk_lsh_audit")(spark, sf)
       .collect().toSeq
