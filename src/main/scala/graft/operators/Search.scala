@@ -63,15 +63,22 @@ object Search {
   /** (doc_id, w, tf, n2): the unigram postings with each doc's squared
     * L2 norm attached — the sparse-vector form a cosine rerank consumes.
     * Registry-persisted: q130 reads it on BOTH sides of its candidate
-    * pair join, and attaching n2 here (one tiny doc-keyed join at build
-    * time, paid once) lets the pair aggregation carry both endpoint
-    * norms as per-group constants instead of re-joining a norms frame
-    * twice after the aggregation — two fewer stages per run. */
+    * pair join, and attaching n2 here (paid once at build time) lets
+    * the pair aggregation carry both endpoint norms as per-group
+    * constants instead of re-joining a norms frame twice after the
+    * aggregation — two fewer stages per run.
+    *
+    * The norm rides a doc-partitioned WINDOW over the cached tf frame
+    * (r22, guide §2.4): the old groupBy + self-join re-keyed the same
+    * frame twice (an aggregate exchange plus the join's own exchange —
+    * at broadcast-defeating scale, two full shuffles of the postings
+    * where the window pays exactly one). n2 is an exact integer sum
+    * over the doc's full partition frame, so the value is identical to
+    * the joined aggregate at any row order. */
   private def tfWithNorm(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cached(s, s"tf-norm:$dir") {
-      val tf = unigramTf(s, dir)
-      val n2 = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
-      tf.join(n2, "doc_id")
+      unigramTf(s, dir).withColumn("n2",
+        sum(col("tf") * col("tf")).over(Window.partitionBy("doc_id")))
     }
 
   /** BM25-scored docs: doc_id, dl, tf1..tf3, score (rounded 4 dp).
@@ -702,24 +709,32 @@ object Search {
       Seq("n_buckets" -> nBuckets.toString, "tokenizer" -> SearchTokenizer))
     val ws = split(col(textCol), " ")
     val obs = org.apache.spark.sql.Observation()
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        size(ws).as("dl"))
-      .observe(obs, count(lit(1)).cast("long").as("n"),
-        coalesce(sum(col("dl").cast("long")), lit(0L)).as("sdl"))
-      .write.mode("overwrite").parquet(s"$outDir/docs")
-    val (n0, sdl0) = observedStats(s, obs, s"$outDir/docs")
-    writeSearchStats(s, outDir, 0L, n0, sdl0)
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(ws).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("int").as("tf"))
-      .withColumn("bkt",
-        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
-      // one write task per bucket: each partition directory gets one
-      // file instead of (shuffle.partitions x nBuckets) shards
-      .repartition(nBuckets, col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt")
-      .parquet(s"$outDir/postings")
+    // docs (+ its observed stats sidecar) and postings are disjoint
+    // datasets derived from the same input — their two write jobs run
+    // CONCURRENTLY (r22, Stores.inParallel): the rebuild-safe initial
+    // write has no cross-artifact ordering (a torn write of either
+    // half is the same re-run-the-write repair; fsck classifies both)
+    Stores.inParallel(s)(
+      {
+        docs.select(col(idCol).cast("long").as("doc_id"),
+            size(ws).as("dl"))
+          .observe(obs, count(lit(1)).cast("long").as("n"),
+            coalesce(sum(col("dl").cast("long")), lit(0L)).as("sdl"))
+          .write.mode("overwrite").parquet(s"$outDir/docs")
+        val (n0, sdl0) = observedStats(s, obs, s"$outDir/docs")
+        writeSearchStats(s, outDir, 0L, n0, sdl0)
+      },
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          explode(ws).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("int").as("tf"))
+        .withColumn("bkt",
+          pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+        // one write task per bucket: each partition directory gets one
+        // file instead of (shuffle.partitions x nBuckets) shards
+        .repartition(nBuckets, col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$outDir/postings"))
     // fresh corpus-version stamp (see [[Stores]]): a rebuild starts a
     // new coordination epoch at 0
     Stores.writeStoreVersion(s, outDir, 0L)
@@ -1345,8 +1360,7 @@ object Search {
 
   private[graft] def diskSearchDir(s: SparkSession, dir: String): String =
     diskSearchDirs.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-searchidx-q185").toString
+      val out = Stores.storeScratchDir(s, "graft-searchidx-q185")
       // bootstrap shuffles sized from the corpus being indexed (the
       // CC-loop discipline — see Stores.withBootstrapShuffle): the
       // build is a chain of small actions whose 32-task stages over
@@ -1412,8 +1426,7 @@ object Search {
   private[graft] def diskChunkSearchDir(s: SparkSession,
       dir: String): String =
     diskChunkSearchDirs.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-searchidx-q186").toString
+      val out = Stores.storeScratchDir(s, "graft-searchidx-q186")
       val docs = T(s, dir, "documents")
       Stores.withBootstrapShuffle(s, Seq(docs)) {
         searchIndexWrite(chunkCorpus(docs), out,
@@ -1488,21 +1501,27 @@ object Search {
   private def coordStoreDirs(s: SparkSession,
       dir: String): (String, String) =
     coordDirs.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-coord-q187").toString
+      val root = Stores.storeScratchDir(s, "graft-coord-q187")
       val cs = s"$root/chunksearch"
       val ann = s"$root/ann"
       val docs = T(s, dir, "documents")
       Stores.withBootstrapShuffle(s,
           Seq(docs, T(s, dir, "embeddings"))) {
-        searchIndexWrite(
-          chunkCorpus(docs.filter(col("doc_id") % 3 =!= 0)), cs,
-          idCol = "chunk_id", textCol = "chunk_text")
-        Similarity.ivfPqIndexWrite(
-          Similarity.int8Codes(s, dir).filter(col("vec_id") % 3 =!= 0),
-          ann, kIvf = 4, m = 4, subDim = 16, k = 8,
-          codebooks = Some(Similarity.pqBooks(s, dir)),
-          centroids = Some(Similarity.ivfCentroidIdx(s, dir)))
+        // the two stores' initial builds touch disjoint inputs
+        // (chunked docs vs int8 codes + model frames) and disjoint
+        // output dirs — run them CONCURRENTLY (r22, guide §2.6 /
+        // Stores.inParallel): the absorbed section's cost at bench
+        // scale is its serial job-chain length, and these five write
+        // jobs collapse to the longer branch's three
+        Stores.inParallel(s)(
+          searchIndexWrite(
+            chunkCorpus(docs.filter(col("doc_id") % 3 =!= 0)), cs,
+            idCol = "chunk_id", textCol = "chunk_text"),
+          Similarity.ivfPqIndexWrite(
+            Similarity.int8Codes(s, dir).filter(col("vec_id") % 3 =!= 0),
+            ann, kIvf = 4, m = 4, subDim = 16, k = 8,
+            codebooks = Some(Similarity.pqBooks(s, dir)),
+            centroids = Some(Similarity.ivfCentroidIdx(s, dir))))
         val stores = Seq(Stores.ChunkSearchStore(cs, ChunkIdBase),
           Stores.AnnStore(ann))
         val delta = docs.filter(col("doc_id") % 3 === 0)
@@ -1519,8 +1538,12 @@ object Search {
         // re-derived, grace retained) sits under the external gate, not
         // just the spec pin. Compaction is corpus-neutral, so the
         // oracle is untouched; stamps don't bump, so alignment holds.
-        searchIndexCompact(s, cs)
-        Similarity.ivfPqIndexCompact(s, ann)
+        // Concurrent across the two stores (r22): each compact is its
+        // own store's generational rewrite + pointer flip — no shared
+        // artifact, no cross-store ordering to preserve.
+        Stores.inParallel(s)(
+          searchIndexCompact(s, cs),
+          Similarity.ivfPqIndexCompact(s, ann))
       }
       (cs, ann)
     })

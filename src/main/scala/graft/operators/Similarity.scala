@@ -670,8 +670,7 @@ object Similarity {
 
   private[graft] def diskIndexDir(s: SparkSession, dir: String): String =
     diskIdxDirs.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-annidx-q182").toString
+      val out = Stores.storeScratchDir(s, "graft-annidx-q182")
       val codes = int8Codes(s, dir)
       // bootstrap shuffles sized from the vectors being indexed
       // (Stores.withBootstrapShuffle — the CC-loop discipline)
@@ -754,16 +753,20 @@ object Similarity {
     Stores.clearStoreLife(s, outDir, AnnGenKinds)
     // normalize the model frames to the DECLARED store types at the
     // writer (IvfPqBooksSchema/IvfPqCentsSchema) — every later read
-    // declares its schema instead of paying an inference job
-    codebooks.getOrElse(pqSeedCodebooks(codes, m, subDim, k))
-      .select(col("cs").cast("int").as("cs"),
-        col("cb_id").cast("long").as("cb_id"),
-        col("cbv").cast("array<bigint>").as("cbv"))
-      .write.mode("overwrite").parquet(s"$outDir/books")
-    centroids.getOrElse(ivfCentroids(codes, kIvf))
-      .select(col("cl").cast("long").as("cl"),
-        col("c").cast("array<double>").as("c"))
-      .write.mode("overwrite").parquet(s"$outDir/cents")
+    // declares its schema instead of paying an inference job.
+    // The two tiny model writes are disjoint artifacts — concurrent
+    // (r22, Stores.inParallel); the enc write below reads BOTH back,
+    // so it stays after the join point.
+    Stores.inParallel(s)(
+      codebooks.getOrElse(pqSeedCodebooks(codes, m, subDim, k))
+        .select(col("cs").cast("int").as("cs"),
+          col("cb_id").cast("long").as("cb_id"),
+          col("cbv").cast("array<bigint>").as("cbv"))
+        .write.mode("overwrite").parquet(s"$outDir/books"),
+      centroids.getOrElse(ivfCentroids(codes, kIvf))
+        .select(col("cl").cast("long").as("cl"),
+          col("c").cast("array<double>").as("c"))
+        .write.mode("overwrite").parquet(s"$outDir/cents"))
     // the index records its own geometry: serve/append/ingest validate
     // caller knobs against this row instead of silently ranking in the
     // wrong code space on a mismatch. Raw sidecar file, not parquet:

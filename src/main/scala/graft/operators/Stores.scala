@@ -183,6 +183,97 @@ object Stores {
     * the CC loop's constant, shared. */
   private val BootstrapBytesPerPartition = BigInt(64L * 1024 * 1024)
 
+  /** Root directory for the process's on-disk store builds (r22, the
+    * durable-location posture the store docs have promised since r15):
+    * when set, every memoized store build (dedup/audit/search/ann/the
+    * coordinated pair) creates its directory UNDER this root instead
+    * of the JVM temp dir — pointing it at durable shared storage is
+    * what lets a production deployment serve a store built by an
+    * earlier session. Unset (the default, and what the bench runs
+    * under) keeps the per-JVM temp-dir behavior byte-for-byte: stores
+    * are rebuilt inside the first consumer's timed section every cold
+    * run — the no-cross-run-caching bench contract. The conf is read
+    * at store-build time, so one session can route different builds
+    * by flipping it between bootstraps (tests do). */
+  private[graft] val StoreRootConf = "spark.graft.store.root"
+
+  /** Create a fresh store directory for `prefix` under
+    * [[StoreRootConf]] (creating the root if needed) or the JVM temp
+    * dir when unset — THE factory every store memo build goes
+    * through. */
+  private[graft] def storeScratchDir(s: SparkSession,
+      prefix: String): String =
+    s.conf.getOption(StoreRootConf).filter(_.nonEmpty) match {
+      case Some(root) =>
+        val p = java.nio.file.Paths.get(root)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.createTempDirectory(p, prefix).toString
+      case None =>
+        java.nio.file.Files.createTempDirectory(prefix).toString
+    }
+
+  /** Run two INDEPENDENT store actions concurrently (r22, guide §2.6
+    * "overlap independent jobs"): a store bootstrap is a chain of
+    * small sequential actions whose cost at bench scale is the
+    * scheduler round-trip, not the data — and several adjacent pairs
+    * (the two dataset writes inside one store write, the two stores'
+    * builds/compacts of a coordinated lifecycle, the per-store steps
+    * of appendAll/takedownAll) have no data or ordering dependency at
+    * all: their artifacts live in different directories (or different
+    * datasets of one store) and their crash windows are already
+    * per-artifact. Submitting them from two driver threads lets the
+    * scheduler run both job chains at once, halving the serial length
+    * of the absorbed section without changing any action, artifact,
+    * or crash contract. Shared upstream cached frames are safe under
+    * concurrent materialization (BlockManager serializes per-block
+    * compute; the CacheRegistry's putIfAbsent race note).
+    *
+    * Discipline mirrored from [[stampAll]]: BOTH branches are awaited
+    * (join-all) before any failure propagates — throwing on the first
+    * while the other still runs would let its writes land after a
+    * re-run had already started.
+    *
+    * FRESH threads per call, never a shared pool: Spark's job
+    * attribution (local properties — job group/description, the
+    * plan-audit construction tag) and the active session live in
+    * InheritableThreadLocals, which a thread inherits from its
+    * CREATOR at creation time. A pooled thread keeps whichever
+    * caller's snapshot it was born under for its whole life —
+    * measured: the first pool-using query's tag swallowed every later
+    * bootstrap's constructor jobs in PlanConstructionSpec. A fresh
+    * thread inherits the current caller's snapshot, so catalyst's
+    * thread-local conf reads, UI labels, and spec attribution all see
+    * exactly what a sequential call would. Thread creation is
+    * microseconds against multi-job store builds. */
+  private[operators] def inParallel(s: SparkSession)(
+      a: => Unit, b: => Unit): Unit =
+    runConcurrently(s, Seq(() => a, () => b))
+
+  /** [[inParallel]] for the coordinated per-store mutation loops: run
+    * `body` once per store ref, all refs concurrently (store lists
+    * are operator-sized, 2–4 refs), join-all before rethrowing the
+    * first failure. */
+  private def forAllStores(s: SparkSession, stores: Seq[StoreRef])(
+      body: StoreRef => Unit): Unit =
+    runConcurrently(s, stores.map(ref => () => body(ref)))
+
+  private def runConcurrently(s: SparkSession,
+      bodies: Seq[() => Unit]): Unit = {
+    val firstErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val threads = bodies.map { b =>
+      val t = new Thread(() => {
+        try { SparkSession.setActiveSession(s); b() }
+        catch { case e: Throwable => firstErr.compareAndSet(null, e) }
+      })
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    val e = firstErr.get()
+    if (e != null) throw e
+  }
+
   /** Await an [[org.apache.spark.sql.Observation]]'s metrics row after
     * its action has returned — the store writes fold their one-row
     * stats aggregates into the write action itself (r18 verdict: fewer
@@ -782,7 +873,17 @@ object Stores {
     // way). The guard rides the eager pin, so a malformed feed fails
     // HERE, with zero stores mutated or stamped — re-runnable after
     // the feed is fixed.
+    // the (count, min, max) aggregate RIDES the pin's materialization
+    // as an observed metric (r22, the searchIndexAppend stats
+    // discipline applied here): the eager localCheckpoint already
+    // executes the whole validated plan, so the one remaining
+    // takedown-side aggregate job folds into it for free. The
+    // fallback below keeps the pre-r22 separate aggregate for any
+    // execution path that stops delivering observed metrics —
+    // degraded job count, never wrong bounds.
+    val obs = org.apache.spark.sql.Observation()
     val ids = requireLongIds(docIds, "doc_id", "takedown")
+      .observe(obs, count(lit(1)), min("doc_id"), max("doc_id"))
       .localCheckpoint()
     // duplicates are NOT normalized away (the Seq form doesn't either;
     // every consumer join is duplicate-safe) — a distinct here would
@@ -798,7 +899,8 @@ object Stores {
       // stamped, instead of raise_error-ing mid-list after earlier
       // stores already stamped (diverged stamps until the feed was
       // fixed, contradicting the pin-time-guard contract).
-      val b = ids.agg(count(lit(1)), min("doc_id"), max("doc_id")).head()
+      val b = awaitObserved(s, obs).getOrElse(
+        ids.agg(count(lit(1)), min("doc_id"), max("doc_id")).head())
       // empty compliance window (explicitly allowed): stamps still
       // land on the common target, but the per-store deletes are
       // SKIPPED — without this every empty window committed one
@@ -826,8 +928,17 @@ object Stores {
         // saw no divergence while some stores were tombstoned and
         // others untouched; interleaving restores the Seq form's loud
         // crash contract (completed stores ahead, alignment check
-        // fails until the converging re-run completes the batch)
-        case Some(bd) => stores.foreach { ref =>
+        // fails until the converging re-run completes the batch).
+        // The per-store (delete → stamp) chains run CONCURRENTLY
+        // across stores (r22, [[inParallel]] rationale): each store's
+        // stamp still rides its OWN delete — the r19 contract is
+        // per-store ordering, which threading across stores does not
+        // touch — and a crash now leaves an arbitrary SUBSET (not a
+        // prefix) of stores completed: the same loud divergence, the
+        // same converging re-run. Await-all before rethrow, so no
+        // store's delete is still in flight when the failure
+        // propagates ([[stampAll]]'s ghost-write discipline).
+        case Some(bd) => forAllStores(s, stores) { ref =>
           deleteOneFrame(s, ref, ids, bd)
           writeStoreVersion(s, ref.dir, target)
         }
@@ -964,7 +1075,22 @@ object Stores {
     }
     try {
       val target = stores.map(r => storeVersion(s, r.dir)).max + 1
-      stores.foreach { ref =>
+      // the delta pin is forced BEFORE the per-store chains fan out:
+      // `pinned` is a lazy val, and two threads forcing it at once
+      // would race the checkpoint (each store's append must read ONE
+      // materialized delta, not two competing materializations)
+      if (stores.exists(ref =>
+          !fsOf(s, new Path(s"${ref.dir}/ingested/named-$batchId"))
+            .exists(new Path(s"${ref.dir}/ingested/named-$batchId"))))
+        pinned
+      // per-store (append → marker → stamp) chains run CONCURRENTLY
+      // across stores (r22, [[inParallel]] rationale): the ledger
+      // marker still lands after ITS store's append and the stamp
+      // after the marker — the per-store crash ordering the
+      // at-least-once contract rests on — and a crash leaves an
+      // arbitrary SUBSET of stores completed instead of a prefix:
+      // the same loud divergence, the same marker-skipping re-run.
+      forAllStores(s, stores) { ref =>
         val marker = new Path(s"${ref.dir}/ingested/named-$batchId")
         val fs = fsOf(s, marker)
         if (!fs.exists(marker)) {
@@ -1345,9 +1471,16 @@ object Stores {
     val pairs = s"$indexDir/${genName("pairs", g)}"
     val cand = s"$indexDir/${genName("cand", g)}"
     // BOTH datasets must exist at the current generation: a crash
-    // between auditStoreWrite/Append's two writeAuditSet calls leaves
-    // pairs present and cand missing — before the r20 advice fix this
-    // reported healthy while residentAuditCands threw
+    // inside auditStoreWrite's (concurrent since r22) dataset writes
+    // can leave either half missing — before the r20 advice fix this
+    // reported healthy while residentAuditCands threw. Honest scope
+    // (r21 advice): this existence check covers the INITIAL write
+    // only — an auditStoreAppend crash between its two appends into
+    // an EXISTING generation leaves both dirs present with the cand
+    // delta lost, a window fsck cannot see without per-batch delta
+    // markers (deferred durability work; the dup checks below report
+    // REPLAYED deltas, not lost ones). The repair is the same either
+    // way: rebuild from the pipeline's own sets.
     if (!fs.exists(new Path(pairs)) || !fs.exists(new Path(cand))) {
       rows += (("datasets", s"current generation g$g incomplete",
         "unrecoverable without a rebuild"))

@@ -1697,24 +1697,78 @@ object TextDedup {
           s"$want; a mismatched geometry would silently admit dups")
     }
 
+  /** Cheap driver-side version key of the corpus behind `dir`: the
+    * documents dataset's file listing (name:length:mtime per file,
+    * sorted). An in-place corpus overwrite changes it (Spark writes
+    * fresh part-file names), so a memo keyed on it detects staleness
+    * without any Spark job — the r21 verdict's #1 latent-correctness
+    * hazard (the warm-replay trap behind every chain consumer since
+    * the store rewiring), closed at the memo instead of documented at
+    * every call site. One FS listing per memo consult: driver-side
+    * metadata, a few entries at any scale (the corpus dir is a
+    * dataset, not a partition tree). */
+  private def corpusFingerprint(s: SparkSession, dir: String): String = {
+    // the Tables layout: one `documents.parquet` file OR directory
+    // under the scale-factor dir (listStatus on a file returns that
+    // file's own status — both layouts fingerprint)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
+  /** Recursively delete an evicted store directory this module
+    * created. Only ever called on memo-owned dirs (the memo value is
+    * the dir the build itself created), never on caller paths. */
+  private def deleteEvictedStore(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try fs.delete(p, true) catch {
+      case scala.util.control.NonFatal(_) => () // hygiene, not contract
+    }
+  }
+
+  /** Registry keys bound to the on-disk AUDIT store: the pair caches
+    * read THROUGH it since r21, and dup-cc derives from them. Dropped
+    * for the session whenever the store memo evicts a stale store, so
+    * no frame can keep scanning a deleted directory (the r21 advice:
+    * resetDiskAuditMemo without a registry clear left q117/q42 and
+    * q188 silently divergent after an in-place corpus overwrite). */
+  private val AuditDependentPrefixes =
+    Seq("jaccard-pairs", "lsh-cand", "dup-cc")
+
   /** The on-disk store behind q184 for the bench inventory — built
-    * once per corpus dir into a process-temp directory from the SAME
-    * registry signature cache q156 reads (so disk serving is
-    * result-identical by construction), resident side = the md5-gate
-    * bk < 95 docs. Process memo, not a registry frame (a directory
-    * holds no executor memory — the [[Similarity.diskIndexDir]]
-    * contract, including the warm-replay trap: ledger derivations must
-    * [[resetDiskDedupMemo]] or a replayed q184 skips its build and
-    * mis-attributes the signature cache's first consumer). */
+    * once per (corpus dir, corpus version) into a
+    * [[Stores.storeScratchDir]] directory from the SAME registry
+    * signature cache q156 reads (so disk serving is result-identical
+    * by construction), resident side = the md5-gate bk < 95 docs.
+    * Process memo, not a registry frame (a directory holds no
+    * executor memory). Since r22 the memo is keyed on the corpus
+    * FINGERPRINT as well as the dir ([[corpusFingerprint]]): an
+    * in-place corpus overwrite (after the standing
+    * `Tables.invalidate` + `CacheRegistry.clear` discipline) rebuilds
+    * the store on next touch and deletes the evicted one, instead of
+    * silently serving the old corpus — [[resetDiskDedupMemo]] remains
+    * as the explicit hook for ledger derivations (which must replay
+    * builds COLD regardless of corpus staleness). */
   private val diskDedupDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private[graft] def resetDiskDedupMemo(): Unit = diskDedupDirs.clear()
 
-  private[graft] def diskDedupDir(s: SparkSession, dir: String): String =
-    diskDedupDirs.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-dedupidx-q184").toString
+  private[graft] def diskDedupDir(s: SparkSession, dir: String): String = {
+    val fp = corpusFingerprint(s, dir)
+    val hit = diskDedupDirs.get(dir)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      // build OUTSIDE the map bin (r21 advice #4: a multi-job store
+      // build inside computeIfAbsent blocks every other key in the
+      // bin for the build's duration) — the CacheRegistry
+      // probe-then-put discipline; a racing duplicate build is benign
+      // (both produce equivalent stores; the loser's dir is deleted)
+      val out = Stores.storeScratchDir(s, "graft-dedupidx-q184")
       val gate = graft.plans.HexWindowToLong.md5Bucket(col("doc_id"), 100)
       val bands = bandsOf(signatures(s, dir).filter(gate < 95))
       // bootstrap shuffles sized from the band frame being written
@@ -1722,8 +1776,15 @@ object TextDedup {
       Stores.withBootstrapShuffle(s, Seq(bands)) {
         dedupIndexWriteBands(bands, out)
       }
+      val prev = diskDedupDirs.put(dir, (fp, out))
+      // a stale store was evicted (corpus overwritten in place, or a
+      // racing build lost): delete it — no registry frame binds to
+      // the dedup store (serves construct from the dir string), so
+      // the delete needs no registry drop here
+      if (prev != null && prev._2 != out) deleteEvictedStore(s, prev._2)
       out
-    })
+    }
+  }
 
   // ──────────────── ON-DISK LSH AUDIT (PAIR) STORE ────────────────
   // The r19 verdict's #1: the verified jaccard pair set and the LSH
@@ -1819,8 +1880,19 @@ object TextDedup {
         "bands" -> DedupNumBands.toString,
         "rows_per_band" -> DedupRowsPerBand.toString,
         "buckets" -> AuditBuckets.toString))
-      writeAuditSet(normalizedPairs(pairs), s"$outDir/pairs", "overwrite")
-      writeAuditSet(normalizedCands(cand), s"$outDir/cand", "overwrite")
+      // the two dataset writes are disjoint artifacts off shared
+      // upstream caches (shingles/signatures — concurrent
+      // materialization is block-lock-safe) — run them CONCURRENTLY
+      // (r22, Stores.inParallel): q117's absorbed build pays one
+      // chain's wall instead of both, and the crash window is
+      // unchanged (either dataset missing at the current generation
+      // is the same fsck "incomplete" verdict + rebuild repair,
+      // whichever half landed)
+      Stores.inParallel(s)(
+        writeAuditSet(normalizedPairs(pairs), s"$outDir/pairs",
+          "overwrite"),
+        writeAuditSet(normalizedCands(cand), s"$outDir/cand",
+          "overwrite"))
       Stores.writeStoreVersion(s, outDir, 0L)
     }
   }
@@ -1956,7 +2028,7 @@ object TextDedup {
     }
 
   /** The on-disk audit store behind the whole LSH-audit family — built
-    * once per corpus dir from the chain computations
+    * once per (corpus dir, corpus version) from the chain computations
     * ([[chainJaccardPairs]]/[[chainCandidatePairs]] over the shared
     * shingle/signature caches), under a bootstrap sized from the
     * documents table (the chain's true input: ~600 KB at sf0.1 →
@@ -1964,18 +2036,55 @@ object TextDedup {
     * parallelism). Since r21 the registry pair caches
     * ([[jaccardPairs]]/[[lshCandidatePairs]]) read THROUGH this store,
     * so the first chain consumer (q117 in bench order) absorbs the
-    * build and q188 serves off two pruned bucket scans. Same memo
-    * contract as [[diskDedupDir]], including the warm-replay trap —
-    * ledger derivations must [[resetDiskAuditMemo]]. */
+    * build and q188 serves off two pruned bucket scans.
+    *
+    * Since r22 the memo is CORPUS-VERSION-KEYED
+    * ([[corpusFingerprint]]) and self-healing: an in-place corpus
+    * overwrite is detected at the next consult, the session's
+    * store-bound registry frames ([[AuditDependentPrefixes]]) are
+    * dropped FIRST, then the stale store is rebuilt and the evicted
+    * directory deleted — closing both halves of the r21 warm-replay
+    * trap (a stale store silently served; /tmp stranding on reset).
+    * The staleness hook composes with, not replaces, the standing
+    * in-place-rewrite discipline (`Tables.invalidate` +
+    * `CacheRegistry.clear` for the OTHER caches derived from the old
+    * corpus). [[resetDiskAuditMemo]] stays for ledger derivations,
+    * which must replay builds cold on an UNCHANGED corpus — the
+    * session-taking overload also drops the dependent registry keys
+    * and deletes the evicted stores (the r21 advice pairing, now
+    * enforced in one call). Sequential-session caveat unchanged: the
+    * registry drop reaches only the session passed in. */
   private val diskAuditDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private[graft] def resetDiskAuditMemo(): Unit = diskAuditDirs.clear()
 
-  private[graft] def diskAuditDir(s: SparkSession, dir: String): String =
-    diskAuditDirs.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-auditidx-q188").toString
+  /** [[resetDiskAuditMemo]] + the dependent-registry drop + evicted-
+    * store deletion, in the safe order (registry first — a frame must
+    * never outlive the directory it scans). */
+  private[graft] def resetDiskAuditMemo(s: SparkSession): Unit = {
+    AuditDependentPrefixes.foreach(
+      graft.CacheRegistry.releaseByPrefix(s, _))
+    val dirs = new scala.collection.mutable.ArrayBuffer[String]()
+    diskAuditDirs.values().forEach(v => { dirs += v._2; () })
+    diskAuditDirs.clear()
+    dirs.foreach(deleteEvictedStore(s, _))
+  }
+
+  private[graft] def diskAuditDir(s: SparkSession, dir: String): String = {
+    val fp = corpusFingerprint(s, dir)
+    val hit = diskAuditDirs.get(dir)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      // drop the session's store-bound frames BEFORE building: they
+      // were constructed over the store about to be evicted, and a
+      // consumer landing between the build and a later drop could
+      // still scan the deleted directory
+      if (hit != null) AuditDependentPrefixes.foreach(
+        graft.CacheRegistry.releaseByPrefix(s, _))
+      // build OUTSIDE the map bin (r21 advice #4) — the CacheRegistry
+      // probe-then-put discipline; a racing duplicate build is benign
+      val out = Stores.storeScratchDir(s, "graft-auditidx-q188")
       Stores.withBootstrapShuffle(s,
         Seq(T(s, dir, "documents"))) {
         // the build computes from the CHAIN directly (the registry
@@ -1986,6 +2095,9 @@ object TextDedup {
         auditStoreWrite(chainJaccardPairs(s, dir),
           chainCandidatePairs(s, dir), out)
       }
+      val prev = diskAuditDirs.put(dir, (fp, out))
+      if (prev != null && prev._2 != out) deleteEvictedStore(s, prev._2)
       out
-    })
+    }
+  }
 }

@@ -61,8 +61,14 @@ object Bridge {
       // InaccessibleObjectException — a RuntimeException the narrower
       // catch missed (r20 advice). Every reflection failure degrades
       // to the documented bounded leak, never a crash on the write
-      // path; ObservationSpec keeps the happy path loud.
-      case scala.util.control.NonFatal(_) => ()
+      // path; ObservationSpec keeps the happy path loud. Logged at
+      // warn (r21 advice): the broad catch also swallows genuine
+      // runtime failures in the removal loop, and a PERSISTENT
+      // degradation should be observable in the driver log instead of
+      // silent.
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"dropObservation degraded to the documented bounded leak: $e")
     }
 
   /** How many manager entries currently reference `obs` — the

@@ -131,6 +131,66 @@ class AuditStoreSpec extends SparkTestBase {
     assert(probe.count() == 1L, "the probe finds exactly the pair")
   }
 
+  test("an in-place corpus overwrite is picked up WITHOUT a manual " +
+      "memo reset (corpus-version-keyed memo, r22), and the evicted " +
+      "store directory is deleted") {
+    graft.CacheRegistry.clear(spark)
+    TextDedup.resetDiskAuditMemo()
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-corpus").toString
+    def writeDocs(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "source").coalesce(1)
+        .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    writeDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon", "src0"),
+      (2L, "alpha beta gamma delta epsilon", "src1"),
+      (3L, "zeta eta theta iota kappa", "src1")))
+    val idx1 = TextDedup.diskAuditDir(spark, corpus)
+    assert(residentPairKeys(idx1) == Seq((1L, 2L)))
+    // overwrite the corpus IN PLACE (fresh part files): docs 2 and 3
+    // are now the duplicate pair. The standing discipline for the
+    // other derived caches still applies (CacheRegistry.clear, which
+    // invalidates Tables too) — but NO resetDiskAuditMemo: the memo
+    // must detect the changed corpus fingerprint by itself. Before
+    // r22 this served the STALE store (the r21 verdict's #1 latent
+    // hazard).
+    writeDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon", "src0"),
+      (2L, "zeta eta theta iota kappa", "src1"),
+      (3L, "zeta eta theta iota kappa", "src1")))
+    graft.CacheRegistry.clear(spark)
+    val idx2 = TextDedup.diskAuditDir(spark, corpus)
+    assert(idx2 != idx1, "a changed corpus must build a fresh store")
+    assert(residentPairKeys(idx2) == Seq((2L, 3L)),
+      "the fresh store must hold the NEW corpus's pairs")
+    assert(!new java.io.File(idx1).exists,
+      "the evicted stale store directory must be deleted")
+    graft.CacheRegistry.clear(spark)
+    TextDedup.resetDiskAuditMemo()
+  }
+
+  test("resetDiskAuditMemo(session) drops the store-bound registry " +
+      "frames and deletes the evicted store dirs (r21 advice pairing)") {
+    graft.CacheRegistry.clear(spark)
+    TextDedup.resetDiskAuditMemo()
+    // warm the store AND a dependent registry frame through the
+    // public read path
+    val nBefore = SparkEntry.queries("q42_jaccard_pairs")(spark, sf).count()
+    val idx = TextDedup.diskAuditDir(spark, sf)
+    assert(new java.io.File(idx).exists)
+    assert(graft.CacheRegistry.liveCount(spark) > 0)
+    TextDedup.resetDiskAuditMemo(spark)
+    assert(!new java.io.File(idx).exists,
+      "the session-taking reset must delete the evicted store")
+    // the dependent frames are gone: a fresh q42 construction builds
+    // a NEW store (fresh memo) rather than scanning the deleted dir
+    val again = SparkEntry.queries("q42_jaccard_pairs")(spark, sf)
+    assert(again.count() == nBefore,
+      "a rebuilt store serves the same pairs")
+    graft.CacheRegistry.clear(spark)
+    TextDedup.resetDiskAuditMemo()
+  }
+
   test("append serves identically to a full rebuild and bumps the stamp") {
     val a = Seq((1L, 2L), (3L, 4L))
     val b = Seq((5L, 6L), (1L, 7L))

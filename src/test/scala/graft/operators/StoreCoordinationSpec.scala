@@ -11,6 +11,23 @@ import graft.{Graft, SparkTestBase}
   * not serve a half-deleted document's chunks), and the one-call
   * [[Stores.takedown]] across all four store kinds. */
 class StoreCoordinationSpec extends SparkTestBase {
+
+  test("spark.graft.store.root routes fresh store dirs under the " +
+      "configured root; unset keeps the JVM temp-dir default (r22)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-store-root").toString
+    spark.conf.set(Stores.StoreRootConf, root)
+    try {
+      val d = Stores.storeScratchDir(spark, "graft-conf-pin")
+      assert(d.startsWith(root),
+        s"configured root must own the store dir: $d !< $root")
+      assert(new java.io.File(d).isDirectory)
+    } finally spark.conf.unset(Stores.StoreRootConf)
+    val d2 = Stores.storeScratchDir(spark, "graft-conf-pin")
+    assert(!d2.startsWith(root),
+      s"unset conf must fall back to the JVM temp dir: $d2")
+    assert(new java.io.File(d2).isDirectory)
+  }
   import spark.implicits._
 
   private def tmp(): String =
