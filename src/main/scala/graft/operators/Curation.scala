@@ -815,6 +815,17 @@ object Curation {
         .select(col("source").as("lbl"), col("nd"))
         .crossJoin(broadcast(
           rolledP.filter(col("g") === 1).select(col("nd").as("n"))))
+      // NOT hoisted: precomputing ln((c+1)/(tt+vsz)) per (lbl, w) in
+      // the broadcast model (the q165 lw trick) was tried in r22 and
+      // REVERTED on measurement — the model frame must join cst⨝tot,
+      // which evaluates the tot rollup a second time (the expansion
+      // frame still needs tt/vsz for the missing-word term), and at
+      // sf0.1 that duplicated vocab×K pass costs more than the
+      // corpus×K ln it saves (JobCount: 24→30 jobs, taskTime 79→98 s,
+      // cold wall 7.0→8.4 s; warm wall equal). At open-web scale the
+      // calculus flips (corpus×K ≫ vocab×K) — revisit with a
+      // registry-cached annotated model if q164 ever dominates a real
+      // deployment.
       val sc = tf
         .crossJoin(broadcast(tot))
         .join(lmHint(s, dir, cst), Seq("lbl", "w"), "left")
@@ -920,7 +931,14 @@ object Curation {
         count(lit(1)).as("vsz"))
       // one broadcast join brings BOTH models: every pool word is in lm
       // with non-NULL ca (pool rows fed its sum), so the inner join
-      // keeps exactly the rows the old left-tgt + inner-bg pair kept
+      // keeps exactly the rows the old left-tgt + inner-bg pair kept.
+      // NOT hoisted: precomputing the 4-term ln() per word in a
+      // derived (w, lw) broadcast — the q164 experiment's twin — was
+      // tried in r22 and REVERTED on measurement: the extra
+      // vocab-sized lmw materialization pass costs more than the
+      // per-pool-row ln it saves at sf0.1 (JobCount, quiet box:
+      // taskTime 34.9 → 42.6 s, wall 2.77 → 3.10 s, jobs 17 = 17),
+      // the ln being fused into the corpus pass's codegen anyway.
       val sc = pool
         .join(lmHint(s, dir, lm), "w")
         .crossJoin(broadcast(gl))

@@ -1524,8 +1524,21 @@ object Search {
             centroids = Some(Similarity.ivfCentroidIdx(s, dir))))
         val stores = Seq(Stores.ChunkSearchStore(cs, ChunkIdBase),
           Stores.AnnStore(ann))
+        // LEFT join (r22 correctness fix, caught by the first full
+        // sf0.1 oracle replay): the lexical chunk store must absorb
+        // EVERY appended document — the oracle's destination corpus is
+        // `documents` minus the takedown slice — while the ANN store
+        // appends only the vector-carrying rows (int8CodedVectors
+        // drops NULL/zero embeddings via its absmax > 0 gate). The old
+        // INNER join silently dropped every `% 3 == 0` doc without an
+        // embedding row from the chunk store; invisible at
+        // sf0.001/sf0.01 (embeddings cover all docs there — the SFs
+        // the driver's gate replays), ~20% of the appended slice's
+        // chunks lost at sf0.1 (2000 embeddings / 5000 docs), read as
+        // lex_rank off by 4 in the fused top-10.
         val delta = docs.filter(col("doc_id") % 3 === 0)
-          .join(T(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+          .join(T(s, dir, "embeddings"),
+            col("doc_id") === col("vec_id"), "left")
           .select(col("doc_id"), col("text"), col("embedding").as("emb"))
         Stores.appendAll(delta, "q187-bootstrap", stores)
         // takedown as DATA — the frame-shaped form: the id slice is a

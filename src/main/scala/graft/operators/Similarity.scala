@@ -754,19 +754,29 @@ object Similarity {
     // normalize the model frames to the DECLARED store types at the
     // writer (IvfPqBooksSchema/IvfPqCentsSchema) — every later read
     // declares its schema instead of paying an inference job.
-    // The two tiny model writes are disjoint artifacts — concurrent
-    // (r22, Stores.inParallel); the enc write below reads BOTH back,
-    // so it stays after the join point.
-    Stores.inParallel(s)(
-      codebooks.getOrElse(pqSeedCodebooks(codes, m, subDim, k))
-        .select(col("cs").cast("int").as("cs"),
-          col("cb_id").cast("long").as("cb_id"),
-          col("cbv").cast("array<bigint>").as("cbv"))
-        .write.mode("overwrite").parquet(s"$outDir/books"),
-      centroids.getOrElse(ivfCentroids(codes, kIvf))
-        .select(col("cl").cast("long").as("cl"),
-          col("c").cast("array<double>").as("c"))
-        .write.mode("overwrite").parquet(s"$outDir/cents"))
+    // SEQUENTIAL on purpose — do NOT Stores.inParallel these two
+    // (tried in r22, reverted same round): both lineages share the
+    // un-materialized `codes` subtree, whose int8 prep holds lambda
+    // higher-order functions (transform/array_max lambda variables —
+    // shared single mutable value holders on the analyzed tree), and
+    // over a LOCAL input frame (any facade caller's Seq.toDF) the
+    // optimizer evaluates that shared subtree interpreted on the
+    // driver (ConvertToLocalRelation) — two planning threads race the
+    // lambda holders and both model writes land corrupted rows
+    // (observed: out-of-int8 codebook cells, cross-row element bleed
+    // in cents; GraftFacadeSpec's round-trip catches it). Parquet- or
+    // cache-backed inputs never hit that path, but this writer is the
+    // facade's (`Graft.annIndexWrite`) — the input is the user's.
+    // See the [[Stores.inParallel]] safety contract.
+    codebooks.getOrElse(pqSeedCodebooks(codes, m, subDim, k))
+      .select(col("cs").cast("int").as("cs"),
+        col("cb_id").cast("long").as("cb_id"),
+        col("cbv").cast("array<bigint>").as("cbv"))
+      .write.mode("overwrite").parquet(s"$outDir/books")
+    centroids.getOrElse(ivfCentroids(codes, kIvf))
+      .select(col("cl").cast("long").as("cl"),
+        col("c").cast("array<double>").as("c"))
+      .write.mode("overwrite").parquet(s"$outDir/cents")
     // the index records its own geometry: serve/append/ingest validate
     // caller knobs against this row instead of silently ranking in the
     // wrong code space on a mismatch. Raw sidecar file, not parquet:

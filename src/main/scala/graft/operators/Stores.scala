@@ -244,7 +244,26 @@ object Stores {
     * thread inherits the current caller's snapshot, so catalyst's
     * thread-local conf reads, UI labels, and spec attribution all see
     * exactly what a sequential call would. Thread creation is
-    * microseconds against multi-job store builds. */
+    * microseconds against multi-job store builds.
+    *
+    * SAFETY CONTRACT (learned the hard way in r22): the two branches
+    * must not share an UN-MATERIALIZED plan subtree that contains
+    * lambda higher-order functions (transform/filter/aggregate/
+    * zip_with — their lambda variables are single mutable value
+    * holders on the shared analyzed tree) unless every shared leaf is
+    * a parquet scan or an already-planned cached relation. Executor
+    * tasks deserialize private plan copies, so distributed execution
+    * never races — but over a LOCAL relation (any facade caller's
+    * Seq.toDF) the optimizer evaluates projections interpreted on the
+    * DRIVER (ConvertToLocalRelation), and two planning threads then
+    * race the shared lambda holders: observed as corrupted rows in
+    * BOTH branches' artifacts (the r22 ivfPqIndexWrite books∥cents
+    * attempt, reverted). Safe shapes used by the current call sites:
+    * branches over a localCheckpoint-pinned shared frame (takedown/
+    * append batches), branches whose shared subtrees are registry
+    * caches or corpus parquet (the audit pair write, the coordinated
+    * q187 builds), and branches sharing only stateless expressions
+    * (the search docs∥postings split/explode). */
   private[operators] def inParallel(s: SparkSession)(
       a: => Unit, b: => Unit): Unit =
     runConcurrently(s, Seq(() => a, () => b))

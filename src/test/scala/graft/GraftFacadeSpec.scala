@@ -525,6 +525,14 @@ class GraftFacadeSpec extends SparkTestBase {
     // the FIRST touch of a parquet table runs a schema-read job that
     // must not charge to the plan construction under test
     graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    // ... and the AUDIT STORE memo too (r22): since r21 q42's plan
+    // reads through the on-disk pair store, so a first-in-JVM (or
+    // post-reset — other suites call resetDiskAuditMemo) touch runs
+    // the store BUILD's jobs at construction. That bootstrap cost is
+    // PlanConstructionSpec's subject; this test pins only that the
+    // pinned BRANCH adds no probe job, so construct once untagged to
+    // absorb the build before the tagged read below.
+    SparkEntry.queries("q42_jaccard_pairs")(spark, "/root/testdata/sf0.001")
     spark.conf.set(Graft.jaccardBranchConf, "count")
     sc.addSparkListener(listener)
     try {

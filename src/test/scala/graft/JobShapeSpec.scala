@@ -78,8 +78,9 @@ class JobShapeSpec extends SparkTestBase {
           s"regressed; run tools.JobTrace $name to name the new jobs")
     }
 
-  pin("q187_coord_takedown", 34,
-    "the r19 cut: 53 → 29 at sf0.1; 29 measured here")
+  pin("q187_coord_takedown", 33,
+    "r19 cut 53 → 29 at sf0.1; r22 folds the takedown bounds " +
+      "aggregate into the id pin's observed metrics — 28 measured here")
   pin("q186_rag_fuse_disk", 24, "r19 cut: 29 → 19 at sf0.1; 18 here")
   pin("q182_ivfpq_disk", 17, "r19 cut: 18 → 12 at sf0.1; 11 here")
   pin("q185_bm25_disk", 15, "r19 cut: 12 → 10 at sf0.1; 9 here")
